@@ -1,0 +1,360 @@
+"""Deduplication operators over the ``documents`` table.
+
+Beyond-reference extension (BASELINE.json north star): exact dedup,
+MinHash+LSH, SimHash, and n-gram Jaccard set-similarity join. Every
+variant is expressed as pure DataFrame ops (no Python UDFs) so the hot
+path stays in whole-stage codegen, and each has a DuckDB oracle that
+replicates the *same deterministic algorithm* (md5-derived hashes, see
+``hashing.py``) so results hash-match bit-for-bit.
+
+Scale notes (100 TB):
+- Exact dedup: hash-groupBy — one shuffle on a 128-bit digest; skew-free
+  by construction.
+- MinHash LSH: cost is (docs × shingles × K) map-side, then a shuffle on
+  (band_id, band_key). Candidate verification joins doc shingle-sets
+  only for candidate pairs (never all-pairs).
+- SimHash: multi-index blocking (8 nibble chunks) guarantees recall for
+  hamming ≤ 7 by pigeonhole — candidates are an equi-join, not a cross
+  join.
+- N-gram Jaccard: the classic set-similarity join — explode distinct
+  n-grams, self-join on n-gram, count shared per pair. A true cross
+  join never appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .hashing import (
+    MINHASH_PARAMS,
+    N_BANDS,
+    ROWS_PER_BAND,
+    md5_prefix_long,
+    md5_prefix_long_sql,
+    minhash_value,
+    minhash_value_sql,
+)
+from .registry import register
+from .rounding import dround
+
+JACCARD_THRESHOLD = 0.3
+BIGRAM_JACCARD_THRESHOLD = 0.4
+SIMHASH_MAX_HAMMING = 6
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 8  # 8 × 4-bit nibbles; hamming ≤ 6 ⇒ ≥ 2 chunks equal
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized text
+# --------------------------------------------------------------------------
+@register(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared shingle machinery
+# --------------------------------------------------------------------------
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct 3-word shingle array."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 3),"
+                " i -> concat_ws(' ', split(text, ' ')[i],"
+                " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i+1],
+                              string_split(text, ' ')[i+2]))) AS shingles
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    h = md5_prefix_long_sql("sh")
+    mh_exprs = ",\n           ".join(
+        f"MIN({minhash_value_sql('h', a, b)}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_rows = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        cols = " || '-' || ".join(
+            f"CAST(mh{j} AS VARCHAR)" for j in range(lo, lo + ROWS_PER_BAND)
+        )
+        band_rows.append(f"SELECT doc_id, {band} AS band_id, {cols} AS band_key FROM sigs")
+    bands_sql = "\n      UNION ALL\n      ".join(band_rows)
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM sh
+    ),
+    hashed AS (
+      SELECT doc_id, {h} AS h FROM exploded
+    ),
+    sigs AS (
+      SELECT doc_id, {mh_exprs}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+       AND b1.doc_id < b2.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS j
+      FROM cand c JOIN sh a ON c.doc_a = a.doc_id
+                  JOIN sh b ON c.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+    FROM verified WHERE j >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("d02_dedup_minhash_lsh", oracle=_minhash_oracle())
+def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    hashed = exploded.select("doc_id", md5_prefix_long(F.col("sh")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    band_frames = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        key = F.concat_ws(
+            "-", *[F.col(f"mh{j}").cast("string") for j in range(lo, lo + ROWS_PER_BAND)]
+        )
+        band_frames.append(
+            sigs.select(
+                "doc_id", F.lit(band).alias("band_id"), key.alias("band_key")
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionAll(bf)
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("j", inter.cast("double") / union)
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", dround("j", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit) + multi-index blocking
+# --------------------------------------------------------------------------
+def _simhash_sig_sql() -> str:
+    h = md5_prefix_long_sql("tok")
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tok_hash AS (
+      SELECT doc_id, {h} AS h FROM toks
+    ),
+    bit_votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM tok_hash, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
+      GROUP BY doc_id, b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bit_votes GROUP BY doc_id
+    )
+    """
+
+
+def _simhash_oracle() -> str:
+    # Oracle verifies via brute-force hamming — equivalent to the Spark
+    # side's multi-index blocking because hamming ≤ 6 over 8 nibble
+    # chunks pigeonholes into ≥ 2 equal chunks (recall = 1).
+    return f"""
+    WITH {_simhash_sig_sql()}
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+           CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+    FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("d03_dedup_simhash", oracle=_simhash_oracle())
+def d03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok_hash = toks.select("doc_id", md5_prefix_long(F.col("tok")).alias("h"))
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
+    votes = (
+        tok_hash.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, b) & 1)") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    sigs = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+    # Multi-index blocking: explode each signature into 8 nibble chunks;
+    # candidate pairs must share at least one (chunk_id, nibble) —
+    # guaranteed for hamming ≤ 6 by pigeonhole over 8 chunks.
+    chunks = spark.range(SIMHASH_CHUNKS).select(F.col("id").cast("int").alias("c"))
+    keyed = sigs.crossJoin(F.broadcast(chunks)).select(
+        "doc_id",
+        "simhash",
+        "c",
+        F.expr("(shiftright(simhash, c * 4) & 15)").alias("nib"),
+    )
+    k1 = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "nib"
+    )
+    k2 = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "nib"
+    )
+    cand = (
+        k1.join(k2, ["c", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram (word-bigram) Jaccard set-similarity join
+# --------------------------------------------------------------------------
+@register(
+    "d04_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                string_split(text, ' ')[i+1]))) AS bigrams
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    exploded AS (SELECT doc_id, len(bigrams) AS nb, unnest(bigrams) AS g FROM bg),
+    shared AS (
+      SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b,
+             e1.nb AS nb_a, e2.nb AS nb_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM exploded e1 JOIN exploded e2
+        ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_shared * 1.0 / (nb_a + nb_b - n_shared), 6) AS jaccard
+    FROM shared
+    WHERE n_shared * 1.0 / (nb_a + nb_b - n_shared) >= {BIGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def d04_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
+            )
+        ).alias("bigrams"),
+    ).filter(F.size("bigrams") > 0)
+    exploded = bg.select(
+        "doc_id", F.size("bigrams").alias("nb"), F.explode("bigrams").alias("g")
+    )
+    e1 = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("nb").alias("nb_a"), "g"
+    )
+    e2 = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("nb").alias("nb_b"), "g"
+    )
+    shared = (
+        e1.join(e2, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "nb_a", "nb_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    j = F.col("n_shared").cast("double") / (
+        F.col("nb_a") + F.col("nb_b") - F.col("n_shared")
+    )
+    return (
+        shared.withColumn("j", j)
+        .filter(F.col("j") >= BIGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", dround("j", 6).alias("jaccard"))
+    )

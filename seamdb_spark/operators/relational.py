@@ -1,0 +1,1135 @@
+"""Relational operator surface (SURVEY.md §2.B).
+
+The reference inherits DataFusion 47's full relational operator set via
+``SessionStateBuilder::with_default_features()`` (reference:
+src/sql/mod.rs:84) and exposes it over scanned tables (reference:
+src/sql/postgresql/mod.rs:269,286-348). Spark SQL covers the same
+surface natively; each query below exercises one category of that
+surface end-to-end (scan → plan → execute) and carries a DuckDB oracle.
+
+Determinism rules for oracle hash-parity (applied on BOTH sides):
+- float aggregates rounded to a fixed number of decimals (sum order
+  varies with partitioning; rounding removes last-ulp noise),
+- integer aggregates cast to BIGINT (DuckDB widens SUM(int) to INT128),
+- every LIMIT is preceded by a total order with a unique tiebreak key.
+
+Scale notes are attached per-query where the plan shape matters at
+100 TB (broadcast choices, shuffle keys, pushdown expectations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+from .rounding import dround
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation: GROUP BY + multiple aggregates (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: single wide scan + partial (map-side) agg on 6 grouping values
+    # → tiny shuffle. Filter + 7-column projection push to parquet.
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 2).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter predicates: BETWEEN / IN / LIKE / IS NULL / CASE + projection
+# --------------------------------------------------------------------------
+@register(
+    "q02_filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity,
+           CASE WHEN l_discount >= 0.05 THEN 'high' WHEN l_discount > 0 THEN 'low'
+                ELSE 'none' END                                   AS disc_band,
+           ROUND(l_extendedprice * (1 - l_discount), 2)           AS net_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus LIKE 'F%'
+      AND l_shipdate IS NOT NULL
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1998-12-31 00:00:00'
+    """,
+)
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: all five predicates are parquet-pushable (min/max + dictionary
+    # row-group pruning); no shuffle at all.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+        & F.col("l_shipdate").isNotNull()
+        & F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1998-12-31").cast("timestamp")
+        )
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_discount") >= 0.05, "high")
+        .when(F.col("l_discount") > 0, "low")
+        .otherwise("none")
+        .alias("disc_band"),
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way equi-join + agg + top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: customer filtered on segment (~1/5) broadcasts into orders;
+    # orders⋈lineitem shuffles on orderkey (both huge) — the one necessary
+    # shuffle. TopK(10) never materializes the full sort.
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# EXISTS correlated subquery → semi join (TPC-H Q4 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: LEFT SEMI join shuffles on orderkey but emits each order at
+    # most once (no row explosion); date filter prunes orders first.
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 6-table join (TPC-H Q5 shape): broadcast dim chain + one big shuffle
+# --------------------------------------------------------------------------
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: region/nation/supplier are classic broadcast dims; the only
+    # large-large shuffle is orders⋈lineitem on orderkey. The
+    # c_nationkey = s_nationkey residual rides on the supplier join.
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    asia_nations = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    asia_suppliers = supplier.join(
+        F.broadcast(asia_nations), supplier.s_nationkey == asia_nations.n_nationkey
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(asia_suppliers),
+            (li.l_suppkey == asia_suppliers.s_suppkey)
+            & (cust.c_nationkey == asia_suppliers.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Single-table global aggregate (TPC-H Q6 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: pure scan+filter+scalar agg; all predicates pushed, partial
+    # aggregation means one double crosses the wire per scan partition.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        dround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LEFT OUTER join with null-aware aggregation
+# --------------------------------------------------------------------------
+@register(
+    "q07_left_join_nulls",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)                                  AS n_customers,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                                     AS n_without_orders,
+           ROUND(SUM(COALESCE(o_totalprice, 0)), 2)                  AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q07_left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: customer⋈orders shuffles on custkey; mild skew on hot
+    # customers is handled by AQE skew-join splitting.
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "n_without_orders"
+            ),
+            dround(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join of two aggregates
+# --------------------------------------------------------------------------
+@register(
+    "q08_full_outer_join",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0)  AS n_cust,
+           COALESCE(n_supp, 0)  AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q08_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce(c.c_nk, s.s_nk).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANTI join (NOT EXISTS)
+# --------------------------------------------------------------------------
+@register(
+    "q09_anti_join",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_idle_customers,
+           ROUND(AVG(c_acctbal), 2) AS avg_bal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_idle_customers"),
+            dround(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SEMI join (IN subquery)
+# --------------------------------------------------------------------------
+@register(
+    "q10_semi_join",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    GROUP BY p_brand
+    """,
+)
+def q10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-equi (theta) join: acctbal band self-join on supplier
+# --------------------------------------------------------------------------
+@register(
+    "q11_theta_band_join",
+    oracle="""
+    SELECT s2.s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM supplier s1 JOIN supplier s2
+      ON s1.s_acctbal > s2.s_acctbal - 10.0
+     AND s1.s_acctbal <= s2.s_acctbal
+     AND s1.s_suppkey <> s2.s_suppkey
+    GROUP BY s2.s_nationkey
+    """,
+)
+def q11_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: pure-theta joins are O(n*m) nested-loop; viable only with a
+    # broadcast side. For large-large band joins the scale path is
+    # bucketizing the band key (floor(acctbal/10)) into an equi-join on
+    # adjacent buckets + residual filter — same answer, shuffle-based.
+    s1 = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k1"), F.col("s_acctbal").alias("b1")
+    )
+    s2 = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k2"),
+        F.col("s_acctbal").alias("b2"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    cond = (F.col("b1") > F.col("b2") - 10.0) & (F.col("b1") <= F.col("b2")) & (
+        F.col("k1") != F.col("k2")
+    )
+    return (
+        s1.join(F.broadcast(s2), cond)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING + COUNT(DISTINCT)
+# --------------------------------------------------------------------------
+@register(
+    "q12_having_distinct",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           ROUND(SUM(l_quantity), 2)                 AS total_qty,
+           CAST(COUNT(*) AS BIGINT)                  AS n_lines
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 400
+    """,
+)
+def q12_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: count(distinct) expands to a two-phase agg (partial distinct
+    # per partition, then merge) — Catalyst does this automatically.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            dround(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") > 400)
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates: stddev / variance / corr / covar
+# --------------------------------------------------------------------------
+@register(
+    "q13_stats_aggregates",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price,
+           ROUND(VAR_POP(o_totalprice), 2)     AS var_price,
+           ROUND(CORR(c_acctbal, o_totalprice), 4)      AS bal_price_corr,
+           ROUND(COVAR_SAMP(c_acctbal, o_totalprice), 2) AS bal_price_covar
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q13_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            dround(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            dround(F.var_pop("o_totalprice"), 2).alias("var_price"),
+            dround(F.corr("c_acctbal", "o_totalprice"), 4).alias("bal_price_corr"),
+            dround(F.covar_samp("c_acctbal", "o_totalprice"), 2).alias("bal_price_covar"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP with GROUPING()
+# --------------------------------------------------------------------------
+@register(
+    "q14_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE
+# --------------------------------------------------------------------------
+@register(
+    "q15_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (SQL path)
+# --------------------------------------------------------------------------
+@register(
+    "q16_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Window: ranking family (row_number/rank/dense_rank/ntile/lag/lead)
+# --------------------------------------------------------------------------
+@register(
+    "q17_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER()  OVER w AS rn,
+             RANK()        OVER w AS rnk,
+             DENSE_RANK()  OVER w AS drnk,
+             NTILE(4)      OVER w AS quartile,
+             ROUND(COALESCE(LAG(c_acctbal)  OVER w, -1), 2) AS prev_bal,
+             ROUND(COALESCE(LEAD(c_acctbal) OVER w, -1), 2) AS next_bal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ) t WHERE rn <= 5
+    """,
+)
+def q17_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one shuffle on the partition key; top-5-per-group via
+    # row_number is the standard top-k-per-group pattern.
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            dround(F.coalesce(F.lag("c_acctbal").over(w), F.lit(-1.0)), 2).alias("prev_bal"),
+            dround(F.coalesce(F.lead("c_acctbal").over(w), F.lit(-1.0)), 2).alias("next_bal"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window: running aggregates with ROWS frame + first/last value
+# --------------------------------------------------------------------------
+@register(
+    "q18_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)         AS avg3,
+           ROUND(FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey), 2)                 AS first_price,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)      AS n_orders
+    FROM orders
+    """,
+)
+def q18_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.sum("o_totalprice").over(wo.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_spend"
+        ),
+        dround(F.avg("o_totalprice").over(wo.rowsBetween(-2, 0)), 2).alias("avg3"),
+        dround(F.first("o_totalprice").over(wo), 2).alias("first_price"),
+        F.count("*").over(W.partitionBy("o_custkey")).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window: RANGE frame over a numeric ordering
+# --------------------------------------------------------------------------
+@register(
+    "q19_window_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           CAST(COUNT(*) OVER (ORDER BY s_acctbal
+                RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS peers_within_100
+    FROM supplier
+    """,
+)
+def q19_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PySpark's rangeBetween only accepts integer offsets; a fractional
+    # RANGE frame needs the SQL form. Scale: a global ORDER BY window is
+    # single-partition — fine for a dimension table; for fact-scale data
+    # partition it by a bucket key.
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_acctbal,
+               CAST(COUNT(*) OVER (ORDER BY s_acctbal
+                    RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS peers_within_100
+        FROM supplier
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: UNION / UNION ALL / INTERSECT / EXCEPT
+# --------------------------------------------------------------------------
+@register(
+    "q20_set_operations",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey AS k FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+         y97 AS (SELECT DISTINCT o_custkey AS k FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+         neg AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0)
+    SELECT 'both_years' AS tag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT k FROM y96 INTERSECT SELECT k FROM y97)
+    UNION ALL
+    SELECT '96_only' AS tag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT k FROM y96 EXCEPT SELECT k FROM y97)
+    UNION ALL
+    SELECT 'either_or_neg' AS tag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT k FROM y96 UNION SELECT k FROM y97 UNION SELECT k FROM neg)
+    """,
+)
+def q20_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+
+    y96, y97 = year_keys(1996), year_keys(1997)
+    neg = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("k"))
+    both = y96.intersect(y97).agg(F.count("*").alias("n")).select(
+        F.lit("both_years").alias("tag"), "n"
+    )
+    only96 = y96.exceptAll(y97.distinct()).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("96_only").alias("tag"), "n"
+    )
+    either = (
+        y96.union(y97).union(neg).distinct().agg(F.count("*").alias("n")).select(
+            F.lit("either_or_neg").alias("tag"), "n"
+        )
+    )
+    return both.unionAll(only96).unionAll(either)
+
+
+# --------------------------------------------------------------------------
+# Scalar subqueries (uncorrelated + correlated)
+# --------------------------------------------------------------------------
+@register(
+    "q21_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_retailprice,
+           ROUND(p_retailprice - (SELECT AVG(p_retailprice) FROM part), 2) AS above_avg
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part) + 40
+    """,
+)
+def q21_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark-first: the uncorrelated scalar subquery is a broadcast of a
+    # 1-row aggregate — expressed via crossJoin(agg), which Catalyst plans
+    # as a broadcast nested loop with a single-row build side.
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("avg_price"))
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("avg_price") + 40)
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            dround(F.col("p_retailprice") - F.col("avg_price"), 2).alias("above_avg"),
+        )
+    )
+
+
+@register(
+    "q22_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) * 1.5 FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q22_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark-first decorrelation: the correlated aggregate is a group-by on
+    # the correlation key joined back — exactly what DataFusion's
+    # decorrelation rules produce internally.
+    cust = _t(spark, sf_dir, "customer")
+    per_nation = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.avg("c_acctbal") * 1.5).alias("bar")
+    )
+    return (
+        cust.join(F.broadcast(per_nation), cust.c_nationkey == per_nation.nk)
+        .filter(F.col("c_acctbal") > F.col("bar"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# CTEs (WITH) — TPC-H Q15 shape: supplier(s) with max revenue
+# --------------------------------------------------------------------------
+@register(
+    "q23_cte_max_revenue",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q23_cte_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "supplier"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar string functions
+# --------------------------------------------------------------------------
+@register(
+    "q24_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name)                                  AS lname,
+           UPPER(p_brand)                                 AS ubrand,
+           TRIM(CONCAT('  ', p_type, '  '))               AS trimmed,
+           SUBSTR(p_name, 1, 5)                           AS prefix5,
+           REPLACE(p_type, 'ECONOMY', 'ECO')              AS replaced,
+           CAST(LENGTH(p_name) AS BIGINT)                 AS name_len,
+           CAST(STRPOS(p_brand, '#') AS BIGINT)           AS hash_pos,
+           SPLIT_PART(p_brand, '#', 2)                    AS brand_num,
+           REGEXP_EXTRACT(p_brand, '#([0-9]+)', 1)        AS brand_num_re,
+           CONCAT(p_brand, '/', p_type)                   AS brand_type,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0')          AS padded_size
+    FROM part
+    """,
+)
+def q24_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("replaced"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.instr(F.col("p_brand"), "#").cast("long").alias("hash_pos"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.regexp_extract(F.col("p_brand"), "#([0-9]+)", 1).alias("brand_num_re"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar math functions
+# --------------------------------------------------------------------------
+@register(
+    "q25_math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(ABS(o_totalprice - 100000), 2)      AS abs_diff,
+           CAST(CEIL(o_totalprice)  AS BIGINT)       AS ceil_price,
+           CAST(FLOOR(o_totalprice) AS BIGINT)       AS floor_price,
+           ROUND(o_totalprice, 1)                    AS round1,
+           ROUND(POWER(o_totalprice / 100000.0, 2), 6) AS pw,
+           ROUND(SQRT(o_totalprice), 6)              AS sq,
+           ROUND(EXP(o_totalprice / 1000000.0), 6)   AS ex,
+           ROUND(LN(o_totalprice), 6)                AS lnp,
+           ROUND(LOG10(o_totalprice), 6)             AS lg10,
+           CAST(o_orderkey % 7 AS BIGINT)            AS mod7,
+           SIGN(o_totalprice - 100000.0)             AS sgn
+    FROM orders
+    """,
+)
+def q25_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        dround(F.abs(p - 100000), 2).alias("abs_diff"),
+        F.ceil(p).alias("ceil_price"),
+        F.floor(p).alias("floor_price"),
+        dround(p, 1).alias("round1"),
+        dround(F.pow(p / 100000.0, 2), 6).alias("pw"),
+        dround(F.sqrt(p), 6).alias("sq"),
+        dround(F.exp(p / 1000000.0), 6).alias("ex"),
+        dround(F.log(p), 6).alias("lnp"),
+        dround(F.log10(p), 6).alias("lg10"),
+        (F.col("o_orderkey") % 7).cast("long").alias("mod7"),
+        F.signum(p - 100000.0).alias("sgn"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date/time functions (superset of reference: real timestamp columns)
+# --------------------------------------------------------------------------
+@register(
+    "q26_datetime_functions",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(EXTRACT(YEAR  FROM o_orderdate) AS BIGINT) AS y,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT)                   AS n_orders,
+           ROUND(SUM(o_totalprice), 2)                AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q26_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q27_date_diff_interval",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(DATE_DIFF('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_delay_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def q27_date_diff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias(
+                "ship_delay_days"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CASE / CAST / coercion
+# --------------------------------------------------------------------------
+@register(
+    "q28_case_cast",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey AS VARCHAR)                       AS key_str,
+           CAST(CAST(c_custkey AS VARCHAR) AS BIGINT)       AS key_roundtrip,
+           CAST(FLOOR(c_acctbal) AS BIGINT)                 AS bal_floor,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'regular'
+                ELSE 'premium' END                          AS tier,
+           (c_acctbal > 0)                                  AS is_positive,
+           CAST('123.5' AS DOUBLE) + c_acctbal * 0          AS parsed_const
+    FROM customer
+    """,
+)
+def q28_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.col("c_custkey").cast("string").alias("key_str"),
+        F.col("c_custkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.floor(F.col("c_acctbal")).cast("long").alias("bal_floor"),
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "regular")
+        .otherwise("premium")
+        .alias("tier"),
+        (F.col("c_acctbal") > 0).alias("is_positive"),
+        (F.lit("123.5").cast("double") + F.col("c_acctbal") * 0).alias("parsed_const"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DISTINCT projection
+# --------------------------------------------------------------------------
+@register(
+    "q29_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem WHERE l_quantity <= 5
+    """,
+)
+def q29_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 5)
+    return li.select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("long").alias("qty")
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Top-K per group (window pattern)
+# --------------------------------------------------------------------------
+@register(
+    "q30_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t WHERE rk <= 3
+    """,
+)
+def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT
+# --------------------------------------------------------------------------
+@register(
+    "q31_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_final
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q31_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dround(F.sum("l_quantity"), 2))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_final"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ORDER BY with NULLS placement + LIMIT/OFFSET
+# --------------------------------------------------------------------------
+@register(
+    "q32_sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_orderpriority ASC NULLS LAST, o_totalprice DESC NULLS FIRST, o_orderkey
+    LIMIT 25 OFFSET 10
+    """,
+)
+def q32_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Postgres-default null ordering made explicit (reference default:
+    # NULLS LAST on ASC, NULLS FIRST on DESC — SURVEY §2.B sort row).
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_last(),
+            F.col("o_totalprice").desc_nulls_first(),
+            F.col("o_orderkey"),
+        )
+        .offset(10)
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# IN / NOT IN subqueries
+# --------------------------------------------------------------------------
+@register(
+    "q33_in_subquery",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    GROUP BY o_orderstatus
+    """,
+)
+def q33_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    debtors = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    bigqty = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        orders.join(debtors, orders.o_custkey == debtors.c_custkey, "left_semi")
+        .join(bigqty, orders.o_orderkey == bigqty.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# UNION ALL with type coercion + dedup count (market share shape)
+# --------------------------------------------------------------------------
+@register(
+    "q34_union_all_agg",
+    oracle="""
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(val), 2) AS total
+    FROM (
+      SELECT 'order' AS src, o_totalprice AS val FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT 'item' AS src, l_extendedprice AS val FROM lineitem WHERE l_returnflag = 'R'
+    )
+    GROUP BY src
+    """,
+)
+def q34_union_all_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.lit("order").alias("src"), F.col("o_totalprice").alias("val"))
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.lit("item").alias("src"), F.col("l_extendedprice").alias("val"))
+    )
+    return o.unionAll(l).groupBy("src").agg(
+        F.count("*").alias("n"), dround(F.sum("val"), 2).alias("total")
+    )

@@ -1,0 +1,227 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Beyond-reference extension (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting. All pure
+DataFrame expressions (JVM codegen); every query carries a DuckDB
+oracle computing the identical deterministic formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+from .rounding import dround
+
+# Marker-word lists for the n-gram language heuristic. The fixture text
+# is synthetic English-ish vocabulary, so the heuristic's *output* is
+# what's checked (same formula both engines), not agreement with the
+# fixture's synthetic `lang` label.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "fast", "slow"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _in_list_sql(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex token counts
+# --------------------------------------------------------------------------
+@register(
+    "t01_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)      AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)             AS bpe_ish_tokens,
+           CAST(length(text) AS BIGINT)                                     AS n_chars
+    FROM documents
+    """,
+)
+def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).cast("long").alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword ratios
+# --------------------------------------------------------------------------
+@register(
+    "t02_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ({_in_list_sql(STOPWORDS)}))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+           ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           ROUND(n_chars * 1.0 / n_tokens, 6) AS avg_token_len,
+           ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - n_punct * 1.0 / n_chars)
+                 * (0.5 + n_stop * 1.0 / n_tokens), 6) AS quality_score
+    FROM feats
+    """,
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    stop_list = _in_list_sql(STOPWORDS)
+    feats = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens_i"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
+        F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))").alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct") / F.col("n_chars")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens_i")
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        F.col("n_tokens_i").cast("long").alias("n_tokens"),
+        dround(punct_ratio, 6).alias("punct_ratio"),
+        dround(stop_ratio, 6).alias("stopword_ratio"),
+        dround(F.col("n_chars") / F.col("n_tokens_i"), 6).alias("avg_token_len"),
+        dround(
+            F.least(F.lit(1.0), F.col("n_tokens_i") / 100.0)
+            * (1.0 - punct_ratio)
+            * (0.5 + stop_ratio),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID: marker-word scores + deterministic argmax
+# --------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    score_cols = ",\n             ".join(
+        f"len(list_filter(string_split(lower(text), ' '),"
+        f" t -> t IN ({_in_list_sql(words)}))) AS s_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    # deterministic argmax: first language (in fixed order) achieving max
+    case = "CASE "
+    for lang in langs:
+        others = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        case += f"WHEN s_{lang} > 0 AND {others} THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {score_cols}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, {case} AS pred_lang,
+           CAST(GREATEST({", ".join("s_" + lang for lang in langs)}) AS BIGINT)
+               AS best_score
+    FROM scores
+    """
+
+
+@register("t03_lang_id", oracle=_lang_oracle())
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    langs = list(LANG_MARKERS)
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.expr(
+                f"size(filter(split(lower(text), ' '),"
+                f" t -> t IN ({_in_list_sql(words)})))"
+            ).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    pred = F.lit("unknown")
+    # build CASE in reverse so the first language in fixed order wins ties
+    for lang in reversed(langs):
+        cond = F.col(f"s_{lang}") > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        pred = F.when(cond, lang).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("pred_lang"),
+        F.greatest(*[F.col(f"s_{lang}") for lang in langs]).cast("long").alias("best_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: normalized-content digest + length bucket
+# --------------------------------------------------------------------------
+@register(
+    "t04_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g'))   AS fingerprint,
+           substr(md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g')), 1, 4)
+                                                                            AS fp_prefix,
+           CAST(length(text) // 100 AS BIGINT)                              AS len_bucket
+    FROM documents
+    """,
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.substring(F.md5(normalized), 1, 4).alias("fp_prefix"),
+        F.floor(F.length("text") / 100).cast("long").alias("len_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Word frequency via explode (array/lateral coverage)
+# --------------------------------------------------------------------------
+@register(
+    "t05_wordcount",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 10
+    """,
+)
+def t05_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("freq") >= 10)
+    )
