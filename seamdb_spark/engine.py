@@ -1,0 +1,179 @@
+"""Engine: the SQL entry point.
+
+≙ PostgreSqlExecutor + SqlContext (reference: src/sql/mod.rs:77-155,
+src/sql/context.rs:59-66): a session carries (database, user); each
+``sql()`` call is exactly one statement, executed against a snapshot of
+the catalog and table data resolved at statement start; DDL/DML are
+intercepted before the relational planner exactly as the reference
+intercepts CREATE TABLE before DataFusion
+(reference: src/sql/postgresql/mod.rs:121-268).
+
+Query lifecycle (≙ SURVEY.md §3.1):
+  sql text → single-statement check → classify
+    ├─ CREATE DATABASE/TABLE, DROP TABLE → metastore ops
+    │    → 1-row ``result`` DataFrame ("created"/"already exists")
+    ├─ INSERT → dml.execute_insert → 1-row ``count`` DataFrame
+    └─ query → dialect normalization (::casts, session functions,
+       Postgres NULL ordering) → register current table snapshots as
+       temp views → spark.sql  [Catalyst = DataFusion's role]
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import sqlparse
+from .catalog import DEFAULT_SCHEMA, Metastore
+from .dml import execute_insert
+from .errors import InvalidArgumentError, TableNotFoundError
+from .snapshots import TableSnapshots
+
+_RESULT_SCHEMA = T.StructType([T.StructField("result", T.StringType(), False)])
+_COUNT_SCHEMA = T.StructType([T.StructField("count", T.LongType(), False)])
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        database: str = "main",
+        user: str = "root",
+    ) -> None:
+        self.spark = spark
+        self.store = Metastore(warehouse_dir)
+        self.database = database
+        self.user = user
+        # Engine-registered temp view names, shared across all Engine
+        # instances on the same session so a dropped table's view stops
+        # resolving even for a different Engine object.
+        if not hasattr(spark, "_seamdb_engine_views"):
+            spark._seamdb_engine_views = set()
+        self._registered: set[str] = spark._seamdb_engine_views
+        if not self.store.database_exists(database):
+            self.store.create_database(database, if_not_exists=True)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # ------------------------------------------------------------ api
+    def sql(self, text: str) -> DataFrame:
+        stmt = sqlparse.single_statement(text)
+        kind = sqlparse.classify(stmt)
+        if kind == "create_database":
+            name, if_not_exists = sqlparse.parse_create_database(stmt)
+            return self._result(self.store.create_database(name, if_not_exists))
+        if kind == "create_table":
+            parsed = sqlparse.parse_create_table(stmt)
+            return self._result(
+                self.store.create_table(
+                    self.database, parsed.descriptor, parsed.if_not_exists
+                )
+            )
+        if kind == "drop_table":
+            name, if_exists = sqlparse.parse_drop_table(stmt)
+            result = self.store.drop_table(self.database, name, if_exists)
+            if result == "dropped":
+                TableSnapshots(self.store.table_dir(self.database, name)).drop()
+            return self._result(result)
+        if kind == "insert":
+            return self._insert(stmt)
+        return self._query(stmt)
+
+    def table(self, name: str) -> DataFrame:
+        """Current snapshot of a table as a DataFrame (library path)."""
+        desc = self.store.get_table(self.database, name)
+        snaps = TableSnapshots(self.store.table_dir(self.database, name))
+        return snaps.read(self.spark, desc.spark_schema())
+
+    # ------------------------------------------------------- internals
+    def _result(self, result: str) -> DataFrame:
+        return self.spark.createDataFrame([(result,)], _RESULT_SCHEMA)
+
+    def _count(self, n: int) -> DataFrame:
+        return self.spark.createDataFrame([(n,)], _COUNT_SCHEMA)
+
+    def _insert(self, stmt: str) -> DataFrame:
+        parsed = sqlparse.parse_insert(stmt)
+        desc = self.store.get_table(self.database, parsed.table)
+        if parsed.values_sql is not None:
+            input_df = self.spark.sql(f"SELECT * FROM VALUES {parsed.values_sql}")
+        else:
+            self._register_views()
+            input_df = self.spark.sql(
+                sqlparse.normalize_query(parsed.select_sql, self.database, self.user)
+            )
+        try:
+            n = execute_insert(
+                input_df,
+                desc,
+                parsed.columns,
+                self.store,
+                self.database,
+                TableSnapshots(self.store.table_dir(self.database, parsed.table)),
+            )
+        except KeyError as e:
+            raise InvalidArgumentError(f"unknown column {e}") from e
+        return self._count(n)
+
+    def _register_views(self) -> None:
+        """Pin the statement's read snapshot: every table in the current
+        database is registered as a temp view over the file list named
+        by its manifest *now* (≙ Snapshot-semantics catalog reads,
+        reference: src/sql/mod.rs:60-75). Views for dropped tables are
+        removed so they stop resolving."""
+        current = set(self.store.list_tables(self.database))
+        for stale in self._registered - current:
+            self.spark.catalog.dropTempView(stale)
+            self._registered.discard(stale)
+        for name in current:
+            desc = self.store.get_table(self.database, name)
+            snaps = TableSnapshots(self.store.table_dir(self.database, name))
+            snaps.read(self.spark, desc.spark_schema()).createOrReplaceTempView(name)
+            self._registered.add(name)
+
+    def _query(self, stmt: str) -> DataFrame:
+        s = stmt.strip()
+        low = s.lower()
+        if re.match(r"show\s+tables\s*$", low):
+            rows = [(t,) for t in self.store.list_tables(self.database)]
+            return self.spark.createDataFrame(
+                rows, T.StructType([T.StructField("table_name", T.StringType(), False)])
+            )
+        if re.match(r"show\s+databases\s*$", low):
+            rows = [(d,) for d in self.store.list_databases()]
+            return self.spark.createDataFrame(
+                rows,
+                T.StructType([T.StructField("database_name", T.StringType(), False)]),
+            )
+        m = re.match(r"describe\s+(table\s+)?([A-Za-z_][\w$.]*)\s*$", low)
+        if m:
+            desc = self.store.get_table(self.database, m.group(2))
+            rows = [
+                (
+                    c.name,
+                    c.kind + (f"({c.varchar_len})" if c.varchar_len else ""),
+                    c.nullable,
+                    c.serial,
+                )
+                for c in desc.columns
+            ]
+            schema = T.StructType(
+                [
+                    T.StructField("column_name", T.StringType(), False),
+                    T.StructField("data_type", T.StringType(), False),
+                    T.StructField("nullable", T.BooleanType(), False),
+                    T.StructField("serial", T.BooleanType(), False),
+                ]
+            )
+            return self.spark.createDataFrame(rows, schema)
+        self._register_views()
+        try:
+            return self.spark.sql(
+                sqlparse.normalize_query(s, self.database, self.user)
+            )
+        except Exception as e:  # map Spark's missing-relation error
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(e):
+                raise TableNotFoundError(str(e)) from e
+            raise

@@ -41,9 +41,9 @@ from .rounding import dround
 
 JACCARD_THRESHOLD = 0.3
 BIGRAM_JACCARD_THRESHOLD = 0.4
-SIMHASH_MAX_HAMMING = 6
+SIMHASH_MAX_HAMMING = 2
 SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 8  # 8 × 4-bit nibbles; hamming ≤ 6 ⇒ ≥ 2 chunks equal
+SIMHASH_CHUNKS = 8  # 8 × 4-bit nibbles; pigeonhole guarantees recall ≤ 7
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,23 +248,23 @@ def d03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tok_hash = toks.select("doc_id", md5_prefix_long(F.col("tok")).alias("h"))
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
-    votes = (
-        tok_hash.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "b")
-        .agg(
+    # One groupBy pass with 32 conditional sums (whole-stage codegen)
+    # instead of exploding tokens × 32 bit positions.
+    votes = tok_hash.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(shiftright(h, b) & 1)") == 1, 1).otherwise(-1)
-            ).alias("vote")
+                F.when(F.expr(f"(shiftright(h, {b}) & 1)") == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    simhash_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    sigs = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+        simhash_expr = term if simhash_expr is None else simhash_expr + term
+    sigs = votes.select("doc_id", simhash_expr.alias("simhash"))
     # Multi-index blocking: explode each signature into 8 nibble chunks;
     # candidate pairs must share at least one (chunk_id, nibble) —
     # guaranteed for hamming ≤ 6 by pigeonhole over 8 chunks.

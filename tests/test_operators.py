@@ -1,0 +1,87 @@
+"""Operator-level tests beyond the oracle gate: registry integrity,
+LSH recall vs exact baseline, approximate-aggregate accuracy,
+multimodal plumbing determinism."""
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+import __spark_entry__ as entry_mod
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return entry_mod.queries(), entry_mod.oracle_sql()
+
+
+def test_registry_integrity(registry):
+    queries, oracles = registry
+    assert len(queries) >= 50
+    assert set(oracles) <= set(queries)
+    # every non-oracled query is a documented exception
+    rows_only = set(queries) - set(oracles)
+    assert rows_only == {
+        "m02_media_features",
+        "s02_ann_lsh_topk",
+        "x01_approx_distinct",
+        "x03_percentile_approx",
+    }
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_lsh_recall_vs_bruteforce(spark, registry):
+    queries, _ = registry
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s02_ann_lsh_topk"](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_approx_distinct_accuracy(spark, registry):
+    queries, _ = registry
+    for r in queries["x01_approx_distinct"](spark, SF_SMOKE).collect():
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err < 0.15, f"{r.event_type}: {rel_err:.3f}"
+
+
+def test_percentile_approx_accuracy(spark, registry):
+    queries, _ = registry
+    for r in queries["x03_percentile_approx"](spark, SF_SMOKE).collect():
+        assert abs(r.approx_p50 - r.exact_p50) < max(abs(r.exact_p50) * 0.05, 1.0)
+
+
+def test_media_features_deterministic(spark, registry):
+    queries, _ = registry
+    a = sorted(queries["m02_media_features"](spark, SF_SMOKE).collect())
+    b = sorted(queries["m02_media_features"](spark, SF_SMOKE).collect())
+    assert a == b
+    assert all(1 <= r.n_frames <= 8 and r.feat_dim == 16 for r in a)
+
+
+def test_decode_media_is_explicit_stub():
+    from seamdb_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"payload")
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, registry):
+    queries, _ = registry
+    pairs = queries["d02_dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    assert all(p.jaccard >= 0.3 for p in pairs)
+
+
+def test_simhash_pairs_symmetric_and_thresholded(spark, registry):
+    queries, _ = registry
+    rows = queries["d03_dedup_simhash"](spark, SF_SMOKE).collect()
+    assert all(r.hamming <= 2 and r.doc_a < r.doc_b for r in rows)

@@ -1,0 +1,66 @@
+"""Snapshot isolation + atomic manifest swap
+(≙ reference KvSemantics::Snapshot / per-statement transaction,
+reference: src/kv.rs:110-115, src/sql/client.rs:67-80)."""
+
+import os
+
+from seamdb_spark.snapshots import TableSnapshots
+from seamdb_spark.types import ColumnDescriptor, IndexDescriptor, TableDescriptor
+
+
+def _desc():
+    return TableDescriptor(
+        name="t",
+        columns=[
+            ColumnDescriptor("id", "int64", nullable=False),
+            ColumnDescriptor("v", "string"),
+        ],
+        indexes=[IndexDescriptor("primary_key", ["id"])],
+    )
+
+
+def test_versions_and_append(spark, tmp_path):
+    snaps = TableSnapshots(str(tmp_path / "t"))
+    schema = _desc().spark_schema()
+    assert snaps.current_version() == 0
+    assert snaps.read(spark, schema).count() == 0
+
+    snaps.commit(spark.createDataFrame([(1, "a")], schema))
+    snaps.commit(spark.createDataFrame([(2, "b")], schema))
+    assert snaps.current_version() == 2
+    assert snaps.read(spark, schema).count() == 2
+
+
+def test_reader_pinned_to_old_snapshot(spark, tmp_path):
+    """A DataFrame resolved before a commit keeps reading the old file
+    list — per-statement snapshot isolation."""
+    snaps = TableSnapshots(str(tmp_path / "t"))
+    schema = _desc().spark_schema()
+    snaps.commit(spark.createDataFrame([(1, "a")], schema))
+    pinned = snaps.read(spark, schema)
+    snaps.commit(spark.createDataFrame([(2, "b")], schema))
+    assert pinned.count() == 1                      # old snapshot
+    assert snaps.read(spark, schema).count() == 2   # new snapshot
+
+
+def test_crash_before_manifest_swap_keeps_old_snapshot(spark, tmp_path):
+    """Segment files without a manifest swap are invisible
+    (write-manifest-last crash safety)."""
+    snaps = TableSnapshots(str(tmp_path / "t"))
+    schema = _desc().spark_schema()
+    snaps.commit(spark.createDataFrame([(1, "a")], schema))
+    # simulate a crashed writer: orphan segment dir, no manifest update
+    orphan = spark.createDataFrame([(99, "zz")], schema)
+    orphan.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path / "t"), "seg-999999")
+    )
+    assert snaps.read(spark, schema).count() == 1
+
+
+def test_overwrite_mode(spark, tmp_path):
+    snaps = TableSnapshots(str(tmp_path / "t"))
+    schema = _desc().spark_schema()
+    snaps.commit(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    snaps.commit(spark.createDataFrame([(3, "c")], schema), mode="overwrite")
+    rows = snaps.read(spark, schema).collect()
+    assert [r.id for r in rows] == [3]
