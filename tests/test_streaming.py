@@ -1,0 +1,64 @@
+"""Streaming ↔ batch agreement: the streaming plans must produce the
+batch answers when run to completion over the finite fixture."""
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from seamdb_spark import streaming as st
+from seamdb_spark.operators.events import e01_hourly_rollup
+from seamdb_spark.sources import load_table
+
+from pyspark.sql import functions as F
+
+
+def test_hourly_rollup_stream_matches_batch(spark):
+    out = st.run_stream_to_memory(
+        st.hourly_rollup_stream(spark, SF_SMOKE), "hourly_test", "complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in out.collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in e01_hourly_rollup(spark, SF_SMOKE).collect()
+    }
+    assert got == batch
+
+
+def test_session_window_stream_event_conservation(spark):
+    out = st.run_stream_to_memory(
+        st.session_window_stream(spark, SF_SMOKE), "sessions_test", "complete"
+    )
+    total_events = out.agg(F.sum("n_events")).collect()[0][0]
+    n_raw = load_table(spark, SF_SMOKE, "events").count()
+    assert total_events == n_raw
+    rows = out.collect()
+    assert all(r.session_start <= r.session_end for r in rows)
+    # sessions for one user never overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_stateful_running_totals(spark):
+    out = st.run_stream_to_memory(
+        st.user_running_totals_stream(spark, SF_SMOKE), "totals_test", "update"
+    )
+    # last update per user == full batch aggregate
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got = {}
+    for r in out.collect():  # update mode: later rows supersede earlier
+        got[r.user_id] = (r.n_events, round(r.total_value, 6))
+    assert got == batch
