@@ -335,26 +335,34 @@ def d04_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigrams"),
     ).filter(F.size("bigrams") > 0)
-    exploded = bg.select(
-        "doc_id", F.size("bigrams").alias("nb"), F.explode("bigrams").alias("g")
+    # Shuffle hygiene: join on a 64-bit hash of the bigram (xxhash64 is
+    # engine-internal — only the join key, never an output value) and
+    # carry no payload through the wide join; set sizes rejoin after the
+    # per-pair aggregate via broadcasts. On this fixture the token
+    # frequency distribution is uniform so candidate pairs are
+    # inherently ~all pairs; on zipfian real text the same plan
+    # collapses because rare tokens dominate the join.
+    sizes = bg.select("doc_id", F.size("bigrams").alias("nb"))
+    exploded = bg.select("doc_id", F.explode("bigrams").alias("g")).select(
+        "doc_id", F.xxhash64("g").alias("gh")
     )
-    e1 = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("nb").alias("nb_a"), "g"
-    )
-    e2 = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("nb").alias("nb_b"), "g"
-    )
+    e1 = exploded.select(F.col("doc_id").alias("doc_a"), "gh")
+    e2 = exploded.select(F.col("doc_id").alias("doc_b"), "gh")
     shared = (
-        e1.join(e2, "g")
+        e1.join(e2, "gh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "nb_a", "nb_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nb").alias("nb_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nb").alias("nb_b"))
     j = F.col("n_shared").cast("double") / (
         F.col("nb_a") + F.col("nb_b") - F.col("n_shared")
     )
     return (
-        shared.withColumn("j", j)
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("j", j)
         .filter(F.col("j") >= BIGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround("j", 6).alias("jaccard"))
     )
