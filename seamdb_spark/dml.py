@@ -25,8 +25,9 @@ unique key so the anti-join co-locates without a full shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .catalog import Metastore
 from .errors import NullViolationError, TypeMismatchError, UniqueIndexError
@@ -117,8 +118,14 @@ def assign_serials(
         df.filter(F.col(c.name).isNull()).limit(1).count() == 0 for c in serial_cols
     ):
         return df
-    w = W.orderBy(F.monotonically_increasing_id())
-    df = df.withColumn("__rn", F.row_number().over(w))
+    # Scale path: zipWithIndex assigns a dense row number with one light
+    # job computing per-partition offsets — no global sort, no single
+    # partition (a row_number() window over the whole batch would
+    # collapse an INSERT..SELECT of billions of rows onto one task).
+    spark = df.sparkSession
+    schema = df.schema.add("__rn", T.LongType(), False)
+    indexed = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1))
+    df = spark.createDataFrame(indexed, schema)
     n = df.count()
     for c in serial_cols:
         ids = store.next_serial(database, desc.name, c.name, c.kind, count=n)

@@ -1133,3 +1133,230 @@ def q34_union_all_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionAll(l).groupBy("src").agg(
         F.count("*").alias("n"), dround(F.sum("val"), 2).alias("total")
     )
+
+
+# --------------------------------------------------------------------------
+# Market share (TPC-H Q8 shape): deep join tree + conditional aggregation
+# --------------------------------------------------------------------------
+@register(
+    "q35_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN n2.n_name = 'CHINA'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q35_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = _t(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        dround(
+            F.sum(F.when(F.col("n2.n_name") == "CHINA", vol).otherwise(0.0)) / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# Returned-item revenue (TPC-H Q10 shape): join + agg + top-20
+# --------------------------------------------------------------------------
+@register(
+    "q36_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q36_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot via stack()
+# --------------------------------------------------------------------------
+@register(
+    "q37_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+      FROM customer
+    ) WHERE val > 9000
+    """,
+)
+def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.selectExpr(
+            "c_custkey",
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+            " AS (metric, val)",
+        )
+        .filter(F.col("val") > 9000)
+    )
+
+
+# --------------------------------------------------------------------------
+# FILTER-clause conditional aggregation
+# --------------------------------------------------------------------------
+@register(
+    "q38_filtered_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+               AS n_urgent,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+               AS urgent_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q38_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               CAST(SIGN(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'))
+                    * FLOOR(ABS(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'))
+                            * 100.0 + 0.5) / 100.0 AS DOUBLE) AS urgent_total
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality + NULLIF/COALESCE/LEAST/GREATEST
+# --------------------------------------------------------------------------
+@register(
+    "q39_null_functions",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+             c_acctbal
+      FROM customer
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE seg_or_null IS NOT DISTINCT FROM NULL)
+                AS BIGINT)                                        AS n_building,
+           CAST(COUNT(*) FILTER (WHERE seg_or_null IS DISTINCT FROM NULL)
+                AS BIGINT)                                        AS n_other,
+           ROUND(SUM(COALESCE(c_acctbal, 0)), 2)                  AS total_bal,
+           ROUND(MAX(LEAST(c_acctbal, 5000.0)), 2)                AS max_capped,
+           ROUND(MIN(GREATEST(c_acctbal, -100.0)), 2)             AS min_floored
+    FROM t
+    """,
+)
+def q39_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return cust.select(
+        seg.alias("seg_or_null"), "c_acctbal"
+    ).agg(
+        F.count(F.when(F.col("seg_or_null").eqNullSafe(F.lit(None)), 1)).alias(
+            "n_building"
+        ),
+        F.count(F.when(~F.col("seg_or_null").eqNullSafe(F.lit(None)), 1)).alias(
+            "n_other"
+        ),
+        dround(F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))), 2).alias("total_bal"),
+        dround(F.max(F.least(F.col("c_acctbal"), F.lit(5000.0))), 2).alias("max_capped"),
+        dround(F.min(F.greatest(F.col("c_acctbal"), F.lit(-100.0))), 2).alias(
+            "min_floored"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# EXISTS with correlated inequality (non-equi correlation)
+# --------------------------------------------------------------------------
+@register(
+    "q40_exists_inequality",
+    oracle="""
+    SELECT s_suppkey, s_acctbal
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = s.s_nationkey
+                    AND c.c_acctbal > s.s_acctbal + 1000)
+    """,
+)
+def q40_exists_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        supp.join(
+            cust,
+            (cust.c_nationkey == supp.s_nationkey)
+            & (cust.c_acctbal > supp.s_acctbal + 1000),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_acctbal")
+    )

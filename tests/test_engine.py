@@ -164,3 +164,42 @@ def test_show_tables(engine):
     engine.sql("CREATE TABLE zeta (id int PRIMARY KEY)")
     names = [r.table_name for r in engine.sql("SHOW TABLES").collect()]
     assert names == ["table1", "zeta"]
+
+
+def test_explain_passthrough(engine):
+    _setup_table1(engine)
+    plan = engine.sql("EXPLAIN SELECT count FROM table1 WHERE count > 2").collect()
+    assert "Filter" in plan[0][0] or "Scan" in plan[0][0]
+
+
+def test_udf_registration_surface(engine, spark):
+    # ≙ reference UDF registration API (state.register_udf,
+    # src/sql/mod.rs:85-88; ContextProvider lookup :295-317) — Spark's
+    # native surface is spark.udf.register, usable through engine.sql.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def double_it(s: pd.Series) -> pd.Series:
+        return s * 2.0
+
+    spark.udf.register("double_it", double_it)
+    _setup_table1(engine)
+    engine.sql("INSERT INTO table1 (count, price) VALUES (1, 2.5), (2, 10.0)")
+    rows = engine.sql(
+        "SELECT id, double_it(price) AS p2 FROM table1 ORDER BY id"
+    ).collect()
+    assert [r.p2 for r in rows] == [5.0, 20.0]
+
+
+def test_large_insert_select_serial_uniqueness(engine, spark):
+    # serial assignment must stay dense+unique on a multi-partition input
+    engine.sql("CREATE TABLE big (id serial PRIMARY KEY, v bigint)")
+    spark.range(0, 10000, 1, 8).createOrReplaceTempView("src10k")
+    n = engine.sql("INSERT INTO big (v) SELECT id FROM src10k").collect()[0]["count"]
+    assert n == 10000
+    stats = engine.sql(
+        "SELECT count(*) AS n, count(DISTINCT id) AS nd, min(id) AS lo,"
+        " max(id) AS hi FROM big"
+    ).collect()[0]
+    assert (stats.n, stats.nd, stats.lo, stats.hi) == (10000, 10000, 1, 10000)
