@@ -1360,3 +1360,43 @@ def q40_exists_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (DataFusion 47 supports; Spark 4 gained WITH RECURSIVE)
+# --------------------------------------------------------------------------
+@register(
+    "q41_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months (m) AS (
+      SELECT 1
+      UNION ALL
+      SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT CAST(m AS BIGINT) AS month,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN orders
+      ON EXTRACT(MONTH FROM o_orderdate) = m
+     AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+     AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY m
+    """,
+)
+def q41_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months (m) AS (
+          SELECT 1
+          UNION ALL
+          SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT CAST(m AS BIGINT) AS month,
+               COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON MONTH(o_orderdate) = m
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY m
+        """
+    )

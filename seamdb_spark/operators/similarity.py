@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .hashing import md5_prefix_long
 from .registry import register
 from .rounding import dround
 
@@ -239,6 +240,127 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cosine"
             ),
         )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic k-means coarse quantizer +
+# cell-probed exact re-rank. The billion-vector scale path: candidate
+# generation is an equi-join on cluster id; only nprobe/k of the corpus
+# is scanned per probe. (No SQL oracle — iterative algorithm; recall is
+# asserted against s01 in tests.)
+# --------------------------------------------------------------------------
+IVF_K = 16
+IVF_NPROBE = 4
+IVF_ITERS = 2
+
+
+def _centroid_rows(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd iterations. Seeds = the IVF_K vectors with the
+    smallest md5-derived key (stable across runs/partitionings). The
+    centroid table (K x 64 floats) is the only thing that ever reaches
+    the driver."""
+    seeds = (
+        emb.select("vec_id", "embedding", md5_prefix_long(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(IVF_K)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds)]
+    spark = emb.sparkSession
+    for _ in range(IVF_ITERS):
+        cdf = F.broadcast(
+            spark.createDataFrame(centroids, "cid int, cvec array<double>")
+        )
+        assigned = (
+            emb.crossJoin(cdf)
+            .withColumn(
+                "d2",
+                F.aggregate(
+                    F.zip_with(
+                        "embedding", "cvec", lambda x, y: (x.cast("double") - y) ** 2
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid", "embedding")
+        )
+        # element-wise mean per cluster via posexplode → avg → re-assemble
+        means = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cid", F.expr("transform(pm, x -> x.m)").alias("cvec"))
+            .collect()
+        )
+        centroids = [(r.cid, [float(x) for x in r.cvec]) for r in means]
+    return centroids
+
+
+@register("s03_ann_ivf_topk")
+def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    centroids = _centroid_rows(emb)
+    cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cvec array<double>"))
+
+    def dist_rank(df: DataFrame, keep: int, id_col: str) -> DataFrame:
+        return (
+            df.withColumn(
+                "d2",
+                F.aggregate(
+                    F.zip_with("embedding", "cvec", lambda x, y: (x.cast("double") - y) ** 2),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .withColumn(
+                "crk",
+                F.row_number().over(
+                    W.partitionBy(id_col).orderBy(F.col("d2"), F.col("cid"))
+                ),
+            )
+            .filter(F.col("crk") <= keep)
+        )
+
+    # assign every vector to its cell; probes search IVF_NPROBE cells
+    cells = dist_rank(emb.crossJoin(cdf), 1, "vec_id").select("vec_id", "cid", "embedding")
+    with_norm = cells.withColumn("nrm", _norm("embedding"))
+    probes = dist_rank(
+        emb.filter(F.col("vec_id") < N_PROBES).crossJoin(cdf), IVF_NPROBE, "vec_id"
+    ).select(
+        F.col("vec_id").alias("probe_id"), F.col("cid"), F.col("embedding").alias("pe")
+    )
+    probe_vecs = with_norm.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    cand = (
+        with_norm.join(F.broadcast(probes.select("probe_id", "cid")), "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    scored = cand.join(F.broadcast(probe_vecs), "probe_id").select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dround(_dot("pe", "embedding") / (F.col("pn") * F.col("nrm")), 6).alias("cosine"),
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -23,6 +23,7 @@ def test_registry_integrity(registry):
     assert rows_only == {
         "m02_media_features",
         "s02_ann_lsh_topk",
+        "s03_ann_ivf_topk",
         "x01_approx_distinct",
         "x03_percentile_approx",
     }
@@ -85,3 +86,19 @@ def test_simhash_pairs_symmetric_and_thresholded(spark, registry):
     queries, _ = registry
     rows = queries["d03_dedup_simhash"](spark, SF_SMOKE).collect()
     assert all(r.hamming <= 2 and r.doc_a < r.doc_b for r in rows)
+
+
+def test_ivf_recall_vs_bruteforce(spark, registry):
+    queries, _ = registry
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s03_ann_ivf_topk"](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # nprobe/k = 4/16 of a weak-similarity corpus — recall is bounded;
+    # the assertion guards against the quantizer degenerating entirely.
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
