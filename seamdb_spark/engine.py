@@ -147,6 +147,8 @@ class Engine:
                 rows,
                 T.StructType([T.StructField("database_name", T.StringType(), False)]),
             )
+        if "information_schema." in low:
+            return self._information_schema_query(s)
         m = re.match(r"describe\s+(table\s+)?([A-Za-z_][\w$.]*)\s*$", low)
         if m:
             desc = self.store.get_table(self.database, m.group(2))
@@ -177,3 +179,56 @@ class Engine:
             if "TABLE_OR_VIEW_NOT_FOUND" in str(e):
                 raise TableNotFoundError(str(e)) from e
             raise
+
+    def _information_schema_query(self, stmt: str) -> DataFrame:
+        """information_schema.tables/columns emulation (the reference
+        enables DataFusion's information_schema,
+        reference: src/sql/mod.rs:82). Registers metastore-backed temp
+        views, then runs the query unchanged."""
+        tables_rows = [
+            (self.database, "public", t, "BASE TABLE")
+            for t in self.store.list_tables(self.database)
+        ]
+        T_ = T
+        self.spark.createDataFrame(
+            tables_rows,
+            T_.StructType(
+                [
+                    T_.StructField("table_catalog", T_.StringType(), False),
+                    T_.StructField("table_schema", T_.StringType(), False),
+                    T_.StructField("table_name", T_.StringType(), False),
+                    T_.StructField("table_type", T_.StringType(), False),
+                ]
+            ),
+        ).createOrReplaceTempView("information_schema__tables")
+        col_rows = []
+        for t in self.store.list_tables(self.database):
+            desc = self.store.get_table(self.database, t)
+            for i, c in enumerate(desc.columns, start=1):
+                col_rows.append(
+                    (self.database, "public", t, c.name, i, c.kind,
+                     "YES" if c.nullable else "NO")
+                )
+        self.spark.createDataFrame(
+            col_rows,
+            T_.StructType(
+                [
+                    T_.StructField("table_catalog", T_.StringType(), False),
+                    T_.StructField("table_schema", T_.StringType(), False),
+                    T_.StructField("table_name", T_.StringType(), False),
+                    T_.StructField("column_name", T_.StringType(), False),
+                    T_.StructField("ordinal_position", T_.IntegerType(), False),
+                    T_.StructField("data_type", T_.StringType(), False),
+                    T_.StructField("is_nullable", T_.StringType(), False),
+                ]
+            ),
+        ).createOrReplaceTempView("information_schema__columns")
+        rewritten = re.sub(
+            r"\binformation_schema\.(tables|columns)\b",
+            lambda m: f"information_schema__{m.group(1)}",
+            stmt,
+            flags=re.IGNORECASE,
+        )
+        return self.spark.sql(
+            sqlparse.normalize_query(rewritten, self.database, self.user)
+        )

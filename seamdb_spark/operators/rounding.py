@@ -12,6 +12,14 @@ breaks oracle hash-parity.
 pure IEEE ops, so for identical double inputs the result is
 bit-identical across engines. Use this instead of ``F.round`` whenever
 the column is compared against a DuckDB oracle.
+
+Contract: bit-equality with DuckDB ROUND is guaranteed for
+``|x| * 10^n < 2^52`` — far above every oracle-compared value in this
+repo (max ~1e12 scaled). Beyond that, double spacing exceeds the
+rounding granularity and DuckDB's platform-specific arithmetic takes
+over (hypothesis found several regimes); dround degrades gracefully to
+``scaled / p`` there rather than corrupting odd integers via the
+``+ 0.5`` ties-to-even trap.
 """
 
 from __future__ import annotations
@@ -19,9 +27,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+_TWO_52 = float(2**52)
+
 
 def dround(col: Column | str, scale: int = 0) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("double")
     p = F.lit(float(10**scale))
-    return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
+    scaled = F.abs(c) * p
+    rounded = F.floor(scaled + F.lit(0.5)) / p
+    return F.signum(c) * F.when(scaled >= F.lit(_TWO_52), scaled / p).otherwise(rounded)

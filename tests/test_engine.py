@@ -203,3 +203,20 @@ def test_large_insert_select_serial_uniqueness(engine, spark):
         " max(id) AS hi FROM big"
     ).collect()[0]
     assert (stats.n, stats.nd, stats.lo, stats.hi) == (10000, 10000, 1, 10000)
+
+
+def test_information_schema(engine):
+    _setup_table1(engine)
+    engine.sql("CREATE TABLE other (x bigint PRIMARY KEY)")
+    rows = engine.sql(
+        "SELECT table_name, table_type FROM information_schema.tables"
+        " ORDER BY table_name"
+    ).collect()
+    assert [r.table_name for r in rows] == ["other", "table1"]
+    cols = engine.sql(
+        "SELECT column_name, data_type, is_nullable"
+        " FROM information_schema.columns WHERE table_name = 'table1'"
+        " ORDER BY ordinal_position"
+    ).collect()
+    assert [c.column_name for c in cols] == ["id", "count", "price", "description"]
+    assert cols[0].is_nullable == "NO" and cols[1].is_nullable == "YES"

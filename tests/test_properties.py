@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism
+layer — the invariants every oracle comparison rests on."""
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from seamdb_spark.operators.hashing import (
+    MINHASH_PRIME,
+    md5_prefix_long_sql,
+    minhash_value_sql,
+)
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@st.composite
+def double_and_scale(draw):
+    """Samples within dround's documented contract domain:
+    |x| * 10^n < 2^52 (every oracle-compared value is far below it)."""
+    n = draw(st.integers(min_value=0, max_value=6))
+    bound = (2.0**52) / (10.0**n)
+    x = draw(st.floats(allow_nan=False, allow_infinity=False,
+                       min_value=-bound, max_value=bound,
+                       exclude_min=True, exclude_max=True))
+    return x, n
+
+
+@settings(max_examples=300, deadline=None)
+@given(double_and_scale())
+def test_dround_formula_matches_duckdb_round(case):
+    """The python replica of dround's arithmetic (sign*floor(abs*p+.5)/p)
+    must equal DuckDB's ROUND on the same binary double."""
+    x, n = case
+    p = float(10**n)
+    scaled = abs(x) * p
+    if scaled >= 2.0**52:  # |x| slightly under bound can still scale over
+        mag = scaled / p
+    else:
+        mag = math.floor(scaled + 0.5) / p
+    mine = math.copysign(mag, x) if x else 0.0
+    # parameter binding: DuckDB's VARCHAR->DOUBLE literal parser is not
+    # correctly rounded at 17 significant digits; real data never goes
+    # through it (values come from parquet), so bind the double directly.
+    duck = duckdb.connect().execute(f"SELECT ROUND(?, {n})", [x]).fetchall()[0][0]
+    assert mine == duck or (x == 0 and duck == 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="'\\"), max_size=40))
+def test_md5_prefix_long_sql_matches_python(s):
+    """The DuckDB strpos-arithmetic hex parse must equal python's
+    int(md5[:8], 16)."""
+    import hashlib
+
+    expected = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    # bind the string as a parameter (a python repr is not a SQL literal)
+    expr = md5_prefix_long_sql("?")
+    n_params = expr.count("?")
+    got = duckdb.connect().execute(f"SELECT {expr} AS h", [s] * n_params).fetchall()[0][0]
+    assert got == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=1, max_value=2**30 - 1),
+    st.integers(min_value=0, max_value=2**30),
+)
+def test_minhash_value_sql_no_overflow_and_matches_python(h, a, b):
+    expected = (a * h + b) % MINHASH_PRIME
+    got = duckdb.sql(
+        f"SELECT {minhash_value_sql(f'CAST({h} AS BIGINT)', a, b)} AS v"
+    ).fetchall()[0][0]
+    assert got == expected
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkSideProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(finite_doubles, min_size=1, max_size=8))
+    def test_dround_spark_matches_duckdb(self, spark, xs):
+        from pyspark.sql import functions as F
+
+        from seamdb_spark.operators.rounding import dround
+
+        df = spark.createDataFrame([(x,) for x in xs], "x double")
+        got = [r.r for r in df.select(dround(F.col("x"), 2).alias("r")).collect()]
+        con = duckdb.connect()
+        want = [con.execute("SELECT ROUND(?, 2)", [x]).fetchall()[0][0] for x in xs]
+        assert got == want
