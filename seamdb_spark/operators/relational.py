@@ -555,7 +555,11 @@ def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               ROUND(SUM(l_extendedprice), 2) AS total_price
+               -- binary-double rounding (matches DuckDB ROUND; Spark's
+               -- ROUND is decimal-string-based — see rounding.py)
+               CAST(SIGN(SUM(l_extendedprice))
+                    * FLOOR(ABS(SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS total_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -797,7 +801,10 @@ def q23_cte_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                 -- binary-double rounding (matches DuckDB ROUND)
+                 CAST(SIGN(SUM(l_extendedprice * (1 - l_discount)))
+                      * FLOOR(ABS(SUM(l_extendedprice * (1 - l_discount)))
+                              * 100.0 + 0.5) / 100.0 AS DOUBLE) AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
