@@ -1407,3 +1407,46 @@ def q41_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+# --------------------------------------------------------------------------
+# RIGHT OUTER join (explicit; planner may flip to left — semantics checked)
+# --------------------------------------------------------------------------
+@register(
+    "q42_right_join",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+)
+def q42_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# CROSS join (explicit cartesian of two dims)
+# --------------------------------------------------------------------------
+@register(
+    "q43_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           (r.r_regionkey = n.n_regionkey) AS is_home_region
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q43_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home_region"),
+    )

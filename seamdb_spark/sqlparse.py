@@ -417,8 +417,17 @@ def append_pg_null_ordering(sql: str) -> str:
 def normalize_query(sql: str, database: str, user: str) -> str:
     """Postgres-isms → Spark SQL + session-function substitution
     (≙ the reference's session UDFs A12-A15,
-    reference: src/sql/postgresql/functions/mod.rs:32-193)."""
+    reference: src/sql/postgresql/functions/mod.rs:32-193).
+
+    Also resolves the reference's 3-level naming
+    (catalog(database).schema.table, default schema "public" —
+    reference: src/sql/context.rs:47-49): ``db.public.t`` and
+    ``public.t`` collapse to the bare temp-view name."""
     out = rewrite_pg_casts(sql)
+    out = re.sub(
+        rf"\b{re.escape(database)}\.public\.([A-Za-z_]\w*)", r"\1", out
+    )
+    out = re.sub(r"\bpublic\.([A-Za-z_]\w*)", r"\1", out)
     out = re.sub(
         r"\b(current_catalog|current_database\s*\(\s*\))", f"'{database}'", out,
         flags=re.IGNORECASE,

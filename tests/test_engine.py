@@ -220,3 +220,11 @@ def test_information_schema(engine):
     ).collect()
     assert [c.column_name for c in cols] == ["id", "count", "price", "description"]
     assert cols[0].is_nullable == "NO" and cols[1].is_nullable == "YES"
+
+
+def test_qualified_table_names(engine):
+    # 3-level naming resolves: db.public.t, public.t, bare t
+    _setup_table1(engine)
+    engine.sql("INSERT INTO table1 (count) VALUES (7)")
+    for name in ("table1", "public.table1", "db1.public.table1"):
+        assert engine.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n == 1
