@@ -89,7 +89,11 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    spark = build_session("parity_check", master="local[8]", shuffle_partitions=8)
+    import os
+
+    master = os.environ.get("PARITY_MASTER", "local[8]")
+    shuffle = int(os.environ.get("PARITY_SHUFFLE", "8"))
+    spark = build_session("parity_check", master=master, shuffle_partitions=shuffle)
     con = duck_connection(sf_dir)
 
     failed, passed, skipped = [], [], []

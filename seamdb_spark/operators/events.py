@@ -224,3 +224,123 @@ def x04_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") >= 20)
     )
+
+
+# --------------------------------------------------------------------------
+# AS-OF join: for each purchase, the user's most recent prior click.
+# Spark has no native ASOF JOIN; the union-tag + running last_value
+# window is the exact, scalable composition (one shuffle on user_id).
+# --------------------------------------------------------------------------
+@register(
+    "e04_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             MAX(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, last_click_ts,
+           CAST(CASE WHEN last_click_ts IS NOT NULL
+                THEN DATE_DIFF('second', last_click_ts, ts) END AS BIGINT)
+               AS secs_since_click
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def e04_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "purchase"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    filled = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+        F.when(
+            F.col("last_click_ts").isNotNull(),
+            F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts"),
+        ).cast("long").alias("secs_since_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE (interval) join: events within 5 minutes before each error, per
+# user. Scale path: bucketize ts to the band width and equi-join on
+# (user, bucket) for bucket and bucket-1 — the O(n·m/buckets) plan —
+# then apply the exact residual predicate. Never a full theta join.
+# --------------------------------------------------------------------------
+RANGE_JOIN_WINDOW_S = 300
+
+
+@register(
+    "e05_range_join",
+    oracle=f"""
+    SELECT e.event_id AS error_id,
+           CAST(COUNT(o.event_id) AS BIGINT) AS n_preceding,
+           CAST(COUNT(DISTINCT o.event_type) AS BIGINT) AS n_types
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type <> 'error') o
+      ON e.user_id = o.user_id
+     AND o.ts >= e.ts - INTERVAL {RANGE_JOIN_WINDOW_S} SECOND
+     AND o.ts < e.ts
+    GROUP BY e.event_id
+    """,
+)
+def e05_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / RANGE_JOIN_WINDOW_S)  # noqa: E731
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        bucket("ts").alias("e_bucket"),
+    )
+    others = ev.filter(F.col("event_type") != "error").select(
+        F.col("event_id").alias("o_id"),
+        F.col("user_id").alias("o_user"),
+        F.col("ts").alias("o_ts"),
+        F.col("event_type").alias("o_type"),
+        bucket("ts").alias("o_bucket"),
+    )
+    # candidate buckets: the error's bucket and the one before it cover
+    # every row within RANGE_JOIN_WINDOW_S seconds before the error
+    cand = None
+    for shift in (0, 1):
+        part = errors.join(
+            others,
+            (F.col("e_user") == F.col("o_user"))
+            & (F.col("o_bucket") == F.col("e_bucket") - shift),
+        )
+        cand = part if cand is None else cand.unionAll(part)
+    matched = cand.filter(
+        (F.col("o_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {RANGE_JOIN_WINDOW_S} SECOND"))
+        & (F.col("o_ts") < F.col("e_ts"))
+    )
+    counts = matched.groupBy("error_id").agg(
+        F.count("o_id").alias("n_preceding"),
+        F.countDistinct("o_type").alias("n_types"),
+    )
+    # LEFT semantics: errors with no preceding events keep zero counts
+    return (
+        errors.select("error_id")
+        .join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce("n_preceding", F.lit(0)).alias("n_preceding"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+        )
+    )

@@ -279,3 +279,30 @@ def t06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "tfidf", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Salted heavy-hitter aggregation: two-phase count for skewed keys.
+# Phase 1 groups on (token, salt) so one hot token spreads over 16
+# reducers; phase 2 merges the partials. Result identical to a plain
+# groupBy — the salt is engine-internal.
+# --------------------------------------------------------------------------
+@register(
+    "t07_heavy_hitters_salted",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 100
+    """,
+)
+def t07_heavy_hitters_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    salted = toks.withColumn("salt", F.xxhash64(F.monotonically_increasing_id()) % 16)
+    partial = salted.groupBy("token", "salt").agg(F.count("*").alias("c"))
+    return (
+        partial.groupBy("token")
+        .agg(F.sum("c").alias("freq"))
+        .filter(F.col("freq") >= 100)
+    )
