@@ -81,11 +81,30 @@ class Engine:
             return self._insert(stmt)
         return self._query(stmt)
 
-    def table(self, name: str) -> DataFrame:
-        """Current snapshot of a table as a DataFrame (library path)."""
+    def table(self, name: str, version: int | None = None) -> DataFrame:
+        """Snapshot of a table as a DataFrame (library path). ``version``
+        reads a retained historical snapshot — time travel, the batch
+        analogue of the reference's MVCC read-at-timestamp."""
         desc = self.store.get_table(self.database, name)
         snaps = TableSnapshots(self.store.table_dir(self.database, name))
-        return snaps.read(self.spark, desc.spark_schema())
+        return snaps.read(self.spark, desc.spark_schema(), version=version)
+
+    def compact(self, name: str) -> int:
+        """Rewrite the table's current snapshot as one fresh segment
+        (OPTIMIZE): appends accumulate small files; compaction folds
+        them into a single overwrite commit. Readers pinned to older
+        manifests are unaffected (their files are retained until GC)."""
+        import os as _os
+
+        desc = self.store.get_table(self.database, name)
+        snaps = TableSnapshots(self.store.table_dir(self.database, name))
+        total_bytes = sum(
+            _os.path.getsize(f) for f in snaps.current_files() if _os.path.exists(f)
+        )
+        # target ~128 MB output files (matches maxPartitionBytes)
+        target = max(1, total_bytes // (128 * 1024 * 1024))
+        current = snaps.read(self.spark, desc.spark_schema()).coalesce(int(target))
+        return snaps.commit(current, mode="overwrite")
 
     # ------------------------------------------------------- internals
     def _result(self, result: str) -> DataFrame:

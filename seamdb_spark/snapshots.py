@@ -59,13 +59,37 @@ class TableSnapshots:
         return self._read_manifest()["files"]
 
     # ---------------------------------------------------------- read
-    def read(self, spark: SparkSession, schema: T.StructType) -> DataFrame:
-        """Read the snapshot current *now*; callers resolve once per
-        statement, giving per-statement snapshot isolation."""
-        files = self.current_files()
+    def read(
+        self,
+        spark: SparkSession,
+        schema: T.StructType,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the snapshot current *now* (or a retained historical
+        ``version`` — time travel, ≙ the reference's read-at-timestamp
+        MVCC semantics, reference: src/tablet/memory.rs:73-81). Callers
+        resolve once per statement → per-statement snapshot isolation."""
+        if version is None:
+            files = self.current_files()
+        else:
+            files = self._version_files(version)
         if not files:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*files)
+
+    def _version_files(self, version: int) -> list[str]:
+        if version == 0:
+            return []
+        if version == self.current_version():
+            return self.current_files()
+        hist = os.path.join(self.table_dir, f"manifest-v{version:06d}.json")
+        try:
+            with open(hist) as f:
+                return json.load(f)["files"]
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} not retained (kept: last {KEEP_MANIFESTS})"
+            ) from None
 
     # --------------------------------------------------------- write
     def commit(self, df: DataFrame, mode: str = "append") -> int:

@@ -64,3 +64,46 @@ def test_overwrite_mode(spark, tmp_path):
     snaps.commit(spark.createDataFrame([(3, "c")], schema), mode="overwrite")
     rows = snaps.read(spark, schema).collect()
     assert [r.id for r in rows] == [3]
+
+
+def test_time_travel_reads(spark, tmp_path):
+    snaps = TableSnapshots(str(tmp_path / "t"))
+    schema = _desc().spark_schema()
+    snaps.commit(spark.createDataFrame([(1, "a")], schema))
+    snaps.commit(spark.createDataFrame([(2, "b")], schema))
+    snaps.commit(spark.createDataFrame([(3, "c")], schema))
+    assert snaps.read(spark, schema, version=1).count() == 1
+    assert snaps.read(spark, schema, version=2).count() == 2
+    assert snaps.read(spark, schema, version=3).count() == 3
+    assert snaps.read(spark, schema, version=0).count() == 0
+
+
+def test_time_travel_unretained_version_raises(spark, tmp_path):
+    import pytest
+
+    snaps = TableSnapshots(str(tmp_path / "t"))
+    schema = _desc().spark_schema()
+    for i in range(5):  # KEEP_MANIFESTS=3 → v1, v2 manifests GC'd
+        snaps.commit(spark.createDataFrame([(i, "x")], schema))
+    with pytest.raises(ValueError, match="not retained"):
+        snaps.read(spark, schema, version=1)
+
+
+def test_engine_compact(spark, tmp_path):
+    from seamdb_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"), database="db")
+    e.sql("CREATE TABLE t (id bigint PRIMARY KEY, v text)")
+    for i in range(4):
+        e.sql(f"INSERT INTO t VALUES ({i}, 'v{i}')")
+    before = len(
+        TableSnapshots(e.store.table_dir("db", "t")).current_files()
+    )
+    e.compact("t")
+    snaps = TableSnapshots(e.store.table_dir("db", "t"))
+    after = len(snaps.current_files())
+    assert after < before
+    assert e.sql("SELECT count(*) AS n FROM t").collect()[0].n == 4
+    # appends continue to work after compaction
+    e.sql("INSERT INTO t VALUES (99, 'z')")
+    assert e.sql("SELECT count(*) AS n FROM t").collect()[0].n == 5
