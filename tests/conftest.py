@@ -9,7 +9,12 @@ from seamdb_spark.session import build_session  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = build_session("seamdb_spark_tests", master="local[4]", shuffle_partitions=4)
+    s = build_session(
+        "seamdb_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/seamdb_test_warehouse"},
+    )
     yield s
 
 
