@@ -246,6 +246,8 @@ def _parse_table_constraint(defn: str) -> IndexDescriptor | None:
 
 
 def parse_create_table(stmt: str) -> ParsedCreateTable:
+    if re.search(r"\)\s*as\s+select\b|\bas\s+select\b", stmt, re.IGNORECASE):
+        raise UnsupportedError("CREATE TABLE AS SELECT is not supported")
     m = _CREATE_TABLE_RE.match(stmt.strip())
     if not m:
         raise InvalidArgumentError(f"malformed CREATE TABLE: {stmt}")

@@ -48,7 +48,6 @@ def test_bucketed_join_has_no_shuffle(spark):
         plan = _plan(joined)
         # the join itself reads bucketed data: no shuffle before the SMJ
         assert "SortMergeJoin" in plan
-        join_section = plan.split("SortMergeJoin")[0]
         assert "Exchange hashpartitioning(o_orderkey" not in plan
         assert "Exchange hashpartitioning(l_orderkey" not in plan
         # and the answer matches the unbucketed join

@@ -107,3 +107,8 @@ def test_classify_unsupported():
     ]:
         with pytest.raises(UnsupportedError, match=msg):
             sqlparse.classify(stmt)
+
+
+def test_ctas_rejected():
+    with pytest.raises(UnsupportedError, match="AS SELECT"):
+        sqlparse.parse_create_table("CREATE TABLE t AS SELECT 1 AS x")
