@@ -368,3 +368,91 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("probe_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Block-matrix near-dup over fixed-point quantized embeddings.
+#
+# The scale design for exact all-pairs verification: vectors are
+# quantized to int64 fixed-point (floor(x * 2^20) — multiplying a float
+# by a power of two is exact, so quantization is deterministic in every
+# engine), packed into per-block rows, and the 8x8 block-pair grid is
+# processed by an Arrow-batched pandas/numpy kernel (int64 matmul —
+# order-independent exact arithmetic, so the resulting cosines are
+# bit-identical to the DuckDB oracle with NO rounding layer). Nothing
+# touches the driver; block size is the memory knob.
+# --------------------------------------------------------------------------
+QUANT_SCALE = 1 << 20
+N_BLOCKS = 8
+
+
+def _quant_oracle() -> str:
+    q = "list_transform({e}, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
+    dot = ("list_sum(list_transform(list_zip(qa.q, qb.q), p -> p[1] * p[2]))")
+    nrm = "sqrt(CAST(list_sum(list_transform({v}.q, x -> x * x)) AS DOUBLE))"
+    return f"""
+    WITH quant AS (
+      SELECT vec_id, {q.format(e='embedding')} AS q FROM embeddings
+    )
+    SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b,
+           CAST({dot} AS DOUBLE) / ({nrm.format(v='qa')} * {nrm.format(v='qb')})
+               AS cosine
+    FROM quant qa JOIN quant qb ON qa.vec_id < qb.vec_id
+    WHERE CAST({dot} AS DOUBLE) /
+          ({nrm.format(v='qa')} * {nrm.format(v='qb')}) >= {NEARDUP_COSINE}
+    """
+
+
+@register("d06_embedding_neardup_blocked", oracle=_quant_oracle())
+def d06_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    quant = emb.select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))").alias("q"),
+        (F.col("vec_id") % N_BLOCKS).alias("blk"),
+    )
+    packed = quant.groupBy("blk").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "q"))).alias("rows")
+    )
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["vec_id"] for r in row["rows_a"]], dtype=np.int64)
+                mat_a = np.array([r["q"] for r in row["rows_a"]], dtype=np.int64)
+                ids_b = np.array([r["vec_id"] for r in row["rows_b"]], dtype=np.int64)
+                mat_b = np.array([r["q"] for r in row["rows_b"]], dtype=np.int64)
+                dots = mat_a @ mat_b.T  # exact int64
+                na = np.sqrt((mat_a * mat_a).sum(axis=1).astype(np.float64))
+                nb = np.sqrt((mat_b * mat_b).sum(axis=1).astype(np.float64))
+                cos = dots.astype(np.float64) / (na[:, None] * nb[None, :])
+                ia, ib = np.nonzero(cos >= NEARDUP_COSINE)
+                va, vb, cv = ids_a[ia], ids_b[ib], cos[ia, ib]
+                if row["blk_a"] == row["blk_b"]:
+                    keep = va < vb  # each in-block pair appears twice
+                    va, vb, cv = va[keep], vb[keep], cv[keep]
+                else:
+                    # off-diagonal cell holds each cross-block pair once;
+                    # normalize orientation to (min, max)
+                    lo = np.minimum(va, vb)
+                    hi = np.maximum(va, vb)
+                    va, vb = lo, hi
+                out_a.append(va)
+                out_b.append(vb)
+                out_c.append(cv)
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a) if out_a else [],
+                    "vec_b": np.concatenate(out_b) if out_b else [],
+                    "cosine": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+    return grid.mapInPandas(kernel, schema="vec_a long, vec_b long, cosine double")

@@ -102,3 +102,18 @@ def test_ivf_recall_vs_bruteforce(spark, registry):
     # nprobe/k = 4/16 of a weak-similarity corpus — recall is bounded;
     # the assertion guards against the quantizer degenerating entirely.
     assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+
+def test_blocked_neardup_agrees_with_bruteforce(spark, registry):
+    queries, _ = registry
+    p5 = {
+        (r.vec_a, r.vec_b)
+        for r in queries["d05_embedding_neardup"](spark, SF_SMOKE).collect()
+    }
+    p6 = {
+        (r.vec_a, r.vec_b)
+        for r in queries["d06_embedding_neardup_blocked"](spark, SF_SMOKE).collect()
+    }
+    # quantization (2^-20) can only flip pairs sitting exactly on the
+    # threshold; on the fixture the sets are identical
+    assert len(p5 ^ p6) <= max(1, len(p5) // 100)
