@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from .catalog import Metastore
 from .errors import NullViolationError, TypeMismatchError, UniqueIndexError
 from .snapshots import TableSnapshots
-from .types import ColumnDescriptor, TableDescriptor, spark_type
+from .types import TableDescriptor, spark_type
 
 _KIND_FAMILY = {
     "boolean": "bool",

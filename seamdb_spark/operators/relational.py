@@ -1450,3 +1450,33 @@ def q43_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home_region"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window: distribution family (percent_rank / cume_dist / nth_value)
+# --------------------------------------------------------------------------
+@register(
+    "q44_window_distribution",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST()    OVER w, 6) AS cd,
+           ROUND(NTH_VALUE(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS second_highest_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def q44_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        dround(F.percent_rank().over(w), 6).alias("pr"),
+        dround(F.cume_dist().over(w), 6).alias("cd"),
+        dround(F.nth_value("s_acctbal", 2).over(w_full), 2).alias("second_highest_bal"),
+    )
