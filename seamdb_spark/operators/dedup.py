@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -366,3 +366,67 @@ def d04_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("j") >= BIGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround("j", 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (PPJoin-lite).
+#
+# Same output as d04 (word-bigram Jaccard >= threshold), but candidate
+# generation joins only each document's PREFIX — its rarest
+# (nb - ceil(t*nb) + 1) bigrams under a global document-frequency
+# order. Any pair with J >= t must share a prefix token (pigeonhole on
+# the overlap bound), so recall is exactly 1; candidates are verified
+# with the full sets. On zipfian real text this collapses the join to
+# near-linear; on this uniform fixture it mostly demonstrates the plan.
+# --------------------------------------------------------------------------
+@register("d07_dedup_jaccard_prefix_filtered")
+def d07_dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = BIGRAM_JACCARD_THRESHOLD
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
+            )
+        ).alias("bigrams"),
+    ).filter(F.size("bigrams") > 0)
+    exploded = bg.select("doc_id", F.size("bigrams").alias("nb"), F.explode("bigrams").alias("g"))
+    # global rarity order: document frequency, tiebreak on the token
+    df_per_g = exploded.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = exploded.join(df_per_g, "g").withColumn(
+        "pos",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("df"), F.col("g"))
+        ),
+    )
+    prefix_len = (F.col("nb") - F.ceil(F.lit(t) * F.col("nb")) + 1).cast("int")
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", F.xxhash64("g").alias("gh")
+    )
+    p1 = prefix.select(F.col("doc_id").alias("doc_a"), "gh")
+    p2 = prefix.select(F.col("doc_id").alias("doc_b"), "gh")
+    cand = (
+        p1.join(p2, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = bg.select(F.col("doc_id").alias("doc_a"), F.col("bigrams").alias("ba"))
+    b = bg.select(F.col("doc_id").alias("doc_b"), F.col("bigrams").alias("bb"))
+    inter = F.size(F.array_intersect(F.col("ba"), F.col("bb")))
+    union = F.size("ba") + F.size("bb") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("j", inter.cast("double") / union)
+        .filter(F.col("j") >= t)
+        .select("doc_a", "doc_b", dround("j", 6).alias("jaccard"))
+    )
+
+
+# register d07's oracle after the fact (identical result set to d04)
+from .registry import ORACLE_SQL as _OSQL  # noqa: E402
+
+_OSQL["d07_dedup_jaccard_prefix_filtered"] = _OSQL["d04_dedup_ngram_jaccard"]
