@@ -1480,3 +1480,25 @@ def q44_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.cume_dist().over(w), 6).alias("cd"),
         dround(F.nth_value("s_acctbal", 2).over(w_full), 2).alias("second_highest_bal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pattern matching: LIKE / ILIKE / NOT LIKE / regexp
+# --------------------------------------------------------------------------
+@register(
+    "q45_pattern_matching",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%steel%'
+       OR p_name ILIKE '%COPPER%'
+       OR (p_type NOT LIKE 'SMALL%' AND regexp_matches(p_name, 'g(ree|o)l?d'))
+    """,
+)
+def q45_pattern_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("%steel%")
+        | F.col("p_name").ilike("%COPPER%")
+        | (~F.col("p_type").like("SMALL%") & F.col("p_name").rlike("g(ree|o)l?d"))
+    ).select("p_partkey", "p_name", "p_type")

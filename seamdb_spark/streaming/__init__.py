@@ -1,4 +1,5 @@
 from .events import (
+    click_purchase_join_stream,
     hourly_rollup_stream,
     run_stream_to_memory,
     session_window_stream,
@@ -8,6 +9,7 @@ from .events import (
 
 __all__ = [
     "stream_events",
+    "click_purchase_join_stream",
     "hourly_rollup_stream",
     "session_window_stream",
     "user_running_totals_stream",

@@ -142,3 +142,38 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same user's
+    clicks in the preceding 30 minutes. Watermarks on both sides bound
+    the join state; the time-range condition lets Spark expire buffered
+    rows (the canonical stream-stream join pattern)."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts < p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts", "value")

@@ -62,3 +62,25 @@ def test_stateful_running_totals(spark):
     for r in out.collect():  # update mode: later rows supersede earlier
         got[r.user_id] = (r.n_events, round(r.total_value, 6))
     assert got == batch
+
+
+def test_stream_stream_join_matches_batch(spark):
+    out = st.run_stream_to_memory(
+        st.click_purchase_join_stream(spark, SF_SMOKE), "ssj_test", "append"
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts < p_ts"),
+    )
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
