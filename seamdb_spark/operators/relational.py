@@ -1502,3 +1502,58 @@ def q45_pattern_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("p_name").ilike("%COPPER%")
         | (~F.col("p_type").like("SMALL%") & F.col("p_name").rlike("g(ree|o)l?d"))
     ).select("p_partkey", "p_name", "p_type")
+
+
+# --------------------------------------------------------------------------
+# Correlated aggregate subquery (TPC-H Q17 shape): small-quantity orders
+# --------------------------------------------------------------------------
+@register(
+    "q46_below_avg_quantity",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.3 * AVG(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q46_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decorrelated: per-part average joined back — one shuffle on
+    # partkey for the aggregate, then a broadcast-or-shuffle join.
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.3).alias("bar")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < F.col("bar"))
+        .agg(
+            dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Global-share HAVING (TPC-H Q11 shape): suppliers above a revenue share
+# --------------------------------------------------------------------------
+@register(
+    "q47_supplier_share",
+    oracle="""
+    SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(l_extendedprice * (1 - l_discount)) >
+           (SELECT SUM(l_extendedprice * (1 - l_discount)) * 0.011 FROM lineitem)
+    """,
+)
+def q47_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = li.groupBy("l_suppkey").agg(rev.alias("raw_revenue"))
+    total = li.agg((rev * 0.011).alias("bar"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_revenue") > F.col("bar"))
+        .select("l_suppkey", dround("raw_revenue", 2).alias("revenue"))
+    )
