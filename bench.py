@@ -33,7 +33,10 @@ def main() -> None:
     # set-similarity join degenerates to all-pairs verification (see
     # SCALING.md d04/d07) — it exists to demonstrate the zipf-data scale
     # algorithm, d04 is the benchmarked equivalent (identical output).
-    skip = {"d07_dedup_jaccard_prefix_filtered": "demo of zipf-data algorithm; degenerate on uniform fixture"}
+    skip = {
+        "d07_dedup_jaccard_prefix_filtered": "demo of zipf-data algorithm; degenerate on uniform fixture",
+        "d08_dedup_jaccard_blocked": "alternate matmul kernel of d04 (identical output; d04 is the benched formulation)",
+    }
     spark = build_session("seamdb_spark_bench")
 
     # Warm-up: JVM + codegen + parquet footer caches.

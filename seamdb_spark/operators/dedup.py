@@ -430,3 +430,100 @@ def d07_dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataF
 from .registry import ORACLE_SQL as _OSQL  # noqa: E402
 
 _OSQL["d07_dedup_jaccard_prefix_filtered"] = _OSQL["d04_dedup_ngram_jaccard"]
+
+
+# --------------------------------------------------------------------------
+# Block-matrix n-gram Jaccard (same output as d04) via incidence matmul.
+#
+# Bigrams get dense vocabulary ids; each doc becomes a 0/1 incidence
+# vector; per block-pair the numpy int32 matmul M_a @ M_b.T yields all
+# pairwise intersection counts at once — exact integer arithmetic, so
+# jaccard = inter/union is bit-identical to the list-based oracle.
+# Scale note: dense vocab columns work to ~10^4 n-grams; beyond that
+# switch the kernel to CSR sparse matmul or feature-hash to 2^k dims
+# (the grid/packing plan is unchanged).
+# --------------------------------------------------------------------------
+@register("d08_dedup_jaccard_blocked")
+def d08_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    t = BIGRAM_JACCARD_THRESHOLD
+    n_blocks = 8
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
+            )
+        ).alias("bigrams"),
+    ).filter(F.size("bigrams") > 0)
+    exploded = bg.select("doc_id", F.explode("bigrams").alias("g"))
+    vocab = (
+        exploded.select("g")
+        .distinct()
+        .withColumn("gid", F.row_number().over(W.orderBy("g")) - 1)
+    )
+    doc_vecs = (
+        exploded.join(F.broadcast(vocab), "g")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("gid")).alias("gids"))
+        .withColumn("blk", F.col("doc_id") % n_blocks)
+    )
+    packed = doc_vecs.groupBy("blk").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "gids"))).alias("rows")
+    ).cache()  # consumed by both sides of the block grid
+    vocab_size = vocab.count()
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out_a, out_b, out_j = [], [], []
+            for _, row in pdf.iterrows():
+                def unpack(rows):
+                    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+                    # float64 so the matmul uses BLAS dgemm; 0/1 products
+                    # and partial sums stay exact integers (< 2^53), so
+                    # the result is order-independent and bit-exact
+                    mat = np.zeros((len(rows), vocab_size), dtype=np.float64)
+                    for i, r in enumerate(rows):
+                        mat[i, np.asarray(r["gids"], dtype=np.int64)] = 1.0
+                    return ids, mat
+
+                ids_a, mat_a = unpack(row["rows_a"])
+                ids_b, mat_b = unpack(row["rows_b"])
+                inter = mat_a @ mat_b.T
+                na = mat_a.sum(axis=1)
+                nb = mat_b.sum(axis=1)
+                union = na[:, None] + nb[None, :] - inter
+                jac = inter / union
+                ia, ib = np.nonzero(jac >= t)
+                va, vb, jv = ids_a[ia], ids_b[ib], jac[ia, ib]
+                if row["blk_a"] == row["blk_b"]:
+                    keep = va < vb
+                    va, vb, jv = va[keep], vb[keep], jv[keep]
+                else:
+                    lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+                    va, vb = lo, hi
+                out_a.append(va)
+                out_b.append(vb)
+                # match the oracle's ROUND(j, 6): j derives from exact
+                # ints, so DuckDB's binary rounding == this formula
+                jr = np.sign(jv) * np.floor(np.abs(jv) * 1e6 + 0.5) / 1e6
+                out_j.append(jr)
+            yield pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a) if out_a else [],
+                    "doc_b": np.concatenate(out_b) if out_b else [],
+                    "jaccard": np.concatenate(out_j) if out_j else [],
+                }
+            )
+
+    return grid.mapInPandas(kernel, schema="doc_a long, doc_b long, jaccard double")
+
+
+_OSQL["d08_dedup_jaccard_blocked"] = _OSQL["d04_dedup_ngram_jaccard"]
