@@ -1557,3 +1557,31 @@ def q47_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw_revenue") > F.col("bar"))
         .select("l_suppkey", dround("raw_revenue", 2).alias("revenue"))
     )
+
+
+# --------------------------------------------------------------------------
+# Multiset set-ops: EXCEPT ALL / INTERSECT ALL (bag semantics)
+# --------------------------------------------------------------------------
+@register(
+    "q48_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F')
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    """,
+)
+def q48_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+    ex = a.exceptAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    inter = a.intersectAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    return ex.unionAll(inter)
