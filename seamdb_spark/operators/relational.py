@@ -1585,3 +1585,32 @@ def q48_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("intersect_all").alias("op"), "n"
     )
     return ex.unionAll(inter)
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery in FROM (top-n per row)
+# --------------------------------------------------------------------------
+@register(
+    "q49_lateral_join",
+    oracle="""
+    SELECT n_name, s.s_suppkey, s.s_acctbal
+    FROM nation, LATERAL (
+      SELECT s_suppkey, s_acctbal FROM supplier
+      WHERE s_nationkey = n_nationkey
+      ORDER BY s_acctbal DESC, s_suppkey LIMIT 2
+    ) s
+    """,
+)
+def q49_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("nation", "supplier"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT n_name, s.s_suppkey, s.s_acctbal
+        FROM nation, LATERAL (
+          SELECT s_suppkey, s_acctbal FROM supplier
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey LIMIT 2
+        ) s
+        """
+    )
