@@ -331,6 +331,36 @@ _CAST_RE = re.compile(
 )
 
 
+
+# ---------------------------------------------------------------------------
+# string-literal masking: dialect rewrites must never touch the inside
+# of '...' literals (e.g. SELECT 'a::b', or a literal containing the
+# words ORDER BY)
+# ---------------------------------------------------------------------------
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    literals: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"'\x01{len(literals) - 1}\x01'"
+
+    return _LITERAL_RE.sub(stash, sql), literals
+
+
+def _unmask_literals(sql: str, literals: list[str]) -> str:
+    return re.sub(
+        r"'\x01(\d+)\x01'", lambda m: literals[int(m.group(1))], sql
+    )
+
+
+def _sub_outside_literals(pattern: str, repl, sql: str, flags=0) -> str:
+    masked, lits = _mask_literals(sql)
+    return _unmask_literals(re.sub(pattern, repl, masked, flags=flags), lits)
+
+
 # Postgres type name → Spark SQL type name (for :: cast rewriting).
 _PG_TO_SPARK_TYPE = {
     "text": "string",
@@ -370,11 +400,12 @@ def rewrite_pg_casts(sql: str) -> str:
     def repl(m: re.Match) -> str:
         return f"CAST({m.group(1)} AS {_spark_type_name(m.group(2))})"
 
+    masked, lits = _mask_literals(out)
     while True:
-        new = pattern.sub(repl, out)
-        if new == out:
-            return new
-        out = new
+        new = pattern.sub(repl, masked)
+        if new == masked:
+            return _unmask_literals(masked, lits)
+        masked = new
 
 
 def append_pg_null_ordering(sql: str) -> str:
@@ -382,6 +413,7 @@ def append_pg_null_ordering(sql: str) -> str:
     ASC, NULLS FIRST on DESC — Spark defaults are the opposite).
     Rewrites the outermost ORDER BY only, skipping items that already
     specify NULLS."""
+    sql, _literals = _mask_literals(sql)
     low = sql.lower()
     idx, depth, pos = -1, 0, 0
     while pos < len(sql) - 7:
@@ -394,7 +426,7 @@ def append_pg_null_ordering(sql: str) -> str:
             idx = pos
         pos += 1
     if idx < 0:
-        return sql
+        return _unmask_literals(sql, _literals)
     head = sql[:idx]
     clause = sql[idx + len("order by"):]
     # terminate at top-level LIMIT/OFFSET/FETCH
@@ -413,7 +445,10 @@ def append_pg_null_ordering(sql: str) -> str:
             fixed.append(item + " NULLS FIRST")
         else:
             fixed.append(item + " NULLS LAST")
-    return head + "ORDER BY " + ", ".join(fixed) + (" " + tail if tail else "")
+    return _unmask_literals(
+        head + "ORDER BY " + ", ".join(fixed) + (" " + tail if tail else ""),
+        _literals,
+    )
 
 
 def normalize_query(sql: str, database: str, user: str) -> str:
@@ -426,20 +461,22 @@ def normalize_query(sql: str, database: str, user: str) -> str:
     reference: src/sql/context.rs:47-49): ``db.public.t`` and
     ``public.t`` collapse to the bare temp-view name."""
     out = rewrite_pg_casts(sql)
-    out = re.sub(
+    out = _sub_outside_literals(
         rf"\b{re.escape(database)}\.public\.([A-Za-z_]\w*)", r"\1", out
     )
-    out = re.sub(r"\bpublic\.([A-Za-z_]\w*)", r"\1", out)
-    out = re.sub(
+    out = _sub_outside_literals(r"\bpublic\.([A-Za-z_]\w*)", r"\1", out)
+    out = _sub_outside_literals(
         r"\b(current_catalog|current_database\s*\(\s*\))", f"'{database}'", out,
         flags=re.IGNORECASE,
     )
-    out = re.sub(r"\bcurrent_schema\s*(\(\s*\))?", "'public'", out, flags=re.IGNORECASE)
-    out = re.sub(
+    out = _sub_outside_literals(
+        r"\bcurrent_schema\s*(\(\s*\))?", "'public'", out, flags=re.IGNORECASE
+    )
+    out = _sub_outside_literals(
         r"\b(current_user|current_role|session_user)\b", f"'{user}'", out,
         flags=re.IGNORECASE,
     )
-    out = re.sub(
+    out = _sub_outside_literals(
         r"\binet_client_port\s*\(\s*\)", "0", out, flags=re.IGNORECASE
     )  # non-socket session (reference: src/sql/mod.rs:270-274)
     out = append_pg_null_ordering(out)

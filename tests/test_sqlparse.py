@@ -112,3 +112,20 @@ def test_classify_unsupported():
 def test_ctas_rejected():
     with pytest.raises(UnsupportedError, match="AS SELECT"):
         sqlparse.parse_create_table("CREATE TABLE t AS SELECT 1 AS x")
+
+
+def test_rewrites_never_touch_string_literals():
+    f = sqlparse.rewrite_pg_casts
+    assert f("SELECT 'a::b' AS s") == "SELECT 'a::b' AS s"
+    assert f("SELECT 'x'::int, 'a::b' AS s") == "SELECT CAST('x' AS int), 'a::b' AS s"
+    g = sqlparse.append_pg_null_ordering
+    assert g("SELECT 'order by z' AS s FROM t") == "SELECT 'order by z' AS s FROM t"
+    assert g("SELECT 'order by z' AS s FROM t ORDER BY s").endswith(
+        "ORDER BY s NULLS LAST"
+    )
+    out = sqlparse.normalize_query(
+        "SELECT 'current_user' AS a, current_user AS b FROM t", "db1", "bob"
+    )
+    assert "'current_user' AS a" in out and "'bob' AS b" in out
+    # doubled-quote escapes inside literals survive
+    assert f("SELECT 'it''s ::fine'") == "SELECT 'it''s ::fine'"
