@@ -533,3 +533,64 @@ def d08_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OSQL["d08_dedup_jaccard_blocked"] = _OSQL["d04_dedup_ngram_jaccard"]
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup pairs.
+#
+# The step that turns pairwise matches into keep/drop decisions:
+# every document in a connected component of the near-dup graph gets
+# the component's minimum doc_id as its canonical representative.
+# Iterative min-label propagation (large-star style): each round every
+# vertex takes the min label in its neighborhood; converges in
+# O(component diameter) rounds — bounded and data-parallel, the same
+# driver-coordinated iteration pattern as the IVF k-means (s03).
+# (No SQL oracle — iterative; validated against a union-find in tests.)
+# --------------------------------------------------------------------------
+@register("d09_dedup_clusters")
+def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the edge list ONCE (localCheckpoint truncates lineage so
+    # each propagation round rescans ~|E| rows, not the whole simhash
+    # pipeline again), then iterate on small (id, label) tables.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; tiny components converge fast
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), labels.label) < labels.label).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()  # eager: one action materializes labels+changed
+        )
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )

@@ -21,6 +21,7 @@ def test_registry_integrity(registry):
     # every non-oracled query is a documented exception
     rows_only = set(queries) - set(oracles)
     assert rows_only == {
+        "d09_dedup_clusters",
         "m02_media_features",
         "s02_ann_lsh_topk",
         "s03_ann_ivf_topk",
@@ -117,3 +118,31 @@ def test_blocked_neardup_agrees_with_bruteforce(spark, registry):
     # quantization (2^-20) can only flip pairs sitting exactly on the
     # threshold; on the fixture the sets are identical
     assert len(p5 ^ p6) <= max(1, len(p5) // 100)
+
+
+def test_dedup_clusters_match_union_find(spark, registry):
+    queries, _ = registry
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in queries["d03_dedup_simhash"](spark, SF_SMOKE).collect()
+    ]
+    got = {
+        r.doc_id: r.cluster_id
+        for r in queries["d09_dedup_clusters"](spark, SF_SMOKE).collect()
+    }
+    # reference union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want and len(want) > 0
