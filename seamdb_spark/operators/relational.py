@@ -1614,3 +1614,46 @@ def q49_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) s
         """
     )
+
+
+# --------------------------------------------------------------------------
+# x05: width-bucket histogram of order totals.
+#
+# Fixed-width binning via row-local arithmetic (floor(x/width), capped at
+# the last bucket) followed by one 10-group aggregation — map-side
+# partials make this a near-zero-shuffle full-table profile at any
+# scale. Bucket boundaries are exact: x/50000.0 and floor are IEEE-754
+# operations identical in Spark and DuckDB.
+# --------------------------------------------------------------------------
+@register(
+    "x05_histogram",
+    oracle="""
+    SELECT bucket,
+           bucket * 50000.0 AS lo,
+           (bucket + 1) * 50000.0 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket
+      FROM orders
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def x05_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long"), F.lit(9).cast("long")
+    )
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 50000.0).alias("hi"),
+            "cnt",
+        )
+        .orderBy("bucket")
+    )

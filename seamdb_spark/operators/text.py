@@ -8,10 +8,11 @@ oracle computing the identical deterministic formula.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .hashing import md5_prefix_long, md5_prefix_long_sql
 from .registry import register
 from .rounding import dround
 
@@ -305,4 +306,79 @@ def t07_heavy_hitters_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.groupBy("token")
         .agg(F.sum("c").alias("freq"))
         .filter(F.col("freq") >= 100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split: hash-mod bucketing.
+#
+# Training-pipeline staple: a split that is (a) stable across runs and
+# engines (md5-prefix hash, not rand()), (b) computed row-local — no
+# shuffle, no global ordering, scales to any table size because each
+# row's assignment depends only on its own key.
+# --------------------------------------------------------------------------
+@register(
+    "t08_train_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             {md5_prefix_long_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    )
+    """,
+)
+def t08_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = md5_prefix_long(F.col("doc_id").cast("string")) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: exact per-stratum fractions, deterministic order.
+#
+# row_number over (hash, doc_id) within each `lang` stratum gives a
+# reproducible uniform-ish permutation; keeping rn <= ceil(n/10) yields
+# an exact 10% per stratum. One shuffle on the stratum key; at scale the
+# count-per-stratum is a broadcast-sized side input (Spark computes it
+# as a window partial in the same shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "t09_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {md5_prefix_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    WHERE rn <= (n + 9) // 10
+    """,
+)
+def t09_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    h = md5_prefix_long(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(W.partitionBy("lang")).alias("n"),
+        )
+        .filter(F.col("rn") <= F.expr("(n + 9) div 10"))
+        .select("doc_id", "lang")
     )
