@@ -344,3 +344,43 @@ def e05_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_types", F.lit(0)).alias("n_types"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q50: time-interval RANGE frame — 1-hour moving aggregate per user.
+#
+# The time-based sibling of q19's numeric RANGE frame: each event sees
+# the count/sum of its user's events in the trailing hour. Ordering key
+# is integer epoch-micros (unix_micros/epoch_us agree exactly; ties are
+# frame-peers so tie order is irrelevant), and the summed measure is
+# pre-quantized to integer millis so the window sum is associative —
+# both engines may reduce the frame in any order (segment trees vs
+# running accumulation) and still agree bit-for-bit. Scale: partitioned
+# by user_id — no global sort; skew bounded by per-user event counts.
+# --------------------------------------------------------------------------
+@register(
+    "q50_window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) OVER w AS BIGINT)
+               AS sum_millis_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q50_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    millis = F.floor(F.col("value") * 1000.0).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(millis).over(w).alias("sum_millis_1h"),
+    )

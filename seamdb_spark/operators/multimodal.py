@@ -118,3 +118,62 @@ def m02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_checksum string"
+
+# Hex-parse of the first TWO md5 chars (== digest[0]) as DuckDB SQL.
+_HEXD = "0123456789abcdef"
+_MD5_BYTE0_SQL = (
+    f"((strpos('{_HEXD}', substr(md5(text), 1, 1)) - 1) * 16"
+    f" + strpos('{_HEXD}', substr(md5(text), 2, 1)) - 1)"
+)
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: 1 media row → N sampled-frame rows via mapInPandas.
+#
+# The video-pipeline shape: decode frame count, keep every 2nd frame,
+# emit one row per kept frame. Demonstrates a batch-shape-changing
+# Pandas UDF (output row count differs from input) with zero shuffle —
+# sampling is payload-local, so it scales linearly with input bytes.
+# The frame count and per-frame checksum derive deterministically from
+# the payload (decode itself is the stubbed step, as in m02), which
+# makes the whole explode oracle-checkable in SQL.
+# --------------------------------------------------------------------------
+@register(
+    "m03_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text, 1 + {_MD5_BYTE0_SQL} % 8 AS n_frames
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_checksum
+    FROM x
+    """,
+)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = _with_payload(spark, sf_dir)
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = 1 + hashlib.md5(raw).digest()[0] % 8
+                for idx in range(0, n_frames, 2):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_checksum"].append(
+                        hashlib.md5(raw + b":" + str(idx).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
