@@ -35,7 +35,7 @@ def main() -> None:
     # algorithm, d04 is the benchmarked equivalent (identical output).
     skip = {
         "d07_dedup_jaccard_prefix_filtered": "demo of zipf-data algorithm; degenerate on uniform fixture",
-        "d08_dedup_jaccard_blocked": "alternate matmul kernel of d04 (identical output; d04 is the benched formulation)",
+        "d04_dedup_ngram_jaccard": "exact pairwise formulation kept as the correctness twin of d08 (identical output, oracle-checked); d08 is the production kernel and the benched one",
     }
     spark = build_session("seamdb_spark_bench")
 

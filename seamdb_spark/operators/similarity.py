@@ -142,17 +142,21 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice per pair (n^2) — same fold, bit-identical cosine.
     emb = _emb(spark, sf_dir)
     with_norm = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
-    a = with_norm.select(
+    # The embeddings fixture is one parquet file → one partition; the
+    # nested-loop pair join streams the non-broadcast side, so spread it
+    # across the cluster first (explicit numPartitions so AQE keeps it).
+    a = with_norm.repartition(64).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
     )
     b = with_norm.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
     cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", dround("cos_raw", 6).alias("cosine"))
