@@ -460,3 +460,94 @@ def d06_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
             )
 
     return grid.mapInPandas(kernel, schema="vec_a long, vec_b long, cosine double")
+
+
+# --------------------------------------------------------------------------
+# Quantized-embedding top-k: the embedding-compression serving path.
+#
+# Per-vector symmetric int8-style quantization (q_i = floor(x_i * 127 /
+# max|x|), values in [-127, 127]) shrinks a float32 corpus 4x before the
+# similarity scan — the standard memory/bandwidth lever for
+# billion-vector stores. Scoring then runs entirely in int64 (dot and
+# squared-norm sums are exact integers), so results are bit-identical
+# across engines with no fold-order or rounding concerns until the final
+# double division — the same int-exactness trick as d06. Recall vs the
+# float baseline (s01) is measured in tests.
+# --------------------------------------------------------------------------
+_Q_SQL = (
+    "list_transform({a}, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / "
+    "list_aggregate(list_transform({a}, u -> abs(CAST(u AS DOUBLE))), 'max')"
+    ") AS BIGINT))"
+)
+_ISUM_SQL = "list_reduce(list_prepend(CAST(0 AS BIGINT), {l}), (x, y) -> x + y)"
+
+
+@register(
+    "s04_ann_quantized_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, qe,
+             {_ISUM_SQL.format(l="list_transform(qe, v -> v * v)")} AS nq
+      FROM (SELECT vec_id, {_Q_SQL.format(a="embedding")} AS qe FROM embeddings)
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, qe AS pe, nq AS np FROM n
+      WHERE vec_id < {N_PROBES}
+    ),
+    scored AS (
+      SELECT probe_id, e.vec_id AS neighbor_id,
+             ROUND(CAST({_ISUM_SQL.format(
+                 l="list_transform(list_zip(pe, e.qe), p -> p[1] * p[2])")}
+                 AS DOUBLE)
+                 / (sqrt(CAST(np AS DOUBLE)) * sqrt(CAST(e.nq AS DOUBLE))), 6)
+               AS cosine_q
+      FROM probes JOIN n e ON e.vec_id <> probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, cosine_q,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine_q DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, cosine_q, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def s04_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    qe = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127.0 / scale).cast("long"),
+    )
+    isum = lambda l: F.aggregate(l, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    n = emb.select(
+        "vec_id",
+        qe.alias("qe"),
+        isum(F.transform(qe, lambda v: v * v)).alias("nq"),
+    )
+    probes = n.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qe").alias("pe"),
+        F.col("nq").alias("np"),
+    )
+    dotq = isum(F.zip_with("pe", "qe", lambda x, y: x * y))
+    scored = (
+        n.repartition(64)
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dround(
+                dotq.cast("double")
+                / (F.sqrt(F.col("np").cast("double")) * F.sqrt(F.col("nq").cast("double"))),
+                6,
+            ).alias("cosine_q"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine_q").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine_q", "rk")
+    )

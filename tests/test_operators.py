@@ -146,3 +146,19 @@ def test_dedup_clusters_match_union_find(spark, registry):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want and len(want) > 0
+
+
+def test_quantized_topk_recall_vs_float_baseline(spark, registry):
+    queries, _ = registry
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect()
+    }
+    quant = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s04_ann_quantized_topk"](spark, SF_SMOKE).collect()
+    }
+    # int8-style quantization perturbs cosines by ~1/127; top-k should be
+    # nearly unchanged on well-separated neighbors
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall {recall:.2f} too low"
