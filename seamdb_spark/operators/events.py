@@ -384,3 +384,76 @@ def q50_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.sum(millis).over(w).alias("sum_millis_1h"),
     )
+
+
+# --------------------------------------------------------------------------
+# e06: gap-filled hourly rollup (timescale-style time_bucket_gapfill).
+#
+# e01 with the missing buckets materialized: the (event_type × hour)
+# spine is generated from the global time bounds and left-joined to the
+# observed aggregates, so silent gaps become explicit zero rows —
+# what a downstream forecasting/monitoring consumer needs. Scale: the
+# spine is |types| × |hours| (tiny relative to events, broadcast side),
+# and the fact-side aggregation is the same two-phase partial agg as
+# e01; the summed measure is integer-quantized millis so agreement is
+# order-independent.
+# --------------------------------------------------------------------------
+@register(
+    "e06_gapfill_rollup",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, CAST(u.g AS TIMESTAMP) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           bounds,
+           UNNEST(generate_series(bounds.h0, bounds.h1, INTERVAL 1 HOUR)) AS u(g)
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT)
+                 AS sum_millis
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.hour,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.sum_millis, 0) AS sum_millis
+    FROM spine s LEFT JOIN agg a
+      ON a.event_type = s.event_type AND a.hour = s.hour
+    """,
+)
+def e06_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    agg = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000.0).cast("long")).alias("sum_millis"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    return (
+        spine.join(agg, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_millis", F.lit(0)).alias("sum_millis"),
+        )
+    )
