@@ -382,3 +382,40 @@ def t09_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.expr("(n + 9) div 10"))
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle: reproducible training-example order.
+#
+# Orders the corpus by (md5-hash, doc_id) — an engine-independent,
+# seed-stable permutation, unlike rand(). Spark executes the total
+# order as a range-partitioned sort (sampled boundaries, no single
+# reducer), so the plan holds at any scale; the hash key is uniform by
+# construction, so range partitions are balanced even if doc_ids are
+# skewed or sorted.
+# --------------------------------------------------------------------------
+@register(
+    "t10_deterministic_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {md5_prefix_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS shuffle_pos
+    FROM documents
+    """,
+)
+def t10_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT a global window (ROW_NUMBER with no PARTITION BY collapses to a
+    # single partition in Spark): range-partition on the hash key, sort
+    # within partitions, then zipWithIndex — partitions are numbered in
+    # range order, so the per-partition offsets compose into the exact
+    # global rank with two light jobs and no single-reducer stage.
+    docs = _docs(spark, sf_dir)
+    h = md5_prefix_long(F.col("doc_id").cast("string"))
+    ordered = (
+        docs.select("doc_id", h.alias("h"))
+        .repartitionByRange(64, F.col("h"), F.col("doc_id"))
+        .sortWithinPartitions("h", "doc_id")
+    )
+    indexed = ordered.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1))
+    return spark.createDataFrame(indexed, "doc_id long, shuffle_pos long")
