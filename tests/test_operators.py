@@ -162,3 +162,13 @@ def test_quantized_topk_recall_vs_float_baseline(spark, registry):
     # nearly unchanged on well-separated neighbors
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"quantized recall {recall:.2f} too low"
+
+
+def test_pair_join_is_not_single_partition(spark, registry):
+    # Regression guard: theta/cross pair joins must not stream a
+    # single-partition side (a one-file parquet fixture otherwise
+    # serializes the whole O(n^2) scoring onto one thread).
+    queries, _ = registry
+    for name in ("d05_embedding_neardup", "s04_ann_quantized_topk"):
+        plan = queries[name](spark, SF_SMOKE)._jdf.queryExecution().toString()
+        assert "Repartition" in plan, f"{name}: streamed side not repartitioned"
