@@ -50,7 +50,9 @@ def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
-        if a is None or b is None:
+        if not (isinstance(a, float) and isinstance(b, float)):
+            # int-vs-double divergence renders differently (1 vs 1.0) and
+            # fails the driver's hash gate — mirror that strictness here.
             return False
         if math.isnan(a) and math.isnan(b):
             return True

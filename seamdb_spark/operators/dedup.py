@@ -342,7 +342,8 @@ def d04_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shuffle hygiene: join on a 64-bit hash of the bigram (xxhash64 is
     # engine-internal — only the join key, never an output value) and
     # carry no payload through the wide join; set sizes rejoin after the
-    # per-pair aggregate via broadcasts. On this fixture the token
+    # per-pair aggregate (AQE broadcasts the size tables while they fit;
+    # no forced hint — they grow with the corpus). On this fixture the token
     # frequency distribution is uniform so candidate pairs are
     # inherently ~all pairs; on zipfian real text the same plan
     # collapses because rare tokens dominate the join.
@@ -364,8 +365,8 @@ def d04_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb_a") + F.col("nb_b") - F.col("n_shared")
     )
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("j", j)
         .filter(F.col("j") >= BIGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround("j", 6).alias("jaccard"))

@@ -148,7 +148,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer grows with SF: no forced broadcast — AQE picks BHJ while
+        # it fits the threshold and falls back to SMJ beyond it.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -233,9 +235,10 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer/supplier grow with SF: leave join strategy to AQE.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(asia_suppliers),
+            asia_suppliers,
             (li.l_suppkey == asia_suppliers.s_suppkey)
             & (cust.c_nationkey == asia_suppliers.s_nationkey),
         )
@@ -410,23 +413,39 @@ def q10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: pure-theta joins are O(n*m) nested-loop; viable only with a
-    # broadcast side. For large-large band joins the scale path is
-    # bucketizing the band key (floor(acctbal/10)) into an equi-join on
-    # adjacent buckets + residual filter — same answer, shuffle-based.
+    # Scale path for a large-large band join: bucketize the band key
+    # (floor(acctbal / band_width)) so candidates reduce to a shuffle
+    # equi-join on the bucket id + residual filter. b1 ∈ (b2-10, b2]
+    # implies floor(b1/10) ∈ {floor(b2/10)-1, floor(b2/10)}, so each s2
+    # row probes exactly two buckets. No broadcast, no nested loop.
     s1 = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("k1"), F.col("s_acctbal").alias("b1")
+        F.col("s_suppkey").alias("k1"),
+        F.col("s_acctbal").alias("b1"),
+        F.floor(F.col("s_acctbal") / 10.0).alias("bk"),
     )
-    s2 = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("k2"),
-        F.col("s_acctbal").alias("b2"),
-        F.col("s_nationkey").alias("nationkey"),
+    s2 = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").alias("k2"),
+            F.col("s_acctbal").alias("b2"),
+            F.col("s_nationkey").alias("nationkey"),
+        )
+        .withColumn(
+            "bk",
+            F.explode(
+                F.array(
+                    F.floor(F.col("b2") / 10.0) - 1,
+                    F.floor(F.col("b2") / 10.0),
+                )
+            ),
+        )
     )
     cond = (F.col("b1") > F.col("b2") - 10.0) & (F.col("b1") <= F.col("b2")) & (
         F.col("k1") != F.col("k2")
     )
     return (
-        s1.join(F.broadcast(s2), cond)
+        s1.join(s2, on="bk")
+        .filter(cond)
         .groupBy("nationkey")
         .agg(F.count("*").alias("n_pairs"))
     )
@@ -873,7 +892,7 @@ def q24_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LN(o_totalprice), 6)                AS lnp,
            ROUND(LOG10(o_totalprice), 6)             AS lg10,
            CAST(o_orderkey % 7 AS BIGINT)            AS mod7,
-           SIGN(o_totalprice - 100000.0)             AS sgn
+           CAST(SIGN(o_totalprice - 100000.0) AS BIGINT) AS sgn
     FROM orders
     """,
 )
@@ -892,7 +911,7 @@ def q25_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.log(p), 6).alias("lnp"),
         dround(F.log10(p), 6).alias("lg10"),
         (F.col("o_orderkey") % 7).cast("long").alias("mod7"),
-        F.signum(p - 100000.0).alias("sgn"),
+        F.signum(p - 100000.0).cast("long").alias("sgn"),
     )
 
 
@@ -1024,7 +1043,7 @@ def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
@@ -1180,10 +1199,11 @@ def q35_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer/supplier scale with SF (no hint); nation/region are O(1).
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
     )
     return joined.groupBy(
@@ -1227,7 +1247,7 @@ def q36_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -1629,8 +1649,8 @@ def q49_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x05_histogram",
     oracle="""
     SELECT bucket,
-           bucket * 50000.0 AS lo,
-           (bucket + 1) * 50000.0 AS hi,
+           CAST(bucket * 50000.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 50000.0 AS DOUBLE) AS hi,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM (
       SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket

@@ -155,8 +155,11 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    # No forced broadcast: the corpus grows with SF, so the planner must
+    # stay free to pick cartesian/BNLJ from its own size stats (it still
+    # broadcasts b at fixture scale). d06 is the production path.
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", dround("cos_raw", 6).alias("cosine"))

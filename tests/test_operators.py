@@ -172,3 +172,36 @@ def test_pair_join_is_not_single_partition(spark, registry):
     for name in ("d05_embedding_neardup", "s04_ann_quantized_topk"):
         plan = queries[name](spark, SF_SMOKE)._jdf.queryExecution().toString()
         assert "Repartition" in plan, f"{name}: streamed side not repartitioned"
+
+
+def test_no_forced_broadcast_on_scale_variant_tables():
+    # Scale audit: an explicit F.broadcast() hint BYPASSES Spark's size
+    # threshold, so it must only ever wrap O(1)-sized inputs (fixed dims,
+    # K-row centroid/probe tables, single-row aggregates). customer /
+    # supplier / documents / embeddings and anything derived per-row from
+    # them grow with SF and would OOM executors on a 100 TB run.
+    import pathlib
+    import re
+
+    allowed = {
+        # fixed-cardinality TPC-H dims and derivations thereof
+        "nation", "region", "n1", "n2", "asia_nations",
+        # single-row / K-row aggregates
+        "avg_price", "per_nation", "total", "n_docs", "bounds",
+        # O(K) probe / centroid / plane / chunk tables
+        "probes", "probe_blocks", "probe_vecs", "planes", "chunks", "cdf",
+        # spark.createDataFrame(<driver-local list>) is O(K) by construction
+        "spark",
+        # capped dense vocab (documented cap in d08)
+        "vocab",
+    }
+    ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
+    offenders = []
+    for py in ops_dir.rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src):
+            arg = m.group(1)
+            if arg not in allowed:
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{py.name}:{line} F.broadcast({arg}...)")
+    assert not offenders, f"forced broadcast on scale-variant input: {offenders}"
