@@ -1,7 +1,10 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (driver-parseable): the LAST stdout line is ONE compact
+JSON object {"metric", "value", "unit", "queries", "sf", ...}. The same
+payload plus verbose skip reasons is also written to bench_results.json
+so a truncated console capture never loses the numbers.
 
 Each query is executed to completion (count() action — full plan runs,
 nothing collected to the driver beyond the count). One warm-up of the
@@ -19,6 +22,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from seamdb_spark.session import build_session  # noqa: E402
+
+RESULTS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
 
 
 def main() -> None:
@@ -51,19 +56,23 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "skipped": skip,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "skipped": sorted(skip),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "details_file": RESULTS_FILE,
+    }
+    with open(RESULTS_FILE, "w") as f:
+        json.dump({**summary, "skip_reasons": skip}, f, indent=1)
     spark.stop()
+    # The compact JSON summary must be the very last stdout line (the
+    # driver tail-captures console output; Spark log noise goes first).
+    sys.stdout.flush()
+    print(json.dumps(summary, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -546,9 +546,38 @@ _OSQL["d08_dedup_jaccard_blocked"] = _OSQL["d04_dedup_ngram_jaccard"]
 # vertex takes the min label in its neighborhood; converges in
 # O(component diameter) rounds — bounded and data-parallel, the same
 # driver-coordinated iteration pattern as the IVF k-means (s03).
-# (No SQL oracle — iterative; validated against a union-find in tests.)
+# Oracle: DuckDB WITH RECURSIVE reachability (id reaches r) + MIN(r) per
+# id — the same fixed point, so results hash-match exactly. Also
+# validated against a union-find in tests.
 # --------------------------------------------------------------------------
-@register("d09_dedup_clusters")
+def _cc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_simhash_sig_sql().strip()},
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS cluster_id,
+           (id = MIN(r)) AS is_canonical
+    FROM reach
+    GROUP BY id
+    ORDER BY doc_id
+    """
+
+
+@register("d09_dedup_clusters", oracle=_cc_oracle())
 def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d03_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
     # Materialize the edge list ONCE (localCheckpoint truncates lineage so

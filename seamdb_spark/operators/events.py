@@ -157,15 +157,34 @@ def e03_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate aggregates (engine-specific sketches → no SQL oracle;
-# accuracy asserted against exact values in tests)
+# Approximate aggregates. The sketch value itself is engine-specific, so
+# the oracle-compared columns are the EXACT value plus a within-tolerance
+# boolean: the oracle asserts TRUE, so the driver's hash gate fails iff
+# the sketch drifts out of its accuracy envelope (HLL++ rsd=0.05 default;
+# 0.15 is a generous 3-sigma bound asserted in pytest too).
 # --------------------------------------------------------------------------
-@register("x01_approx_distinct")
+APPROX_DISTINCT_RTOL = 0.15
+
+
+@register(
+    "x01_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def x01_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            / F.greatest(F.countDistinct("user_id"), F.lit(1))
+            < APPROX_DISTINCT_RTOL
+        ).alias("approx_ok"),
     )
 
 
@@ -188,12 +207,28 @@ def x02_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x03_percentile_approx")
+@register(
+    "x03_percentile_approx",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def x03_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approx_ok: the KLL-style sketch (accuracy=10000) must land within
+    # max(5% relative, 1.0 absolute) of the exact interpolated median.
     ev = _events(spark, sf_dir)
+    approx = F.expr("approx_percentile(value, 0.5, 10000)")
+    exact_raw = F.expr("percentile(value, 0.5)")
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-        dround(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        dround(exact_raw, 4).alias("exact_p50"),
+        (
+            F.abs(approx - exact_raw)
+            < F.greatest(F.abs(exact_raw) * 0.05, F.lit(1.0))
+        ).alias("approx_ok"),
     )
 
 

@@ -97,10 +97,45 @@ def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(extract, schema=DECODE_SCHEMA)
 
 
+# Hex-parse of the first TWO md5 chars (== digest[0]) as DuckDB SQL.
+_HEXD = "0123456789abcdef"
+_MD5_BYTE0_SQL = (
+    f"((strpos('{_HEXD}', substr(md5(text), 1, 1)) - 1) * 16"
+    f" + strpos('{_HEXD}', substr(md5(text), 2, 1)) - 1)"
+)
+
+
 # --------------------------------------------------------------------------
-# Feature extraction with stubbed decode (rows-only driver check)
+# Feature extraction with stubbed decode.
+#
+# Oracle-checked: fake_decode is md5-derived, so DuckDB can recompute
+# every feature in SQL (hex-parse the digest bytes). feat_mean is the
+# RAW quotient bytesum/4080.0 — an integer divided by an exactly
+# representable constant is one IEEE op, bit-identical across engines,
+# with no round() semantics to reconcile.
 # --------------------------------------------------------------------------
-@register("m02_media_features")
+def _m02_oracle() -> str:
+    byte_val = (
+        f"(strpos('{_HEXD}', substr(hx, 2 * i + 1, 1)) - 1) * 16"
+        f" + strpos('{_HEXD}', substr(hx, 2 * i + 2, 1)) - 1"
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, text, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, text, hx, SUM({byte_val}) AS bytesum
+      FROM h, (SELECT unnest(range(0, 16)) AS i)
+      GROUP BY doc_id, text, hx
+    )
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(1 + {_MD5_BYTE0_SQL} % 8 AS BIGINT)         AS n_frames,
+           bytesum / (16 * 255.0)                           AS feat_mean,
+           CAST(16 AS BIGINT)                               AS feat_dim
+    FROM b
+    """
+
+
+@register("m02_media_features", oracle=_m02_oracle())
 def m02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = _with_payload(spark, sf_dir)
 
@@ -112,7 +147,7 @@ def m02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
                     "n_frames": decoded.map(lambda d: d["n_frames"]).astype("int64"),
-                    "feat_mean": decoded.map(lambda d: round(d["feat_mean"], 6)),
+                    "feat_mean": decoded.map(lambda d: d["feat_mean"]),
                     "feat_dim": decoded.map(lambda d: d["feat_dim"]).astype("int64"),
                 }
             )
@@ -121,13 +156,6 @@ def m02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame_checksum string"
-
-# Hex-parse of the first TWO md5 chars (== digest[0]) as DuckDB SQL.
-_HEXD = "0123456789abcdef"
-_MD5_BYTE0_SQL = (
-    f"((strpos('{_HEXD}', substr(md5(text), 1, 1)) - 1) * 16"
-    f" + strpos('{_HEXD}', substr(md5(text), 2, 1)) - 1)"
-)
 
 
 # --------------------------------------------------------------------------

@@ -4,11 +4,13 @@ Beyond-reference extension (BASELINE.json north star):
 - ``s01_ann_bruteforce_topk`` — exact top-k cosine neighbors for a probe
   set; the correctness baseline. Dot products run through
   ``F.zip_with`` + ``F.aggregate`` (JVM codegen, no Python).
-- ``s02_ann_lsh_topk`` — random-hyperplane LSH variant: 16-bit signs
-  signature, blocked on two 8-bit halves, exact re-rank of candidates.
+- ``s02_ann_lsh_topk`` — random-hyperplane LSH variant: 32-bit signs
+  signature, blocked into 8 4-bit chunks, exact re-rank of candidates.
   The scale path: candidate generation is an equi-join on signature
-  blocks instead of an all-pairs cross join. (No SQL oracle — recall
-  < 1 by design; pytest checks recall against s01.)
+  blocks instead of an all-pairs cross join. The md5-derived planes
+  make the whole pipeline deterministic, so it has a full DuckDB
+  oracle; recall < 1 by design is additionally checked vs s01 in
+  pytest.
 - ``d05_embedding_neardup`` — cosine near-duplicate pairs above a
   threshold (brute-force verified; the oracle mirrors it exactly).
 
@@ -167,7 +169,10 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed ANN (scale path; recall measured in tests, no SQL oracle)
+# LSH-bucketed ANN (scale path). The hyperplanes are md5-derived (no
+# RNG), so the ENTIRE pipeline — planes → sign signatures → block keys →
+# candidate equi-join → exact re-rank — has a bit-exact DuckDB twin; the
+# oracle below replicates it, and recall vs s01 is asserted in pytest.
 # --------------------------------------------------------------------------
 def _hyperplanes(spark: SparkSession, dims: int) -> DataFrame:
     """Deterministic pseudo-random hyperplanes derived from md5 — no RNG,
@@ -211,7 +216,59 @@ def _signatures(emb: DataFrame, planes: DataFrame) -> DataFrame:
     return blocks
 
 
-@register("s02_ann_lsh_topk")
+def _s02_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    plane_hash = md5_prefix_long_sql(
+        "'plane' || CAST(p AS VARCHAR) || '_dim' || CAST(d AS VARCHAR)"
+    )
+    plane_dot = _DOT_SQL.format(a="e.embedding", b="pl.wl")
+    bits_per_block = LSH_PLANES // LSH_BLOCKS
+    mask = (1 << bits_per_block) - 1
+    return f"""
+    WITH planes AS (
+      SELECT p, list(w ORDER BY d) AS wl
+      FROM (
+        SELECT p, d, ({plane_hash} % 2001 - 1000) / 1000.0 AS w
+        FROM range(0, {LSH_PLANES}) t1(p), range(0, 64) t2(d)
+      )
+      GROUP BY p
+    ),
+    sigs AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {plane_dot} > 0
+                      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS sig
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id
+    ),
+    blocks AS (
+      SELECT vec_id, b AS block_id, (sig >> (b * {bits_per_block})) & {mask} AS block_key
+      FROM sigs, range(0, {LSH_BLOCKS}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT pb.vec_id AS probe_id, bl.vec_id
+      FROM blocks bl
+      JOIN blocks pb ON bl.block_id = pb.block_id AND bl.block_key = pb.block_key
+      WHERE pb.vec_id < {N_PROBES} AND bl.vec_id <> pb.vec_id
+    ),
+    scored AS (
+      SELECT c.probe_id, c.vec_id AS neighbor_id,
+             ROUND({_cos_sql('pe.embedding', 'ne.embedding')}, 6) AS cosine
+      FROM cand c
+      JOIN embeddings ne ON ne.vec_id = c.vec_id
+      JOIN embeddings pe ON pe.vec_id = c.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    """
+
+
+@register("s02_ann_lsh_topk", oracle=_s02_oracle())
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multi-table random-hyperplane LSH: a candidate must share at least
     # one 4-bit block with the probe. With weakly-similar vectors (the
@@ -285,6 +342,9 @@ def _centroid_rows(emb: DataFrame) -> list[tuple[int, list[float]]]:
         cdf = F.broadcast(
             spark.createDataFrame(centroids, "cid int, cvec array<double>")
         )
+        # argmin via min(struct(d2, cid)) — a hash aggregate with map-side
+        # partial combine, instead of shuffling corpus×K rows through a
+        # row_number window. Lexicographic struct-min == ORDER BY d2, cid.
         assigned = (
             emb.crossJoin(cdf)
             .withColumn(
@@ -297,14 +357,12 @@ def _centroid_rows(emb: DataFrame) -> list[tuple[int, list[float]]]:
                     lambda acc, v: acc + v,
                 ),
             )
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
-                ),
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid")).alias("m"),
+                F.first("embedding").alias("embedding"),
             )
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cid", "embedding")
+            .select("vec_id", F.col("m.cid").alias("cid"), "embedding")
         )
         # element-wise mean per cluster via posexplode → avg → re-assemble
         means = (
@@ -328,27 +386,36 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _centroid_rows(emb)
     cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cvec array<double>"))
 
-    def dist_rank(df: DataFrame, keep: int, id_col: str) -> DataFrame:
-        return (
-            df.withColumn(
-                "d2",
-                F.aggregate(
-                    F.zip_with("embedding", "cvec", lambda x, y: (x.cast("double") - y) ** 2),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            )
-            .withColumn(
-                "crk",
-                F.row_number().over(
-                    W.partitionBy(id_col).orderBy(F.col("d2"), F.col("cid"))
-                ),
-            )
-            .filter(F.col("crk") <= keep)
+    def with_d2(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with("embedding", "cvec", lambda x, y: (x.cast("double") - y) ** 2),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
         )
 
-    # assign every vector to its cell; probes search IVF_NPROBE cells
-    cells = dist_rank(emb.crossJoin(cdf), 1, "vec_id").select("vec_id", "cid", "embedding")
+    def dist_rank(df: DataFrame, keep: int, id_col: str) -> DataFrame:
+        return with_d2(df).withColumn(
+            "crk",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.col("d2"), F.col("cid"))
+            ),
+        ).filter(F.col("crk") <= keep)
+
+    # Assign every vector to its cell: argmin via min(struct(d2, cid))
+    # hash aggregate (map-side combine) — no corpus×K window shuffle.
+    # Probes keep the window path (N_PROBES×K rows — trivial).
+    cells = (
+        with_d2(emb.crossJoin(cdf))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), "embedding")
+    )
     with_norm = cells.withColumn("nrm", _norm("embedding"))
     probes = dist_rank(
         emb.filter(F.col("vec_id") < N_PROBES).crossJoin(cdf), IVF_NPROBE, "vec_id"
