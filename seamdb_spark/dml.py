@@ -107,36 +107,71 @@ def assign_serials(
     desc: TableDescriptor,
     store: Metastore,
     database: str,
+    insert_columns: list[str] | None,
 ) -> DataFrame:
-    """Fill NULLs in serial columns with consecutive counter values
-    (one metastore allocation per statement, ≙ per-row KV increment
-    batched; reference: src/sql/client.rs:276-307)."""
-    serial_cols = [c for c in desc.columns if c.serial]
-    if not serial_cols:
+    """Fill serial columns OMITTED from the insert column list with
+    consecutive counter values (one metastore allocation per statement,
+    ≙ per-row KV increment batched; reference: src/sql/client.rs:276-307).
+
+    Matching the reference's ``prefill_row`` (src/sql/client.rs:247-264):
+    a serial is assigned only when the column is absent from the row;
+    an explicit NULL flows through to the nullability check and is
+    rejected there for non-nullable serials.
+
+    Scale path, all JVM-side (no .rdd round-trip through Python): a
+    dense row number is derived from ``monotonically_increasing_id`` —
+    consecutive within each partition by construction — plus
+    per-partition offsets from one tiny aggregation (#partitions rows to
+    the driver). No global sort, no single partition (a row_number()
+    window over the whole batch would collapse an INSERT..SELECT of
+    billions of rows onto one task).
+    """
+    names = (
+        insert_columns if insert_columns is not None else [c.name for c in desc.columns]
+    )
+    fill_cols = [c for c in desc.columns if c.serial and c.name not in names]
+    if not fill_cols:
         return df
-    if all(
-        df.filter(F.col(c.name).isNull()).limit(1).count() == 0 for c in serial_cols
-    ):
-        return df
-    # Scale path: zipWithIndex assigns a dense row number with one light
-    # job computing per-partition offsets — no global sort, no single
-    # partition (a row_number() window over the whole batch would
-    # collapse an INSERT..SELECT of billions of rows onto one task).
     spark = df.sparkSession
-    schema = df.schema.add("__rn", T.LongType(), False)
-    indexed = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1))
-    df = spark.createDataFrame(indexed, schema)
-    n = df.count()
-    for c in serial_cols:
+    # Pin the batch so the offsets job and the fill job see the same
+    # partition layout and row order.
+    with_idx = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    stats = (
+        with_idx.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"), F.min("__mid").alias("__mn"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], r["__mn"], acc))
+        acc += r["__cnt"]
+    n = acc
+    if n == 0:
+        return df
+    odf = spark.createDataFrame(
+        offsets,
+        T.StructType(
+            [
+                T.StructField("__pid", T.IntegerType(), False),
+                T.StructField("__mn", T.LongType(), False),
+                T.StructField("__off", T.LongType(), False),
+            ]
+        ),
+    )
+    out = with_idx.join(F.broadcast(odf), "__pid").withColumn(
+        "__rn", F.col("__off") + (F.col("__mid") - F.col("__mn")) + 1
+    )
+    for c in fill_cols:
         ids = store.next_serial(database, desc.name, c.name, c.kind, count=n)
         base = ids[0] - 1
-        df = df.withColumn(
-            c.name,
-            F.coalesce(
-                F.col(c.name), (F.lit(base) + F.col("__rn")).cast(spark_type(c.kind))
-            ),
+        out = out.withColumn(
+            c.name, (F.lit(base) + F.col("__rn")).cast(spark_type(c.kind))
         )
-    return df.drop("__rn")
+    return out.drop("__pid", "__mid", "__mn", "__off", "__rn")
 
 
 def check_nullability(df: DataFrame, desc: TableDescriptor) -> None:
@@ -212,7 +247,7 @@ def execute_insert(
     """Full insert pipeline; returns affected-row count."""
     spark = input_df.sparkSession
     aligned = align_and_validate(input_df, desc, insert_columns)
-    filled = assign_serials(aligned, desc, store, database)
+    filled = assign_serials(aligned, desc, store, database, insert_columns)
     # Materialize once: serial assignment + the multiple validation
     # passes below must see one deterministic batch.
     filled = filled.cache()

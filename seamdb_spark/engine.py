@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from . import sqlparse
 from .catalog import DEFAULT_SCHEMA, Metastore
 from .dml import execute_insert
-from .errors import InvalidArgumentError, TableNotFoundError
+from .errors import DatabaseNotFoundError, InvalidArgumentError, TableNotFoundError
 from .snapshots import TableSnapshots
 
 _RESULT_SCHEMA = T.StructType([T.StructField("result", T.StringType(), False)])
@@ -66,16 +66,17 @@ class Engine:
             return self._result(self.store.create_database(name, if_not_exists))
         if kind == "create_table":
             parsed = sqlparse.parse_create_table(stmt)
+            db, table = self._resolve_table(parsed.name)
+            parsed.descriptor.name = table
             return self._result(
-                self.store.create_table(
-                    self.database, parsed.descriptor, parsed.if_not_exists
-                )
+                self.store.create_table(db, parsed.descriptor, parsed.if_not_exists)
             )
         if kind == "drop_table":
             name, if_exists = sqlparse.parse_drop_table(stmt)
-            result = self.store.drop_table(self.database, name, if_exists)
+            db, table = self._resolve_table(name)
+            result = self.store.drop_table(db, table, if_exists)
             if result == "dropped":
-                TableSnapshots(self.store.table_dir(self.database, name)).drop()
+                TableSnapshots(self.store.table_dir(db, table)).drop()
             return self._result(result)
         if kind == "insert":
             return self._insert(stmt)
@@ -107,6 +108,19 @@ class Engine:
         return snaps.commit(current, mode="overwrite")
 
     # ------------------------------------------------------- internals
+    def _resolve_table(self, ident: str) -> tuple[str, str]:
+        """1/2/3-part name → (database, table) with unknown-db parity
+        (reference: src/sql/mod.rs:120,130 resolves per-session)."""
+        db, table = sqlparse.resolve_table_name(ident, self.database)
+        if not self.store.database_exists(db):
+            raise DatabaseNotFoundError(f"database {db} not found")
+        return db, table
+
+    def _check_query_databases(self, stmt: str) -> None:
+        for db in sqlparse.qualified_databases(stmt):
+            if not self.store.database_exists(db):
+                raise DatabaseNotFoundError(f"database {db} not found")
+
     def _result(self, result: str) -> DataFrame:
         return self.spark.createDataFrame([(result,)], _RESULT_SCHEMA)
 
@@ -115,10 +129,12 @@ class Engine:
 
     def _insert(self, stmt: str) -> DataFrame:
         parsed = sqlparse.parse_insert(stmt)
-        desc = self.store.get_table(self.database, parsed.table)
+        db, table = self._resolve_table(parsed.table)
+        desc = self.store.get_table(db, table)
         if parsed.values_sql is not None:
             input_df = self.spark.sql(f"SELECT * FROM VALUES {parsed.values_sql}")
         else:
+            self._check_query_databases(parsed.select_sql)
             self._register_views()
             input_df = self.spark.sql(
                 sqlparse.normalize_query(parsed.select_sql, self.database, self.user)
@@ -129,28 +145,38 @@ class Engine:
                 desc,
                 parsed.columns,
                 self.store,
-                self.database,
-                TableSnapshots(self.store.table_dir(self.database, parsed.table)),
+                db,
+                TableSnapshots(self.store.table_dir(db, table)),
             )
         except KeyError as e:
             raise InvalidArgumentError(f"unknown column {e}") from e
         return self._count(n)
 
     def _register_views(self) -> None:
-        """Pin the statement's read snapshot: every table in the current
-        database is registered as a temp view over the file list named
-        by its manifest *now* (≙ Snapshot-semantics catalog reads,
-        reference: src/sql/mod.rs:60-75). Views for dropped tables are
-        removed so they stop resolving."""
-        current = set(self.store.list_tables(self.database))
-        for stale in self._registered - current:
+        """Pin the statement's read snapshot: every table in every
+        database is registered under its mangled ``db__public__t`` name,
+        and tables of the session database additionally under their bare
+        name, over the file list named by its manifest *now*
+        (≙ Snapshot-semantics catalog reads, reference:
+        src/sql/mod.rs:60-75). Views for dropped tables are removed so
+        they stop resolving."""
+        wanted: dict[str, tuple[str, str]] = {}
+        for db in self.store.list_databases():
+            for name in self.store.list_tables(db):
+                wanted[sqlparse.mangle_view_name(db, name)] = (db, name)
+                if db == self.database:
+                    wanted[name] = (db, name)
+        for stale in self._registered - set(wanted):
             self.spark.catalog.dropTempView(stale)
             self._registered.discard(stale)
-        for name in current:
-            desc = self.store.get_table(self.database, name)
-            snaps = TableSnapshots(self.store.table_dir(self.database, name))
-            snaps.read(self.spark, desc.spark_schema()).createOrReplaceTempView(name)
-            self._registered.add(name)
+        dfs: dict[tuple[str, str], DataFrame] = {}
+        for view, key in wanted.items():
+            if key not in dfs:
+                desc = self.store.get_table(*key)
+                snaps = TableSnapshots(self.store.table_dir(*key))
+                dfs[key] = snaps.read(self.spark, desc.spark_schema())
+            dfs[key].createOrReplaceTempView(view)
+            self._registered.add(view)
 
     def _query(self, stmt: str) -> DataFrame:
         s = stmt.strip()
@@ -170,7 +196,7 @@ class Engine:
             return self._information_schema_query(s)
         m = re.match(r"describe\s+(table\s+)?([A-Za-z_][\w$.]*)\s*$", low)
         if m:
-            desc = self.store.get_table(self.database, m.group(2))
+            desc = self.store.get_table(*self._resolve_table(m.group(2)))
             rows = [
                 (
                     c.name,
@@ -189,6 +215,7 @@ class Engine:
                 ]
             )
             return self.spark.createDataFrame(rows, schema)
+        self._check_query_databases(s)
         self._register_views()
         try:
             return self.spark.sql(

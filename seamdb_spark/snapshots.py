@@ -123,11 +123,34 @@ class TableSnapshots:
         self._gc(manifest["version"])
 
     def _gc(self, current: int) -> None:
+        """Prune manifests older than KEEP_MANIFESTS, then delete segment
+        files no retained manifest references (overwrite/compaction would
+        otherwise leak segments forever). Readers pinned to a retained
+        version keep their files."""
+        referenced: set[str] = set(self.current_files())
         for name in os.listdir(self.table_dir):
             if name.startswith("manifest-v") and name.endswith(".json"):
                 v = int(name[len("manifest-v"):-len(".json")])
+                path = os.path.join(self.table_dir, name)
                 if v <= current - KEEP_MANIFESTS:
-                    os.unlink(os.path.join(self.table_dir, name))
+                    os.unlink(path)
+                else:
+                    with open(path) as f:
+                        referenced.update(json.load(f)["files"])
+        for seg in os.listdir(self.table_dir):
+            seg_dir = os.path.join(self.table_dir, seg)
+            if not seg.startswith("seg-") or not os.path.isdir(seg_dir):
+                continue
+            kept = False
+            for fname in os.listdir(seg_dir):
+                fpath = os.path.join(seg_dir, fname)
+                if fname.endswith(".parquet"):
+                    if fpath in referenced:
+                        kept = True
+                    else:
+                        os.unlink(fpath)
+            if not kept:
+                shutil.rmtree(seg_dir, ignore_errors=True)
 
     def drop(self) -> None:
         shutil.rmtree(self.table_dir, ignore_errors=True)

@@ -20,8 +20,43 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .errors import InvalidArgumentError, UnsupportedError
+from .errors import DatabaseNotFoundError, InvalidArgumentError, UnsupportedError
 from .types import ColumnDescriptor, IndexDescriptor, TableDescriptor, parse_ddl_type
+
+
+# ---------------------------------------------------------------------------
+# identifier normalization + qualified-name resolution
+# ---------------------------------------------------------------------------
+def fold_ident(name: str) -> str:
+    """Unquoted identifiers fold to lowercase — the reference inherits
+    DataFusion's Postgres-style normalization; our grammar only accepts
+    unquoted identifiers, so folding is unconditional."""
+    return name.lower()
+
+
+def resolve_table_name(ident: str, database: str) -> tuple[str, str]:
+    """Resolve 1/2/3-part table identifiers the way the reference's
+    per-session resolver does (reference: src/sql/mod.rs:120,130;
+    default schema "public": src/sql/context.rs:47-49):
+
+    - ``t``              → (session database, t)
+    - ``public.t``       → (session database, t)
+    - ``db.public.t``    → (db, t)
+
+    Any schema other than ``public`` is rejected (the metastore creates
+    exactly one schema per database, like the reference)."""
+    parts = [fold_ident(p) for p in ident.split(".")]
+    if len(parts) == 1:
+        return database, parts[0]
+    if len(parts) == 2:
+        schema, table = parts
+    elif len(parts) == 3:
+        database, schema, table = parts
+    else:
+        raise InvalidArgumentError(f"invalid table name: {ident}")
+    if schema != "public":
+        raise DatabaseNotFoundError(f"schema {schema} not found")
+    return database, table
 
 # ---------------------------------------------------------------------------
 # statement splitting (string-literal aware)
@@ -129,14 +164,14 @@ def parse_create_database(stmt: str) -> tuple[str, bool]:
     m = _CREATE_DB_RE.match(stmt.strip())
     if not m:
         raise InvalidArgumentError(f"malformed CREATE DATABASE: {stmt}")
-    return m.group(2), bool(m.group(1))
+    return fold_ident(m.group(2)), bool(m.group(1))
 
 
 def parse_drop_table(stmt: str) -> tuple[str, bool]:
     m = _DROP_TABLE_RE.match(stmt.strip())
     if not m:
         raise InvalidArgumentError(f"malformed DROP TABLE: {stmt}")
-    return m.group(2), bool(m.group(1))
+    return fold_ident(m.group(2)), bool(m.group(1))
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +220,7 @@ def _parse_column_def(defn: str) -> tuple[ColumnDescriptor, list[IndexDescriptor
     m = re.match(r"([A-Za-z_][\w$]*)\s+(.*)$", defn.strip(), re.DOTALL)
     if not m:
         raise InvalidArgumentError(f"malformed column definition: {defn}")
-    name, rest = m.group(1), m.group(2).strip()
+    name, rest = fold_ident(m.group(1)), m.group(2).strip()
     rest_l = rest.lower()
     type_str = None
     for t in _TYPE_TOKENS:
@@ -231,13 +266,13 @@ def _parse_table_constraint(defn: str) -> IndexDescriptor | None:
     d = defn.strip()
     m = re.match(r"primary\s+key\s*\(([^)]*)\)", d, re.IGNORECASE)
     if m:
-        cols = [c.strip() for c in m.group(1).split(",")]
+        cols = [fold_ident(c.strip()) for c in m.group(1).split(",")]
         return IndexDescriptor("primary_key", cols)
     m = re.match(
         r"unique(\s+nulls\s+(not\s+)?distinct)?\s*\(([^)]*)\)", d, re.IGNORECASE
     )
     if m:
-        cols = [c.strip() for c in m.group(3).split(",")]
+        cols = [fold_ident(c.strip()) for c in m.group(3).split(",")]
         kind = "unique_nulls_not_distinct" if m.group(2) else "unique_nulls_distinct"
         return IndexDescriptor(kind, cols)
     if re.match(r"(constraint|foreign|check)\b", d, re.IGNORECASE):
@@ -251,7 +286,7 @@ def parse_create_table(stmt: str) -> ParsedCreateTable:
     m = _CREATE_TABLE_RE.match(stmt.strip())
     if not m:
         raise InvalidArgumentError(f"malformed CREATE TABLE: {stmt}")
-    if_not_exists, name, body = bool(m.group(1)), m.group(2), m.group(3)
+    if_not_exists, name, body = bool(m.group(1)), fold_ident(m.group(2)), m.group(3)
     columns: list[ColumnDescriptor] = []
     indexes: list[IndexDescriptor] = []
     for defn in _split_top_level(body):
@@ -310,9 +345,9 @@ def parse_insert(stmt: str) -> ParsedInsert:
     m = _INSERT_RE.match(s)
     if not m:
         raise InvalidArgumentError(f"malformed INSERT: {stmt}")
-    table = m.group(1)
+    table = fold_ident(m.group(1))
     columns = (
-        [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+        [fold_ident(c.strip()) for c in m.group(3).split(",")] if m.group(3) else None
     )
     tail = m.group(4)
     if tail.lower().startswith("values"):
@@ -451,6 +486,24 @@ def append_pg_null_ordering(sql: str) -> str:
     )
 
 
+_QUALIFIED_RE = re.compile(r"\b([A-Za-z_]\w*)\.public\.([A-Za-z_]\w*)", re.IGNORECASE)
+
+
+def qualified_databases(sql: str) -> set[str]:
+    """Database names referenced via 3-part ``db.public.table`` names —
+    the engine validates their existence before planning (unknown-db
+    error parity with the reference's per-session resolver)."""
+    masked, _ = _mask_literals(sql)
+    return {fold_ident(m.group(1)) for m in _QUALIFIED_RE.finditer(masked)}
+
+
+def mangle_view_name(database: str, table: str) -> str:
+    """Temp-view name for a (database, table) pair. Spark temp views are
+    single-level, so 3-part names rewrite to this mangled form (Spark's
+    view resolution is case-insensitive, matching folded idents)."""
+    return f"{database}__public__{table}"
+
+
 def normalize_query(sql: str, database: str, user: str) -> str:
     """Postgres-isms → Spark SQL + session-function substitution
     (≙ the reference's session UDFs A12-A15,
@@ -458,11 +511,15 @@ def normalize_query(sql: str, database: str, user: str) -> str:
 
     Also resolves the reference's 3-level naming
     (catalog(database).schema.table, default schema "public" —
-    reference: src/sql/context.rs:47-49): ``db.public.t`` and
-    ``public.t`` collapse to the bare temp-view name."""
+    reference: src/sql/context.rs:47-49): ``db.public.t`` rewrites to
+    the mangled cross-database view name; ``public.t`` collapses to the
+    bare temp-view name of the session database."""
     out = rewrite_pg_casts(sql)
     out = _sub_outside_literals(
-        rf"\b{re.escape(database)}\.public\.([A-Za-z_]\w*)", r"\1", out
+        r"\b([A-Za-z_]\w*)\.public\.([A-Za-z_]\w*)",
+        lambda m: mangle_view_name(fold_ident(m.group(1)), fold_ident(m.group(2))),
+        out,
+        flags=re.IGNORECASE,
     )
     out = _sub_outside_literals(r"\bpublic\.([A-Za-z_]\w*)", r"\1", out)
     out = _sub_outside_literals(

@@ -228,3 +228,65 @@ def test_qualified_table_names(engine):
     engine.sql("INSERT INTO table1 (count) VALUES (7)")
     for name in ("table1", "public.table1", "db1.public.table1"):
         assert engine.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n == 1
+
+
+def test_cross_database_qualified_names(engine):
+    # ≙ reference: src/sql/mod.rs:120,130 — names resolve per-session
+    # with default schema "public"; other databases reachable via
+    # 3-part names in DDL, DML, and queries.
+    from seamdb_spark.errors import DatabaseNotFoundError
+
+    _setup_table1(engine)
+    engine.sql("INSERT INTO table1 (count) VALUES (7)")
+    engine.sql("CREATE DATABASE db2")
+    engine.sql("CREATE TABLE db2.public.t2 (k bigint PRIMARY KEY, v text)")
+    assert engine.sql("INSERT INTO db2.public.t2 VALUES (1, 'x'), (2, 'y')").collect()[
+        0
+    ]["count"] == 2
+    assert engine.sql("SELECT count(*) AS n FROM db2.public.t2").collect()[0].n == 2
+    # cross-database join with the session database's bare name
+    joined = engine.sql(
+        "SELECT t2.v FROM db2.public.t2 t2 JOIN table1 ON t2.k < table1.count"
+        " ORDER BY t2.v"
+    ).collect()
+    assert [r.v for r in joined] == ["x", "y"]
+    desc = {r.column_name for r in engine.sql("DESCRIBE db2.public.t2").collect()}
+    assert desc == {"k", "v"}
+    with pytest.raises(DatabaseNotFoundError):
+        engine.sql("SELECT * FROM nosuch.public.t2")
+    with pytest.raises(DatabaseNotFoundError):
+        engine.sql("INSERT INTO nosuch.public.t2 VALUES (1, 'x')")
+    with pytest.raises(DatabaseNotFoundError):
+        engine.sql("CREATE TABLE db2.private.t3 (k bigint PRIMARY KEY)")
+    engine.sql("DROP TABLE db2.public.t2")
+    with pytest.raises(TableNotFoundError):
+        engine.sql("DESCRIBE db2.public.t2")
+
+
+def test_identifier_case_folding(engine):
+    # Unquoted identifiers fold to lowercase (DataFusion/Postgres
+    # normalization) — mixed-case DDL/DML/queries all hit one table.
+    engine.sql("CREATE TABLE Foo (Id bigint PRIMARY KEY, Val text)")
+    assert engine.sql("INSERT INTO FOO (ID, VAL) VALUES (1, 'a')").collect()[0][
+        "count"
+    ] == 1
+    desc = {r.column_name for r in engine.sql("DESCRIBE Foo").collect()}
+    assert desc == {"id", "val"}
+    assert engine.sql("SELECT Val FROM foo").collect()[0].Val == "a"
+    assert "foo" in [
+        r.table_name for r in engine.sql("SHOW TABLES").collect()
+    ]
+
+
+def test_explicit_null_serial_rejected(engine):
+    # ≙ reference client.rs prefill_row: serial fills only when the
+    # column is OMITTED; an explicit NULL into a non-nullable serial is
+    # a null violation, not a silent fill.
+    from seamdb_spark.errors import NullViolationError
+
+    engine.sql("CREATE TABLE t (id serial PRIMARY KEY, v text)")
+    with pytest.raises(NullViolationError):
+        engine.sql("INSERT INTO t (id, v) VALUES (NULL, 'x')")
+    # omitted column still auto-fills
+    assert engine.sql("INSERT INTO t (v) VALUES ('y')").collect()[0]["count"] == 1
+    assert engine.sql("SELECT id FROM t").collect()[0].id == 1

@@ -187,6 +187,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "probes", "probe_blocks", "probe_vecs", "planes", "chunks", "cdf",
         # spark.createDataFrame(<driver-local list>) is O(K) by construction
         "spark",
+        # per-partition serial offsets (#partitions rows, dml.py)
+        "odf",
         # capped dense vocab (documented cap in d08)
         "vocab",
     }

@@ -89,6 +89,23 @@ def test_time_travel_unretained_version_raises(spark, tmp_path):
         snaps.read(spark, schema, version=1)
 
 
+def test_segment_gc_after_overwrites(spark, tmp_path):
+    """Segments referenced by no retained manifest are deleted; segments
+    of retained (time-travel-able) versions survive."""
+    snaps = TableSnapshots(str(tmp_path / "t"))
+    schema = _desc().spark_schema()
+    for i in range(6):  # KEEP_MANIFESTS=3 → v1..v3 manifests pruned
+        snaps.commit(spark.createDataFrame([(i, "x")], schema), mode="overwrite")
+    seg_dirs = sorted(
+        d for d in os.listdir(str(tmp_path / "t")) if d.startswith("seg-")
+    )
+    # overwrites orphan every older segment; only retained versions keep theirs
+    assert seg_dirs == ["seg-000004", "seg-000005", "seg-000006"]
+    # every retained version still reads cleanly
+    for v in (4, 5, 6):
+        assert snaps.read(spark, schema, version=v).count() == 1
+
+
 def test_engine_compact(spark, tmp_path):
     from seamdb_spark.engine import Engine
 
