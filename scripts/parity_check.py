@@ -56,7 +56,11 @@ def values_equal(a, b) -> bool:
             return False
         if math.isnan(a) and math.isnan(b):
             return True
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        # BIT-exact, like the driver's hash over rendered values: the
+        # engine's determinism machinery (dround, int64 fixed-point) is
+        # supposed to deliver identical doubles — isclose would hide
+        # exactly the divergences the driver flags.
+        return repr(a) == repr(b)
     return str(a) == str(b)
 
 

@@ -39,6 +39,11 @@ TOP_K = 5
 NEARDUP_COSINE = 0.35
 LSH_PLANES = 32
 LSH_BLOCKS = 8
+# Fixed-point quantization scale (multiplying a float by a power of two
+# is exact) — shared by s03/d06; int64 sums over it are order-independent
+# and bit-identical across engines.
+QUANT_SCALE = 1 << 20
+_ISUM_SQL = "list_reduce(list_prepend(CAST(0 AS BIGINT), {l}), (x, y) -> x + y)"
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
@@ -317,124 +322,228 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF (inverted-file) ANN: deterministic k-means coarse quantizer +
 # cell-probed exact re-rank. The billion-vector scale path: candidate
 # generation is an equi-join on cluster id; only nprobe/k of the corpus
-# is scanned per probe. (No SQL oracle — iterative algorithm; recall is
-# asserted against s01 in tests.)
+# is scanned per probe.
+#
+# The whole pipeline runs on int64 fixed-point vectors
+# (floor(x * 2^20) — exact in every engine), so every Lloyd step is
+# bit-exact and order-independent: squared distances are int64 sums,
+# centroid means are int64 sum `div` count (truncating division in both
+# Spark and DuckDB), argmin ties break on cid. That determinism is what
+# buys the iterative algorithm a full DuckDB oracle; recall vs s01 is
+# additionally asserted in pytest.
 # --------------------------------------------------------------------------
 IVF_K = 16
 IVF_NPROBE = 4
 IVF_ITERS = 2
 
 
-def _centroid_rows(emb: DataFrame) -> list[tuple[int, list[float]]]:
-    """Deterministic Lloyd iterations. Seeds = the IVF_K vectors with the
-    smallest md5-derived key (stable across runs/partitionings). The
-    centroid table (K x 64 floats) is the only thing that ever reaches
-    the driver."""
+def _qemb(emb: DataFrame) -> DataFrame:
+    """vec_id + int64 fixed-point vector q = floor(x * 2^20)."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+        ).alias("q"),
+    )
+
+
+def _isum(l) -> Column:
+    return F.aggregate(l, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _qd2(a: str | Column, b: str | Column) -> Column:
+    """Exact int64 squared L2 distance (|diff| ≤ 2^21 → sum ≤ 2^48)."""
+    return _isum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def _centroid_rows(quant: DataFrame) -> list[tuple[int, list[int]]]:
+    """Deterministic Lloyd iterations over fixed-point vectors. Seeds =
+    the IVF_K vectors with the smallest md5-derived key (stable across
+    runs/partitionings). The centroid table (K x 64 int64) is the only
+    thing that ever reaches the driver."""
     seeds = (
-        emb.select("vec_id", "embedding", md5_prefix_long(F.col("vec_id").cast("string")).alias("h"))
+        quant.select("vec_id", "q", md5_prefix_long(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h", "vec_id")
         .limit(IVF_K)
         .collect()
     )
-    centroids = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds)]
-    spark = emb.sparkSession
+    centroids = [(i, [int(x) for x in r.q]) for i, r in enumerate(seeds)]
+    spark = quant.sparkSession
     for _ in range(IVF_ITERS):
         cdf = F.broadcast(
-            spark.createDataFrame(centroids, "cid int, cvec array<double>")
+            spark.createDataFrame(centroids, "cid int, cvec array<bigint>")
         )
         # argmin via min(struct(d2, cid)) — a hash aggregate with map-side
         # partial combine, instead of shuffling corpus×K rows through a
         # row_number window. Lexicographic struct-min == ORDER BY d2, cid.
         assigned = (
-            emb.crossJoin(cdf)
-            .withColumn(
-                "d2",
-                F.aggregate(
-                    F.zip_with(
-                        "embedding", "cvec", lambda x, y: (x.cast("double") - y) ** 2
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            )
+            quant.crossJoin(cdf)
+            .withColumn("d2", _qd2("q", "cvec"))
             .groupBy("vec_id")
             .agg(
                 F.min(F.struct("d2", "cid")).alias("m"),
-                F.first("embedding").alias("embedding"),
+                F.first("q").alias("q"),
             )
-            .select("vec_id", F.col("m.cid").alias("cid"), "embedding")
+            .select("vec_id", F.col("m.cid").alias("cid"), "q")
         )
-        # element-wise mean per cluster via posexplode → avg → re-assemble
+        # element-wise integer mean per cluster via posexplode →
+        # sum div count → re-assemble (exact, order-independent)
         means = (
-            assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+            assigned.select("cid", F.posexplode("q").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.expr("sum(val) div count(*)").alias("cv"))
             .groupBy("cid")
             .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pm")
             )
-            .select("cid", F.expr("transform(pm, x -> x.m)").alias("cvec"))
+            .select("cid", F.expr("transform(pm, x -> x.cv)").alias("cvec"))
             .collect()
         )
-        centroids = [(r.cid, [float(x) for x in r.cvec]) for r in means]
+        centroids = sorted((r.cid, [int(x) for x in r.cvec]) for r in means)
     return centroids
 
 
-@register("s03_ann_ivf_topk")
+_QD2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def _s03_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+
+    def assign(vecs: str, cents: str, extra: str = "") -> str:
+        """One Lloyd assignment: nearest centroid per vector (ties → cid)."""
+        return f"""
+      SELECT vec_id, q, cid FROM (
+        SELECT v.vec_id, v.q, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_QD2_SQL.format(a='v.q', b='c.cvec')}, c.cid) AS rk
+        FROM {vecs} v CROSS JOIN {cents} c {extra}
+      ) WHERE rk = 1
+    """
+
+    def means(assigned: str) -> str:
+        """Element-wise integer mean per cluster (sum // count, exact)."""
+        return f"""
+      SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+        SELECT cid, pos, CAST(SUM(val) AS BIGINT) // COUNT(*) AS cv FROM (
+          SELECT a.cid, t.pos, a.q[t.pos] AS val
+          FROM {assigned} a, range(1, 65) t(pos)
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    """
+
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT cid, q AS cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {IVF_K}
+    ),
+    a1 AS ({assign('quant', 'seeds')}),
+    c1 AS ({means('a1')}),
+    a2 AS ({assign('quant', 'c1')}),
+    c2 AS ({means('a2')}),
+    cells AS ({assign('quant', 'c2')}),
+    norms AS (
+      SELECT vec_id, q, cid,
+             {_ISUM_SQL.format(l='list_transform(q, v -> v * v)')} AS nq
+      FROM cells
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_QD2_SQL.format(a='v.q', b='c.cvec')}, c.cid) AS rk
+        FROM quant v CROSS JOIN c2 c WHERE v.vec_id < {N_PROBES}
+      ) WHERE rk <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT p.probe_id, a.vec_id
+      FROM norms a JOIN probes p ON a.cid = p.cid
+      WHERE a.vec_id <> p.probe_id
+    ),
+    scored AS (
+      SELECT c.probe_id, c.vec_id AS neighbor_id,
+             ROUND(CAST({_ISUM_SQL.format(
+                 l='list_transform(list_zip(pn.q, nn.q), p -> p[1] * p[2])')}
+                 AS DOUBLE)
+                 / (sqrt(CAST(pn.nq AS DOUBLE)) * sqrt(CAST(nn.nq AS DOUBLE))), 6)
+               AS cosine
+      FROM cand c
+      JOIN norms nn ON nn.vec_id = c.vec_id
+      JOIN norms pn ON pn.vec_id = c.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    """
+
+
+@register("s03_ann_ivf_topk", oracle=_s03_oracle())
 def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    centroids = _centroid_rows(emb)
-    cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cvec array<double>"))
-
-    def with_d2(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "d2",
-            F.aggregate(
-                F.zip_with("embedding", "cvec", lambda x, y: (x.cast("double") - y) ** 2),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-
-    def dist_rank(df: DataFrame, keep: int, id_col: str) -> DataFrame:
-        return with_d2(df).withColumn(
-            "crk",
-            F.row_number().over(
-                W.partitionBy(id_col).orderBy(F.col("d2"), F.col("cid"))
-            ),
-        ).filter(F.col("crk") <= keep)
+    quant = _qemb(_emb(spark, sf_dir))
+    centroids = _centroid_rows(quant)
+    cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cvec array<bigint>"))
 
     # Assign every vector to its cell: argmin via min(struct(d2, cid))
     # hash aggregate (map-side combine) — no corpus×K window shuffle.
     # Probes keep the window path (N_PROBES×K rows — trivial).
     cells = (
-        with_d2(emb.crossJoin(cdf))
+        quant.crossJoin(cdf)
+        .withColumn("d2", _qd2("q", "cvec"))
         .groupBy("vec_id")
         .agg(
             F.min(F.struct("d2", "cid")).alias("m"),
-            F.first("embedding").alias("embedding"),
+            F.first("q").alias("q"),
         )
-        .select("vec_id", F.col("m.cid").alias("cid"), "embedding")
+        .select("vec_id", F.col("m.cid").alias("cid"), "q")
     )
-    with_norm = cells.withColumn("nrm", _norm("embedding"))
-    probes = dist_rank(
-        emb.filter(F.col("vec_id") < N_PROBES).crossJoin(cdf), IVF_NPROBE, "vec_id"
-    ).select(
-        F.col("vec_id").alias("probe_id"), F.col("cid"), F.col("embedding").alias("pe")
+    with_norm = cells.withColumn("nq", _isum(F.transform("q", lambda v: v * v)))
+    probes = (
+        quant.filter(F.col("vec_id") < N_PROBES)
+        .crossJoin(cdf)
+        .withColumn("d2", _qd2("q", "cvec"))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+            ),
+        )
+        .filter(F.col("crk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), "cid")
     )
     probe_vecs = with_norm.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
-        F.col("nrm").alias("pn"),
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("nq").alias("pn"),
     )
     cand = (
-        with_norm.join(F.broadcast(probes.select("probe_id", "cid")), "cid")
+        with_norm.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .dropDuplicates(["probe_id", "vec_id"])
     )
     scored = cand.join(F.broadcast(probe_vecs), "probe_id").select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        dround(_dot("pe", "embedding") / (F.col("pn") * F.col("nrm")), 6).alias("cosine"),
+        dround(
+            _isum(F.zip_with("pq", "q", lambda x, y: x * y)).cast("double")
+            / (F.sqrt(F.col("pn").cast("double")) * F.sqrt(F.col("nq").cast("double"))),
+            6,
+        ).alias("cosine"),
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -456,7 +565,6 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical to the DuckDB oracle with NO rounding layer). Nothing
 # touches the driver; block size is the memory knob.
 # --------------------------------------------------------------------------
-QUANT_SCALE = 1 << 20
 N_BLOCKS = 8
 
 
@@ -549,7 +657,6 @@ _Q_SQL = (
     "list_aggregate(list_transform({a}, u -> abs(CAST(u AS DOUBLE))), 'max')"
     ") AS BIGINT))"
 )
-_ISUM_SQL = "list_reduce(list_prepend(CAST(0 AS BIGINT), {l}), (x, y) -> x + y)"
 
 
 @register(
