@@ -226,52 +226,117 @@ class Engine:
                 raise TableNotFoundError(str(e)) from e
             raise
 
+    # DataFusion 47 exposes these information_schema relations
+    # (reference: src/sql/mod.rs:82 turns the whole schema on).
+    _INFO_SCHEMA_VIEWS = (
+        "tables", "columns", "schemata", "views", "df_settings",
+        "routines", "parameters",
+    )
+
     def _information_schema_query(self, stmt: str) -> DataFrame:
-        """information_schema.tables/columns emulation (the reference
-        enables DataFusion's information_schema,
-        reference: src/sql/mod.rs:82). Registers metastore-backed temp
+        """Full information_schema emulation (the reference enables
+        DataFusion's entire information_schema,
+        reference: src/sql/mod.rs:82): tables / columns / schemata /
+        views / df_settings / routines / parameters, spanning every
+        database in the metastore. Registers metastore-backed temp
         views, then runs the query unchanged."""
-        tables_rows = [
-            (self.database, "public", t, "BASE TABLE")
-            for t in self.store.list_tables(self.database)
+
+        def reg(name: str, rows: list, schema: T.StructType) -> None:
+            self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
+                f"information_schema__{name}"
+            )
+
+        def s(*fields: str) -> T.StructType:
+            return T.StructType(
+                [T.StructField(f, T.StringType(), True) for f in fields]
+            )
+
+        dbs = self.store.list_databases()
+        tables_rows, col_rows = [], []
+        for db in dbs:
+            for t in self.store.list_tables(db):
+                tables_rows.append((db, "public", t, "BASE TABLE"))
+                desc = self.store.get_table(db, t)
+                for i, c in enumerate(desc.columns, start=1):
+                    col_rows.append(
+                        (db, "public", t, c.name, i, c.kind,
+                         "YES" if c.nullable else "NO")
+                    )
+        reg(
+            "tables", tables_rows,
+            s("table_catalog", "table_schema", "table_name", "table_type"),
+        )
+        reg(
+            "columns", col_rows,
+            T.StructType(
+                [
+                    T.StructField("table_catalog", T.StringType(), False),
+                    T.StructField("table_schema", T.StringType(), False),
+                    T.StructField("table_name", T.StringType(), False),
+                    T.StructField("column_name", T.StringType(), False),
+                    T.StructField("ordinal_position", T.IntegerType(), False),
+                    T.StructField("data_type", T.StringType(), False),
+                    T.StructField("is_nullable", T.StringType(), False),
+                ]
+            ),
+        )
+        # One "public" schema per database plus information_schema itself
+        # (matches the reference: MemorySchemaProvider registered at
+        # database creation, src/sql/context.rs:47-49).
+        schemata_rows = [(db, "public", self.user) for db in dbs] + [
+            (db, "information_schema", self.user) for db in dbs
         ]
-        T_ = T
-        self.spark.createDataFrame(
-            tables_rows,
-            T_.StructType(
-                [
-                    T_.StructField("table_catalog", T_.StringType(), False),
-                    T_.StructField("table_schema", T_.StringType(), False),
-                    T_.StructField("table_name", T_.StringType(), False),
-                    T_.StructField("table_type", T_.StringType(), False),
-                ]
-            ),
-        ).createOrReplaceTempView("information_schema__tables")
-        col_rows = []
-        for t in self.store.list_tables(self.database):
-            desc = self.store.get_table(self.database, t)
-            for i, c in enumerate(desc.columns, start=1):
-                col_rows.append(
-                    (self.database, "public", t, c.name, i, c.kind,
-                     "YES" if c.nullable else "NO")
+        reg(
+            "schemata", schemata_rows,
+            s("catalog_name", "schema_name", "schema_owner"),
+        )
+        # CREATE VIEW is rejected at parse time (sqlparse unsupported
+        # list) — the relation exists and is always empty, like a fresh
+        # DataFusion context.
+        reg("views", [], s("table_catalog", "table_schema", "table_name", "definition"))
+        # DataFusion's df_settings ≙ the session's SQL configuration.
+        try:
+            all_conf = dict(self.spark.conf.getAll)
+        except Exception:  # getAll is a property of Dict in pyspark 4
+            all_conf = {
+                k: self.spark.conf.get(k)
+                for k in (
+                    "spark.sql.session.timeZone",
+                    "spark.sql.shuffle.partitions",
+                    "spark.sql.adaptive.enabled",
                 )
-        self.spark.createDataFrame(
-            col_rows,
-            T_.StructType(
-                [
-                    T_.StructField("table_catalog", T_.StringType(), False),
-                    T_.StructField("table_schema", T_.StringType(), False),
-                    T_.StructField("table_name", T_.StringType(), False),
-                    T_.StructField("column_name", T_.StringType(), False),
-                    T_.StructField("ordinal_position", T_.IntegerType(), False),
-                    T_.StructField("data_type", T_.StringType(), False),
-                    T_.StructField("is_nullable", T_.StringType(), False),
-                ]
-            ),
-        ).createOrReplaceTempView("information_schema__columns")
+            }
+        settings = [
+            (k, str(v)) for k, v in sorted(all_conf.items())
+            if k.startswith("spark.sql.")
+        ]
+        reg("df_settings", settings, s("name", "value"))
+        # Session scalar functions (≙ A12-A15) — the registerable-UDF
+        # surface; Spark built-ins are not enumerated, like DataFusion
+        # lists only registered functions.
+        routines, params = [], []
+        for fname, rtype in (
+            ("current_catalog", "utf8"),
+            ("current_schema", "utf8"),
+            ("current_user", "utf8"),
+            ("inet_client_port", "int32"),
+        ):
+            routines.append(
+                (self.database, "public", fname, "FUNCTION", rtype, "SCALAR")
+            )
+        reg(
+            "routines", routines,
+            s("routine_catalog", "routine_schema", "routine_name",
+              "routine_type", "data_type", "function_type"),
+        )
+        reg(
+            "parameters", params,
+            s("specific_catalog", "specific_schema", "specific_name",
+              "ordinal_position", "parameter_mode", "data_type"),
+        )
         rewritten = re.sub(
-            r"\binformation_schema\.(tables|columns)\b",
-            lambda m: f"information_schema__{m.group(1)}",
+            r"\binformation_schema\.(" + "|".join(self._INFO_SCHEMA_VIEWS) + r")\b",
+            lambda m: f"information_schema__{m.group(1).lower()}",
             stmt,
             flags=re.IGNORECASE,
         )

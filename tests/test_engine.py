@@ -222,6 +222,39 @@ def test_information_schema(engine):
     assert cols[0].is_nullable == "NO" and cols[1].is_nullable == "YES"
 
 
+def test_information_schema_full_surface(engine):
+    # ≙ reference src/sql/mod.rs:82 — DataFusion's ENTIRE
+    # information_schema is on: schemata/views/df_settings/routines/
+    # parameters resolve too, and tables spans all databases.
+    _setup_table1(engine)
+    engine.sql("CREATE DATABASE isdb2")
+    engine.sql("CREATE TABLE isdb2.public.t2 (x bigint PRIMARY KEY)")
+    rows = engine.sql(
+        "SELECT table_catalog, table_name FROM information_schema.tables"
+        " ORDER BY table_catalog, table_name"
+    ).collect()
+    assert ("isdb2", "t2") in [(r.table_catalog, r.table_name) for r in rows]
+    schemata = engine.sql(
+        "SELECT catalog_name, schema_name FROM information_schema.schemata"
+        " ORDER BY catalog_name, schema_name"
+    ).collect()
+    assert ("isdb2", "public") in [(r.catalog_name, r.schema_name) for r in schemata]
+    assert engine.sql("SELECT * FROM information_schema.views").count() == 0
+    tz = engine.sql(
+        "SELECT value FROM information_schema.df_settings"
+        " WHERE name = 'spark.sql.session.timeZone'"
+    ).collect()
+    assert tz[0].value == "UTC"
+    fns = {
+        r.routine_name
+        for r in engine.sql(
+            "SELECT routine_name FROM information_schema.routines"
+        ).collect()
+    }
+    assert {"current_catalog", "current_schema", "current_user"} <= fns
+    assert engine.sql("SELECT * FROM information_schema.parameters").count() == 0
+
+
 def test_qualified_table_names(engine):
     # 3-level naming resolves: db.public.t, public.t, bare t
     _setup_table1(engine)
