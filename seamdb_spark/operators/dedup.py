@@ -284,17 +284,17 @@ def d03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     k2 = keyed.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "nib"
     )
-    cand = (
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # Hamming-filter BEFORE the distinct: the filter runs inside the
+    # join's codegen stage, so only surviving pairs (a tiny set) are
+    # shuffled for dedup — not every (chunk, nibble) collision.
+    return (
         k1.join(k2, ["c", "nib"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -485,7 +485,13 @@ def d08_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_size = vocab.count()
     a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
     b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
-    grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    # Spread the block-pair grid across the cluster BEFORE the Python
+    # kernel: the tiny post-join row count tempts AQE into one partition,
+    # which would run every matmul serially in a single Python worker
+    # (explicit numPartitions so AQE keeps it).
+    grid = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        n_blocks * n_blocks, "blk_a", "blk_b"
+    )
 
     def kernel(batches):
         for pdf in batches:

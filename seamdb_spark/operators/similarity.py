@@ -495,7 +495,10 @@ def _s03_oracle() -> str:
 
 @register("s03_ann_ivf_topk", oracle=_s03_oracle())
 def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    quant = _qemb(_emb(spark, sf_dir))
+    # Pin the quantized corpus once: every Lloyd round and the final
+    # assignment/scoring reuse it instead of re-scanning the parquet
+    # (localCheckpoint also truncates lineage across iterations).
+    quant = _qemb(_emb(spark, sf_dir)).localCheckpoint()
     centroids = _centroid_rows(quant)
     cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cvec array<bigint>"))
 
@@ -601,7 +604,11 @@ def d06_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
     b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
-    grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    # As in d08: pin the grid's partition count so the Python matmul
+    # kernels run in parallel instead of on one AQE-coalesced task.
+    grid = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        N_BLOCKS * N_BLOCKS, "blk_a", "blk_b"
+    )
 
     def kernel(batches):
         for pdf in batches:

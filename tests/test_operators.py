@@ -18,11 +18,11 @@ def test_registry_integrity(registry):
     queries, oracles = registry
     assert len(queries) >= 50
     assert set(oracles) <= set(queries)
-    # every non-oracled query is a documented exception
+    # every registered query carries a DuckDB oracle — zero rows-only
+    # exceptions (even the iterative k-means runs on int64 fixed-point
+    # arithmetic so its oracle replays the same Lloyd rounds exactly)
     rows_only = set(queries) - set(oracles)
-    assert rows_only == {
-        "s03_ann_ivf_topk",
-    }
+    assert rows_only == set()
 
 
 def test_entry_smoke(spark):
