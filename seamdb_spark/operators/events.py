@@ -492,3 +492,129 @@ def e06_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_millis", F.lit(0)).alias("sum_millis"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: ordered view -> click -> purchase progression per
+# user. Step N counts only events strictly after the user's step-N-1
+# time, so the funnel is truly sequential (not just "did each event
+# ever happen"). Three conditional-min aggregations, each a map-side
+# partial agg keyed on user_id — the shuffles stay user-cardinality
+# sized, never event-cardinality, and AQE broadcasts the per-user step
+# tables as they shrink down the funnel.
+# --------------------------------------------------------------------------
+@register(
+    "e07_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def e07_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    u = ev.select("user_id").distinct()
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .when(F.col("view_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("funnel_stage"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-activity day; each cell
+# counts distinct users from that cohort active N days later. Two
+# aggregations, both keyed on (user_id) then (cohort, offset) — state
+# is cohort-grid sized. The classic engagement matrix every
+# product-analytics engine ships.
+# --------------------------------------------------------------------------
+@register(
+    "e08_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', MIN(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(DATE_TRUNC('day', e.ts) AS DATE))
+               AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def e08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").cast("long").alias("n_users")
+    )

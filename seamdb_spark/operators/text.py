@@ -406,16 +406,104 @@ def t09_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t10_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT a global window (ROW_NUMBER with no PARTITION BY collapses to a
-    # single partition in Spark): range-partition on the hash key, sort
-    # within partitions, then zipWithIndex — partitions are numbered in
-    # range order, so the per-partition offsets compose into the exact
-    # global rank with two light jobs and no single-reducer stage.
+    # single partition in Spark): range-partition on the hash key, then
+    # compose the global rank from per-bucket row_numbers plus bucket
+    # offsets (one #buckets-row aggregate to the driver). Range buckets
+    # are ordered, so offset(bucket) + rank-in-bucket IS the global rank
+    # — no single-reducer stage, and no .rdd/Python round-trip of the
+    # corpus (the per-bucket window shuffles each bucket to one task,
+    # the same parallelism the range partitioning already has).
     docs = _docs(spark, sf_dir)
     h = md5_prefix_long(F.col("doc_id").cast("string"))
-    ordered = (
+    bucketed = (
         docs.select("doc_id", h.alias("h"))
         .repartitionByRange(64, F.col("h"), F.col("doc_id"))
-        .sortWithinPartitions("h", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin the row↔bucket assignment across jobs
     )
-    indexed = ordered.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1))
-    return spark.createDataFrame(indexed, "doc_id long, shuffle_pos long")
+    stats = bucketed.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
+    offsets, acc = [], 0
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["__cnt"]
+    odf = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = W.partitionBy("__pid").orderBy("h", "doc_id")
+    return (
+        bucketed.join(F.broadcast(odf), "__pid")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("__off") + F.row_number().over(w)).cast("long"),
+        )
+        .select("doc_id", "shuffle_pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals: the quality filters a training-data
+# pipeline runs before dedup (Rae et al. 2021 "Scaling Language Models"
+# repetition heuristics — top-token fraction, distinct-token ratio,
+# duplicate-bigram fraction). Pure array expressions (JVM codegen, no
+# explode/shuffle: per-doc arrays are ~55 tokens, so the O(distinct ×
+# tokens) in-array count stays cheap and row-local — zero shuffles,
+# embarrassingly parallel at any corpus size).
+# --------------------------------------------------------------------------
+@register(
+    "t11_repetition_signals",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_distinct,
+             list_max(list_transform(list_distinct(t),
+                 d -> len(list_filter(t, x -> x = d)))) AS top_cnt,
+             len(list_distinct(list_transform(range(1, len(t)),
+                 i -> concat_ws(' ', t[i], t[i+1])))) AS nb_distinct,
+             len(t) - 1 AS nb
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_distinct * 1.0 / n_tokens, 6) AS distinct_token_ratio,
+           ROUND(top_cnt * 1.0 / n_tokens, 6) AS top_token_frac,
+           ROUND(1.0 - nb_distinct * 1.0 / nb, 6) AS dup_bigram_frac
+    FROM feats
+    """,
+)
+def t11_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens_i"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda d: F.size(F.filter(t, lambda x: x == d)),
+            )
+        ).alias("top_cnt"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    " i -> concat_ws(' ', split(text, ' ')[i],"
+                    " split(text, ' ')[i+1]))"
+                )
+            )
+        ).alias("nb_distinct"),
+        (F.size(t) - 1).alias("nb"),
+    ).filter(F.col("n_tokens_i") >= 2)
+    return feats.select(
+        "doc_id",
+        F.col("n_tokens_i").cast("long").alias("n_tokens"),
+        dround(F.col("n_distinct") / F.col("n_tokens_i"), 6).alias(
+            "distinct_token_ratio"
+        ),
+        dround(F.col("top_cnt") / F.col("n_tokens_i"), 6).alias("top_token_frac"),
+        dround(1.0 - F.col("nb_distinct") / F.col("nb"), 6).alias(
+            "dup_bigram_frac"
+        ),
+    )
