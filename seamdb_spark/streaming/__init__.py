@@ -1,15 +1,21 @@
 from .events import (
     click_purchase_join_stream,
+    doc_dedup_stream,
+    funnel_stage_stream,
     hourly_rollup_stream,
     run_stream_to_memory,
     session_window_stream,
+    stream_documents,
     stream_events,
     user_running_totals_stream,
 )
 
 __all__ = [
     "stream_events",
+    "stream_documents",
     "click_purchase_join_stream",
+    "doc_dedup_stream",
+    "funnel_stage_stream",
     "hourly_rollup_stream",
     "session_window_stream",
     "user_running_totals_stream",

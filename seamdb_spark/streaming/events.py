@@ -177,3 +177,108 @@ def click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts", "value")
+
+
+_DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents fixture as a file-source stream (an ingestion pipeline's
+    view of a document feed)."""
+    return (
+        spark.readStream.schema(_DOCS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def doc_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — the streaming counterpart of d01:
+    first-seen-wins on the content hash, so an ingestion pipeline
+    emits each distinct text exactly once across micro-batches.
+
+    State = one row per distinct hash. In production the feed carries an
+    ingest timestamp and this becomes ``withWatermark(ingest_ts, ...)``
+    + ``dropDuplicatesWithinWatermark`` so state ages out; the fixture
+    has no time column, so the demo keeps unbounded state (fine for a
+    finite replay, documented here for the scale path).
+    """
+    docs = stream_documents(spark, sf_dir)
+    return docs.withColumn("content_hash", F.md5("text")).dropDuplicates(
+        ["content_hash"]
+    ).select("doc_id", "content_hash", "lang", "source")
+
+
+def funnel_stage_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of e07_funnel_steps via
+    applyInPandasWithState: per-user state carries the earliest
+    sequential (view, click, purchase) times; each micro-batch folds its
+    events in time order into that state and emits the user's current
+    stage. Micro-batches from the replayed log arrive in time order, so
+    cross-batch event order matches e07's global ORDER BY ts.
+
+    Timestamps ride as int64 epoch-micros inside state/output (exact,
+    engine-neutral — same trick as the batch quantization paths).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("view_us", T.LongType()),
+            T.StructField("click_us", T.LongType()),
+            T.StructField("purchase_us", T.LongType()),
+            T.StructField("funnel_stage", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("view_us", T.LongType()),
+            T.StructField("click_us", T.LongType()),
+            T.StructField("purchase_us", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        v, c, p = state.get if state.exists else (None, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for et, ts_us in zip(pdf["event_type"], pdf["ts_us"]):
+                ts_us = int(ts_us)
+                if et == "view" and v is None:
+                    v = ts_us
+                elif et == "click" and c is None and v is not None and ts_us > v:
+                    c = ts_us
+                elif et == "purchase" and p is None and c is not None and ts_us > c:
+                    p = ts_us
+        state.update((v, c, p))
+        stage = 3 if p is not None else 2 if c is not None else 1 if v is not None else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "view_us": [v],
+                "click_us": [c],
+                "purchase_us": [p],
+                "funnel_stage": [stage],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

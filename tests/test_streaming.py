@@ -84,3 +84,40 @@ def test_stream_stream_join_matches_batch(spark):
     got = {(r.purchase_id, r.click_id) for r in out.collect()}
     want = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_doc_dedup_stream_first_seen_wins(spark):
+    out = st.run_stream_to_memory(
+        st.doc_dedup_stream(spark, SF_SMOKE), "docdedup_test", "append"
+    )
+    rows = out.collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    # exactly one survivor per distinct content hash
+    assert len(rows) == n_distinct
+    assert len({r.content_hash for r in rows}) == n_distinct
+
+
+def test_funnel_stream_matches_batch(spark):
+    from seamdb_spark.operators.events import e07_funnel_steps
+
+    out = st.run_stream_to_memory(
+        st.funnel_stage_stream(spark, SF_SMOKE), "funnel_test", "update"
+    )
+    # last update per user == the batch funnel (single-batch replay, so
+    # each user appears once, but take the max stage defensively)
+    got = {}
+    for r in out.collect():
+        got[r.user_id] = (r.view_us, r.click_us, r.purchase_us, r.funnel_stage)
+    batch = {
+        r.user_id: (
+            None if r.view_ts is None else int(r.view_ts.timestamp() * 1_000_000),
+            None if r.click_ts is None else int(r.click_ts.timestamp() * 1_000_000),
+            None
+            if r.purchase_ts is None
+            else int(r.purchase_ts.timestamp() * 1_000_000),
+            r.funnel_stage,
+        )
+        for r in e07_funnel_steps(spark, SF_SMOKE).collect()
+    }
+    assert got == batch
