@@ -630,3 +630,63 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: cross-set n-gram containment.
+#
+# The training-pipeline stage dedup does NOT cover: flag TRAINING docs
+# that share 3-word shingles with a held-out EVAL set (here: doc_id %
+# 97 == 0 stands in for the benchmark corpus). Unlike d02/d04 this is a
+# containment semi-join, not a symmetric similarity join — one side is
+# tiny and fixed, the other is the whole corpus.
+#
+# Scale (100 TB): the eval shingle universe is benchmark-sized (merely
+# millions of shingles), so AQE broadcasts it and the corpus side never
+# shuffles; no forced hint because it still grows with the benchmark
+# suite. The join key is xxhash64(shingle) — engine-internal, never an
+# output value (d04 precedent); counts equal the oracle's string join
+# as long as the shingle universe is collision-free, which the gate
+# verifies each round.
+# --------------------------------------------------------------------------
+EVAL_SET_MOD = 97
+DECONTAM_MIN_SHINGLES = 3
+
+
+@register(
+    "d10_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    exploded AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+    eval_univ AS (
+      SELECT DISTINCT sh FROM exploded WHERE doc_id % {EVAL_SET_MOD} = 0
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated_shingles,
+           CAST(COUNT(*) >= {DECONTAM_MIN_SHINGLES} AS BIGINT) AS drop_doc
+    FROM exploded e JOIN eval_univ u ON e.sh = u.sh
+    WHERE e.doc_id % {EVAL_SET_MOD} <> 0
+    GROUP BY e.doc_id
+    """,
+)
+def d10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("gh")
+    )
+    eval_univ = (
+        exploded.filter(F.col("doc_id") % EVAL_SET_MOD == 0).select("gh").distinct()
+    )
+    train = exploded.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+    return (
+        train.join(eval_univ, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+        .select(
+            "doc_id",
+            "n_contaminated_shingles",
+            (F.col("n_contaminated_shingles") >= DECONTAM_MIN_SHINGLES)
+            .cast("long")
+            .alias("drop_doc"),
+        )
+    )

@@ -618,3 +618,58 @@ def e08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion lag: time from first view to first subsequent purchase.
+#
+# The product-analytics twin of e07: per converted user, the exact lag
+# in microseconds (int64 — epoch-micros difference, no float time
+# math) plus an hour bucket for cohorting. Two shuffles (per-user min
+# view, per-user min qualifying purchase), both map-side-partial
+# aggregates on user_id.
+# --------------------------------------------------------------------------
+@register(
+    "e09_conversion_lag",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+      GROUP BY e.user_id
+    )
+    SELECT p.user_id, v.view_ts, p.purchase_ts,
+           CAST(epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS BIGINT)
+             AS lag_us,
+           CAST((epoch_us(p.purchase_ts) - epoch_us(v.view_ts)) // 3600000000
+             AS BIGINT) AS lag_hours
+    FROM p JOIN v ON p.user_id = v.user_id
+    """,
+)
+def e09_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lag = F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+    return p.join(v, "user_id").select(
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        lag.alias("lag_us"),
+        F.expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 3600000000")
+        .alias("lag_hours"),
+    )

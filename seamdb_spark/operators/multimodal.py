@@ -205,3 +205,92 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Image resize / thumbnailing plumbing (decode stubbed, as in m02/m03).
+#
+# The image-pipeline stage between decode and feature-extract: read
+# source dimensions, downscale so the longest side is <= MAX_SIDE
+# preserving aspect ratio (integer floor division — exact in both
+# engines), emit the resized-artifact checksum. The real decoder/PIL
+# resize is the stubbed step (no codecs in this container); the
+# dimensions derive deterministically from md5 digest bytes so the
+# whole stage is oracle-checkable, while the Spark-side plumbing
+# (binary column in, Arrow-batched mapInPandas, one row out per image,
+# zero shuffle) is exactly the production shape.
+# --------------------------------------------------------------------------
+MAX_SIDE = 256
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, thumb_w long, thumb_h long,"
+    " thumb_checksum string"
+)
+
+
+def _md5_byte_sql(k: int) -> str:
+    """DuckDB SQL for md5(text) digest byte k (0-indexed)."""
+    return (
+        f"((strpos('{_HEXD}', substr(md5(text), {2 * k + 1}, 1)) - 1) * 16"
+        f" + strpos('{_HEXD}', substr(md5(text), {2 * k + 2}, 1)) - 1)"
+    )
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for reading image dimensions (32..2072 px)."""
+    digest = hashlib.md5(payload).digest()
+    return 32 + digest[1] * 8, 32 + digest[2] * 8
+
+
+@register(
+    "m04_image_resize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, text,
+             32 + {_md5_byte_sql(1)} * 8 AS width,
+             32 + {_md5_byte_sql(2)} * 8 AS height
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, text, width, height,
+             CASE WHEN GREATEST(width, height) <= {MAX_SIDE} THEN width
+                  ELSE (width * {MAX_SIDE}) // GREATEST(width, height) END AS thumb_w,
+             CASE WHEN GREATEST(width, height) <= {MAX_SIDE} THEN height
+                  ELSE (height * {MAX_SIDE}) // GREATEST(width, height) END AS thumb_h
+      FROM dims
+    )
+    SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+           CAST(thumb_w AS BIGINT) AS thumb_w, CAST(thumb_h AS BIGINT) AS thumb_h,
+           md5(text || ':' || CAST(thumb_w AS VARCHAR) || 'x'
+                    || CAST(thumb_h AS VARCHAR)) AS thumb_checksum
+    FROM t
+    """,
+)
+def m04_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = _with_payload(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "thumb_w": [], "thumb_h": [], "thumb_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                w, h = fake_decode_dims(raw)
+                mx = max(w, h)
+                tw, th = (w, h) if mx <= MAX_SIDE else (
+                    w * MAX_SIDE // mx, h * MAX_SIDE // mx
+                )
+                # decode_media(raw) + PIL .resize((tw, th)) is the real
+                # path; the checksum stands in for the resized bytes.
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["thumb_w"].append(tw)
+                out["thumb_h"].append(th)
+                out["thumb_checksum"].append(
+                    hashlib.md5(raw + f":{tw}x{th}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(resize, schema=RESIZE_SCHEMA)

@@ -735,3 +735,49 @@ def s04_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("probe_id", "neighbor_id", "cosine_q", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Range (radius) similarity search: ALL neighbors with cosine >= tau.
+#
+# Complements the top-k family: retrieval-augmented pipelines and
+# near-dup audits often want every match above a floor, not a fixed k.
+# Exact brute-force like s01 — probes broadcast (O(1): N_PROBES rows),
+# corpus side stays partitioned, score + filter are one codegen'd map
+# stage with NO shuffle at all (no window; the filter replaces top-k
+# ranking). The threshold is applied to the ROUNDED cosine on both
+# engines so the boundary decision is identical.
+# --------------------------------------------------------------------------
+RANGE_TAU = 0.25
+
+
+@register(
+    "s05_ann_range_search",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
+                    FROM embeddings WHERE vec_id < {N_PROBES}),
+    scored AS (
+      SELECT probe_id, e.vec_id AS neighbor_id,
+             ROUND({_cos_sql('pe', 'e.embedding')}, 6) AS cosine
+      FROM probes JOIN embeddings e ON e.vec_id <> probe_id
+    )
+    SELECT probe_id, neighbor_id, cosine FROM scored WHERE cosine >= {RANGE_TAU}
+    """,
+)
+def s05_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    return (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dround(
+                _dot("pe", "embedding") / (_norm("pe") * _norm("embedding")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_TAU)
+    )

@@ -507,3 +507,67 @@ def t11_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_bigram_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model quality score (CCNet-style LM filtering).
+#
+# Fit a unigram LM on the corpus itself (token frequency / total
+# tokens), then score each document by its mean token log-probability —
+# the classic perplexity-bucket signal used to quality-partition
+# training data. Per-token log-probs are quantized to int64 MILLINATS
+# before summing, so the per-doc aggregate is order-independent and
+# bit-identical across engines (same fixed-point trick as d06/s04/q50).
+#
+# Scale (100 TB): freq is vocabulary-sized (AQE broadcasts it while it
+# fits; vocabulary grows sublinearly in corpus size), the token→freq
+# join is the standard tf-idf shape (t06), and the per-doc aggregate is
+# map-side partial. No Python anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "t12_lm_quality_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY token),
+    n AS (SELECT CAST(SUM(f) AS BIGINT) AS n_total FROM freq),
+    lp AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(LN(CAST(f.f AS DOUBLE) / CAST(n.n_total AS DOUBLE))
+                        * 1000) AS BIGINT) AS lp_millinats
+      FROM tok t JOIN freq f ON t.token = f.token CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)          AS n_tokens,
+           CAST(SUM(lp_millinats) AS BIGINT) AS logprob_millinats,
+           ROUND(CAST(SUM(lp_millinats) AS DOUBLE) / (1000.0 * COUNT(*)), 6)
+                                             AS mean_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def t12_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("f"))
+    n_total = freq.agg(F.sum("f").alias("n_total"))
+    lp = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.col("f").cast("double") / F.col("n_total").cast("double"))
+                * 1000
+            )
+            .cast("long")
+            .alias("lp_millinats"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lp_millinats").alias("logprob_millinats"),
+        dround(F.sum("lp_millinats") / (1000.0 * F.count("*")), 6).alias(
+            "mean_logprob"
+        ),
+    )

@@ -182,7 +182,7 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         # fixed-cardinality TPC-H dims and derivations thereof
         "nation", "region", "n1", "n2", "asia_nations",
         # single-row / K-row aggregates
-        "avg_price", "per_nation", "total", "n_docs", "bounds",
+        "avg_price", "per_nation", "total", "n_docs", "bounds", "n_total",
         # O(K) probe / centroid / plane / chunk tables
         "probes", "probe_blocks", "probe_vecs", "planes", "chunks", "cdf",
         # spark.createDataFrame(<driver-local list>) is O(K) by construction
@@ -202,3 +202,32 @@ def test_no_forced_broadcast_on_scale_variant_tables():
                 line = src[: m.start()].count("\n") + 1
                 offenders.append(f"{py.name}:{line} F.broadcast({arg}...)")
     assert not offenders, f"forced broadcast on scale-variant input: {offenders}"
+
+
+def test_image_resize_invariants(spark, registry):
+    queries, _ = registry
+    from seamdb_spark.operators.multimodal import MAX_SIDE
+
+    rows = queries["m04_image_resize"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert max(r.thumb_w, r.thumb_h) <= MAX_SIDE
+        if max(r.width, r.height) <= MAX_SIDE:
+            assert (r.thumb_w, r.thumb_h) == (r.width, r.height)
+        else:
+            # integer floor of the exact aspect-preserving scale
+            mx = max(r.width, r.height)
+            assert r.thumb_w == r.width * MAX_SIDE // mx
+            assert r.thumb_h == r.height * MAX_SIDE // mx
+
+
+def test_decontaminate_never_flags_eval_docs(spark, registry):
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import EVAL_SET_MOD
+
+    rows = queries["d10_decontaminate"](spark, SF_SMOKE).collect()
+    assert rows  # the shared-vocab fixture guarantees overlap
+    assert all(r.doc_id % EVAL_SET_MOD != 0 for r in rows)
+    assert all(
+        (r.drop_doc == 1) == (r.n_contaminated_shingles >= 3) for r in rows
+    )
