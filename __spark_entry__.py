@@ -39,11 +39,40 @@ _R1_HASH_GREEN = {
 }
 
 
+# Frozen round-2 window: exactly the 50 queries lacking a driver-green
+# row, pinned so that registering NEW queries cannot displace any of
+# them out of the driver's first-50 check. New queries land after these
+# and get their rows in round 3 (when this window's greens free slots).
+_R2_WINDOW = [
+    "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
+    "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
+    "e09_conversion_lag", "m02_media_features", "m04_image_resize",
+    "q25_math_functions", "q30_topk_per_group", "q31_pivot",
+    "q32_sort_limit_offset", "q33_in_subquery", "q34_union_all_agg",
+    "q35_market_share", "q36_returned_items", "q37_unpivot",
+    "q38_filtered_agg", "q39_null_functions", "q40_exists_inequality",
+    "q41_recursive_cte", "q42_right_join", "q43_cross_join",
+    "q44_window_distribution", "q45_pattern_matching",
+    "q46_below_avg_quantity", "q47_supplier_share", "q48_multiset_ops",
+    "q49_lateral_join", "x05_histogram", "s01_ann_bruteforce_topk",
+    "d05_embedding_neardup", "s02_ann_lsh_topk", "s03_ann_ivf_topk",
+    "d06_embedding_neardup_blocked", "s04_ann_quantized_topk",
+    "s05_ann_range_search", "t01_token_count", "t02_quality_score",
+    "t03_lang_id", "t04_fingerprint", "t05_wordcount",
+    "t06_tfidf_top_terms", "t07_heavy_hitters_salted", "t08_train_split",
+    "t09_stratified_sample", "t10_deterministic_shuffle",
+    "t11_repetition_signals", "t12_lm_quality_score",
+]
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    unchecked = [n for n in names if n not in _R1_HASH_GREEN]
+    pinned = [n for n in _R2_WINDOW if n in names]
+    rest_unchecked = [
+        n for n in names if n not in _R1_HASH_GREEN and n not in _R2_WINDOW
+    ]
     checked = [n for n in names if n in _R1_HASH_GREEN]
-    return unchecked + checked
+    return pinned + rest_unchecked + checked
 
 
 def entry(spark: SparkSession) -> DataFrame:

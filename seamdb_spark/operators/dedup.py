@@ -167,20 +167,26 @@ def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, (a, b) in enumerate(MINHASH_PARAMS)
         ]
     )
-    band_frames = []
+    # One explode pass builds every band row — a unionAll of per-band
+    # projections would re-derive the whole signature pipeline N_BANDS
+    # times (once per branch, twice more for the self-join sides).
+    band_structs = []
     for band in range(N_BANDS):
         lo = band * ROWS_PER_BAND
         key = F.concat_ws(
             "-", *[F.col(f"mh{j}").cast("string") for j in range(lo, lo + ROWS_PER_BAND)]
         )
-        band_frames.append(
-            sigs.select(
-                "doc_id", F.lit(band).alias("band_id"), key.alias("band_key")
-            )
+        band_structs.append(
+            F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
         )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionAll(bf)
+    bands = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc_id", "b.band_id", "b.band_key")
+        # Explicit partition count: the band table is small enough that AQE
+        # would coalesce to one partition and single-thread the bucket join
+        # (same trap as d03); band_key is near-unique so 64 is plenty.
+        .repartition(64, "band_id", "band_key")
+    )
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
     cand = (
@@ -272,11 +278,20 @@ def d03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs must share at least one (chunk_id, nibble) —
     # guaranteed for hamming ≤ 6 by pigeonhole over 8 chunks.
     chunks = spark.range(SIMHASH_CHUNKS).select(F.col("id").cast("int").alias("c"))
-    keyed = sigs.crossJoin(F.broadcast(chunks)).select(
-        "doc_id",
-        "simhash",
-        "c",
-        F.expr("(shiftright(simhash, c * 4) & 15)").alias("nib"),
+    keyed = (
+        sigs.crossJoin(F.broadcast(chunks))
+        .select(
+            "doc_id",
+            "simhash",
+            "c",
+            F.expr("(shiftright(simhash, c * 4) & 15)").alias("nib"),
+        )
+        # Explicit partition count on the blocking key: the keyed table is
+        # tiny (docs × 8 chunks) so AQE would coalesce the shuffle to ONE
+        # partition — and then the self-join's candidate-pair generation
+        # (quadratic in bucket size, the real work) runs single-threaded.
+        # An explicit numPartitions survives AQE; 2× speedup at sf0.1.
+        .repartition(64, "c", "nib")
     )
     k1 = keyed.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "nib"
