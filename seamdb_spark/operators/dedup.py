@@ -571,9 +571,13 @@ _OSQL["d08_dedup_jaccard_blocked"] = _OSQL["d04_dedup_ngram_jaccard"]
 # id — the same fixed point, so results hash-match exactly. Also
 # validated against a union-find in tests.
 # --------------------------------------------------------------------------
-def _cc_oracle() -> str:
-    return f"""
-    WITH RECURSIVE {_simhash_sig_sql().strip()},
+def _cc_ctes() -> str:
+    """Shared recursive-CTE chain: simhash sigs → pairs → edges → reach.
+
+    Composed by both the d09 cluster oracle and the d11 keeper oracle so
+    the two stay the same fixed point by construction.
+    """
+    return f"""{_simhash_sig_sql().strip()},
     pairs AS (
       SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
       FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
@@ -588,7 +592,12 @@ def _cc_oracle() -> str:
       SELECT DISTINCT src, src FROM edges
       UNION
       SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id
-    )
+    )"""
+
+
+def _cc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_ctes()}
     SELECT CAST(id AS BIGINT) AS doc_id,
            CAST(MIN(r) AS BIGINT) AS cluster_id,
            (id = MIN(r)) AS is_canonical
@@ -704,4 +713,68 @@ def d10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("drop_doc"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Canonical-keeper selection: clusters -> keep/drop decisions.
+#
+# Completes the dedup pipeline: each near-dup cluster (d09 connected
+# components) keeps its highest-quality member (t02 score, doc_id as
+# the deterministic tie-break) and drops the rest. One groupBy over the
+# cluster assignment with an argmax encoded as max(struct(quality,
+# -doc_id)) — ordinary shuffle agg, no window, no skew (cluster sizes
+# are bounded by near-dup semantics). The oracle re-derives the same
+# clusters via the recursive CTE and the same quality formula, then
+# picks the keeper with a ROW_NUMBER over the identical sort key;
+# quality doubles compare identically across engines because both are
+# the t02 formula rounded via dround (hash-green since round 1).
+# --------------------------------------------------------------------------
+def _keeper_oracle() -> str:
+    from .text import QUALITY_SQL
+
+    return f"""
+    WITH RECURSIVE {_cc_ctes()},
+    labels AS (
+      SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    quality AS ({QUALITY_SQL}),
+    ranked AS (
+      SELECT l.cluster_id, l.id AS doc_id, q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality_score DESC, l.id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+      FROM labels l JOIN quality q ON q.doc_id = l.id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(doc_id AS BIGINT) AS keeper_doc_id,
+           quality_score AS keeper_quality,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("d11_canonical_keeper", oracle=_keeper_oracle())
+def d11_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import t02_quality_score
+
+    clusters = d09_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    agg = joined.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("q"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("m"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        (-F.col("m.neg_id")).cast("long").alias("keeper_doc_id"),
+        F.col("m.q").alias("keeper_quality"),
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
     )

@@ -67,6 +67,21 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Quality scoring: length / punctuation / stopword ratios
 # --------------------------------------------------------------------------
+# doc_id + the composite quality score, as a standalone SELECT — reused
+# by the d11 canonical-keeper oracle so both engines rank by the exact
+# same formula (single source of truth for the DuckDB side).
+QUALITY_SQL = f"""
+    SELECT doc_id,
+           ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+                 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                        * 1.0 / length(text))
+                 * (0.5 + len(list_filter(string_split(text, ' '),
+                        t -> t IN ({_in_list_sql(STOPWORDS)})))
+                        * 1.0 / len(string_split(text, ' '))), 6) AS quality_score
+    FROM documents
+"""
+
+
 @register(
     "t02_quality_score",
     oracle=f"""
@@ -78,15 +93,15 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(string_split(text, ' '),
                  t -> t IN ({_in_list_sql(STOPWORDS)}))) AS n_stop
       FROM documents
-    )
-    SELECT doc_id, n_chars,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
-           ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
-           ROUND(n_chars * 1.0 / n_tokens, 6) AS avg_token_len,
-           ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - n_punct * 1.0 / n_chars)
-                 * (0.5 + n_stop * 1.0 / n_tokens), 6) AS quality_score
-    FROM feats
+    ),
+    scored AS ({QUALITY_SQL})
+    SELECT f.doc_id, f.n_chars,
+           CAST(f.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(f.n_punct * 1.0 / f.n_chars, 6) AS punct_ratio,
+           ROUND(f.n_stop * 1.0 / f.n_tokens, 6) AS stopword_ratio,
+           ROUND(f.n_chars * 1.0 / f.n_tokens, 6) AS avg_token_len,
+           s.quality_score
+    FROM feats f JOIN scored s ON f.doc_id = s.doc_id
     """,
 )
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,4 +585,198 @@ def t12_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("lp_millinats") / (1000.0 * F.count("*")), 6).alias(
             "mean_logprob"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: greedy contiguous fill of fixed token-budget bins.
+#
+# The pre-training batching stage: concatenate documents (in a
+# deterministic order) into packs of ~PACK_BUDGET tokens so every
+# training sequence is near-full. Greedy contiguous packing is
+# inherently sequential, so it is sharded first — each shard packs
+# independently (what a real pipeline does per input shard), keeping
+# the window partitioned and parallel instead of a global single-
+# partition sort. A pack may overflow by at most one document
+# (boundary docs are not split), flagged in the output.
+# --------------------------------------------------------------------------
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+@register(
+    "t13_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             doc_id % {PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, shard, tok,
+             SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM toks
+    ),
+    packed AS (
+      SELECT shard, (cum_tok - tok) // {PACK_BUDGET} AS pack_id,
+             doc_id, tok
+      FROM cum
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           SUM(tok) > {PACK_BUDGET} AS overflow
+    FROM packed
+    GROUP BY shard, pack_id
+    """,
+)
+def t13_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn("cum_tok", F.sum("tok").over(w)).withColumn(
+        # Bin by tokens-before-this-doc: integer division on both engines.
+        "pack_id",
+        F.expr(f"(cum_tok - tok) div {PACK_BUDGET}"),
+    )
+    return packed.groupBy(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        (F.sum("tok") > PACK_BUDGET).alias("overflow"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction: regex scrub pass.
+#
+# The fixture vocabulary contains no PII, so the query injects a
+# deterministic synthetic email + phone per document (derived from
+# doc_id) and then runs the actual product logic: pattern counting and
+# global regex redaction. Patterns stick to character classes shared by
+# Java regex (Spark) and RE2 (DuckDB); DuckDB's regexp_replace needs
+# the explicit 'g' flag to match Spark's replace-all default.
+# Row-local, zero-shuffle — scales linearly.
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "t14_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash,
+           CAST(length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM aug
+    """,
+)
+def t14_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture weights: temperature-scaled sampling distribution.
+#
+# The data-mixing stage: per-domain (language) token counts are
+# re-weighted by p^ALPHA (temperature sampling, alpha < 1 upsamples
+# tail domains) and normalized. The global-total window runs over the
+# per-domain aggregate — a domain-cardinality table (5 rows here,
+# thousands at worst in production), same dimension-table-only caveat
+# as q19. pow() is IEEE-identical on both engines for these inputs;
+# ratios go through dround like every float-compared column.
+# --------------------------------------------------------------------------
+MIXTURE_ALPHA = 0.3
+
+
+@register(
+    "t15_domain_mixture",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    p AS (
+      SELECT lang, n_docs, n_tokens,
+             n_tokens * 1.0 / SUM(n_tokens) OVER () AS p_raw,
+             pow(n_tokens * 1.0 / SUM(n_tokens) OVER (), {MIXTURE_ALPHA}) AS w_raw
+      FROM per_lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           ROUND(p_raw, 6) AS token_share,
+           ROUND(w_raw / SUM(w_raw) OVER (), 6) AS sample_weight
+    FROM p
+    """,
+)
+def t15_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    w_all = W.partitionBy()
+    p_raw = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    p = per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        p_raw.alias("p_raw"),
+        F.pow(p_raw, F.lit(MIXTURE_ALPHA)).alias("w_raw"),
+    )
+    return p.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        dround(F.col("p_raw"), 6).alias("token_share"),
+        dround(F.col("w_raw") / F.sum("w_raw").over(w_all), 6).alias("sample_weight"),
     )
