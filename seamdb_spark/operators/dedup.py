@@ -454,16 +454,30 @@ _OSQL["d07_dedup_jaccard_prefix_filtered"] = _OSQL["d04_dedup_ngram_jaccard"]
 
 
 # --------------------------------------------------------------------------
-# Block-matrix n-gram Jaccard (same output as d04) via incidence matmul.
+# Block-matrix n-gram Jaccard (same output as d04) via feature-hashed
+# incidence matmul + exact verification.
 #
-# Bigrams get dense vocabulary ids; each doc becomes a 0/1 incidence
-# vector; per block-pair the numpy int32 matmul M_a @ M_b.T yields all
-# pairwise intersection counts at once — exact integer arithmetic, so
-# jaccard = inter/union is bit-identical to the list-based oracle.
-# Scale note: dense vocab columns work to ~10^4 n-grams; beyond that
-# switch the kernel to CSR sparse matmul or feature-hash to 2^k dims
-# (the grid/packing plan is unchanged).
+# Each doc's bigram set is identified by 64-bit xxhash64 values
+# (collision-free in practice; the oracle gate verifies equality with
+# the string-set formulation every round — d10 precedent). The matmul
+# kernel runs on FEATURE-HASHED incidence vectors of fixed width
+# D = 2^12: memory per block is rows × D regardless of vocabulary size,
+# which removes the dense-vocab cap of the earlier formulation (and the
+# global row_number vocab table + its global sort and broadcast join —
+# no global structure remains at all).
+#
+# Hashing can only MERGE columns, so per doc the collision count
+# c = |grams| - |hashed dims| is known exactly, and for a pair
+#   inter_true <= inter_hashed + min(c_a, c_b)
+# (collapses inside A∩B are bounded by collapses inside either set).
+# Candidates are taken by that deterministic upper bound — recall is 1,
+# no probabilistic argument — then verified with an exact sorted-array
+# intersection of the 64-bit gram ids. Jaccard is computed from exact
+# integers, so results are bit-identical to the list-based oracle.
 # --------------------------------------------------------------------------
+HASH_DIMS = 2048
+
+
 @register("d08_dedup_jaccard_blocked")
 def d08_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -482,22 +496,16 @@ def d08_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigrams"),
     ).filter(F.size("bigrams") > 0)
-    exploded = bg.select("doc_id", F.explode("bigrams").alias("g"))
-    vocab = (
-        exploded.select("g")
-        .distinct()
-        .withColumn("gid", F.row_number().over(W.orderBy("g")) - 1)
-    )
     doc_vecs = (
-        exploded.join(F.broadcast(vocab), "g")
+        bg.select("doc_id", F.explode("bigrams").alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("h"))
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("gid")).alias("gids"))
+        .agg(F.array_sort(F.collect_set("h")).alias("hids"))
         .withColumn("blk", F.col("doc_id") % n_blocks)
     )
     packed = doc_vecs.groupBy("blk").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "gids"))).alias("rows")
+        F.array_sort(F.collect_list(F.struct("doc_id", "hids"))).alias("rows")
     ).cache()  # consumed by both sides of the block grid
-    vocab_size = vocab.count()
     a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
     b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
     # Spread the block-pair grid across the cluster BEFORE the Python
@@ -514,23 +522,40 @@ def d08_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             for _, row in pdf.iterrows():
                 def unpack(rows):
                     ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+                    hids = [np.asarray(r["hids"], dtype=np.int64) for r in rows]
                     # float64 so the matmul uses BLAS dgemm; 0/1 products
-                    # and partial sums stay exact integers (< 2^53), so
-                    # the result is order-independent and bit-exact
-                    mat = np.zeros((len(rows), vocab_size), dtype=np.float64)
-                    for i, r in enumerate(rows):
-                        mat[i, np.asarray(r["gids"], dtype=np.int64)] = 1.0
-                    return ids, mat
+                    # and partial sums stay exact integers (< 2^53)
+                    mat = np.zeros((len(rows), HASH_DIMS), dtype=np.float64)
+                    for i, h in enumerate(hids):
+                        mat[i, np.unique(h % HASH_DIMS)] = 1.0
+                    n_true = np.array([h.size for h in hids], dtype=np.float64)
+                    coll = n_true - mat.sum(axis=1)  # per-doc column merges
+                    return ids, hids, mat, n_true, coll
 
-                ids_a, mat_a = unpack(row["rows_a"])
-                ids_b, mat_b = unpack(row["rows_b"])
-                inter = mat_a @ mat_b.T
-                na = mat_a.sum(axis=1)
-                nb = mat_b.sum(axis=1)
-                union = na[:, None] + nb[None, :] - inter
-                jac = inter / union
-                ia, ib = np.nonzero(jac >= t)
-                va, vb, jv = ids_a[ia], ids_b[ib], jac[ia, ib]
+                ids_a, h_a, mat_a, na, ca = unpack(row["rows_a"])
+                ids_b, h_b, mat_b, nb, cb = unpack(row["rows_b"])
+                inter_h = mat_a @ mat_b.T
+                # Deterministic upper bound on the true intersection.
+                i_up = np.minimum(
+                    inter_h + np.minimum(ca[:, None], cb[None, :]),
+                    np.minimum(na[:, None], nb[None, :]),
+                )
+                union_lo = na[:, None] + nb[None, :] - i_up
+                cand_ia, cand_ib = np.nonzero(i_up >= t * union_lo)
+                va, vb, jv = [], [], []
+                for ia, ib in zip(cand_ia, cand_ib):
+                    inter = np.intersect1d(
+                        h_a[ia], h_b[ib], assume_unique=True
+                    ).size
+                    union = h_a[ia].size + h_b[ib].size - inter
+                    j = inter / union
+                    if j >= t:
+                        va.append(ids_a[ia])
+                        vb.append(ids_b[ib])
+                        jv.append(j)
+                va = np.asarray(va, dtype=np.int64)
+                vb = np.asarray(vb, dtype=np.int64)
+                jv = np.asarray(jv, dtype=np.float64)
                 if row["blk_a"] == row["blk_b"]:
                     keep = va < vb
                     va, vb, jv = va[keep], vb[keep], jv[keep]
