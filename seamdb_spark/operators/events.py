@@ -673,3 +673,73 @@ def e09_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 3600000000")
         .alias("lag_hours"),
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: credit each purchase to the user's most
+# recent preceding marketing touch (view or click).
+#
+# One window pass over the user's ordered event stream with an
+# IGNORE NULLS last_value carry-forward — the classic "fill forward"
+# shape. A single shuffle on user_id; the per-user sort is bounded by
+# per-user event counts (hundreds), so no skew risk at 100 TB beyond
+# what sessionization (e02) already carries. Ordering ties broken by
+# event_id so both engines walk the stream identically. Lags are exact
+# integer microsecond arithmetic (no float drift).
+# --------------------------------------------------------------------------
+@register(
+    "e10_last_touch_attribution",
+    oracle="""
+    WITH stream AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS touch_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_event_id, user_id,
+           COALESCE(touch_type, 'organic') AS channel,
+           CAST(CASE WHEN touch_us IS NOT NULL
+                     THEN epoch_us(ts) - touch_us END AS BIGINT) AS lag_us,
+           ROUND(value, 2) AS revenue
+    FROM stream
+    WHERE event_type = 'purchase'
+    """,
+)
+def e10_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    stream = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    return stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.coalesce("touch_type", F.lit("organic")).alias("channel"),
+        F.when(
+            F.col("touch_us").isNotNull(), F.unix_micros("ts") - F.col("touch_us")
+        )
+        .cast("long")
+        .alias("lag_us"),
+        dround(F.col("value"), 2).alias("revenue"),
+    )

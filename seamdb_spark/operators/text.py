@@ -780,3 +780,82 @@ def t15_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("p_raw"), 6).alias("token_share"),
         dround(F.col("w_raw") / F.sum("w_raw").over(w_all), 6).alias("sample_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model score: corpus-estimated conditional
+# probabilities, all-integer arithmetic.
+#
+# A real LM-quality stage: estimate p(w2 | w1) from the whole corpus's
+# bigram/unigram occurrence counts, then score each document by the
+# mean and min conditional probability over its own bigram stream. The
+# probability is kept as an INTEGER ppm value, (c_bigram * 1e6) div
+# c_first, so every comparison and sum is exact 64-bit arithmetic in
+# both engines — no log(), no float accumulation order to worry about.
+#
+# Scale (100 TB): two shuffles over the bigram stream (count, then join
+# occurrences back to counts) + one doc-level agg. The count tables are
+# vocabulary-sized (Heaps-law sublinear in corpus size) and skew on
+# frequent bigrams is absorbed by the partial-agg (map-side combine)
+# before the shuffle; the occurrence⋈counts join broadcasts under AQE
+# while vocab fits, degrading to a hash join keyed on the bigram — the
+# same plan a word-count carries. No forced hints: vocab grows with
+# corpus.
+# --------------------------------------------------------------------------
+@register(
+    "t16_bigram_lm_score",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> struct_pack(w1 := string_split(text, ' ')[i],
+                                  g  := concat_ws(' ', string_split(text, ' ')[i],
+                                                  string_split(text, ' ')[i+1])))) AS b
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    flat AS (SELECT doc_id, b.w1 AS w1, b.g AS g FROM occ),
+    bg_counts AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c_bg FROM flat GROUP BY g),
+    u_counts  AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_u FROM flat GROUP BY w1),
+    scored AS (
+      SELECT f.doc_id, (b.c_bg * 1000000) // u.c_u AS ppm
+      FROM flat f JOIN bg_counts b ON f.g = b.g
+                  JOIN u_counts u ON f.w1 = u.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(MIN(ppm) AS BIGINT) AS min_ppm,
+           ROUND(CAST(SUM(ppm) AS BIGINT) * 1.0 / COUNT(*), 2) AS mean_ppm
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def t16_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    flat = (
+        docs.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(array(split(text, ' ')),"
+                    " toks -> transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1,"
+                    "             concat_ws(' ', toks[i], toks[i+1]) AS g))))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.g")
+    )
+    bg_counts = flat.groupBy("g").agg(F.count("*").alias("c_bg"))
+    u_counts = flat.groupBy("w1").agg(F.count("*").alias("c_u"))
+    scored = (
+        flat.join(bg_counts, "g")
+        .join(u_counts, "w1")
+        .select("doc_id", F.expr("(c_bg * 1000000) div c_u").alias("ppm"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.min("ppm").alias("min_ppm"),
+        dround(F.sum("ppm") * F.lit(1.0) / F.count("*"), 2).alias("mean_ppm"),
+    )
