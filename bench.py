@@ -69,6 +69,10 @@ def main() -> None:
         "queries": timings,
         "skipped": sorted(skip),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # The query suite GROWS each round; cross-round comparisons must
+        # use per-query times or the mean, never the raw total.
+        "n_queries": len(timings),
+        "mean_query_seconds": round(total / max(1, len(timings)), 3),
         "details_file": RESULTS_FILE,
     }
     with open(RESULTS_FILE, "w") as f:

@@ -210,15 +210,21 @@ def _signatures(emb: DataFrame, planes: DataFrame) -> DataFrame:
     )
     bits_per_block = LSH_PLANES // LSH_BLOCKS
     mask = (1 << bits_per_block) - 1
-    blocks = None
-    for b in range(LSH_BLOCKS):
-        part = sig.select(
-            "vec_id",
+    # One explode pass builds every block row — a unionAll of per-block
+    # projections would re-derive the whole signature pipeline (corpus ×
+    # planes crossJoin + groupBy) once per block (same trap as d02 bands).
+    block_structs = [
+        F.struct(
             F.lit(b).alias("block_id"),
-            F.expr(f"(shiftright(sig, {b * bits_per_block}) & {mask})").alias("block_key"),
+            F.expr(f"(shiftright(sig, {b * bits_per_block}) & {mask})").alias(
+                "block_key"
+            ),
         )
-        blocks = part if blocks is None else blocks.unionAll(part)
-    return blocks
+        for b in range(LSH_BLOCKS)
+    ]
+    return sig.select(
+        "vec_id", F.explode(F.array(*block_structs)).alias("bk")
+    ).select("vec_id", "bk.block_id", "bk.block_key")
 
 
 def _s02_oracle() -> str:
