@@ -1,0 +1,122 @@
+"""Invariant tests for the round-2 pipeline operators (d11, p01,
+t13–t16, e10) beyond the oracle gate: structural properties that must
+hold at any scale factor, checked at SF_SMOKE."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+import __spark_entry__ as entry_mod
+
+
+def _q(name):
+    return entry_mod.queries()[name]
+
+
+def test_canonical_keeper_invariants(spark):
+    keepers = _q("d11_canonical_keeper")(spark, SF_SMOKE).collect()
+    clusters = {
+        r.cluster_id: r for r in _q("d09_dedup_clusters")(spark, SF_SMOKE).collect()
+    }
+    assert len(keepers) > 0
+    for k in keepers:
+        assert k.n_dropped == k.n_members - 1
+        assert k.n_members >= 1
+        # the keeper must belong to its own cluster
+        assert k.cluster_id in clusters
+
+
+def test_keeper_is_quality_argmax(spark):
+    quality = {
+        r.doc_id: r.quality_score
+        for r in _q("t02_quality_score")(spark, SF_SMOKE).collect()
+    }
+    members = {}
+    for r in _q("d09_dedup_clusters")(spark, SF_SMOKE).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    for k in _q("d11_canonical_keeper")(spark, SF_SMOKE).collect():
+        best = max(members[k.cluster_id], key=lambda d: (quality[d], -d))
+        assert k.keeper_doc_id == best
+
+
+def test_curation_pipeline_invariants(spark):
+    rows = _q("p01_curation_pipeline")(spark, SF_SMOKE).collect()
+    n_docs = _q("t02_quality_score")(spark, SF_SMOKE).count()
+    assert len(rows) == n_docs  # exactly one verdict per document
+    from seamdb_spark.operators.pipeline import QUALITY_MIN
+
+    statuses = {r.status for r in rows}
+    assert statuses <= {"kept", "dropped_quality", "dropped_duplicate"}
+    keepers_per_cluster = {}
+    for r in rows:
+        if r.status == "dropped_quality":
+            assert r.quality_score < QUALITY_MIN
+        else:
+            assert r.quality_score >= QUALITY_MIN
+        if r.cluster_id is not None and r.status == "kept":
+            keepers_per_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    # at most one survivor kept per near-dup cluster
+    for cluster, kept in keepers_per_cluster.items():
+        assert len(kept) == 1, (cluster, kept)
+
+
+def test_sequence_pack_budget(spark):
+    from seamdb_spark.operators.text import PACK_BUDGET
+
+    packs = _q("t13_sequence_pack")(spark, SF_SMOKE).collect()
+    assert len(packs) > 0
+    for p in packs:
+        assert p.overflow == (p.total_tokens > PACK_BUDGET)
+        assert p.first_doc <= p.last_doc
+        assert p.n_docs >= 1
+    # packs within a shard partition the shard's docs contiguously
+    by_shard = {}
+    for p in packs:
+        by_shard.setdefault(p.shard, []).append(p)
+    for shard, plist in by_shard.items():
+        plist.sort(key=lambda p: p.pack_id)
+        for a, b in zip(plist, plist[1:]):
+            assert a.last_doc < b.first_doc
+
+
+def test_pii_redaction_counts(spark):
+    rows = _q("t14_pii_redact")(spark, SF_SMOKE).collect()
+    # every doc gets exactly one injected email and one injected phone
+    for r in rows:
+        assert r.n_emails == 1
+        assert r.n_phones == 1
+        assert r.redacted_len > 0
+
+
+def test_domain_mixture_normalized(spark):
+    rows = _q("t15_domain_mixture")(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.sample_weight for r in rows) - 1.0) < 1e-4
+    # alpha < 1 compresses the distribution: max weight shrinks,
+    # min weight grows
+    shares = sorted(r.token_share for r in rows)
+    weights = sorted(r.sample_weight for r in rows)
+    assert weights[-1] <= shares[-1] + 1e-9
+    assert weights[0] >= shares[0] - 1e-9
+
+
+def test_bigram_lm_score_bounds(spark):
+    rows = _q("t16_bigram_lm_score")(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r.min_ppm <= 1_000_000
+        assert r.min_ppm <= r.mean_ppm <= 1_000_000
+        assert r.n_bigrams >= 1
+
+
+def test_attribution_channels(spark):
+    rows = _q("e10_last_touch_attribution")(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    channels = {r.channel for r in rows}
+    assert channels <= {"view", "click", "organic"}
+    for r in rows:
+        if r.channel == "organic":
+            assert r.lag_us is None
+        else:
+            assert r.lag_us >= 0
