@@ -1,4 +1,5 @@
 from .events import (
+    attribution_stream,
     click_purchase_join_stream,
     doc_dedup_stream,
     funnel_stage_stream,
@@ -11,6 +12,7 @@ from .events import (
 )
 
 __all__ = [
+    "attribution_stream",
     "stream_events",
     "stream_documents",
     "click_purchase_join_stream",

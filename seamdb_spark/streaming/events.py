@@ -282,3 +282,74 @@ def funnel_stage_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of e10_last_touch_attribution via
+    applyInPandasWithState: per-user state carries the latest marketing
+    touch (type + epoch-micros); each micro-batch folds its events in
+    time order and emits one row per purchase with the attributed
+    channel and exact integer lag. The carry-forward survives across
+    micro-batches — precisely what the batch window's UNBOUNDED
+    PRECEDING frame computes over the full log.
+
+    Scale: state is two scalars per user (bounded, no timeline kept);
+    the state store shards on user_id like every keyed stateful op.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("purchase_event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("channel", T.StringType()),
+            T.StructField("lag_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("touch_type", T.StringType()),
+            T.StructField("touch_us", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        touch_type, touch_us = state.get if state.exists else (None, None)
+        out_id, out_ch, out_lag, out_val = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for eid, et, ts_us, val in zip(
+                pdf["event_id"], pdf["event_type"], pdf["ts_us"], pdf["value"]
+            ):
+                ts_us = int(ts_us)
+                if et == "purchase":
+                    out_id.append(int(eid))
+                    out_ch.append(touch_type or "organic")
+                    out_lag.append(
+                        None if touch_us is None else ts_us - touch_us
+                    )
+                    out_val.append(float(val))
+                elif et in ("view", "click"):
+                    touch_type, touch_us = et, ts_us
+        state.update((touch_type, touch_us))
+        yield pd.DataFrame(
+            {
+                "purchase_event_id": pd.array(out_id, dtype="Int64"),
+                "user_id": pd.array([key[0]] * len(out_id), dtype="Int64"),
+                "channel": out_ch,
+                "lag_us": pd.array(out_lag, dtype="Int64"),
+                "value": out_val,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -121,3 +121,20 @@ def test_funnel_stream_matches_batch(spark):
         for r in e07_funnel_steps(spark, SF_SMOKE).collect()
     }
     assert got == batch
+
+
+def test_attribution_stream_matches_batch(spark):
+    from seamdb_spark.operators.events import e10_last_touch_attribution
+
+    out = st.run_stream_to_memory(
+        st.attribution_stream(spark, SF_SMOKE), "attr_test", "append"
+    )
+    got = {
+        r.purchase_event_id: (r.channel, r.lag_us, round(r.value, 2))
+        for r in out.collect()
+    }
+    batch = {
+        r.purchase_event_id: (r.channel, r.lag_us, r.revenue)
+        for r in e10_last_touch_attribution(spark, SF_SMOKE).collect()
+    }
+    assert got == batch and len(batch) > 0
