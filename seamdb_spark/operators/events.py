@@ -743,3 +743,47 @@ def e10_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag_us"),
         dround(F.col("value"), 2).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable-sketch rollup: per-hour HLL sketches union-merged per
+# event_type. THE pre-aggregation pattern at 100 TB — hourly partials
+# are built once (map-side, one pass) and any coarser rollup
+# (day/month/all-time) is a cheap union of sketch bytes, never a
+# rescan. Oracle-checked like x01: the compared columns are the exact
+# distinct count plus a within-tolerance boolean over the merged
+# estimate, so the hash gate fails iff sketch merging breaks accuracy.
+# --------------------------------------------------------------------------
+@register(
+    "x06_sketch_merge_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT DATE_TRUNC('hour', ts)) AS BIGINT) AS n_hours,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def x06_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_hours",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.greatest(F.col("exact_users"), F.lit(1))
+            < APPROX_DISTINCT_RTOL
+        ).alias("merged_ok"),
+    )
