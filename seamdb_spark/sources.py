@@ -34,14 +34,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps) regardless of the caller's session/machine timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read nanos as long and truncate to micros (matching
-        # DuckDB's nanos→micros truncation).
+        # Fixture generations have stored ts as TIMESTAMP(NANOS) or
+        # TIMESTAMP(MICROS); normalize either to session-tz TimestampType
+        # (micros precision, matching DuckDB's nanos→micros truncation).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos read as long under nanosAsLong
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type != "timestamp":  # timestamp_ntz → ltz (identity in UTC)
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

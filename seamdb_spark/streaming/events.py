@@ -25,32 +25,47 @@ from pyspark.sql import types as T
 
 SESSION_GAP = "30 minutes"
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """File-stream sources need an explicit schema; fixture generations
+    differ (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)), so sniff the parquet
+    footer (metadata-only read) and return (schema, ts_is_nanos_long)."""
+    import pyarrow.parquet as pq
+
+    ts_arrow = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    nanos = "ns" in str(ts_arrow)
+    ts_field = T.LongType() if nanos else T.TimestampNTZType()
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", ts_field),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        nanos,
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events fixture as a file-source stream (nanos → micros, like the
-    batch loader in sources.py)."""
+    """events fixture as a file-source stream, ts normalized to micros
+    TimestampType like the batch loader in sources.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema, nanos = _events_raw_schema(sf_dir)
     # The fixture is a single file; the file-stream source requires a
     # directory, so stream the sf dir with a glob pinned to events.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
