@@ -822,3 +822,80 @@ def d11_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.q").alias("keeper_quality"),
         (F.col("n_members") - 1).cast("long").alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# d12: exact duplicated-span detection (the "substring dedup" of
+# training-data pipelines: find long token spans appearing verbatim in
+# more than one document, and how much of each document is covered by
+# such spans). Spans are 8-token sliding windows keyed by md5 — the
+# hash narrows the shuffle key to 32 bytes regardless of span length.
+#
+# Scale: explode is linear in corpus tokens; the span-popularity
+# aggregation is an equi-shuffle on the hash (uniform by
+# construction). At 100 TB the only adjustment is a longer span (50
+# tokens) and a Bloom-filter pre-pass on span hashes to skip the
+# singleton majority before the shuffle.
+# --------------------------------------------------------------------------
+SPAN_TOKENS = 8
+
+
+@register(
+    "d12_duplicated_spans",
+    oracle=f"""
+    WITH spans AS (
+      SELECT DISTINCT doc_id, md5(g) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(string_split(text, ' ')) - {SPAN_TOKENS - 2}),
+                 i -> array_to_string(list_slice(string_split(text, ' '),
+                                                 i, i + {SPAN_TOKENS - 1}), ' ')
+               )) AS g
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SPAN_TOKENS}
+      )
+    ),
+    popularity AS (
+      SELECT h, COUNT(*) AS n_docs FROM spans GROUP BY h
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE p.n_docs > 1) AS BIGINT) AS n_dup_spans,
+           ROUND(COUNT(*) FILTER (WHERE p.n_docs > 1) * 1.0 / COUNT(*), 6)
+             AS dup_fraction
+    FROM spans s JOIN popularity p ON s.h = p.h
+    GROUP BY s.doc_id
+    HAVING COUNT(*) FILTER (WHERE p.n_docs > 1) > 0
+    """,
+)
+def d12_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    spans = (
+        docs.filter(F.size(F.split("text", " ")) >= SPAN_TOKENS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(array(split(text, ' ')),"
+                    f" toks -> transform(sequence(0, size(toks) - {SPAN_TOKENS}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {SPAN_TOKENS}))))"
+                    "[0]"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("h"))
+        .distinct()
+    )
+    popularity = spans.groupBy("h").agg(F.count("*").alias("n_docs"))
+    dup = F.count(F.when(F.col("n_docs") > 1, 1))
+    return (
+        spans.join(popularity, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("n_dup_spans"),
+            dround(dup * F.lit(1.0) / F.count("*"), 6).alias("dup_fraction"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+    )

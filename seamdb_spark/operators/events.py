@@ -787,3 +787,56 @@ def x06_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             < APPROX_DISTINCT_RTOL
         ).alias("merged_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# e11: event-type transition matrix (first-order Markov counts) — for
+# each consecutive pair of events in a user's stream, count (prev →
+# next) transitions and their per-prev probability. The building block
+# behind funnel discovery / user-journey mining.
+#
+# Scale: one shuffle on user_id for the lag window (per-user sort
+# bounded by per-user event counts), then an ~|types|² group count with
+# map-side partials. The probability is computed with a second tiny
+# aggregation joined back on prev_type (bounded by |types| rows, always
+# broadcastable).
+# --------------------------------------------------------------------------
+@register(
+    "e11_event_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    totals AS (
+      SELECT prev_type, SUM(n) AS total FROM counts GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n * 1.0 / t.total, 6) AS p
+    FROM counts c JOIN totals t ON c.prev_type = t.prev_type
+    """,
+)
+def e11_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        dround(F.col("n") / F.col("total"), 6).alias("p"),
+    )

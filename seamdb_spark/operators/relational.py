@@ -1677,3 +1677,123 @@ def x05_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q51: suppliers who kept orders waiting (TPC-H Q21 shape, adapted: the
+# fixture has no commit/receipt dates, so "late" = shipped more than 60
+# days after the order date). The oracle keeps the classic doubly-
+# correlated EXISTS / NOT EXISTS formulation; the Spark plan re-expresses
+# it as two aggregations — per-(order, supplier) late-item counts, then
+# per-order qualification (>=2 distinct suppliers, exactly one of them
+# late) — which is the decorrelated plan an optimizer would pick anyway.
+#
+# Scale: both aggregations shuffle on l_orderkey (natural, skew-free
+# key); the final count shuffles on s_suppkey (bounded by supplier
+# cardinality). No correlated per-row subquery execution anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "q51_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    """,
+)
+def q51_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    tagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("long")
+        .alias("late"),
+    )
+    per_supp = tagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("late_items")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("late_items") > 0, 1)).alias("n_late_supp"),
+        F.max(
+            F.when(
+                F.col("late_items") > 0,
+                F.struct(F.col("l_suppkey"), F.col("late_items")),
+            )
+        ).alias("sole_late"),
+    )
+    waits = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy(F.col("sole_late.l_suppkey").alias("s_suppkey"))
+        .agg(F.sum("sole_late.late_items").alias("numwait"))
+    )
+    return waits.join(supplier, "s_suppkey").select("s_name", "numwait")
+
+
+# --------------------------------------------------------------------------
+# q52: dormant high-balance customers (TPC-H Q22 shape, adapted: the
+# fixture has no phone country codes, so segmentation is c_mktsegment).
+# Scalar subquery (global positive-balance average) + NOT EXISTS
+# anti-join against orders.
+#
+# Scale: the scalar average is a 1-row broadcast (O(1) regardless of
+# table size — broadcasting it is always safe); the anti-join shuffles
+# on custkey; final agg has ~segments groups with map-side partials.
+# --------------------------------------------------------------------------
+@register(
+    "q52_dormant_customers",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def q52_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "Dormant" = no order since the cutoff (every fixture customer has
+    # *some* order, so a plain no-orders predicate would be vacuous).
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pos_avg = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(pos_avg))  # 1-row scalar: always broadcastable
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -859,3 +859,133 @@ def t16_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ppm").alias("min_ppm"),
         dround(F.sum("ppm") * F.lit(1.0) / F.count("*"), 2).alias("mean_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# t17: document chunking — fixed-size token windows with overlap, the
+# standard pre-tokenization step for long-document training pipelines
+# (chunk 40 tokens, stride 30 → 10-token overlap). Every document
+# yields ceil(max(0, n-40)/30) + 1 chunks; the final chunk may be
+# short (slice clamps at the end of the array).
+#
+# Scale: pure row-local array work (split once, slice per chunk) —
+# zero shuffle, linear in output tokens; the explode multiplies rows
+# ~n/30-fold which parquet scan partitioning absorbs.
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30
+
+
+@register(
+    "t17_doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             UNNEST(generate_series(0,
+               CAST(CEIL(GREATEST(n - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0)
+                    AS BIGINT))) AS k
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(t, k * {CHUNK_STRIDE} + 1,
+                                      k * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(t, k * {CHUNK_STRIDE} + 1,
+                               k * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT)
+             AS chunk_tokens
+    FROM idx
+    """,
+)
+def t17_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_extra = F.ceil(
+        F.greatest(F.col("n") - CHUNK_TOKENS, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+    ).cast("long")
+    chunked = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("t"), (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"), CHUNK_TOKENS
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t18: n-gram novelty — per document, the fraction of its distinct
+# 3-word shingles that no earlier document (smaller doc_id) contains.
+# The streaming-corpus view of contamination/duplication: a curation
+# pipeline ingesting shards in order uses this to measure marginal new
+# content per shard.
+#
+# Scale: one explode + distinct on (shingle, doc_id), a groupBy shingle
+# for the first-seen owner (min doc_id), then a per-doc count — all
+# equi-shuffles on high-cardinality keys. Hot shingles (stopword runs)
+# skew the min-agg only through its map-side partials, which absorb
+# them before the shuffle.
+# --------------------------------------------------------------------------
+from .dedup import _SHINGLES_SQL  # noqa: E402  (same 3-word shingles as d02/d04)
+
+
+@register(
+    "t18_ngram_novelty",
+    oracle="""
+    WITH sh AS ({shingles}),
+    flat AS (
+      SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh
+    ),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM flat GROUP BY g
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE fs.first_doc = f.doc_id) AS BIGINT)
+             AS n_novel,
+           ROUND(COUNT(*) FILTER (WHERE fs.first_doc = f.doc_id) * 1.0
+                 / COUNT(*), 6) AS novelty
+    FROM flat f JOIN first_seen fs ON f.g = fs.g
+    GROUP BY f.doc_id
+    """.format(shingles=_SHINGLES_SQL),
+)
+def t18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _shingles_df
+
+    flat = (
+        _shingles_df(spark, sf_dir)
+        .select("doc_id", F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    first_seen = flat.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        flat.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+            dround(
+                F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+                * F.lit(1.0)
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
