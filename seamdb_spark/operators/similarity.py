@@ -787,3 +787,65 @@ def s05_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= RANGE_TAU)
     )
+
+
+# --------------------------------------------------------------------------
+# s06: metadata-filtered ANN — top-k under a per-probe attribute
+# predicate (here: neighbors must carry a different label than the
+# probe; stand-in for "same language", "not same source", ACL filters,
+# …). The important property at scale: the filter applies BEFORE
+# scoring, so the scorer touches only qualifying vectors — filters
+# push into the scan, they don't post-filter a top-k (which would
+# silently return < k rows).
+#
+# Scale: same shape as s01 (broadcast probes × partitioned corpus);
+# the label predicate is evaluated row-locally pre-ranking, and for an
+# IVF/LSH-accelerated variant the same predicate composes with the
+# block-key equi-join unchanged.
+# --------------------------------------------------------------------------
+@register(
+    "s06_ann_filtered_topk",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe, label AS pl
+                    FROM embeddings WHERE vec_id < {N_PROBES}),
+    scored AS (
+      SELECT probe_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             ROUND({_cos_sql('pe', 'e.embedding')}, 6) AS cosine
+      FROM probes JOIN embeddings e
+        ON e.vec_id <> probe_id AND e.label <> pl
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, neighbor_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, neighbor_label, cosine, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def s06_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("pl"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter((F.col("vec_id") != F.col("probe_id")) & (F.col("label") != F.col("pl")))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            dround(
+                _dot("pe", "embedding") / (_norm("pe") * _norm("embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "neighbor_label", "cosine", "rk")
+    )
