@@ -1797,3 +1797,43 @@ def q52_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q53: conditional / argmax aggregate family — max_by, min_by,
+# bool_and, bool_or, count_if, and an ordered string_agg. Ties on the
+# argmax value are broken by the name itself (both engines aggregate a
+# (value, name) struct and extract the name), so the result is
+# deterministic under any partitioning.
+#
+# Scale: one groupBy over a dimension-bounded key with map-side
+# partials; the string_agg output is O(group size) — a profile query
+# for dimension tables, not a fact-table reduction.
+# --------------------------------------------------------------------------
+@register(
+    "q53_argmax_aggregates",
+    oracle="""
+    SELECT s_nationkey,
+           (max(struct_pack(a := s_acctbal, n := s_name))).n AS richest,
+           (min(struct_pack(a := s_acctbal, n := s_name))).n AS poorest,
+           bool_and(s_acctbal > 0) AS all_positive,
+           bool_or(s_acctbal > 9000) AS any_rich,
+           CAST(count_if(s_acctbal < 0) AS BIGINT) AS n_negative,
+           string_agg(s_name, ',' ORDER BY s_name) AS member_names
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q53_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    tie_key = F.struct(F.col("s_acctbal").alias("a"), F.col("s_name").alias("n"))
+    return supp.groupBy("s_nationkey").agg(
+        F.max_by("s_name", tie_key).alias("richest"),
+        F.min_by("s_name", tie_key).alias("poorest"),
+        F.bool_and(F.col("s_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("s_acctbal") > 9000).alias("any_rich"),
+        F.count_if(F.col("s_acctbal") < 0).alias("n_negative"),
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+            "member_names"
+        ),
+    )

@@ -183,6 +183,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "nation", "region", "n1", "n2", "asia_nations",
         # single-row / K-row aggregates
         "avg_price", "per_nation", "total", "n_docs", "bounds", "n_total",
+        "pos_avg",  # q52: global scalar average, 1 row
+        "totals",  # e11: per-event-type totals, |types| rows
         # O(K) probe / centroid / plane / chunk tables
         "probes", "probe_blocks", "probe_vecs", "planes", "chunks", "cdf",
         # spark.createDataFrame(<driver-local list>) is O(K) by construction
