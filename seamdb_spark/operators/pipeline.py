@@ -102,3 +102,55 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             verdict.alias("status"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p02: semantic dedup — near-duplicate *embedding* pairs (d06's exact
+# block-matrix int64 kernel) joined back to the documents table and
+# classified: pairs whose surface text is byte-identical (md5 of
+# normalized text matches) vs semantic-only near-dups whose text
+# differs. The cross-modal composition a curation pipeline runs after
+# lexical dedup: embedding-similar but textually-distinct pairs are
+# the paraphrase/translation candidates lexical methods miss.
+#
+# Scale: d06's kernel cost dominates (see SCALING.md); the doc join is
+# two doc_id-keyed equi-joins (skew-free), and the pair table is the
+# near-dup output — orders smaller than the corpus.
+# --------------------------------------------------------------------------
+from .similarity import _quant_oracle, d06_embedding_neardup_blocked
+
+
+def _semantic_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_quant_oracle()})
+    SELECT p.vec_a AS doc_a, p.vec_b AS doc_b, p.cosine,
+           CAST(md5(lower(trim(da.text))) = md5(lower(trim(db.text)))
+                AS BIGINT) AS same_text,
+           CAST(LEAST(p.vec_a, p.vec_b) AS BIGINT) AS keeper_doc_id
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.vec_a
+    JOIN documents db ON db.doc_id = p.vec_b
+    """
+
+
+@register("p02_semantic_dedup", oracle=_semantic_oracle())
+def p02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    pairs = d06_embedding_neardup_blocked(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    )
+    da = docs.select(F.col("doc_id").alias("vec_a"), F.col("h").alias("h_a"))
+    db = docs.select(F.col("doc_id").alias("vec_b"), F.col("h").alias("h_b"))
+    return (
+        pairs.join(da, "vec_a")
+        .join(db, "vec_b")
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "cosine",
+            (F.col("h_a") == F.col("h_b")).cast("long").alias("same_text"),
+            F.least("vec_a", "vec_b").alias("keeper_doc_id"),
+        )
+    )

@@ -51,7 +51,13 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 10 MB, the stock-Spark order of magnitude. The previous 64 MB
+        # made Catalyst broadcast column-pruned FACT-table sides (q04
+        # semi-join build, d10's exploded-shingle corpus) — wrong shape
+        # at any scale and measurably slower even at sf0.1 (q04 1.9s →
+        # 0.8s, d10 3.9s → 1.2s). Dims/probe tables stay broadcast; AQE
+        # re-decides from actual runtime sizes either way.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

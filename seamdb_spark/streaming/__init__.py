@@ -8,6 +8,7 @@ from .events import (
     session_window_stream,
     stream_documents,
     stream_events,
+    transitions_stream,
     user_running_totals_stream,
 )
 
@@ -22,4 +23,5 @@ __all__ = [
     "session_window_stream",
     "user_running_totals_stream",
     "run_stream_to_memory",
+    "transitions_stream",
 ]

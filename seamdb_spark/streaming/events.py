@@ -368,3 +368,55 @@ def attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of e11_event_transitions via
+    applyInPandasWithState: per-user state carries only the LAST event
+    type; each micro-batch folds its events in time order and emits one
+    row per observed (prev → next) transition. Aggregating the emitted
+    pairs reproduces the batch transition matrix exactly.
+
+    Scale: state is one string per user; emission is linear in the
+    batch. The downstream count-by-pair is a normal bounded-cardinality
+    aggregation (~|types|²)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_type", T.StringType())])
+
+    def update(key, pdfs, state: GroupState):
+        (last,) = state.get if state.exists else (None,)
+        prevs, nexts = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for et in pdf["event_type"]:
+                if last is not None:
+                    prevs.append(last)
+                    nexts.append(et)
+                last = et
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([key[0]] * len(prevs), dtype="Int64"),
+                "prev_type": pd.array(prevs, dtype="string"),
+                "next_type": pd.array(nexts, dtype="string"),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

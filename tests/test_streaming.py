@@ -138,3 +138,22 @@ def test_attribution_stream_matches_batch(spark):
         for r in e10_last_touch_attribution(spark, SF_SMOKE).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_transitions_stream_matches_batch(spark):
+    from seamdb_spark.operators.events import e11_event_transitions
+
+    out = st.run_stream_to_memory(
+        st.transitions_stream(spark, SF_SMOKE), "trans_test", "append"
+    )
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in out.groupBy("prev_type", "next_type").count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    batch = {
+        (r.prev_type, r.next_type): r.n
+        for r in e11_event_transitions(spark, SF_SMOKE).collect()
+    }
+    assert got == batch and len(batch) > 0
