@@ -840,3 +840,43 @@ def e11_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         dround(F.col("n") / F.col("total"), 6).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# e12: trending event types — per hour, the top-3 event types by count
+# with rank. The realtime-dashboard shape: bucketed rollup + per-bucket
+# top-k.
+#
+# Scale: one (hour, type) partial-agg shuffle (bounded cardinality),
+# then a per-hour window whose groups are |types| rows — Spark's
+# WindowGroupLimit prunes to k rows per partition before the shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "e12_trending_types",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour, event_type, CAST(n AS BIGINT) AS n, rk FROM (
+      SELECT hour, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY hour
+                                ORDER BY n DESC, event_type) AS rk
+      FROM hourly
+    ) t WHERE rk <= 3
+    """,
+)
+def e12_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("hour").orderBy(F.col("n").desc(), "event_type")
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("hour", "event_type", "n", "rk")
+    )

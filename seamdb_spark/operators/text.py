@@ -989,3 +989,49 @@ def t18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t19: corpus vocabulary profile per source — token volume, vocabulary
+# size, type/token ratio, and hapax fraction (words seen exactly once).
+# The corpus-health dashboard numbers a curation run tracks shard over
+# shard: a collapsing type/token ratio or hapax fraction signals
+# boilerplate flooding or dedup failure upstream.
+#
+# Scale: explode is linear in tokens; the (source, word) count is an
+# equi-shuffle whose hot keys (stopwords) are absorbed by map-side
+# partials; the per-source rollup is |sources| groups.
+# --------------------------------------------------------------------------
+@register(
+    "t19_vocab_profile",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (
+      SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS type_token_ratio,
+           ROUND(count_if(c = 1) * 1.0 / COUNT(*), 6) AS hapax_fraction
+    FROM counts
+    GROUP BY source
+    """,
+)
+def t19_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        dround(F.count("*") * F.lit(1.0) / F.sum("c"), 6).alias("type_token_ratio"),
+        dround(
+            F.count_if(F.col("c") == 1) * F.lit(1.0) / F.count("*"), 6
+        ).alias("hapax_fraction"),
+    )
