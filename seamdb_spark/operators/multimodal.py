@@ -294,3 +294,80 @@ def m04_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m05: binary windowing — fixed-size byte windows with 50% hop over the
+# opaque payload (the audio-pipeline analogue of t17's token chunking:
+# frame extraction for feature models operates on exactly this shape).
+# The mapInPandas kernel explodes 1→N rows batch-wise; the oracle
+# replays the same byte slicing with BLOB substring + md5 in SQL, so
+# the binary-domain plumbing (offsets, short final window, digests) is
+# hash-checked end-to-end.
+#
+# Scale: row-local explode, zero shuffle; output rows ~ payload_bytes /
+# hop. Window/hop are the batch-memory knobs at 100 TB.
+# --------------------------------------------------------------------------
+WINDOW_BYTES = 64
+WINDOW_HOP = 32
+WINDOW_SCHEMA = (
+    "doc_id long, window_id long, byte_off long, n_bytes long, window_md5 string"
+)
+
+
+@register(
+    "m05_binary_windows",
+    oracle=f"""
+    -- DuckDB's substring is VARCHAR-only; the synthesized payload is
+    -- the ASCII utf-8 of `text`, so character slicing is byte-identical
+    -- (1 byte per char) and md5(str) == md5(bytes).
+    WITH sized AS (
+      SELECT doc_id, text AS payload, octet_length(CAST(text AS BLOB)) AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, payload, n,
+             UNNEST(generate_series(0,
+               CAST(CEIL(GREATEST(n - {WINDOW_BYTES}, 0) / {WINDOW_HOP}.0)
+                    AS BIGINT))) AS k
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS window_id,
+           CAST(k * {WINDOW_HOP} + 1 AS BIGINT) AS byte_off,
+           CAST(length(substring(payload, k * {WINDOW_HOP} + 1,
+                                 {WINDOW_BYTES})) AS BIGINT) AS n_bytes,
+           md5(substring(payload, k * {WINDOW_HOP} + 1, {WINDOW_BYTES}))
+             AS window_md5
+    FROM idx
+    """,
+)
+def m05_binary_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = _with_payload(spark, sf_dir)
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wids, offs, lens, digests = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                n_windows = 1 + max(0, -(-max(0, n - WINDOW_BYTES) // WINDOW_HOP))
+                for k in range(n_windows):
+                    start = k * WINDOW_HOP
+                    piece = data[start : start + WINDOW_BYTES]
+                    ids.append(doc_id)
+                    wids.append(k)
+                    offs.append(start + 1)
+                    lens.append(len(piece))
+                    digests.append(hashlib.md5(piece).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "window_id": pd.array(wids, dtype="int64"),
+                    "byte_off": pd.array(offs, dtype="int64"),
+                    "n_bytes": pd.array(lens, dtype="int64"),
+                    "window_md5": pd.array(digests, dtype="string"),
+                }
+            )
+
+    return payloads.mapInPandas(windows, schema=WINDOW_SCHEMA)
