@@ -1837,3 +1837,36 @@ def q53_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "member_names"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q54: bitwise expression + aggregate family — &, |, ^, shifts at the
+# row level and bit_and/bit_or/bit_xor as aggregates (flag-mask
+# rollups: "which permission bits hold across the whole group").
+#
+# Scale: pure codegen row expressions into a map-side-partial group agg
+# on a bounded key — same near-zero-shuffle profile as q01.
+# --------------------------------------------------------------------------
+@register(
+    "q54_bitwise_aggregates",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(bit_and(s_suppkey) AS BIGINT)        AS keys_and,
+           CAST(bit_or(s_suppkey) AS BIGINT)         AS keys_or,
+           CAST(bit_xor(s_suppkey) AS BIGINT)        AS keys_xor,
+           CAST(bit_or(s_suppkey & 7) AS BIGINT)     AS low_bits_or,
+           CAST(SUM((s_suppkey >> 2) & 1) AS BIGINT) AS third_bit_pop
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q54_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return supp.groupBy("s_nationkey").agg(
+        F.bit_and(k).alias("keys_and"),
+        F.bit_or(k).alias("keys_or"),
+        F.bit_xor(k).alias("keys_xor"),
+        F.bit_or(k.bitwiseAND(F.lit(7))).alias("low_bits_or"),
+        F.sum(F.shiftright(k, 2).bitwiseAND(F.lit(1))).alias("third_bit_pop"),
+    )
