@@ -94,3 +94,26 @@ class TestSparkSideProperties:
         con = duckdb.connect()
         want = [con.execute("SELECT ROUND(?, 2)", [x]).fetchall()[0][0] for x in xs]
         assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=100_000))
+def test_chunk_window_formula_covers_sequence(n):
+    """The shared chunk/window-count formula (t17 token chunks, m05 byte
+    windows): 1 + ceil(max(0, n - size)/hop) windows of `size` at `hop`
+    strides cover [1, n] exactly — the last window reaches n, no window
+    starts beyond n, and consecutive windows overlap by size - hop."""
+    from seamdb_spark.operators.text import CHUNK_STRIDE as hop
+    from seamdb_spark.operators.text import CHUNK_TOKENS as size
+
+    n_windows = 1 + max(0, -(-max(0, n - size) // hop))
+    starts = [k * hop + 1 for k in range(n_windows)]
+    ends = [min(s + size - 1, n) for s in starts]
+    assert all(s <= n for s in starts)  # no empty window
+    assert ends[-1] == n  # full coverage of the tail
+    if n_windows > 1:
+        assert starts[-1] + size - 1 >= n  # last window reaches the end
+        # every gap between consecutive starts is exactly the hop
+        assert all(b - a == hop for a, b in zip(starts, starts[1:]))
+        # and the formula is minimal: one fewer window would leave a gap
+        assert starts[-2] + size - 1 < n
