@@ -849,3 +849,130 @@ def s06_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("probe_id", "neighbor_id", "neighbor_label", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# s07: two-stage retrieval — quantized candidate generation + exact
+# float re-rank. THE production serving pattern: scan the 4x-smaller
+# int8-style corpus for a candidate pool (top-20 by integer-exact
+# quantized cosine), then re-score only the pool with full-precision
+# floats and emit the top-5. Recall loss is confined to candidates the
+# quantizer mis-ranks past the pool boundary; the pool size is the
+# recall/cost knob.
+#
+# Scale: stage 1 is s04's broadcast-probes scan over the compressed
+# corpus (the scan cost that matters at a billion vectors); stage 2
+# touches probes × pool rows — negligible. The float fetch for the
+# pool is a vec_id equi-join against the full-precision table (the
+# "fetch from the vector store" step).
+# --------------------------------------------------------------------------
+RERANK_POOL = 20
+
+
+@register(
+    "s07_ann_rerank_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, qe,
+             {_ISUM_SQL.format(l="list_transform(qe, v -> v * v)")} AS nq
+      FROM (SELECT vec_id, {_Q_SQL.format(a="embedding")} AS qe FROM embeddings)
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, qe AS pe, nq AS np FROM n
+      WHERE vec_id < {N_PROBES}
+    ),
+    scored_q AS (
+      SELECT probe_id, e.vec_id AS neighbor_id,
+             ROUND(CAST({_ISUM_SQL.format(
+                 l="list_transform(list_zip(pe, e.qe), p -> p[1] * p[2])")}
+                 AS DOUBLE)
+                 / (sqrt(CAST(np AS DOUBLE)) * sqrt(CAST(e.nq AS DOUBLE))), 6)
+               AS cosine_q
+      FROM probes JOIN n e ON e.vec_id <> probe_id
+    ),
+    pool AS (
+      SELECT probe_id, neighbor_id, cosine_q FROM (
+        SELECT probe_id, neighbor_id, cosine_q,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine_q DESC, neighbor_id) AS rk_q
+        FROM scored_q
+      ) WHERE rk_q <= {RERANK_POOL}
+    ),
+    exact AS (
+      SELECT p.probe_id, p.neighbor_id, p.cosine_q,
+             ROUND({_cos_sql('pf.embedding', 'nf.embedding')}, 6) AS cosine
+      FROM pool p
+      JOIN embeddings pf ON pf.vec_id = p.probe_id
+      JOIN embeddings nf ON nf.vec_id = p.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cosine, cosine_q, rk FROM (
+      SELECT probe_id, neighbor_id, cosine, cosine_q,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM exact
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def s07_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    qe = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127.0 / scale).cast("long"),
+    )
+    isum = lambda l: F.aggregate(l, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    n = emb.select(
+        "vec_id",
+        qe.alias("qe"),
+        isum(F.transform(qe, lambda v: v * v)).alias("nq"),
+    )
+    probes = n.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qe").alias("pe"),
+        F.col("nq").alias("np"),
+    )
+    dotq = isum(F.zip_with("pe", "qe", lambda x, y: x * y))
+    scored_q = (
+        n.repartition(64)
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dround(
+                dotq.cast("double")
+                / (F.sqrt(F.col("np").cast("double")) * F.sqrt(F.col("nq").cast("double"))),
+                6,
+            ).alias("cosine_q"),
+        )
+    )
+    wq = W.partitionBy("probe_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        scored_q.withColumn("rk_q", F.row_number().over(wq))
+        .filter(F.col("rk_q") <= RERANK_POOL)
+        .drop("rk_q")
+    )
+    pf = emb.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe_f"))
+    nf = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne_f")
+    )
+    exact = (
+        pool.join(pf, "probe_id")
+        .join(nf, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            dround(_dot("pe_f", "ne_f") / (_norm("pe_f") * _norm("ne_f")), 6).alias(
+                "cosine"
+            ),
+            "cosine_q",
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "cosine_q", "rk")
+    )

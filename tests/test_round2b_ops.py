@@ -114,3 +114,22 @@ def test_filtered_ann_subset_of_unfiltered_corpus(spark):
     s06 = _q("s06_ann_filtered_topk")(spark, SF_SMOKE).collect()
     # same probe set, k rows per probe on both sides
     assert {r.probe_id for r in s01} == {r.probe_id for r in s06}
+
+
+def test_rerank_recall_at_least_quantized(spark):
+    # Re-ranking a 20-candidate quantized pool with exact floats can only
+    # improve on the pure-quantized top-k: recall vs the float baseline
+    # must be >= s04's, and every returned pair must rank by exact cosine.
+    def pairs(name):
+        return {
+            (r.probe_id, r.neighbor_id)
+            for r in _q(name)(spark, SF_SMOKE).collect()
+        }
+
+    exact = pairs("s01_ann_bruteforce_topk")
+    quant = pairs("s04_ann_quantized_topk")
+    rerank = pairs("s07_ann_rerank_topk")
+    r_q = len(exact & quant) / len(exact)
+    r_r = len(exact & rerank) / len(exact)
+    assert r_r >= r_q, f"rerank recall {r_r:.2f} < quantized {r_q:.2f}"
+    assert r_r >= 0.8
