@@ -880,3 +880,62 @@ def e12_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("hour", "event_type", "n", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# e13: rolling 7-day active users per day — the sliding-window COUNT
+# DISTINCT every analytics stack reports (DAU/WAU). Expressed as the
+# standard decomposition: per-day distinct users first (collapses the
+# event volume), then each (day, user) row contributes to the 7 window
+# end-days that contain it via an explode, then a distinct count per
+# window day.
+#
+# Scale: stage 1 is a (day, user) distinct — the only pass over raw
+# events; the explode multiplies the already-collapsed day×user table
+# by 7, not the event table; the final distinct-count shuffles on day
+# (bounded by the calendar). No per-day self-joins, no re-scan per
+# window position.
+# --------------------------------------------------------------------------
+ROLLING_DAYS = 7
+
+
+@register(
+    "e13_rolling_active_users",
+    oracle=f"""
+    WITH day_user AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    contrib AS (
+      SELECT d + CAST(UNNEST(generate_series(0, {ROLLING_DAYS - 1}))
+                      AS INTEGER) AS window_day,
+             user_id
+      FROM day_user
+    ),
+    days AS (SELECT DISTINCT d FROM day_user)
+    SELECT CAST(c.window_day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
+    FROM contrib c JOIN days ON days.d = c.window_day
+    GROUP BY c.window_day
+    """,
+)
+def e13_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day_user = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
+    ).distinct()
+    contrib = day_user.select(
+        F.explode(
+            F.expr(f"transform(sequence(0, {ROLLING_DAYS - 1}), i -> date_add(d, i))")
+        ).alias("window_day"),
+        "user_id",
+    )
+    days = day_user.select(F.col("d").alias("window_day")).distinct()
+    return (
+        contrib.join(days, "window_day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.col("window_day").cast("string").alias("day"), "active_users_7d"
+        )
+    )

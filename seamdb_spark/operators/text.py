@@ -1035,3 +1035,92 @@ def t19_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("c") == 1) * F.lit(1.0) / F.count("*"), 6
         ).alias("hapax_fraction"),
     )
+
+
+# --------------------------------------------------------------------------
+# t20: rule-based quality filter — the hard-threshold screen (Gopher/
+# C4-style) that runs before any learned scoring: token-count range,
+# mean word length range, symbol-to-word ratio cap, and a minimum
+# stopword hit count. Emits per-rule booleans plus the conjunction, so
+# downstream stages (and audits) see WHY a document was dropped, not
+# just that it was.
+#
+# Scale: row-local codegen expressions, zero shuffle — the cheapest
+# possible full-corpus pass, which is exactly why pipelines run it
+# first.
+# --------------------------------------------------------------------------
+RULE_MIN_TOKENS = 10
+RULE_MAX_TOKENS = 1000
+RULE_MIN_MEAN_WORD = 2.0
+RULE_MAX_MEAN_WORD = 12.0
+RULE_MAX_SYMBOL_RATIO = 0.1
+RULE_MIN_STOPWORD_HITS = 1
+
+
+@register(
+    "t20_rule_filter",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' ')) AS mean_word_len,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+               / len(string_split(text, ' ')) AS symbol_ratio,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ({_in_list_sql(STOPWORDS)}))) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens BETWEEN {RULE_MIN_TOKENS} AND {RULE_MAX_TOKENS}
+                AS BIGINT) AS ok_length,
+           CAST(mean_word_len BETWEEN {RULE_MIN_MEAN_WORD}
+                AND {RULE_MAX_MEAN_WORD} AS BIGINT) AS ok_word_len,
+           CAST(symbol_ratio <= {RULE_MAX_SYMBOL_RATIO} AS BIGINT)
+             AS ok_symbols,
+           CAST(stop_hits >= {RULE_MIN_STOPWORD_HITS} AS BIGINT) AS ok_stop,
+           CAST(n_tokens BETWEEN {RULE_MIN_TOKENS} AND {RULE_MAX_TOKENS}
+                AND mean_word_len BETWEEN {RULE_MIN_MEAN_WORD}
+                    AND {RULE_MAX_MEAN_WORD}
+                AND symbol_ratio <= {RULE_MAX_SYMBOL_RATIO}
+                AND stop_hits >= {RULE_MIN_STOPWORD_HITS} AS BIGINT) AS keep
+    FROM feats
+    """,
+)
+def t20_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    stop_list = _in_list_sql(STOPWORDS)
+    n_tokens = F.size(F.split("text", " "))
+    feats = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            * F.lit(1.0)
+            / n_tokens
+        ).alias("mean_word_len"),
+        (
+            F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+            * F.lit(1.0)
+            / n_tokens
+        ).alias("symbol_ratio"),
+        F.expr(
+            f"size(filter(split(text, ' '), t -> t IN ({stop_list})))"
+        ).alias("stop_hits"),
+    )
+    ok_length = F.col("n_tokens").between(RULE_MIN_TOKENS, RULE_MAX_TOKENS)
+    ok_word_len = F.col("mean_word_len").between(
+        RULE_MIN_MEAN_WORD, RULE_MAX_MEAN_WORD
+    )
+    ok_symbols = F.col("symbol_ratio") <= RULE_MAX_SYMBOL_RATIO
+    ok_stop = F.col("stop_hits") >= RULE_MIN_STOPWORD_HITS
+    return feats.select(
+        "doc_id",
+        ok_length.cast("long").alias("ok_length"),
+        ok_word_len.cast("long").alias("ok_word_len"),
+        ok_symbols.cast("long").alias("ok_symbols"),
+        ok_stop.cast("long").alias("ok_stop"),
+        (ok_length & ok_word_len & ok_symbols & ok_stop)
+        .cast("long")
+        .alias("keep"),
+    )
