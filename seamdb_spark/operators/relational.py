@@ -1870,3 +1870,48 @@ def q54_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(k.bitwiseAND(F.lit(7))).alias("low_bits_or"),
         F.sum(F.shiftright(k, 2).bitwiseAND(F.lit(1))).alias("third_bit_pop"),
     )
+
+
+# --------------------------------------------------------------------------
+# q55: NTILE decile profile — bucket all orders into 10 equal-frequency
+# tiles by total price (deterministic: the window order carries the
+# unique orderkey tiebreak) and profile each tile. Completes the window
+# function family (rank/dense_rank/percent_rank/cume_dist/nth_value are
+# covered by q17/q44).
+#
+# Scale: a global NTILE is a total order — acceptable for reporting
+# outputs (one pass, TakeOrdered-free, but still a global sort). The
+# per-tile profile is a bounded 10-group aggregation. For fact-scale
+# tiling, the documented alternative is approx quantile boundaries +
+# row-local bucketing (x05's histogram shape).
+# --------------------------------------------------------------------------
+@register(
+    "q55_ntile_deciles",
+    oracle="""
+    WITH tiled AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM tiled
+    GROUP BY decile
+    """,
+)
+def q55_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(F.min("o_totalprice"), 2).alias("lo"),
+            dround(F.max("o_totalprice"), 2).alias("hi"),
+            dround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
