@@ -43,6 +43,13 @@ _R1_HASH_GREEN = {
 # row, pinned so that registering NEW queries cannot displace any of
 # them out of the driver's first-50 check. New queries land after these
 # and get their rows in round 3 (when this window's greens free slots).
+#
+# ROUND-3 PROCEDURE: after CORRECTNESS_r02 lands, fold its green keys
+# into _R1_HASH_GREEN (rename mentally to "driver-green any round") and
+# replace _R2_WINDOW with the 25 queries still lacking a row — at the
+# time of writing: t13–t20, d11, d12, e10–e13, x06, m05, p01, p02,
+# s06, s07, q51–q55 (they already sit at positions 51–75 via
+# _ordered()'s rest_unchecked rule, all locally hash-green at sf0.01).
 _R2_WINDOW = [
     "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
     "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
