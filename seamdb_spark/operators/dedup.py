@@ -899,3 +899,48 @@ def d12_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dup_spans") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# d13: cross-source duplication audit — count near-dup pairs (d03
+# simhash) by ordered (source, source) combination, splitting
+# within-source from cross-source duplication. The crawl-ops view of
+# dedup output: "which ingests duplicate each other" decides what gets
+# re-crawled or down-weighted (feeds t15's mixture weights).
+#
+# Scale: the pair table is dedup output (orders smaller than the
+# corpus); two doc_id-keyed joins against a pruned (doc_id, source)
+# projection, then a |sources|² count with map-side partials.
+# --------------------------------------------------------------------------
+@register(
+    "d13_cross_source_audit",
+    oracle=f"""
+    WITH pairs AS ({_simhash_oracle()})
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE da.source = db.source) AS BIGINT)
+             AS n_within
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def d13_cross_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(F.when(F.col("src_a") == F.col("src_b"), 1)).alias("n_within"),
+        )
+    )
