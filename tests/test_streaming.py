@@ -157,3 +157,34 @@ def test_transitions_stream_matches_batch(spark):
         for r in e11_event_transitions(spark, SF_SMOKE).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    # Restarting a checkpointed stream over an unchanged source must
+    # process nothing new (file-source offsets are committed to the
+    # checkpoint) — the exactly-once resumption contract a production
+    # ingest relies on after driver restarts.
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(qname):
+        df = st.hourly_rollup_stream(spark, SF_SMOKE)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        return spark.sql(f"SELECT * FROM {qname}").count(), progress
+
+    n1, p1 = run_once("ckpt_run1")
+    assert n1 > 0
+    assert p1 is None or p1["numInputRows"] >= 0  # first run ingested the fixture
+    n2, p2 = run_once("ckpt_run2")
+    # second run replays NO input (offsets committed); with complete
+    # output mode and no new data the sink table stays empty
+    assert p2 is None or p2["numInputRows"] == 0
+    assert n2 == 0
