@@ -944,3 +944,98 @@ def d13_cross_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("src_a") == F.col("src_b"), 1)).alias("n_within"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# g01: PageRank over the near-dup graph — which documents sit at the
+# center of duplication clusters (re-crawl / canonicalization priority
+# beyond d11's per-cluster argmax). Five damped iterations on int64
+# fixed-point ranks (scale 2^30): contributions are floor(rank/deg)
+# and the damping update is integer (15·S + 85·Σ) DIV 100, so every
+# iteration is order-independent exact arithmetic — the DuckDB oracle
+# replays the identical five rounds CTE-by-CTE and matches bit-for-bit.
+#
+# Scale: per iteration one (src-keyed) join of ranks onto edges and one
+# dst-keyed contribution sum — the standard data-parallel PageRank
+# round; ranks are localCheckpoint'd per round so round N+1 rescans
+# |V|+|E| rows, not the whole history (cluster: checkpoint()).
+# --------------------------------------------------------------------------
+PAGERANK_SCALE = 1 << 30
+PAGERANK_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    base = (15 * PAGERANK_SCALE) // 100
+    ctes = [f"""deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS id, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM deg)"""]
+    for i in range(1, PAGERANK_ITERS + 1):
+        ctes.append(f"""r{i} AS (
+      SELECT dg.src AS id,
+             {base} + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM deg dg LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank // d2.d) AS contrib
+        FROM edges e
+        JOIN r{i - 1} r ON r.id = e.src
+        JOIN deg d2 ON d2.src = e.src
+        GROUP BY e.dst
+      ) c ON c.id = dg.src
+    )""")
+    joined_ctes = ",\n    ".join(ctes)
+    return f"""
+    WITH {_simhash_sig_sql().strip()},
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    {joined_ctes}
+    SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank,
+           CAST(rank * 1000 // {PAGERANK_SCALE} AS BIGINT) AS rank_milli
+    FROM r{PAGERANK_ITERS}
+    """
+
+
+@register("g01_neardup_pagerank", oracle=_pagerank_oracle())
+def g01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    base = (15 * PAGERANK_SCALE) // 100
+    ranks = deg.select(
+        F.col("src").alias("id"), F.lit(PAGERANK_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg.select(F.col("src").alias("dsrc"), "d"), edges.src == F.col("dsrc"))
+            .select(F.col("dst"), F.expr("rank div d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            deg.join(contrib, deg.src == contrib.dst, "left")
+            .select(
+                F.col("src").alias("id"),
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"(85 * COALESCE(contrib, 0)) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("id").alias("doc_id"),
+        "rank",
+        F.expr(f"(rank * 1000) div {PAGERANK_SCALE}").alias("rank_milli"),
+    )
