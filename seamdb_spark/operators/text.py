@@ -1124,3 +1124,63 @@ def t20_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# t21: quality-weighted corpus sampling (Efraimidis–Spirakis A-ES):
+# each document draws a deterministic pseudo-uniform u from the md5 of
+# its id and competes with key u^(1/w), w = its quality score — the
+# top-K by key is an exact weighted sample WITHOUT replacement. The
+# principled "sample better data more often" stage (vs t09's
+# per-stratum fractions / t15's mixture weights); deterministic because
+# u is hash-derived, so the same corpus always yields the same sample.
+#
+# Scale: key computation is row-local; top-K is a rank window Spark
+# executes as per-partition top-K (WindowGroupLimit) — no global sort
+# materialization. Keys are rounded to 6 decimals BEFORE ranking on
+# both engines (doc_id tiebreak), so last-ulp pow() differences can't
+# flip the boundary.
+# --------------------------------------------------------------------------
+SAMPLE_K = 100
+SAMPLE_MIN_QUALITY = 0.01
+
+
+@register(
+    "t21_weighted_sample",
+    oracle=f"""
+    WITH quality AS ({{quality}}),
+    keyed AS (
+      SELECT q.doc_id, q.quality_score,
+             ROUND(pow(({{u}}) / 4294967296.0, 1.0 / q.quality_score), 6)
+               AS sample_key
+      FROM quality q
+      WHERE q.quality_score >= {SAMPLE_MIN_QUALITY}
+    )
+    SELECT doc_id, quality_score, sample_key, rk FROM (
+      SELECT doc_id, quality_score, sample_key,
+             ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) AS rk
+      FROM keyed
+    ) WHERE rk <= {SAMPLE_K}
+    """.format(
+        quality=QUALITY_SQL,
+        u=md5_prefix_long_sql("CAST(doc_id AS VARCHAR)"),
+    ),
+)
+def t21_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quality = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    u = md5_prefix_long(F.col("doc_id").cast("string")) / F.lit(4294967296.0)
+    keyed = quality.filter(
+        F.col("quality_score") >= SAMPLE_MIN_QUALITY
+    ).select(
+        "doc_id",
+        "quality_score",
+        dround(
+            F.pow(u, F.lit(1.0) / F.col("quality_score")), 6
+        ).alias("sample_key"),
+    )
+    w = W.orderBy(F.col("sample_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("doc_id", "quality_score", "sample_key", "rk")
+    )
