@@ -939,3 +939,79 @@ def e13_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window_day").cast("string").alias("day"), "active_users_7d"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e14: rolling anomaly detection — per event type, z-score each hour's
+# event count against the trailing 24 observed hours (mean/stddev over
+# a ROWS window), flag |z| >= 2. The monitoring query every ingest
+# pipeline runs over its own throughput.
+#
+# Scale: one (hour, type) rollup collapses the event volume, then a
+# per-type ordered window over the (bounded) hourly series — the
+# window partition is |types| × hours, never raw events. Mean/std are
+# rounded before the z computation on both engines so fold-order float
+# noise in stddev cannot flip the flag.
+# --------------------------------------------------------------------------
+ANOMALY_Z = 2.0
+ANOMALY_TRAIL = 24
+ANOMALY_MIN_OBS = 3
+
+
+@register(
+    "e14_hourly_anomalies",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hour, n,
+             COUNT(*) OVER w AS n_obs,
+             ROUND(AVG(n) OVER w, 6) AS trail_mean,
+             ROUND(stddev_samp(n) OVER w, 6) AS trail_std
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(hour AS VARCHAR) AS hour, n, trail_mean,
+           ROUND((n - trail_mean) / trail_std, 6) AS z,
+           CAST(ABS((n - trail_mean) / trail_std) >= {ANOMALY_Z} AS BIGINT)
+             AS is_anomaly
+    FROM stats
+    WHERE n_obs >= {ANOMALY_MIN_OBS} AND trail_std > 0
+    """,
+)
+def e14_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-ANOMALY_TRAIL, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("*").over(w).alias("n_obs"),
+        dround(F.avg("n").over(w), 6).alias("trail_mean"),
+        dround(F.stddev_samp("n").over(w), 6).alias("trail_std"),
+    )
+    z = (F.col("n") - F.col("trail_mean")) / F.col("trail_std")
+    return (
+        stats.filter(
+            (F.col("n_obs") >= ANOMALY_MIN_OBS) & (F.col("trail_std") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("hour").cast("string").alias("hour"),
+            "n",
+            "trail_mean",
+            dround(z, 6).alias("z"),
+            (F.abs(z) >= ANOMALY_Z).cast("long").alias("is_anomaly"),
+        )
+    )
