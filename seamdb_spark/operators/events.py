@@ -1015,3 +1015,68 @@ def e14_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) >= ANOMALY_Z).cast("long").alias("is_anomaly"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e15: RFM user segmentation — recency (last event), frequency (event
+# count), monetary (purchase value) per user, each quartiled with
+# NTILE(4), concatenated into the classic "432"-style segment code.
+# Quartile windows order by (metric, user_id) so ties split
+# deterministically and both engines assign identical tiles.
+#
+# Scale: one user-keyed aggregation collapses events; the three NTILE
+# windows run over the (much smaller) per-user table. Global NTILE =
+# one total order of users per dimension — for 10^9 users switch to
+# approx-quantile boundaries + row-local bucketing (x05 pattern), same
+# output contract.
+# --------------------------------------------------------------------------
+@register(
+    "e15_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END), 2) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, last_ts, frequency, monetary,
+             NTILE(4) OVER (ORDER BY last_ts, user_id)   AS r_score,
+             NTILE(4) OVER (ORDER BY frequency, user_id) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary, user_id)  AS m_score
+      FROM per_user
+    )
+    SELECT user_id, CAST(last_ts AS VARCHAR) AS last_ts, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def e15_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        dround(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("monetary"),
+    )
+    r = F.ntile(4).over(W.orderBy("last_ts", "user_id"))
+    f = F.ntile(4).over(W.orderBy("frequency", "user_id"))
+    m = F.ntile(4).over(W.orderBy("monetary", "user_id"))
+    return per_user.select(
+        "user_id",
+        F.col("last_ts").cast("string").alias("last_ts"),
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )
