@@ -1039,3 +1039,68 @@ def g01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.expr(f"(rank * 1000) div {PAGERANK_SCALE}").alias("rank_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# d14: corpus dedup profile — the one-row dashboard a curation run
+# reports per shard: corpus size, exact-duplicate groups and excess
+# copies (d01's aggregation), near-dup pair count (d03's blocking), and
+# the pair rate per 1k documents. Composes the dedup stages into the
+# health metric their outputs exist for.
+#
+# Scale: both inputs are dedup aggregates (orders smaller than the
+# corpus); the final single-row combine is a cross join of three 1-row
+# aggregates — O(1) regardless of scale.
+# --------------------------------------------------------------------------
+@register(
+    "d14_dedup_profile",
+    oracle=f"""
+    WITH {_simhash_sig_sql().strip()},
+    pair_count AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+      FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_groups,
+             CAST(COALESCE(SUM(n_copies - 1), 0) AS BIGINT) AS n_excess_copies
+      FROM (
+        SELECT COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(lower(trim(text)))
+        HAVING COUNT(*) > 1
+      )
+    ),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT c.n_docs, e.n_exact_groups, e.n_excess_copies, p.n_neardup_pairs,
+           ROUND(p.n_neardup_pairs * 1000.0 / c.n_docs, 4) AS pairs_per_1k_docs
+    FROM corpus c, exact e, pair_count p
+    """,
+)
+def d14_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = docs.agg(F.count("*").alias("n_docs"))
+    exact = (
+        d01_dedup_exact(spark, sf_dir)
+        .agg(
+            F.count("*").alias("n_exact_groups"),
+            F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_excess_copies"),
+        )
+    )
+    pairs = d03_dedup_simhash(spark, sf_dir).agg(
+        F.count("*").alias("n_neardup_pairs")
+    )
+    return (
+        corpus.crossJoin(exact)
+        .crossJoin(pairs)
+        .select(
+            "n_docs",
+            "n_exact_groups",
+            "n_excess_copies",
+            "n_neardup_pairs",
+            dround(
+                F.col("n_neardup_pairs") * F.lit(1000.0) / F.col("n_docs"), 4
+            ).alias("pairs_per_1k_docs"),
+        )
+    )
