@@ -1184,3 +1184,67 @@ def t21_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SAMPLE_K)
         .select("doc_id", "quality_score", "sample_key", "rk")
     )
+
+
+from .registry import ORACLE_SQL as _REGISTERED_ORACLES  # noqa: E402
+# (dedup registers before text in operators/__init__, so d10's oracle is
+# present here — t22 composes it verbatim so both stay the same rule.)
+
+
+# --------------------------------------------------------------------------
+# t22: contamination-safe split assignment — the composed gate a
+# training run actually consumes: t08's deterministic hash-mod split ×
+# d10's benchmark-contamination flag. Contaminated TRAIN documents are
+# quarantined (eval-set members and val/test docs keep their split —
+# contamination only matters for what the model trains on). One row
+# per document, end-to-end hash-checked.
+#
+# Scale: t08's split is row-local; the contamination join inherits
+# d10's broadcast-shaped containment semi-join; final verdict is a
+# left join on doc_id — skew-free.
+# --------------------------------------------------------------------------
+@register(
+    "t22_safe_split",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, {h} % 100 AS bucket FROM documents
+      )
+    ),
+    contaminated AS (
+      SELECT doc_id FROM ({d10}) WHERE drop_doc = 1
+    )
+    SELECT s.doc_id, s.split,
+           CAST(c.doc_id IS NOT NULL AS BIGINT) AS contaminated,
+           CASE WHEN s.split = 'train' AND c.doc_id IS NOT NULL
+                THEN 'quarantine' ELSE s.split END AS final_split
+    FROM split s LEFT JOIN contaminated c ON c.doc_id = s.doc_id
+    """.format(
+        h=md5_prefix_long_sql("CAST(doc_id AS VARCHAR)"),
+        d10=_REGISTERED_ORACLES["d10_decontaminate"],
+    ),
+)
+def t22_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import d10_decontaminate
+
+    split = t08_train_split(spark, sf_dir)
+    contaminated = (
+        d10_decontaminate(spark, sf_dir)
+        .filter(F.col("drop_doc") == 1)
+        .select("doc_id", F.lit(1).alias("_c"))
+    )
+    joined = split.join(contaminated, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        "split",
+        F.col("_c").isNotNull().cast("long").alias("contaminated"),
+        F.when(
+            (F.col("split") == "train") & F.col("_c").isNotNull(), "quarantine"
+        )
+        .otherwise(F.col("split"))
+        .alias("final_split"),
+    )
