@@ -16,7 +16,8 @@ from seamdb_spark.operators import ORACLE_SQL, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Queries that already have a hash-green row in CORRECTNESS_r01.json.
+# Queries with a hash-green row in CORRECTNESS_r01.json (round 1) or
+# CORRECTNESS_r02.json (round 2, the 50 names in _R2_GREEN below).
 # The driver's gate samples the FIRST 50 entries of queries(), so order
 # everything still lacking a green row (or whose oracle changed) first;
 # previously-green queries fill the remaining slots for regression cover.
@@ -39,18 +40,8 @@ _R1_HASH_GREEN = {
 }
 
 
-# Frozen round-2 window: exactly the 50 queries lacking a driver-green
-# row, pinned so that registering NEW queries cannot displace any of
-# them out of the driver's first-50 check. New queries land after these
-# and get their rows in round 3 (when this window's greens free slots).
-#
-# ROUND-3 PROCEDURE: after CORRECTNESS_r02 lands, fold its green keys
-# into _R1_HASH_GREEN (rename mentally to "driver-green any round") and
-# replace _R2_WINDOW with the 25 queries still lacking a row — at the
-# time of writing: t13–t20, d11, d12, e10–e13, x06, m05, p01, p02,
-# s06, s07, q51–q55 (they already sit at positions 51–75 via
-# _ordered()'s rest_unchecked rule, all locally hash-green at sf0.01).
-_R2_WINDOW = [
+# Round-2 driver window — all 50 went green in CORRECTNESS_r02.json.
+_R2_GREEN = [
     "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
     "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
     "e09_conversion_lag", "m02_media_features", "m04_image_resize",
@@ -72,14 +63,35 @@ _R2_WINDOW = [
 ]
 
 
+# Round-3 window (the driver's first-50 check): the 32 queries
+# registered after the round-2 window froze — every one locally
+# hash-green at sf0.01 (scripts/parity_check.py) but without a driver
+# row yet — pinned first, then 18 regression slots taken from the
+# OLDEST driver greens (round-1, registration order) so prior greens
+# keep rotating back through the gate.
+#
+# ROUND-4 PROCEDURE: after CORRECTNESS_r03 lands, every query ever
+# registered has a driver-green row. From then on the window is purely
+# rotational: pin (a) any NEW queries and any query whose plan/oracle
+# changed this round, then (b) fill to 50 with the queries whose last
+# green row is OLDEST (r1 greens not re-checked in r3 first, then r2
+# greens, then r3 greens), registration order within a tier.
+_REGRESSION_SLOTS = 50
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    pinned = [n for n in _R2_WINDOW if n in names]
-    rest_unchecked = [
-        n for n in names if n not in _R1_HASH_GREEN and n not in _R2_WINDOW
-    ]
-    checked = [n for n in names if n in _R1_HASH_GREEN]
-    return pinned + rest_unchecked + checked
+    driver_green = _R1_HASH_GREEN | set(_R2_GREEN)
+    rowless = [n for n in names if n not in driver_green]
+    # Oldest greens first for regression cover: r1 set in registration
+    # order, then the r2 window in its recorded order.
+    r1_in_order = [n for n in names if n in _R1_HASH_GREEN]
+    r2_in_order = [n for n in _R2_GREEN if n in names]
+    regression = r1_in_order + [n for n in r2_in_order if n not in r1_in_order]
+    fill = [n for n in regression if n not in rowless][: max(0, _REGRESSION_SLOTS - len(rowless))]
+    window = rowless + fill
+    rest = [n for n in names if n not in window]
+    return window + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -2,9 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Output contract (driver-parseable): the LAST stdout line is ONE compact
-JSON object {"metric", "value", "unit", "queries", "sf", ...}. The same
-payload plus verbose skip reasons is also written to bench_results.json
-so a truncated console capture never loses the numbers.
+JSON object {"metric", "value", "unit", "sf", "n_queries",
+"mean_query_seconds", "details_file"} — deliberately tiny so the
+driver's tail-capture can never truncate it. Per-query timings and skip
+reasons are written to bench_results.json only.
 
 Each query is executed to completion (count() action — full plan runs,
 nothing collected to the driver beyond the count). One warm-up of the
@@ -62,12 +63,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # The final stdout line must stay TINY: the driver tail-captures
+    # console output and truncates long lines from the head, which is
+    # exactly how rounds 1-2 ended up with "parsed": null. Per-query
+    # timings live only in the details file.
     summary = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "skipped": sorted(skip),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # The query suite GROWS each round; cross-round comparisons must
         # use per-query times or the mean, never the raw total.
@@ -76,7 +79,11 @@ def main() -> None:
         "details_file": RESULTS_FILE,
     }
     with open(RESULTS_FILE, "w") as f:
-        json.dump({**summary, "skip_reasons": skip}, f, indent=1)
+        json.dump(
+            {**summary, "queries": timings, "skipped": sorted(skip), "skip_reasons": skip},
+            f,
+            indent=1,
+        )
     spark.stop()
     # The compact JSON summary must be the very last stdout line (the
     # driver tail-captures console output; Spark log noise goes first).

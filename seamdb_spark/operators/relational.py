@@ -1764,7 +1764,7 @@ def q51_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(c_acctbal), 2) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
-        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        SELECT ROUND(AVG(c_acctbal), 6) FROM customer WHERE c_acctbal > 0.0
       )
       AND NOT EXISTS (
         SELECT 1 FROM orders
@@ -1783,9 +1783,12 @@ def q52_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
         .select("o_custkey")
     )
+    # Rounded before the boundary compare (repo convention, cf. e14/q21):
+    # Spark's float avg is fold-order dependent and can differ from
+    # DuckDB's at the last ulp, flipping customers sitting on the edge.
     pos_avg = (
         cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        .agg(dround(F.avg("c_acctbal"), 6).alias("avg_bal"))
     )
     return (
         cust.join(F.broadcast(pos_avg))  # 1-row scalar: always broadcastable

@@ -721,9 +721,12 @@ def s04_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nq").alias("np"),
     )
     dotq = isum(F.zip_with("pe", "qe", lambda x, y: x * y))
+    # No repartition here: the parquet scan is already partition-parallel
+    # and a repartition would shuffle the whole quantized corpus (arrays
+    # included) before a broadcast probe join that needs no shuffle at
+    # all (r2 measured it at 2.8x the r1 wall time).
     scored = (
-        n.repartition(64)
-        .crossJoin(F.broadcast(probes))
+        n.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",

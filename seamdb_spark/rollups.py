@@ -27,7 +27,6 @@ either the pre- or post-refresh state, never a torn merge.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
@@ -55,22 +54,21 @@ class ContinuousRollup:
             engine.store.warehouse_dir, "_rollups", engine.database, name
         )
         self.state = TableSnapshots(os.path.join(base, "state"))
-        self._meta_path = os.path.join(base, "meta.json")
 
     # ------------------------------------------------------------ meta
-    def _read_meta(self) -> dict:
-        try:
-            with open(self._meta_path) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {"processed": []}
-
-    def _write_meta(self, meta: dict) -> None:
-        os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
+    # The processed-source-file list is stored INSIDE the state
+    # snapshot's manifest (TableSnapshots extra=), so data and metadata
+    # become durable in one os.replace — there is no window where the
+    # merged partials exist but the processed list doesn't (which would
+    # silently double-count those segments on the next refresh).
+    def _processed(self) -> list[str] | None:
+        """Processed file list, or None if the state predates it /
+        lost it — in which case incremental diffing is unsound and the
+        caller must rebuild."""
+        extra = self.state.current_extra()
+        if "processed" in extra:
+            return extra["processed"]
+        return None if self.state.current_version() > 0 else []
 
     # --------------------------------------------------------- helpers
     def _source_snaps(self) -> TableSnapshots:
@@ -105,19 +103,24 @@ class ContinuousRollup:
         spark = self.engine.spark
         snaps = self._source_snaps()
         current = snaps.current_files()
-        meta = self._read_meta()
-        processed = set(meta["processed"])
+        processed_list = self._processed()
+        processed = set(processed_list or [])
+        unsound = processed_list is None  # state exists but lineage lost
         vanished = processed - set(current)
         new_files = [f for f in current if f not in processed]
 
-        if vanished:
-            # History rewritten (compaction/overwrite): incremental diff
-            # is no longer sound — rebuild from the current snapshot.
-            if not current:
-                return {"mode": "noop", "files_read": 0}
-            full = spark.read.schema(self._source_schema()).parquet(*current)
-            self.state.commit(self._partials(full), mode="overwrite")
-            self._write_meta({"processed": current})
+        if vanished or unsound:
+            # History rewritten (compaction/overwrite) or lineage
+            # unknown: incremental diff is no longer sound — rebuild
+            # from the current snapshot. An EMPTY current snapshot must
+            # still commit (empty state, processed=[]) so readers stop
+            # seeing aggregates for data that no longer exists.
+            full = spark.read.schema(self._source_schema()).parquet(*current) \
+                if current else spark.createDataFrame([], self._source_schema())
+            self.state.commit(
+                self._partials(full), mode="overwrite",
+                extra={"processed": current},
+            )
             return {"mode": "rebuild", "files_read": len(current)}
 
         if not new_files:
@@ -139,8 +142,7 @@ class ContinuousRollup:
             )
         else:
             merged = fresh
-        self.state.commit(merged, mode="overwrite")
-        self._write_meta({"processed": current})
+        self.state.commit(merged, mode="overwrite", extra={"processed": current})
         return {"mode": "incremental", "files_read": len(new_files)}
 
     def read(self) -> DataFrame:

@@ -91,12 +91,22 @@ class TableSnapshots:
                 f"version {version} not retained (kept: last {KEEP_MANIFESTS})"
             ) from None
 
+    def current_extra(self) -> dict:
+        """Caller-supplied metadata recorded by the last commit (e.g. a
+        rollup's processed-source-file list). Lives inside the manifest
+        so it becomes durable in the SAME os.replace as the data — a
+        reader can never observe state and metadata from different
+        commits."""
+        return self._read_manifest().get("extra", {})
+
     # --------------------------------------------------------- write
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(self, df: DataFrame, mode: str = "append", extra: dict | None = None) -> int:
         """Write ``df`` as new segment files, publish a new manifest.
 
         mode="append": new manifest = old files + new files.
         mode="overwrite": new manifest = new files only.
+        extra: optional JSON-able metadata published atomically with the
+        file list (carried forward unchanged when omitted on append).
         """
         manifest = self._read_manifest()
         v = manifest["version"] + 1
@@ -108,7 +118,12 @@ class TableSnapshots:
             if f.endswith(".parquet")
         )
         files = (manifest["files"] if mode == "append" else []) + new_files
-        self._publish({"version": v, "files": files, "prev": manifest.get("version", 0)})
+        if extra is None and mode == "append":
+            extra = manifest.get("extra")
+        new_manifest = {"version": v, "files": files, "prev": manifest.get("version", 0)}
+        if extra is not None:
+            new_manifest["extra"] = extra
+        self._publish(new_manifest)
         return v
 
     def _publish(self, manifest: dict) -> None:

@@ -182,7 +182,10 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
 
     n1, p1 = run_once("ckpt_run1")
     assert n1 > 0
-    assert p1 is None or p1["numInputRows"] >= 0  # first run ingested the fixture
+    # The first run must actually ingest the fixture through the SOURCE
+    # (not just show rows in the memory sink) — otherwise the second
+    # run's numInputRows == 0 check would pass vacuously.
+    assert p1 is not None and p1["numInputRows"] > 0
     n2, p2 = run_once("ckpt_run2")
     # second run replays NO input (offsets committed); with complete
     # output mode and no new data the sink table stays empty
