@@ -635,20 +635,58 @@ def _cc_oracle() -> str:
 @register("d09_dedup_clusters", oracle=_cc_oracle())
 def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d03_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    # Materialize the edge list ONCE (localCheckpoint truncates lineage so
-    # each propagation round rescans ~|E| rows, not the whole simhash
-    # pipeline again), then iterate on small (id, label) tables.
-    edges = (
+    # Materialize the edge list ONCE — the d03 pipeline never re-runs —
+    # pre-partitioned on the per-round join key (dst) and PERSISTED
+    # (not localCheckpoint: a checkpoint scan reports unknown
+    # partitioning, so every round would re-shuffle edges; an
+    # InMemoryRelation keeps its child's HashPartitioning). Every
+    # propagation round's `edges ⋈ labels` then shuffles only the small
+    # labels side — the edge table (the 100 TB-dominant side) is
+    # shuffled exactly once for the whole fixed-point loop.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_raw = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
+        .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+    n_edges = edges_raw.count()
+    # Size the loop's shuffles to the GRAPH, not the session default:
+    # the per-round tables are |V|/|E|-sized, and on a small graph the
+    # fixed per-task/per-stage overhead of 32+ partitions plus AQE's
+    # per-stage re-planning dominates the loop (~20% of d09 wall time
+    # at sf0.1). On a big graph (>~2M edges) keep the session settings —
+    # there AQE's skew handling and coalescing earn their latency.
+    small_graph = n_edges < 2_000_000
+    loop_parts = max(8, min(n_part, n_edges // 50_000 + 1)) if small_graph else n_part
+    edges = edges_raw.repartition(loop_parts, "dst").persist()
+    edges.count()  # re-materialize from the cached raw edges (cheap)
+    edges_raw.unpersist()
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    if small_graph:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint()
+        )
+        labels = _cc_fixed_point(edges, labels)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        edges.unpersist()
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
     )
+
+
+def _cc_fixed_point(edges: DataFrame, labels: DataFrame) -> DataFrame:
     # Each round combines (a) neighbor-min propagation with (b) pointer
     # jumping (label <- label(label)), so rounds scale with LOG(diameter)
     # instead of diameter: the uniform-vocab fixture builds a sprawling
@@ -691,13 +729,9 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
-    return (
-        labels.select(
-            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
-        )
-        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
-        .orderBy("doc_id")
-    )
+    # Safe to unpersist edges upstream: the result depends only on the
+    # final checkpointed labels table.
+    return labels
 
 
 # --------------------------------------------------------------------------
