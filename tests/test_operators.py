@@ -65,11 +65,68 @@ def test_media_features_deterministic(spark, registry):
     assert all(1 <= r.n_frames <= 8 and r.feat_dim == 16 for r in a)
 
 
-def test_decode_media_is_explicit_stub():
+def test_decode_media_unsupported_formats_are_explicit():
+    # Codec-needing formats (here: a JPEG SOI marker) remain an explicit
+    # boundary; BMP/WAV take the real-parser paths below.
     from seamdb_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"payload")
+        decode_media(b"\xff\xd8\xff\xe0 not decodable without codecs")
+
+
+def test_bmp_decode_handcrafted():
+    # 3x2 bottom-up 24-bit BMP, built by hand here (NOT via build_bmp):
+    # stride pads 9 pixel bytes to 12 per row; the parser must skip the
+    # padding in pixel_sum and honor the data offset field.
+    import struct
+
+    from seamdb_spark.operators.multimodal import build_bmp, decode_bmp, decode_media
+
+    row0 = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90]) + b"\x00\x00\x00"
+    row1 = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9]) + b"\xff\xff\xff"  # junk padding
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + 24, 0, 0, 54, 40, 3, 2, 1, 24, 0, 24, 0, 0, 0, 0,
+    )
+    payload = header + row0 + row1
+    info = decode_media(payload)  # magic-sniffed to decode_bmp
+    assert info["kind"] == "bmp"
+    assert (info["width"], info["height"]) == (3, 2)
+    assert info["pixel_sum"] == sum(row0[:9]) + sum(row1[:9]) == 450 + 45
+    assert info["feat_mean"] == 495 / (18 * 255.0)
+    # builder round-trip: decode(build(x)) == x facts
+    rt = decode_bmp(build_bmp(3, 2, row0[:9] + row1[:9]))
+    assert (rt["width"], rt["height"], rt["pixel_sum"]) == (3, 2, 495)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 60)  # bpp=0: unsupported variant
+
+
+def test_wav_decode_handcrafted():
+    # Hand-built RIFF with an extra chunk BEFORE fmt/data and an
+    # odd-size chunk (forces even-offset padding in the walker).
+    import struct
+
+    from seamdb_spark.operators.multimodal import build_wav, decode_media, decode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 256]
+    data = struct.pack("<6h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE"
+    body += b"LIST" + struct.pack("<I", 3) + b"odd" + b"\x00"  # padded odd chunk
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    info = decode_media(payload)
+    assert info["kind"] == "wav"
+    assert (info["sample_rate"], info["channels"], info["bits"]) == (8000, 1, 16)
+    assert info["n_frames"] == 6
+    assert info["abs_sum"] == sum(abs(s) for s in samples)
+    rt = decode_wav(build_wav(samples, 8000))
+    assert (rt["sample_rate"], rt["n_frames"], rt["abs_sum"]) == (
+        8000, 6, info["abs_sum"],
+    )
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no fmt/data
 
 
 def test_minhash_lsh_finds_planted_neardups(spark, registry):
