@@ -174,66 +174,95 @@ def assign_serials(
     return out.drop("__pid", "__mid", "__mn", "__off", "__rn")
 
 
-def check_nullability(df: DataFrame, desc: TableDescriptor) -> None:
-    """≙ reference: src/sql/client.rs:253-256."""
-    non_nullable = [c.name for c in desc.columns if not c.nullable]
-    if not non_nullable:
-        return
-    cond = None
-    for name in non_nullable:
-        c = F.col(name).isNull()
-        cond = c if cond is None else cond | c
-    bad = df.filter(cond).limit(1).collect()
-    if bad:
-        row = bad[0]
-        for name in non_nullable:
-            if row[name] is None:
-                raise NullViolationError(f"null value in non-null column {name}")
+def validate_batch(
+    filled: DataFrame,
+    existing: DataFrame,
+    desc: TableDescriptor,
+    pruned: dict[tuple, DataFrame] | None = None,
+) -> int:
+    """All constraint checks in ONE Spark action; returns the row count.
 
+    The row count, every non-nullable column's null flag
+    (≙ reference: src/sql/client.rs:253-256), and every unique index's
+    in-batch-duplicate and existing-key-clash flags
+    (≙ src/sql/row.rs:89-109; tests src/sql/mod.rs:277-426) are computed
+    as 1-row aggregates cross-joined into a single 1-row result, so an
+    INSERT pays one validation job regardless of how many constraints
+    the table declares (previously up to 4 jobs per index).
 
-def check_unique(
-    new_rows: DataFrame, existing: DataFrame, desc: TableDescriptor
-) -> None:
-    """Enforce every unique index (incl. PK) with NULLS [NOT] DISTINCT
-    semantics (≙ reference: src/sql/row.rs:89-109 key construction;
-    tests src/sql/mod.rs:277-426):
+    NULLS [NOT] DISTINCT semantics:
+    - nulls_distinct: rows with any NULL key column never conflict —
+      excluded from the dup count and equi-joined (NULL never matches);
+    - nulls_not_distinct: NULLs compare equal — counted in groups and
+      null-safe-joined.
 
-    - nulls_distinct: rows with any NULL key column never conflict;
-    - nulls_not_distinct: NULLs compare equal (conflict).
+    Violations raise in the reference's order: nullability first, then
+    per-index (declaration order) in-batch duplicate before existing
+    clash.
+
+    ``pruned`` maps an index's column tuple to a bucket-pruned snapshot
+    read to use instead of ``existing`` for that index's clash check
+    (the bucketed unique-index path, SCALING.md Engine §).
     """
-    for ix in desc.indexes:
-        if ix.kind not in ("primary_key", "unique_nulls_distinct", "unique_nulls_not_distinct"):
-            continue
+    non_nullable = [c.name for c in desc.columns if not c.nullable]
+    flags = filled.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.max(F.col(c).isNull()).alias(f"__null_{c}")
+            for c in non_nullable
+        ],
+    )
+
+    unique_ixs = [
+        ix
+        for ix in desc.indexes
+        if ix.kind
+        in ("primary_key", "unique_nulls_distinct", "unique_nulls_not_distinct")
+    ]
+    for i, ix in enumerate(unique_ixs):
         nulls_conflict = ix.kind == "unique_nulls_not_distinct"
         cols = ix.columns
-
-        batch = new_rows.select(*cols)
+        batch = filled.select(*cols)
         if not nulls_conflict:
             cond = None
             for c in cols:
                 nn = F.col(c).isNotNull()
                 cond = nn if cond is None else cond & nn
             batch = batch.filter(cond)
-        # in-batch duplicates (groupBy treats NULLs as equal, which is
-        # exactly nulls_not_distinct; nulls_distinct filtered them out)
-        dup = batch.groupBy(*cols).count().filter(F.col("count") > 1).limit(1).collect()
-        if dup:
-            raise UniqueIndexError(
-                f"duplicate key value violates unique constraint on ({', '.join(cols)})"
-            )
-        # against the existing snapshot
+        # In-batch duplicates: eligible rows vs distinct keys (a struct
+        # with equal NULL fields compares equal under DISTINCT, which is
+        # exactly nulls_not_distinct; nulls_distinct filtered them out).
+        key = F.struct(*[F.col(c) for c in cols])
+        dup = batch.agg(
+            (F.count(F.lit(1)) > F.count_distinct(key)).alias(f"__dup_{i}")
+        )
+        # Against the existing snapshot: semi-join survivors, capped at 1.
+        table_side = (pruned or {}).get(tuple(cols), existing)
         if nulls_conflict:
-            join_cond = [batch[c].eqNullSafe(existing[c]) for c in cols]
+            join_cond = [batch[c].eqNullSafe(table_side[c]) for c in cols]
         else:
-            join_cond = [batch[c] == existing[c] for c in cols]
+            join_cond = [batch[c] == table_side[c] for c in cols]
         cond_expr = join_cond[0]
         for jc in join_cond[1:]:
             cond_expr = cond_expr & jc
-        clash = batch.join(existing.select(*cols), cond_expr, "left_semi").limit(1).collect()
-        if clash:
+        clash = (
+            batch.join(table_side.select(*cols), cond_expr, "left_semi")
+            .limit(1)
+            .agg((F.count(F.lit(1)) > 0).alias(f"__clash_{i}"))
+        )
+        flags = flags.crossJoin(dup).crossJoin(clash)
+
+    row = flags.collect()[0]  # the single validation action
+    for c in non_nullable:
+        if row[f"__null_{c}"]:
+            raise NullViolationError(f"null value in non-null column {c}")
+    for i, ix in enumerate(unique_ixs):
+        if row[f"__dup_{i}"] or row[f"__clash_{i}"]:
             raise UniqueIndexError(
-                f"duplicate key value violates unique constraint on ({', '.join(cols)})"
+                "duplicate key value violates unique constraint on "
+                f"({', '.join(ix.columns)})"
             )
+    return row["__n"]
 
 
 def execute_insert(
@@ -248,15 +277,36 @@ def execute_insert(
     spark = input_df.sparkSession
     aligned = align_and_validate(input_df, desc, insert_columns)
     filled = assign_serials(aligned, desc, store, database, insert_columns)
-    # Materialize once: serial assignment + the multiple validation
-    # passes below must see one deterministic batch.
+    # Materialize once: serial assignment + validation + commit must see
+    # one deterministic batch.
     filled = filled.cache()
     try:
-        count = filled.count()
-        check_nullability(filled, desc)
         existing = snapshots.read(spark, desc.spark_schema())
-        check_unique(filled, existing, desc)
-        snapshots.commit(filled, mode="append")
+        # Bucketed unique-index path (SCALING.md Engine §): when the
+        # table is hash-clustered on an index's columns, the clash check
+        # reads only the segment files whose bucket ids appear in the
+        # batch — O(touched buckets), not O(table). One tiny extra
+        # action computes the batch's bucket set; legacy (pre-bucketing)
+        # segments carry no bucket id and are always included.
+        bucketing = snapshots.current_extra().get("bucketing")
+        pruned: dict[tuple, DataFrame] = {}
+        if bucketing:
+            bcols, n_buckets = bucketing["cols"], int(bucketing["n"])
+            bucket_expr = F.pmod(
+                F.xxhash64(*[F.col(c) for c in bcols]), F.lit(n_buckets)
+            ).cast("int")
+            batch_buckets = {
+                r[0]
+                for r in filled.select(bucket_expr.alias("b")).distinct().collect()
+            }
+            pruned_read = snapshots.read(
+                spark, desc.spark_schema(), buckets=batch_buckets
+            )
+            for ix in desc.indexes:
+                if set(ix.columns) == set(bcols):
+                    pruned[tuple(ix.columns)] = pruned_read
+        count = validate_batch(filled, existing, desc, pruned=pruned)
+        snapshots.commit(filled, mode="append", bucketing=bucketing)
     finally:
         filled.unpersist()
     return count

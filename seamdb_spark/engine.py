@@ -94,7 +94,9 @@ class Engine:
         """Rewrite the table's current snapshot as one fresh segment
         (OPTIMIZE): appends accumulate small files; compaction folds
         them into a single overwrite commit. Readers pinned to older
-        manifests are unaffected (their files are retained until GC)."""
+        manifests are unaffected (their files are retained until GC).
+        On a bucketed table the rewrite is hash-clustered, so compaction
+        doubles as the migration that makes ALL segments prunable."""
         import os as _os
 
         desc = self.store.get_table(self.database, name)
@@ -105,7 +107,31 @@ class Engine:
         # target ~128 MB output files (matches maxPartitionBytes)
         target = max(1, total_bytes // (128 * 1024 * 1024))
         current = snaps.read(self.spark, desc.spark_schema()).coalesce(int(target))
-        return snaps.commit(current, mode="overwrite")
+        return snaps.commit(
+            current, mode="overwrite",
+            bucketing=snaps.current_extra().get("bucketing"),
+        )
+
+    def bucket_table(
+        self, name: str, n_buckets: int, columns: list[str] | None = None
+    ) -> None:
+        """Declare hash-bucketing for a table's unique-key layout (the
+        100 TB insert design, SCALING.md Engine §). ``columns`` defaults
+        to the primary-key columns. Future INSERT segments are written
+        hash-clustered on the key with per-file bucket ids in the
+        manifest; unique-clash checks then scan only the buckets the
+        batch touches. Existing segments stay unbucketed (always
+        scanned) until ``compact()`` rewrites them clustered."""
+        desc = self.store.get_table(self.database, name)
+        if columns is None:
+            pk = [ix for ix in desc.indexes if ix.kind == "primary_key"]
+            if not pk:
+                raise ValueError(f"table {name} has no primary key to bucket by")
+            columns = list(pk[0].columns)
+        for c in columns:
+            desc.column(c)  # validates existence
+        snaps = TableSnapshots(self.store.table_dir(self.database, name))
+        snaps.set_extra({"bucketing": {"cols": columns, "n": int(n_buckets)}})
 
     # ------------------------------------------------------- internals
     def _resolve_table(self, ident: str) -> tuple[str, str]:

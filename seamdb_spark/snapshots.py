@@ -55,8 +55,25 @@ class TableSnapshots:
     def current_version(self) -> int:
         return self._read_manifest()["version"]
 
+    @staticmethod
+    def _entries(files: list) -> list[tuple[str, int | None]]:
+        """Normalize manifest file entries: legacy plain paths carry no
+        bucket (always scanned); bucketed segments record
+        {"path", "bucket"} so readers can prune at the FILE-LIST level
+        (Iceberg-style partition pruning without reading a byte)."""
+        out = []
+        for f in files:
+            if isinstance(f, str):
+                out.append((f, None))
+            else:
+                out.append((f["path"], f.get("bucket")))
+        return out
+
     def current_files(self) -> list[str]:
-        return self._read_manifest()["files"]
+        return [p for p, _ in self._entries(self._read_manifest()["files"])]
+
+    def current_file_entries(self) -> list[tuple[str, int | None]]:
+        return self._entries(self._read_manifest()["files"])
 
     # ---------------------------------------------------------- read
     def read(
@@ -64,15 +81,26 @@ class TableSnapshots:
         spark: SparkSession,
         schema: T.StructType,
         version: int | None = None,
+        buckets: set[int] | None = None,
     ) -> DataFrame:
         """Read the snapshot current *now* (or a retained historical
         ``version`` — time travel, ≙ the reference's read-at-timestamp
         MVCC semantics, reference: src/tablet/memory.rs:73-81). Callers
-        resolve once per statement → per-statement snapshot isolation."""
+        resolve once per statement → per-statement snapshot isolation.
+
+        ``buckets``: restrict to segment files recorded under those
+        bucket ids (plus legacy unbucketed segments, which might hold
+        any key). This is the partition-pruned path of the bucketed
+        unique-index design (SCALING.md Engine §): the scan cost of a
+        key-membership check becomes O(touched buckets), not O(table).
+        """
         if version is None:
-            files = self.current_files()
+            entries = self.current_file_entries()
         else:
-            files = self._version_files(version)
+            entries = self._entries(self._version_files(version))
+        if buckets is not None:
+            entries = [(p, b) for p, b in entries if b is None or b in buckets]
+        files = [p for p, _ in entries]
         if not files:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*files)
@@ -100,23 +128,59 @@ class TableSnapshots:
         return self._read_manifest().get("extra", {})
 
     # --------------------------------------------------------- write
-    def commit(self, df: DataFrame, mode: str = "append", extra: dict | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        extra: dict | None = None,
+        bucketing: dict | None = None,
+    ) -> int:
         """Write ``df`` as new segment files, publish a new manifest.
 
         mode="append": new manifest = old files + new files.
         mode="overwrite": new manifest = new files only.
         extra: optional JSON-able metadata published atomically with the
         file list (carried forward unchanged when omitted on append).
+        bucketing: {"cols": [...], "n": int} — write the segment
+        hash-clustered on those columns (one parquet subdir per bucket;
+        the __bucket column lives only in the directory name, never in
+        the stored schema) and record each file's bucket id in the
+        manifest so readers can prune by key.
         """
+        from pyspark.sql import functions as F
+
         manifest = self._read_manifest()
         v = manifest["version"] + 1
         seg_dir = os.path.join(self.table_dir, f"seg-{v:06d}")
-        df.write.mode("overwrite").parquet(seg_dir)
-        new_files = sorted(
-            os.path.join(seg_dir, f)
-            for f in os.listdir(seg_dir)
-            if f.endswith(".parquet")
-        )
+        if bucketing:
+            bucket_col = F.pmod(
+                F.xxhash64(*[F.col(c) for c in bucketing["cols"]]),
+                F.lit(int(bucketing["n"])),
+            ).cast("int")
+            (
+                df.withColumn("__bucket", bucket_col)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(seg_dir)
+            )
+            new_files: list = []
+            for sub in sorted(os.listdir(seg_dir)):
+                subdir = os.path.join(seg_dir, sub)
+                if not sub.startswith("__bucket=") or not os.path.isdir(subdir):
+                    continue
+                b = int(sub.split("=", 1)[1])
+                new_files.extend(
+                    {"path": os.path.join(subdir, f), "bucket": b}
+                    for f in sorted(os.listdir(subdir))
+                    if f.endswith(".parquet")
+                )
+        else:
+            df.write.mode("overwrite").parquet(seg_dir)
+            new_files = sorted(
+                os.path.join(seg_dir, f)
+                for f in os.listdir(seg_dir)
+                if f.endswith(".parquet")
+            )
         files = (manifest["files"] if mode == "append" else []) + new_files
         if extra is None and mode == "append":
             extra = manifest.get("extra")
@@ -125,6 +189,23 @@ class TableSnapshots:
             new_manifest["extra"] = extra
         self._publish(new_manifest)
         return v
+
+    def set_extra(self, updates: dict) -> int:
+        """Publish a new manifest version with ``updates`` merged into
+        extra — same file list, one atomic swap (used to declare
+        bucketing on an existing table; old segments stay unbucketed and
+        are always scanned until rewritten)."""
+        manifest = self._read_manifest()
+        extra = {**manifest.get("extra", {}), **updates}
+        self._publish(
+            {
+                "version": manifest["version"] + 1,
+                "files": manifest["files"],
+                "prev": manifest.get("version", 0),
+                "extra": extra,
+            }
+        )
+        return manifest["version"] + 1
 
     def _publish(self, manifest: dict) -> None:
         # Retain a short history for debugging, then swap atomically.
@@ -141,7 +222,8 @@ class TableSnapshots:
         """Prune manifests older than KEEP_MANIFESTS, then delete segment
         files no retained manifest references (overwrite/compaction would
         otherwise leak segments forever). Readers pinned to a retained
-        version keep their files."""
+        version keep their files. Walks bucketed segments' __bucket=K
+        subdirectories too."""
         referenced: set[str] = set(self.current_files())
         for name in os.listdir(self.table_dir):
             if name.startswith("manifest-v") and name.endswith(".json"):
@@ -151,19 +233,22 @@ class TableSnapshots:
                     os.unlink(path)
                 else:
                     with open(path) as f:
-                        referenced.update(json.load(f)["files"])
+                        referenced.update(
+                            p for p, _ in self._entries(json.load(f)["files"])
+                        )
         for seg in os.listdir(self.table_dir):
             seg_dir = os.path.join(self.table_dir, seg)
             if not seg.startswith("seg-") or not os.path.isdir(seg_dir):
                 continue
             kept = False
-            for fname in os.listdir(seg_dir):
-                fpath = os.path.join(seg_dir, fname)
-                if fname.endswith(".parquet"):
-                    if fpath in referenced:
-                        kept = True
-                    else:
-                        os.unlink(fpath)
+            for root, _dirs, fnames in os.walk(seg_dir):
+                for fname in fnames:
+                    fpath = os.path.join(root, fname)
+                    if fname.endswith(".parquet"):
+                        if fpath in referenced:
+                            kept = True
+                        else:
+                            os.unlink(fpath)
             if not kept:
                 shutil.rmtree(seg_dir, ignore_errors=True)
 

@@ -1,15 +1,18 @@
-"""Bucketed co-located joins: the 100 TB strategy for repeated
-large-large joins on a stable key (SCALING.md). Bucketing both fact
-tables by the join key lets the sort-merge join read pre-partitioned,
-pre-sorted buckets — no Exchange in the plan."""
+"""Bucketed co-located joins (the 100 TB strategy for repeated
+large-large joins on a stable key) and the bucketed unique-index insert
+path (SCALING.md Engine §): hash-clustered segments let the per-insert
+unique-clash check scan O(touched buckets) instead of O(table)."""
 
 import contextlib
 import io
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
+from seamdb_spark.errors import UniqueIndexError
+from seamdb_spark.snapshots import TableSnapshots
 from seamdb_spark.sources import load_table
 
 
@@ -63,3 +66,78 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def _snaps(engine, name="users"):
+    return TableSnapshots(engine.store.table_dir(engine.database, name))
+
+
+def _setup_bucketed(engine, n_buckets=8):
+    engine.sql("CREATE TABLE users (id bigint PRIMARY KEY, name text)")
+    engine.bucket_table("users", n_buckets)
+    return _snaps(engine)
+
+
+def test_bucketed_insert_records_file_buckets(engine):
+    snaps = _setup_bucketed(engine)
+    engine.sql("INSERT INTO users VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    entries = snaps.current_file_entries()
+    assert entries and all(b is not None and 0 <= b < 8 for _, b in entries)
+    # data reads back complete and schema-clean (no __bucket leakage)
+    rows = {(r.id, r.name) for r in engine.table("users").collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert engine.table("users").columns == ["id", "name"]
+
+
+def test_bucket_pruned_read_skips_untouched_files(engine):
+    snaps = _setup_bucketed(engine)
+    engine.sql("INSERT INTO users VALUES " + ", ".join(
+        f"({i}, 'u{i}')" for i in range(64)
+    ))
+    entries = snaps.current_file_entries()
+    buckets_present = {b for _, b in entries}
+    assert len(buckets_present) > 1, "fixture should span several buckets"
+    one = next(iter(buckets_present))
+    pruned = snaps.read(
+        engine.spark, engine.store.get_table("db1", "users").spark_schema(),
+        buckets={one},
+    )
+    full = engine.table("users")
+    assert pruned.count() < full.count()
+    # pruning is sound: every key the pruned read returns hashes to the
+    # requested bucket, and no key in that bucket was dropped
+    expect = {
+        r.id
+        for r in full.withColumn(
+            "b", F.pmod(F.xxhash64("id"), F.lit(8)).cast("int")
+        ).filter(F.col("b") == one).collect()
+    }
+    assert {r.id for r in pruned.collect()} == expect
+
+
+def test_bucketed_unique_check_still_enforces(engine):
+    _setup_bucketed(engine)
+    engine.sql("INSERT INTO users VALUES (1, 'a'), (2, 'b')")
+    with pytest.raises(UniqueIndexError):
+        engine.sql("INSERT INTO users VALUES (2, 'dup')")
+    # non-clashing insert still lands
+    engine.sql("INSERT INTO users VALUES (3, 'c')")
+    assert engine.table("users").count() == 3
+
+
+def test_legacy_unbucketed_segments_still_checked(engine):
+    # Rows inserted BEFORE bucketing was declared carry no bucket id;
+    # the pruned clash check must still see them (and compact() migrates
+    # them into clustered, prunable segments).
+    engine.sql("CREATE TABLE users (id bigint PRIMARY KEY, name text)")
+    engine.sql("INSERT INTO users VALUES (10, 'legacy')")
+    engine.bucket_table("users", 8)
+    with pytest.raises(UniqueIndexError):
+        engine.sql("INSERT INTO users VALUES (10, 'dup-of-legacy')")
+    engine.sql("INSERT INTO users VALUES (11, 'new')")
+    engine.compact("users")
+    snaps = _snaps(engine)
+    assert all(b is not None for _, b in snaps.current_file_entries())
+    with pytest.raises(UniqueIndexError):
+        engine.sql("INSERT INTO users VALUES (10, 'still-dup')")
+    assert {r.id for r in engine.table("users").collect()} == {10, 11}
