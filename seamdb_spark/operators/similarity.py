@@ -39,6 +39,15 @@ TOP_K = 5
 NEARDUP_COSINE = 0.35
 LSH_PLANES = 32
 LSH_BLOCKS = 8
+# Multi-probe LSH: each PROBE block key is also looked up with every
+# single-bit flip (Hamming-1 neighborhood in key space). Only the O(1)
+# probe side expands (x (1 + bits_per_block)); the corpus side and the
+# candidate equi-join shape are unchanged. This is the standard
+# recall-vs-candidates knob (Lv et al., multi-probe LSH) and lifts
+# fixture recall 0.68 -> >=0.8 without more planes or tables.
+LSH_MULTIPROBE_FLIPS = [0] + [
+    1 << i for i in range(LSH_PLANES // LSH_BLOCKS)
+]
 # Fixed-point quantization scale (multiplying a float by a power of two
 # is exact) — shared by s03/d06; int64 sums over it are order-independent
 # and bit-identical across engines.
@@ -256,11 +265,16 @@ def _s02_oracle() -> str:
       SELECT vec_id, b AS block_id, (sig >> (b * {bits_per_block})) & {mask} AS block_key
       FROM sigs, range(0, {LSH_BLOCKS}) t(b)
     ),
+    pblocks AS (
+      SELECT vec_id, block_id, xor(block_key, f) AS block_key
+      FROM blocks, (SELECT unnest({LSH_MULTIPROBE_FLIPS}) AS f)
+      WHERE vec_id < {N_PROBES}
+    ),
     cand AS (
       SELECT DISTINCT pb.vec_id AS probe_id, bl.vec_id
       FROM blocks bl
-      JOIN blocks pb ON bl.block_id = pb.block_id AND bl.block_key = pb.block_key
-      WHERE pb.vec_id < {N_PROBES} AND bl.vec_id <> pb.vec_id
+      JOIN pblocks pb ON bl.block_id = pb.block_id AND bl.block_key = pb.block_key
+      WHERE bl.vec_id <> pb.vec_id
     ),
     scored AS (
       SELECT c.probe_id, c.vec_id AS neighbor_id,
@@ -291,8 +305,18 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_norm = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
     planes = _hyperplanes(spark, 64)
     blocks = _signatures(emb, planes)
-    probe_blocks = blocks.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), "block_id", "block_key"
+    # Multi-probe expansion on the O(1) probe side only: every block key
+    # is also probed with each single-bit flip (Hamming-1 neighborhood).
+    flip_arr = F.array(*[F.lit(f).cast("long") for f in LSH_MULTIPROBE_FLIPS])
+    probe_blocks = (
+        blocks.filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "block_id", "block_key")
+        .withColumn("flip", F.explode(flip_arr))
+        .select(
+            "probe_id",
+            "block_id",
+            F.col("block_key").bitwiseXOR(F.col("flip")).alias("block_key"),
+        )
     )
     cand = (
         blocks.join(F.broadcast(probe_blocks), ["block_id", "block_key"])
@@ -339,7 +363,10 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additionally asserted in pytest.
 # --------------------------------------------------------------------------
 IVF_K = 16
-IVF_NPROBE = 4
+# nprobe 6/16: multi-probing more cells is the IVF recall knob (probe
+# side is O(1); candidate re-rank grows nprobe/K-linearly). 4/16 gave
+# 0.58 fixture recall; 6/16 clears the 0.7 floor.
+IVF_NPROBE = 6
 IVF_ITERS = 2
 
 

@@ -41,7 +41,9 @@ def test_lsh_recall_vs_bruteforce(spark, registry):
         for r in queries["s02_ann_lsh_topk"](spark, SF_SMOKE).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+    # multi-probe (Hamming-1 key expansion) lifts fixture recall to 1.0;
+    # floor at 0.9 to leave margin for fixture regeneration
+    assert recall >= 0.9, f"LSH recall {recall:.2f} too low"
 
 
 def test_approx_distinct_accuracy(spark, registry):
@@ -152,9 +154,9 @@ def test_ivf_recall_vs_bruteforce(spark, registry):
         for r in queries["s03_ann_ivf_topk"](spark, SF_SMOKE).collect()
     }
     recall = len(exact & ivf) / len(exact)
-    # nprobe/k = 4/16 of a weak-similarity corpus — recall is bounded;
-    # the assertion guards against the quantizer degenerating entirely.
-    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+    # nprobe/k = 6/16 of a weak-similarity corpus measures 0.74; the 0.7
+    # floor keeps the quantizer honest without over-fitting the fixture.
+    assert recall >= 0.7, f"IVF recall {recall:.2f} too low"
 
 
 def test_blocked_neardup_agrees_with_bruteforce(spark, registry):
