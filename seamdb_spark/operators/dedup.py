@@ -795,6 +795,133 @@ def d10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# d15: Bloom-prefiltered decontamination — the 100 TB prefilter pattern.
+#
+# d10's containment check joins EVERY training shingle against the eval
+# universe; at corpus scale the right shape is a compact Bloom bitmap of
+# the eval shingles broadcast to the scan, so non-candidate shingles die
+# INSIDE the corpus scan stage (codegen'd bit tests, no shuffle, no
+# join) and only bloom survivors reach the exact verification join.
+#
+# The filter is deterministic (md5-derived hash, two probes: low/high 16
+# bits of the 32-bit prefix into a 2^16-bit table), so DuckDB replays
+# membership exactly as position-set lookups — the bitmap IS the
+# characteristic function of that set. The output keeps bloom hits,
+# exact hits, and the false-positive gap per doc, making the
+# prefilter's save rate (and its soundness: exact ⊆ bloom, no false
+# negatives) part of the checked result.
+#
+# Scale (100 TB): the bitmap is m/8 bytes (8 KiB here; size m to the
+# eval-shingle count for the target FP rate) broadcast ONCE regardless
+# of eval-set size; the exact join's input shrinks by the prefilter's
+# rejection rate. Build cost is one distinct + 1024-row bit_or agg.
+# --------------------------------------------------------------------------
+BLOOM_BITS = 1 << 16
+
+
+def _d15_oracle() -> str:
+    h = md5_prefix_long_sql("s")
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hashed AS (SELECT doc_id, s, {h} AS h FROM exploded),
+    epos AS (
+      SELECT h % {BLOOM_BITS} AS p FROM hashed WHERE doc_id % {EVAL_SET_MOD} = 0
+      UNION
+      SELECT h // {BLOOM_BITS} FROM hashed WHERE doc_id % {EVAL_SET_MOD} = 0
+    ),
+    eunv AS (SELECT DISTINCT s FROM hashed WHERE doc_id % {EVAL_SET_MOD} = 0),
+    hits AS (
+      SELECT t.doc_id, t.s FROM hashed t
+      WHERE t.doc_id % {EVAL_SET_MOD} <> 0
+        AND t.h % {BLOOM_BITS} IN (SELECT p FROM epos)
+        AND t.h // {BLOOM_BITS} IN (SELECT p FROM epos)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
+      FROM hits GROUP BY doc_id
+    ),
+    ex AS (
+      SELECT h2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact_hits
+      FROM hits h2 JOIN eunv u ON h2.s = u.s GROUP BY h2.doc_id
+    )
+    SELECT a.doc_id, a.n_bloom_hits,
+           COALESCE(ex.n_exact_hits, 0) AS n_exact_hits,
+           a.n_bloom_hits - COALESCE(ex.n_exact_hits, 0) AS n_false_pos,
+           CAST(COALESCE(ex.n_exact_hits, 0) >= {DECONTAM_MIN_SHINGLES}
+                AS BIGINT) AS drop_doc
+    FROM agg a LEFT JOIN ex ON a.doc_id = ex.doc_id
+    """
+
+
+@register("d15_bloom_prefilter", oracle=_d15_oracle())
+def d15_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = exploded.select(
+        "doc_id", "s", md5_prefix_long(F.col("s")).alias("h")
+    )
+    evalh = hashed.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
+    # Build the bitmap distributed: positions -> 64-bit words via bit_or
+    # partial agg; only the packed words (m/64 = 1024 rows) reach the
+    # driver, then ship back as ONE array literal in the plan.
+    pos = (
+        evalh.select((F.col("h") % BLOOM_BITS).alias("p"))
+        .unionAll(evalh.select(F.expr(f"h DIV {BLOOM_BITS}").alias("p")))
+        .distinct()
+    )
+    words = (
+        pos.select(
+            F.expr("p DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .collect()
+    )
+    by_idx = {int(r.w): int(r.word) for r in words}
+    bitmap = [by_idx.get(i, 0) for i in range(BLOOM_BITS // 64)]
+
+    train = hashed.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+    probe = (
+        train.withColumn("bloom", F.lit(bitmap))
+        .withColumn("p1", F.col("h") % BLOOM_BITS)
+        .withColumn("p2", F.expr(f"h DIV {BLOOM_BITS}"))
+    )
+    hits = probe.filter(
+        F.expr(
+            "((bloom[CAST(p1 DIV 64 AS INT)] >> CAST(p1 % 64 AS INT)) & 1) = 1"
+            " AND ((bloom[CAST(p2 DIV 64 AS INT)] >> CAST(p2 % 64 AS INT)) & 1) = 1"
+        )
+    ).select("doc_id", "h")
+    agg = hits.groupBy("doc_id").agg(F.count("*").alias("n_bloom_hits"))
+    eunv = evalh.select("h").distinct()
+    exact = (
+        hits.join(eunv, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_hits"))
+    )
+    return (
+        agg.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bloom_hits",
+            F.coalesce(F.col("n_exact_hits"), F.lit(0)).alias("n_exact_hits"),
+            (
+                F.col("n_bloom_hits")
+                - F.coalesce(F.col("n_exact_hits"), F.lit(0))
+            ).alias("n_false_pos"),
+            (
+                F.coalesce(F.col("n_exact_hits"), F.lit(0))
+                >= DECONTAM_MIN_SHINGLES
+            )
+            .cast("long")
+            .alias("drop_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Canonical-keeper selection: clusters -> keep/drop decisions.
 #
 # Completes the dedup pipeline: each near-dup cluster (d09 connected

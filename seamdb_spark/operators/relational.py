@@ -1918,3 +1918,49 @@ def q55_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q56: relational division — "suppliers whose RETURNED items cover
+# every part size". The classic FOR ALL query shape (DataFusion
+# expresses it the same way: a distinct pair projection, a per-group
+# count, and a scalar universe count; no direct division operator
+# exists in either engine).
+#
+# Scale: the distinct (suppkey, mfgr) projection is the only fact-sized
+# shuffle and it map-side-combines to |suppliers| x |mfgrs| rows before
+# exchange; the universe count is a 1-row broadcast. HAVING runs on the
+# already-aggregated side — nothing quadratic anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "q56_relational_division",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey, p_size
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_returnflag = 'R'
+    ),
+    univ AS (SELECT COUNT(DISTINCT p_size) AS n_sizes FROM part)
+    SELECT l_suppkey AS s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_covered
+    FROM sp, univ
+    GROUP BY l_suppkey, univ.n_sizes
+    HAVING COUNT(*) = univ.n_sizes
+    """,
+)
+def q56_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    part = _t(spark, sf_dir, "part")
+    sp = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .select("l_suppkey", "p_size")
+        .distinct()
+    )
+    univ = part.agg(F.count_distinct("p_size").alias("n_sizes"))
+    return (
+        sp.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_covered"))
+        .join(F.broadcast(univ))  # 1-row scalar universe
+        .filter(F.col("n_covered") == F.col("n_sizes"))
+        .select(F.col("l_suppkey").alias("s_suppkey"), "n_covered")
+    )

@@ -1006,3 +1006,225 @@ def s07_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("probe_id", "neighbor_id", "cosine", "cosine_q", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# s08: Product-quantization ANN with asymmetric distance (PQ + ADC) —
+# the billion-vector COMPRESSION path (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search"). The 64-dim vector is
+# split into 8 sub-blocks; each sub-block is coded as the id of its
+# nearest codeword from a 16-entry per-block codebook, so a vector
+# stores as 8 bytes instead of 256. A probe never decompresses the
+# corpus: it precomputes an 8x16 lookup table of (sub-probe -> codeword)
+# distances and a neighbor's approximate distance is the SUM of 8 table
+# lookups.
+#
+# Deterministic twin discipline (the s03 pattern): codebooks are the
+# sub-blocks of the 16 md5-seeded corpus vectors over int64 fixed-point
+# values, every distance is an exact int64 sum, argmin ties break on
+# cid — so DuckDB replays codebook build, code assignment, LUT, and ADC
+# ranking bit-identically and the gate hash-checks all of it.
+#
+# Scale (100 TB): the codebook (8x16x8 int64) and per-probe LUTs
+# (O(1) rows) broadcast; code assignment is a corpus-local map stage
+# (x128 comparisons per vector, no shuffle); the ADC scoring shuffles
+# only map-side-combined (probe, vec) partial sums. The stored
+# code table is 32x smaller than the raw vectors — at 100 TB of
+# embeddings the scan drops to ~3 TB.
+# --------------------------------------------------------------------------
+PQ_BLOCKS = 8
+PQ_SUB = 8  # dims per block (64 / PQ_BLOCKS)
+PQ_K = 16
+# ADC candidate-pool size before the exact re-rank. On this fixture's
+# weak-similarity corpus (cosine tops out ~0.5, distances concentrate)
+# the compressed ranking is candidate generation, not the final order:
+# pool 200 recovers 0.86 of the true top-5 at sf0.01, pool 500 -> 1.0.
+PQ_POOL = 200
+
+
+def _qnorm(emb: DataFrame) -> DataFrame:
+    """vec_id + int64 fixed-point NORMALIZED vector floor(x/||x|| * 2^20).
+
+    PQ ranks by L2 distance; on unit vectors L2^2 = 2 - 2*cosine, so the
+    ADC ordering matches the cosine baselines. The norm is the same
+    left-fold double both engines compute for cosine (bit-identical),
+    and floor() lands on the same int64 either side.
+    """
+    nrm = _norm("embedding")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / nrm * QUANT_SCALE).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _s08_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+    d2 = _QD2_SQL.format(a="c.sub", b="k.cw")
+    norm = _NORM_SQL.format(a="embedding")
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / {norm} * {QUANT_SCALE})
+                    AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT cid, q FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {PQ_K}
+    ),
+    cb AS (
+      SELECT t.b, s.cid,
+             list_slice(s.q, t.b * {PQ_SUB} + 1, t.b * {PQ_SUB} + {PQ_SUB}) AS cw
+      FROM seeds s, range(0, {PQ_BLOCKS}) t(b)
+    ),
+    cblk AS (
+      SELECT vec_id, t.b,
+             list_slice(q, t.b * {PQ_SUB} + 1, t.b * {PQ_SUB} + {PQ_SUB}) AS sub
+      FROM quant, range(0, {PQ_BLOCKS}) t(b)
+    ),
+    codes AS (
+      SELECT vec_id, b, cid AS code FROM (
+        SELECT c.vec_id, c.b, k.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.b
+                                  ORDER BY {d2}, k.cid) AS rk
+        FROM cblk c JOIN cb k ON k.b = c.b
+      ) WHERE rk = 1
+    ),
+    lut AS (
+      SELECT c.vec_id AS probe_id, c.b, k.cid, {d2} AS d2
+      FROM cblk c JOIN cb k ON k.b = c.b
+      WHERE c.vec_id < {N_PROBES}
+    ),
+    approx AS (
+      SELECT l.probe_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.d2) AS BIGINT) AS approx_d2
+      FROM codes c JOIN lut l ON l.b = c.b AND l.cid = c.code
+      WHERE c.vec_id <> l.probe_id
+      GROUP BY l.probe_id, c.vec_id
+    ),
+    pool AS (
+      SELECT probe_id, neighbor_id, approx_d2 FROM (
+        SELECT probe_id, neighbor_id, approx_d2,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY approx_d2, neighbor_id) AS rk_adc
+        FROM approx
+      ) WHERE rk_adc <= {PQ_POOL}
+    ),
+    exact AS (
+      SELECT p.probe_id, p.neighbor_id, p.approx_d2,
+             ROUND({_cos_sql('pe.embedding', 'ne.embedding')}, 6) AS cosine
+      FROM pool p
+      JOIN embeddings ne ON ne.vec_id = p.neighbor_id
+      JOIN embeddings pe ON pe.vec_id = p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, cosine, approx_d2,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM exact
+    )
+    SELECT probe_id, neighbor_id, cosine, approx_d2, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    """
+
+
+@register("s08_ann_pq_topk", oracle=_s08_oracle())
+def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quant = _qnorm(_emb(spark, sf_dir)).localCheckpoint()
+    seeds = (
+        quant.select(
+            "vec_id", "q", md5_prefix_long(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    cb_rows = []
+    for cid, r in enumerate(seeds):
+        qv = [int(x) for x in r.q]
+        for b in range(PQ_BLOCKS):
+            cb_rows.append((b, cid, qv[b * PQ_SUB : (b + 1) * PQ_SUB]))
+    cb = F.broadcast(
+        spark.createDataFrame(cb_rows, "b int, cid int, cw array<bigint>")
+    )
+    blocks_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.slice("q", b * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            for b in range(PQ_BLOCKS)
+        ]
+    )
+    cblk = quant.select("vec_id", F.explode(blocks_arr).alias("bk")).select(
+        "vec_id", "bk.b", "bk.sub"
+    )
+    # Code assignment: argmin codeword per (vec, block) via the
+    # min(struct(d2, cid)) hash aggregate — map-side combine, no window.
+    codes = (
+        cblk.join(cb, "b")
+        .withColumn("d2", _qd2("sub", "cw"))
+        .groupBy("vec_id", "b")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "b", F.col("m.cid").alias("code"))
+    )
+    # Per-probe ADC lookup tables: O(N_PROBES x 8 x 16) rows, broadcast.
+    lut = (
+        cblk.filter(F.col("vec_id") < N_PROBES)
+        .join(cb, "b")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "b",
+            "cid",
+            _qd2("sub", "cw").alias("d2"),
+        )
+    )
+    approx = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.b == lut.b) & (codes.code == lut.cid),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "approx_d2")
+    )
+    # Stage 2: the compressed-domain ranking is candidate GENERATION
+    # (exactly how IVFADC deploys); the PQ_POOL survivors get an exact
+    # cosine re-rank against the raw vectors. The pool bounds the exact
+    # stage at O(N_PROBES x PQ_POOL) regardless of corpus size.
+    w_adc = W.partitionBy("probe_id").orderBy(F.col("approx_d2"), F.col("neighbor_id"))
+    pool = (
+        approx.withColumn("rk_adc", F.row_number().over(w_adc))
+        .filter(F.col("rk_adc") <= PQ_POOL)
+        .drop("rk_adc")
+    )
+    emb = _emb(spark, sf_dir)
+    pf = emb.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    nf = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    exact = (
+        pool.join(nf, "neighbor_id")
+        .join(F.broadcast(pf), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            dround(_dot("pe", "ne") / (_norm("pe") * _norm("ne")), 6).alias("cosine"),
+            "approx_d2",
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "approx_d2", "rk")
+    )

@@ -159,6 +159,38 @@ def test_ivf_recall_vs_bruteforce(spark, registry):
     assert recall >= 0.7, f"IVF recall {recall:.2f} too low"
 
 
+def test_pq_recall_vs_bruteforce(spark, registry):
+    queries, _ = registry
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect()
+    }
+    pq = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s08_ann_pq_topk"](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    # ADC pool + exact re-rank measures 0.94 on the fixture; 0.8 floor.
+    assert recall >= 0.8, f"PQ recall {recall:.2f} too low"
+
+
+def test_bloom_prefilter_is_sound(spark, registry):
+    # Bloom filters admit false positives, never false negatives: every
+    # exactly-contaminated doc (d10) must appear in d15 with
+    # n_exact_hits == d10's count, and bloom hits must be >= exact hits.
+    queries, _ = registry
+    d10 = {
+        r.doc_id: r.n_contaminated_shingles
+        for r in queries["d10_decontaminate"](spark, SF_SMOKE).collect()
+    }
+    d15 = {r.doc_id: r for r in queries["d15_bloom_prefilter"](spark, SF_SMOKE).collect()}
+    for doc_id, n_exact in d10.items():
+        assert doc_id in d15, f"doc {doc_id} lost by the bloom prefilter"
+        assert d15[doc_id].n_exact_hits == n_exact
+        assert d15[doc_id].n_bloom_hits >= n_exact
+    assert all(r.n_false_pos >= 0 for r in d15.values())
+
+
 def test_blocked_neardup_agrees_with_bruteforce(spark, registry):
     queries, _ = registry
     p5 = {
