@@ -1208,13 +1208,18 @@ def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk_adc")
     )
     emb = _emb(spark, sf_dir)
-    pf = emb.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    # Only the N_PROBES probe vectors are ever joined on probe_id —
+    # filter BEFORE the broadcast so the hint wraps an O(N_PROBES) table,
+    # not the whole corpus (which grows with SF).
+    probe_vecs = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
     nf = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
     )
     exact = (
         pool.join(nf, "neighbor_id")
-        .join(F.broadcast(pf), "probe_id")
+        .join(F.broadcast(probe_vecs), "probe_id")
         .select(
             "probe_id",
             "neighbor_id",

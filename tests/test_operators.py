@@ -286,6 +286,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "avg_price", "per_nation", "total", "n_docs", "bounds", "n_total",
         "pos_avg",  # q52: global scalar average, 1 row
         "totals",  # e11: per-event-type totals, |types| rows
+        "univ",  # q56: COUNT(DISTINCT p_size) scalar universe, 1 row
+        "lut",  # s08: per-probe ADC table, N_PROBES x PQ_BLOCKS x PQ_K rows
         # O(K) probe / centroid / plane / chunk tables
         "probes", "probe_blocks", "probe_vecs", "planes", "chunks", "cdf",
         # spark.createDataFrame(<driver-local list>) is O(K) by construction
