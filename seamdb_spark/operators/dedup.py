@@ -1265,3 +1265,118 @@ def d14_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pairs_per_1k_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d16: boilerplate stripping — the transform step that d12's span
+# detection feeds in a real curation run (C4 / CCNet style: drop token
+# spans that repeat across many documents — headers, footers, nav
+# chrome). A span here is a 5-token sliding window; any span occurring
+# in >= BOILER_MIN_DOCS distinct docs marks all its token positions as
+# boilerplate, and the doc is re-emitted with those positions removed.
+# The oracle checks the md5 of the CLEANED text, so both engines must
+# agree on the exact surviving token sequence, not just counts.
+#
+# Scale: the span explode is linear in corpus tokens and the
+# popularity count is an md5-keyed equi-shuffle (uniform); the hits
+# that flow back are only the popular spans, so the position-union
+# stage is proportional to boilerplate volume, not corpus volume. The
+# per-doc covered-position set is bounded by doc length. At 100 TB:
+# longer spans (13+ tokens, the Dolma setting), a Bloom pre-pass on
+# span hashes (d15's pattern) before the popularity shuffle, and a
+# min-doc threshold expressed as a corpus fraction.
+# --------------------------------------------------------------------------
+BOILER_SPAN = 5
+BOILER_MIN_DOCS = 3
+
+
+@register(
+    "d16_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    spans AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.h AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(tk) - {BOILER_SPAN - 2}),
+                 i -> struct_pack(
+                   pos := i - 1,
+                   h := md5(array_to_string(
+                          list_slice(tk, i, i + {BOILER_SPAN - 1}), ' '))))) AS s
+        FROM toks WHERE len(tk) >= {BOILER_SPAN}
+      ) u
+    ),
+    popular AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h
+      ) WHERE nd >= {BOILER_MIN_DOCS}
+    ),
+    covered AS (
+      SELECT DISTINCT s.doc_id, p
+      FROM spans s JOIN popular USING (h),
+           unnest(range(s.pos, s.pos + {BOILER_SPAN})) t(p)
+    ),
+    cov AS (SELECT doc_id, list(p) AS cv FROM covered GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(cv), 0) AS BIGINT) AS n_boiler_tokens,
+           ROUND((len(tk) - COALESCE(len(cv), 0)) * 1.0 / len(tk), 6)
+             AS keep_ratio,
+           -- array_to_string('[]') is NULL in DuckDB but concat_ws is ''
+           -- in Spark: normalize the fully-stripped doc to md5('').
+           md5(COALESCE(array_to_string(
+             list_filter(tk, (x, i) ->
+               NOT list_contains(COALESCE(cv, CAST([] AS BIGINT[])), i - 1)),
+             ' '), '')) AS clean_md5
+    FROM toks t LEFT JOIN cov USING (doc_id)
+    """,
+)
+def d16_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    spans = (
+        toks.filter(F.size("tk") >= BOILER_SPAN)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(tk) - {BOILER_SPAN}),"
+                    f" i -> md5(concat_ws(' ', slice(tk, i + 1, {BOILER_SPAN}))))"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    popular = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("h")
+    )
+    covered = (
+        spans.join(popular, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(BOILER_SPAN - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    cov = covered.groupBy("doc_id").agg(F.collect_set("p").alias("cv"))
+    joined = toks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "tk",
+        F.coalesce(F.col("cv"), F.expr("CAST(array() AS array<int>)")).alias("cv"),
+    )
+    n_tokens = F.size("tk")
+    n_boiler = F.size("cv")
+    return joined.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_boiler.cast("long").alias("n_boiler_tokens"),
+        dround((n_tokens - n_boiler) * F.lit(1.0) / n_tokens, 6).alias("keep_ratio"),
+        F.md5(
+            F.expr("concat_ws(' ', filter(tk, (x, i) -> NOT array_contains(cv, i)))")
+        ).alias("clean_md5"),
+    )

@@ -336,3 +336,25 @@ def test_decontaminate_never_flags_eval_docs(spark, registry):
     assert all(
         (r.drop_doc == 1) == (r.n_contaminated_shingles >= 3) for r in rows
     )
+
+
+def test_boilerplate_strip_invariants(spark, registry):
+    import hashlib
+
+    queries, _ = registry
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    rows = queries["d16_boilerplate_strip"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(docs)  # left join keeps untouched docs
+    for r in rows:
+        assert 0 <= r.n_boiler_tokens <= r.n_tokens
+        assert abs(r.keep_ratio - (r.n_tokens - r.n_boiler_tokens) / r.n_tokens) < 1e-6
+        if r.n_boiler_tokens == 0:
+            # untouched docs round-trip exactly (fixture is single-spaced)
+            expect = hashlib.md5(docs[r.doc_id].encode()).hexdigest()
+            assert r.clean_md5 == expect
+        else:
+            # removing tokens must change the text
+            assert r.clean_md5 != hashlib.md5(docs[r.doc_id].encode()).hexdigest()
