@@ -1080,3 +1080,68 @@ def e15_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.cast("string"), f.cast("string"), m.cast("string")
         ).alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# e16: hopping (sliding) window rollup — 2-hour windows advancing every
+# 30 minutes, the standard alerting/trend shape Structured Streaming
+# serves with the same F.window(size, slide) call. Each event lands in
+# exactly size/slide = 4 windows; Spark emits them natively while the
+# oracle replays the k = 0..3 offset expansion (e13's contrib pattern)
+# in pure TIMESTAMP arithmetic.
+#
+# Scale: the explode factor is the constant size/slide (4x), then a
+# single (window, type)-keyed aggregation with map-side partials —
+# identical shuffle profile to e01 at 4x row volume. The summed measure
+# is integer-quantized millis so partial-agg order can't move the hash.
+# --------------------------------------------------------------------------
+HOP_SIZE_MIN = 120
+HOP_SLIDE_MIN = 30
+
+
+@register(
+    "e16_hopping_windows",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT date_trunc('hour', ts)
+               + INTERVAL {HOP_SLIDE_MIN} MINUTE * (minute(ts) // {HOP_SLIDE_MIN})
+               AS bucket,
+             event_type, user_id, value
+      FROM events
+    ),
+    contrib AS (
+      SELECT bucket - INTERVAL {HOP_SLIDE_MIN} MINUTE * k AS window_start,
+             event_type, user_id, value
+      FROM bucketed,
+           unnest(range(0, {HOP_SIZE_MIN // HOP_SLIDE_MIN})) t(k)
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT)
+             AS sum_millis
+    FROM contrib
+    GROUP BY 1, 2
+    """,
+)
+def e16_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", f"{HOP_SIZE_MIN} minutes", f"{HOP_SLIDE_MIN} minutes")
+            .alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1000.0).cast("long")).alias("sum_millis"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_millis",
+        )
+    )

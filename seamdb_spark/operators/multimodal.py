@@ -664,3 +664,136 @@ def m07_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(synth_decode, schema=_WAV_DECODE_SCHEMA)
+
+
+def wav_samples(payload: bytes) -> list[int]:
+    """Extract the raw interleaved sample values from a PCM WAV payload.
+
+    Same chunk walk as :func:`decode_wav` but returns the samples
+    themselves — the input to framewise feature extraction (m08).
+    """
+    info_fmt = None
+    data = None
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE header")
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        body = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            info_fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)
+    if info_fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, _rate = struct.unpack_from("<HHI", info_fmt, 0)
+    block_align = struct.unpack_from("<H", info_fmt, 12)[0]
+    bits = struct.unpack_from("<H", info_fmt, 14)[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM supported")
+    n_samples = len(data) // block_align if block_align else 0
+    if bits == 16:
+        return list(struct.unpack_from(f"<{n_samples * channels}h", data, 0))
+    return [b - 128 for b in data[: n_samples * channels]]
+
+
+# --------------------------------------------------------------------------
+# m08: framewise audio energy over REAL WAV decode — the feature
+# extraction a speech-data pipeline runs before VAD / silence trimming.
+# Each doc synthesizes the same md5-derived 16-bit PCM file as m07,
+# then the Pandas-UDF batch parses the BYTES back (wav_samples, the
+# real chunk walker) and frames the signal at FRAME samples per frame
+# (full frames only, librosa-style truncation). FRAME = 6 deliberately
+# does NOT divide the digest's 16-byte cycle, so frame energies vary
+# within a doc and the argmax is a real signal, not a constant.
+#
+# The oracle replays sample synthesis analytically (digest byte at
+# i % 16) and the framing arithmetic in exact int64 — a builder or
+# parser bug (offsets, widths, padding) breaks the hash.
+#
+# Scale: row-local mapInPandas, zero shuffle; frames-per-payload is the
+# only fan-out and it is bounded by payload length.
+# --------------------------------------------------------------------------
+AUDIO_FRAME = 6
+
+_AUDIO_ENERGY_SCHEMA = (
+    "doc_id long, n_audio_frames long, total_energy long,"
+    " peak_energy long, peak_frame long"
+)
+
+
+def _byte_at(var: str) -> str:
+    """DuckDB expr: digest byte value at DYNAMIC hex position ``var``."""
+    return (
+        f"((strpos('{_HEXD}', substr(hx, 2 * {var} + 1, 1)) - 1) * 16"
+        f" + strpos('{_HEXD}', substr(hx, 2 * {var} + 2, 1)) - 1)"
+    )
+
+
+@register(
+    "m08_audio_frame_energy",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             32 + {_byte_at('3')} % 3 * 16 AS n
+      FROM h
+    ),
+    samples AS (
+      SELECT doc_id, t.i // {AUDIO_FRAME} AS frame,
+             ({_byte_at('(t.i % 16)')} - 128) * 256 AS s
+      FROM d, unnest(range(0, (n // {AUDIO_FRAME}) * {AUDIO_FRAME})) t(i)
+    ),
+    frames AS (
+      SELECT doc_id, frame, SUM(s * s) AS energy
+      FROM samples GROUP BY doc_id, frame
+    ),
+    ranked AS (
+      SELECT doc_id, frame, energy,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY energy DESC, frame ASC) AS rn
+      FROM frames
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_audio_frames,
+           CAST(SUM(f.energy) AS BIGINT) AS total_energy,
+           CAST(MAX(r.energy) AS BIGINT) AS peak_energy,
+           CAST(MAX(r.frame) AS BIGINT)  AS peak_frame
+    FROM frames f
+    JOIN ranked r ON r.doc_id = f.doc_id AND r.rn = 1
+    GROUP BY f.doc_id
+    """,
+)
+def m08_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_audio_frames": [], "total_energy": [],
+                "peak_energy": [], "peak_frame": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                n = 32 + digest[3] % 3 * 16
+                synth = [(digest[k % 16] - 128) * 256 for k in range(n)]
+                samples = wav_samples(build_wav(synth, _WAV_RATE))  # real parse
+                nf = len(samples) // AUDIO_FRAME
+                energies = [
+                    sum(
+                        s * s
+                        for s in samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                    )
+                    for f in range(nf)
+                ]
+                peak = max(energies)
+                out["doc_id"].append(doc_id)
+                out["n_audio_frames"].append(nf)
+                out["total_energy"].append(sum(energies))
+                out["peak_energy"].append(peak)
+                out["peak_frame"].append(energies.index(peak))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(frame_energy, schema=_AUDIO_ENERGY_SCHEMA)

@@ -1964,3 +1964,77 @@ def q56_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_covered") == F.col("n_sizes"))
         .select(F.col("l_suppkey").alias("s_suppkey"), "n_covered")
     )
+
+
+# --------------------------------------------------------------------------
+# q57: ordered-set aggregates — exact interpolated median /
+# percentile_cont and a DETERMINISTIC mode (max count, smallest value
+# breaks ties; both engines' native mode() leaves ties unspecified, so
+# it is recomputed as an argmax over per-value counts instead).
+#
+# Scale: the mode path is two hash aggregations (value counts
+# map-side-combine before the (group, value) shuffle, then an argmax
+# per group); median/percentile_cont need a per-group sort, which Spark
+# runs as a single exchange on the 6-row group key — the group count,
+# not the fact count, bounds the final state.
+# --------------------------------------------------------------------------
+@register(
+    "q57_ordered_set_aggs",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_linestatus, l_quantity AS v, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    modes AS (
+      SELECT l_returnflag, l_linestatus, v AS mode_qty
+      FROM (
+        SELECT l_returnflag, l_linestatus, v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                  ORDER BY c DESC, v ASC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    quant AS (
+      SELECT l_returnflag, l_linestatus,
+             ROUND(median(l_quantity), 6)                   AS median_qty,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+             ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT q.l_returnflag, q.l_linestatus,
+           m.mode_qty, q.median_qty, q.p25_price, q.p75_price
+    FROM quant q
+    JOIN modes m USING (l_returnflag, l_linestatus)
+    """,
+)
+def q57_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    counts = lineitem.groupBy("l_returnflag", "l_linestatus", "l_quantity").agg(
+        F.count("*").alias("c")
+    )
+    modes = (
+        counts.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("l_quantity")).alias("neg_v"))
+            ).alias("m")
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (-F.col("m.neg_v")).alias("mode_qty"),
+        )
+    )
+    quant = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        dround(F.median("l_quantity"), 6).alias("median_qty"),
+        dround(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        dround(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+    )
+    return quant.join(modes, ["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag",
+        "l_linestatus",
+        "mode_qty",
+        "median_qty",
+        "p25_price",
+        "p75_price",
+    )

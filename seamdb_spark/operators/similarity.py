@@ -1233,3 +1233,118 @@ def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("probe_id", "neighbor_id", "cosine", "approx_d2", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# s09: approximate k-NN GRAPH construction — every vector gets its
+# top-KNN_K neighbors, the precursor to graph-based dedup clustering
+# (d09 consumes edges like these) and NN-descent index builds. Unlike
+# s02 (O(1) probe set), here BOTH join sides are corpus-sized, so the
+# whole pipeline must stay bucketed: candidates come from the LSH
+# block self-join (an equi-join on (block_id, block_key) — never a
+# cross join), exact cosine re-ranks only the bucket-mates.
+#
+# Scale: the self-join cost is sum over buckets of |bucket|^2; keeping
+# |bucket| bounded as the corpus grows is the standard LSH play of
+# raising bits-per-block ~ log2(n) (more planes), which this layout
+# absorbs as a constant change. Everything downstream is keyed
+# equi-joins plus a per-src top-k window over <= LSH_BLOCKS * bucket
+# candidates.
+# --------------------------------------------------------------------------
+KNN_K = 3
+
+
+def _s09_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    plane_hash = md5_prefix_long_sql(
+        "'plane' || CAST(p AS VARCHAR) || '_dim' || CAST(d AS VARCHAR)"
+    )
+    plane_dot = _DOT_SQL.format(a="e.embedding", b="pl.wl")
+    bits_per_block = LSH_PLANES // LSH_BLOCKS
+    mask = (1 << bits_per_block) - 1
+    return f"""
+    WITH planes AS (
+      SELECT p, list(w ORDER BY d) AS wl
+      FROM (
+        SELECT p, d, ({plane_hash} % 2001 - 1000) / 1000.0 AS w
+        FROM range(0, {LSH_PLANES}) t1(p), range(0, 64) t2(d)
+      )
+      GROUP BY p
+    ),
+    sigs AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {plane_dot} > 0
+                      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS sig
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id
+    ),
+    blocks AS (
+      SELECT vec_id, b AS block_id, (sig >> (b * {bits_per_block})) & {mask} AS block_key
+      FROM sigs, range(0, {LSH_BLOCKS}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM blocks a
+      JOIN blocks b ON a.block_id = b.block_id AND a.block_key = b.block_key
+      WHERE a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.src, c.dst,
+             ROUND({_cos_sql('se.embedding', 'de.embedding')}, 6) AS cosine
+      FROM cand c
+      JOIN embeddings se ON se.vec_id = c.src
+      JOIN embeddings de ON de.vec_id = c.dst
+    ),
+    ranked AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rk
+      FROM scored
+    )
+    SELECT src, dst, cosine, rk FROM ranked WHERE rk <= {KNN_K}
+    """
+
+
+@register("s09_knn_graph", oracle=_s09_oracle())
+def s09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    with_norm = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    planes = _hyperplanes(spark, 64)
+    blocks = _signatures(emb, planes)
+    other = blocks.select(
+        F.col("vec_id").alias("dst"), "block_id", "block_key"
+    )
+    # corpus x corpus bucket self-join: plain shuffled equi-join on the
+    # (block_id, block_key) bucket — deliberately NOT broadcast.
+    cand = (
+        blocks.join(other, ["block_id", "block_key"])
+        .filter(F.col("vec_id") != F.col("dst"))
+        .select(F.col("vec_id").alias("src"), "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    se = with_norm.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("se"),
+        F.col("nrm").alias("sn"),
+    )
+    de = with_norm.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("de"),
+        F.col("nrm").alias("dn"),
+    )
+    scored = (
+        cand.join(de, "dst")
+        .join(se, "src")
+        .select(
+            "src",
+            "dst",
+            dround(_dot("se", "de") / (F.col("sn") * F.col("dn")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src", "dst", "cosine", "rk")
+    )

@@ -358,3 +358,68 @@ def test_boilerplate_strip_invariants(spark, registry):
         else:
             # removing tokens must change the text
             assert r.clean_md5 != hashlib.md5(docs[r.doc_id].encode()).hexdigest()
+
+
+def test_knn_graph_covers_bruteforce_neighbors(spark, registry):
+    queries, _ = registry
+    exact = {}
+    for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect():
+        exact.setdefault(r.probe_id, []).append((r.rk, r.neighbor_id))
+    graph = {}
+    for r in queries["s09_knn_graph"](spark, SF_SMOKE).collect():
+        graph.setdefault(r.src, set()).add(r.dst)
+        assert 1 <= r.rk <= 3
+    # recall of the graph's edges against the exact top-3 of the probe set
+    hits = total = 0
+    for pid, lst in exact.items():
+        top3 = {n for rk, n in lst if rk <= 3}
+        total += len(top3)
+        hits += len(top3 & graph.get(pid, set()))
+    recall = hits / total
+    assert recall >= 0.6, f"kNN-graph recall {recall:.2f} too low"
+    # every corpus vector should appear as a source (bucketed self-join
+    # leaves nobody out unless a vector shares no bucket at all)
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(graph) >= n_vecs * 0.95
+
+
+def test_hopping_windows_tile_events(spark, registry):
+    from seamdb_spark.operators.events import HOP_SIZE_MIN, HOP_SLIDE_MIN
+
+    queries, _ = registry
+    rows = queries["e16_hopping_windows"](spark, SF_SMOKE).collect()
+    assert rows
+    # every window total must equal size/slide times the tumbling total
+    factor = HOP_SIZE_MIN // HOP_SLIDE_MIN
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == factor * n_events
+    # window starts align to the slide grid
+    assert all(
+        r.window_start.minute % HOP_SLIDE_MIN == 0 and r.window_start.second == 0
+        for r in rows
+    )
+
+
+def test_audio_frame_energy_matches_python(spark, registry):
+    import hashlib
+
+    from seamdb_spark.operators.multimodal import AUDIO_FRAME
+
+    queries, _ = registry
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    for r in queries["m08_audio_frame_energy"](spark, SF_SMOKE).collect():
+        digest = hashlib.md5(docs[r.doc_id].encode()).digest()
+        n = 32 + digest[3] % 3 * 16
+        samples = [(digest[k % 16] - 128) * 256 for k in range(n)]
+        nf = n // AUDIO_FRAME
+        energies = [
+            sum(s * s for s in samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME])
+            for f in range(nf)
+        ]
+        assert r.n_audio_frames == nf
+        assert r.total_energy == sum(energies)
+        assert r.peak_energy == max(energies)
+        assert r.peak_frame == energies.index(max(energies))
