@@ -3,6 +3,7 @@ from .events import (
     click_purchase_join_stream,
     doc_dedup_stream,
     funnel_stage_stream,
+    hopping_rollup_stream,
     hourly_rollup_stream,
     run_stream_to_memory,
     session_window_stream,
@@ -19,6 +20,7 @@ __all__ = [
     "click_purchase_join_stream",
     "doc_dedup_stream",
     "funnel_stage_stream",
+    "hopping_rollup_stream",
     "hourly_rollup_stream",
     "session_window_stream",
     "user_running_totals_stream",

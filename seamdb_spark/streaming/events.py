@@ -420,3 +420,30 @@ def transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hopping_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of e16_hopping_windows: the same
+    F.window(size, slide) call runs incrementally — each event updates
+    its size/slide = 4 open windows, and the watermark closes windows
+    (and frees their state) once event time passes window_end + delay.
+    The summed measure is integer-quantized millis exactly like the
+    batch query, so stream and batch agree bit-for-bit."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "120 minutes", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000.0).cast("long")).alias("sum_millis"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_millis",
+        )
+    )

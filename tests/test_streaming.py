@@ -191,3 +191,20 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     # output mode and no new data the sink table stays empty
     assert p2 is None or p2["numInputRows"] == 0
     assert n2 == 0
+
+
+def test_hopping_rollup_stream_matches_batch(spark):
+    from seamdb_spark.operators.events import e16_hopping_windows
+
+    out = st.run_stream_to_memory(
+        st.hopping_rollup_stream(spark, SF_SMOKE), "hopping_test", "complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_millis)
+        for r in out.collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_millis)
+        for r in e16_hopping_windows(spark, SF_SMOKE).collect()
+    }
+    assert got == batch
