@@ -117,3 +117,42 @@ def test_chunk_window_formula_covers_sequence(n):
         assert all(b - a == hop for a, b in zip(starts, starts[1:]))
         # and the formula is minimal: one fewer window would leave a gap
         assert starts[-2] + size - 1 < n
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_build_decode_roundtrip(samples, rate):
+    """build_wav -> decode_wav/wav_samples is the identity on sample
+    values and format facts for any 16-bit mono signal."""
+    from seamdb_spark.operators.multimodal import build_wav, decode_wav, wav_samples
+
+    payload = build_wav(samples, rate)
+    info = decode_wav(payload)
+    assert info["sample_rate"] == rate
+    assert info["n_frames"] == len(samples)
+    assert info["abs_sum"] == sum(abs(s) for s in samples)
+    assert wav_samples(payload) == samples
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+)
+def test_bmp_build_decode_roundtrip(w, h):
+    """build_bmp -> decode_bmp recovers dimensions and the exact pixel
+    sum for any (w, h), including widths whose 3w bytes need stride
+    padding (w % 4 != 0 cases)."""
+    import hashlib
+
+    from seamdb_spark.operators.multimodal import build_bmp, decode_bmp
+
+    n = w * h * 3
+    digest = hashlib.md5(f"{w}x{h}".encode()).digest()
+    pixels = bytes(digest[i % 16] for i in range(n))
+    info = decode_bmp(build_bmp(w, h, pixels))
+    assert (info["width"], info["height"]) == (w, h)
+    assert info["pixel_sum"] == sum(pixels)
