@@ -1240,16 +1240,27 @@ def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-KNN_K neighbors, the precursor to graph-based dedup clustering
 # (d09 consumes edges like these) and NN-descent index builds. Unlike
 # s02 (O(1) probe set), here BOTH join sides are corpus-sized, so the
-# whole pipeline must stay bucketed: candidates come from the LSH
-# block self-join (an equi-join on (block_id, block_key) — never a
-# cross join), exact cosine re-ranks only the bucket-mates.
+# whole pipeline must stay bucketed: vectors are grouped by their LSH
+# (block_id, block_key) bucket and an Arrow-batched int64-matmul kernel
+# (d06's pattern) scores each bucket IN PLACE — no per-pair array
+# shuffle ever materializes. Each kernel emits only its bucket-local
+# top-KNN_K per source; the global top-K is provably contained in the
+# union of bucket-local top-Ks (a globally rank-r candidate has < r
+# better candidates in any bucket it shares), so a cheap per-src window
+# over <= LSH_BLOCKS * KNN_K survivors finishes the graph.
 #
-# Scale: the self-join cost is sum over buckets of |bucket|^2; keeping
+# Cosines run on int64 fixed-point vectors (floor(x * 2^20)): dots are
+# exact order-independent integers and the final sqrt/divide are single
+# correctly-rounded IEEE ops, so numpy and DuckDB produce bit-identical
+# values — which is what lets the RANKING (not just the rounded output)
+# hash-match the oracle.
+#
+# Scale: kernel cost is sum over buckets of |bucket|^2; keeping
 # |bucket| bounded as the corpus grows is the standard LSH play of
 # raising bits-per-block ~ log2(n) (more planes), which this layout
-# absorbs as a constant change. Everything downstream is keyed
-# equi-joins plus a per-src top-k window over <= LSH_BLOCKS * bucket
-# candidates.
+# absorbs as a constant change. Skewed buckets are the knob to watch —
+# the 100 TB deployment caps bucket size and re-splits hot keys (same
+# salting discipline as t07).
 # --------------------------------------------------------------------------
 KNN_K = 3
 
@@ -1283,6 +1294,12 @@ def _s09_oracle() -> str:
       SELECT vec_id, b AS block_id, (sig >> (b * {bits_per_block})) & {mask} AS block_key
       FROM sigs, range(0, {LSH_BLOCKS}) t(b)
     ),
+    quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
       FROM blocks a
@@ -1291,10 +1308,14 @@ def _s09_oracle() -> str:
     ),
     scored AS (
       SELECT c.src, c.dst,
-             ROUND({_cos_sql('se.embedding', 'de.embedding')}, 6) AS cosine
+             CAST(list_sum(list_transform(list_zip(sq.q, dq.q),
+                                          p -> p[1] * p[2])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(sq.q, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(dq.q, x -> x * x)) AS DOUBLE)))
+               AS cosine
       FROM cand c
-      JOIN embeddings se ON se.vec_id = c.src
-      JOIN embeddings de ON de.vec_id = c.dst
+      JOIN quant sq ON sq.vec_id = c.src
+      JOIN quant dq ON dq.vec_id = c.dst
     ),
     ranked AS (
       SELECT src, dst, cosine,
@@ -1302,49 +1323,61 @@ def _s09_oracle() -> str:
                                 ORDER BY cosine DESC, dst) AS rk
       FROM scored
     )
-    SELECT src, dst, cosine, rk FROM ranked WHERE rk <= {KNN_K}
+    SELECT src, dst, ROUND(cosine, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {KNN_K}
     """
 
 
 @register("s09_knn_graph", oracle=_s09_oracle())
 def s09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     emb = _emb(spark, sf_dir)
-    with_norm = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
     planes = _hyperplanes(spark, 64)
     blocks = _signatures(emb, planes)
-    other = blocks.select(
-        F.col("vec_id").alias("dst"), "block_id", "block_key"
+    bucketed = blocks.join(_qemb(emb), "vec_id")
+    packed = bucketed.groupBy("block_id", "block_key").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "q"))).alias("rows")
     )
-    # corpus x corpus bucket self-join: plain shuffled equi-join on the
-    # (block_id, block_key) bucket — deliberately NOT broadcast.
-    cand = (
-        blocks.join(other, ["block_id", "block_key"])
-        .filter(F.col("vec_id") != F.col("dst"))
-        .select(F.col("vec_id").alias("src"), "dst")
-        .dropDuplicates(["src", "dst"])
-    )
-    se = with_norm.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("se"),
-        F.col("nrm").alias("sn"),
-    )
-    de = with_norm.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("de"),
-        F.col("nrm").alias("dn"),
-    )
-    scored = (
-        cand.join(de, "dst")
-        .join(se, "src")
-        .select(
-            "src",
-            "dst",
-            dround(_dot("se", "de") / (F.col("sn") * F.col("dn")), 6).alias("cosine"),
-        )
-    )
+    # Pin bucket-task fan-out so the numpy kernels parallelize instead
+    # of landing on a few AQE-coalesced tasks (same move as d06/d08).
+    packed = packed.repartition(LSH_BLOCKS * 8, "block_id", "block_key")
+
+    def kernel(batches):
+        for pdf in batches:
+            srcs, dsts, coss = [], [], []
+            for _, row in pdf.iterrows():
+                rows = row["rows"]
+                if len(rows) < 2:
+                    continue
+                ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+                mat = np.array([r["q"] for r in rows], dtype=np.int64)
+                dots = mat @ mat.T  # exact int64
+                nrm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+                cos = dots.astype(np.float64) / (nrm[:, None] * nrm[None, :])
+                k = min(KNN_K, len(rows) - 1)
+                for i in range(len(rows)):
+                    order = np.lexsort((ids, -cos[i]))
+                    order = order[ids[order] != ids[i]][:k]
+                    srcs.extend(int(x) for x in [ids[i]] * len(order))
+                    dsts.extend(int(x) for x in ids[order])
+                    coss.extend(float(x) for x in cos[i, order])
+            yield pd.DataFrame(
+                {
+                    "src": pd.array(srcs, dtype="int64"),
+                    "dst": pd.array(dsts, dtype="int64"),
+                    "cosine": pd.array(coss, dtype="float64"),
+                }
+            )
+
+    local = packed.mapInPandas(kernel, schema="src long, dst long, cosine double")
+    # The same pair can surface from several blocks with an identical
+    # (bit-exact) cosine — dedup before ranking so it counts once.
+    survivors = local.dropDuplicates(["src", "dst"])
     w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= KNN_K)
-        .select("src", "dst", "cosine", "rk")
+        .select("src", "dst", dround(F.col("cosine"), 6).alias("cosine"), "rk")
     )
