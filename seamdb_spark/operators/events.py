@@ -1145,3 +1145,69 @@ def e16_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_millis",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e17: session path analysis — the entry PATH (first 3 event types per
+# user-day, in time order) and how many user-days took each path. The
+# product-analytics "top user journeys" query; downstream of the same
+# sessionization semantics as e02, with a calendar-day session key so
+# the oracle stays a pure aggregate.
+#
+# Ordering inside a path breaks ties on event_id (ts alone is not
+# unique), making the concatenated path deterministic in both engines.
+#
+# Scale: one shuffle on (user_id, day) — the window and the pathing are
+# computed inside that partitioning; the path-count aggregate reuses
+# the map-side combine. Sessions-per-user-day is bounded, so no state
+# blowup; at 100 TB the (user, day) key is high-cardinality and
+# skew-free by construction.
+# --------------------------------------------------------------------------
+E17_PATH_LEN = 3
+
+
+@register(
+    "e17_session_paths",
+    oracle=f"""
+    WITH paths AS (
+      SELECT user_id, DATE_TRUNC('day', ts) AS day,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{E17_PATH_LEN}],
+               '>') AS path
+      FROM events
+      GROUP BY user_id, DATE_TRUNC('day', ts)
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days
+    FROM paths
+    GROUP BY path
+    HAVING COUNT(*) >= 2
+    """,
+)
+def e17_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    paths = (
+        ev.groupBy("user_id", "day")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(F.expr("transform(evs, e -> e.event_type)"), 1, E17_PATH_LEN),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_user_days"))
+        .filter(F.col("n_user_days") >= 2)
+    )

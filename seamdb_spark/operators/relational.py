@@ -2038,3 +2038,126 @@ def q57_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p25_price",
         "p75_price",
     )
+
+
+# --------------------------------------------------------------------------
+# q58: null-aware NOT IN anti-join — the three-valued-logic semantics
+# DataFusion inherits from SQL (ref exposes the full predicate surface
+# through its DataFusion session, SURVEY §2.B): a row whose probe key
+# is NULL never satisfies NOT IN, so orders in the NULLIF'd bucket 0
+# vanish even though bucket 0 is absent from the subquery. Spark plans
+# this as a null-aware anti join (not a plain LeftAnti), which is the
+# physical operator under test here.
+#
+# Scale: the subquery side is a sub-|customer| distinct-bucket set —
+# broadcastable at any corpus size (≤ 50 rows by construction); the
+# probe side streams. The aggregate on top map-side-combines to the
+# 5 priority groups.
+# --------------------------------------------------------------------------
+@register(
+    "q58_null_aware_not_in",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE NULLIF(o_custkey % 50, 0) NOT IN (
+      SELECT c_custkey % 50 FROM customer
+      WHERE c_acctbal < 0 AND c_custkey % 50 <> 0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q58_null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    filtered = spark.sql(
+        """
+        SELECT o_orderpriority, o_totalprice
+        FROM orders
+        WHERE NULLIF(o_custkey % 50, 0) NOT IN (
+          SELECT c_custkey % 50 FROM customer
+          WHERE c_acctbal < 0 AND c_custkey % 50 <> 0
+        )
+        """
+    )
+    return filtered.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q59: minimum-cost supplier (TPC-H Q2 shape) — a correlated scalar
+# subquery whose inner block is itself a multi-table join, decorrelated
+# on the Spark side into a window-min over the supply table. The
+# testdata has no partsupp table, so unit supply cost is derived as the
+# per-(supplier, part) MIN of round(l_extendedprice / l_quantity, 6)
+# (per-row division then round — deterministic in both engines; the MIN
+# of already-rounded values is exact, so the equality against the
+# per-part minimum is never a float boundary).
+#
+# Scale: the supply aggregation is the single fact-sized shuffle
+# (map-side combine on (suppkey, partkey)); region/nation/supplier and
+# the size-filtered part side are broadcast dims; the per-part min is a
+# window over the already-aggregated supply rows.
+# --------------------------------------------------------------------------
+@register(
+    "q59_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_suppkey, l_partkey,
+             MIN(ROUND(l_extendedprice / l_quantity, 6)) AS cost
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_brand, sp.cost
+    FROM part p
+    JOIN supply sp ON sp.l_partkey = p.p_partkey
+    JOIN eu s ON s.s_suppkey = sp.l_suppkey
+    WHERE p.p_size IN (9, 19, 29)
+      AND sp.cost = (
+        SELECT MIN(sp2.cost)
+        FROM supply sp2 JOIN eu s2 ON s2.s_suppkey = sp2.l_suppkey
+        WHERE sp2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q59_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supply = lineitem.groupBy("l_suppkey", "l_partkey").agg(
+        F.min(dround(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias(
+            "cost"
+        )
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(9, 19, 29))
+    eu_supply = supply.join(
+        F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        eu_supply.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
+    )

@@ -1248,3 +1248,68 @@ def t22_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("split"))
         .alias("final_split"),
     )
+
+
+# --------------------------------------------------------------------------
+# t23: BPE pair statistics — the frequency table of ADJACENT token
+# pairs, the core counting kernel of a BPE/WordPiece tokenizer-training
+# pass (each merge round picks the most frequent pair; this operator is
+# that round's input, computed corpus-wide).
+#
+# Pair extraction is row-local (transform over a token-index sequence —
+# no self-join, no posexplode twice); the only shuffle is the pair
+# count, which map-side-combines before the exchange. Top-k ties break
+# on the pair text, so the LIMIT is deterministic in both engines.
+#
+# Scale: identical shape to t05 wordcount — |pairs| ~ |tokens| rows
+# into one hash aggregate; the vocabulary-sized result then sorts. At
+# 100 TB the count survives as-is; only the final ORDER BY ... LIMIT
+# becomes a TakeOrdered over the (bounded) distinct-pair set.
+# --------------------------------------------------------------------------
+T23_TOP_PAIRS = 100
+
+
+@register(
+    "t23_bpe_pair_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    pairs AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2
+      FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS p FROM toks)
+      WHERE p[2] IS NOT NULL
+    )
+    SELECT w1, w2,
+           CAST(COUNT(*) AS BIGINT) AS pair_freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM pairs
+    GROUP BY w1, w2
+    ORDER BY pair_freq DESC, w1, w2
+    LIMIT {T23_TOP_PAIRS}
+    """,
+)
+def t23_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("l"))
+        # single-token docs yield no pairs; guards sequence() from the
+        # descending-range trap at size(l) == 1
+        .filter(F.size("l") >= 2)
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " i -> struct(l[i - 1] AS w1, l[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(
+            F.count("*").alias("pair_freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("pair_freq"), "w1", "w2")
+        .limit(T23_TOP_PAIRS)
+    )
