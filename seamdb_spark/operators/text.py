@@ -1313,3 +1313,106 @@ def t23_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_freq"), "w1", "w2")
         .limit(T23_TOP_PAIRS)
     )
+
+
+# --------------------------------------------------------------------------
+# x07: count-min sketch heavy hitters — estimate token frequencies
+# through a DEPTH x WIDTH counter grid instead of a full vocabulary
+# table. The sketch is a pure monoid: per-partition partial grids
+# merge by cell-wise addition (here: the (row, pos) hash aggregate's
+# map-side combine IS the partial-sketch merge), which is what makes it
+# the 100 TB pattern — the full-vocabulary exact count exists here only
+# to audit the estimate.
+#
+# Every cell update and lookup uses the md5-derived row hashes
+# (hashing.py), so the grid — and therefore every estimate — is
+# bit-identical in DuckDB; est >= exact (CMS never undercounts) and the
+# exact overcount are both part of the checked output.
+#
+# Scale: tokens x DEPTH rows flow into a <= DEPTH*WIDTH-cell hash
+# aggregate (fixed memory regardless of corpus size); the estimate join
+# touches only candidate tokens x DEPTH against a broadcastable
+# 256-row grid. The exact-count audit column is the only
+# vocabulary-sized state and would be dropped (or sampled) at 100 TB.
+# --------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_MIN_FREQ = 50
+
+
+@register(
+    "x07_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cells AS (
+      SELECT r.r,
+             {md5_prefix_long_sql("CAST(r.r AS VARCHAR) || '|' || token")}
+               % {CMS_WIDTH} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cell_cnt
+      FROM toks, range(0, {CMS_DEPTH}) r(r)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_freq
+      FROM toks GROUP BY token HAVING COUNT(*) >= {CMS_MIN_FREQ}
+    ),
+    est AS (
+      SELECT e.token, e.exact_freq, MIN(c.cell_cnt) AS est_freq
+      FROM exact e, range(0, {CMS_DEPTH}) r(r)
+      JOIN cells c
+        ON c.r = r.r
+       AND c.pos = {md5_prefix_long_sql("CAST(r.r AS VARCHAR) || '|' || e.token")}
+               % {CMS_WIDTH}
+      GROUP BY e.token, e.exact_freq
+    )
+    SELECT token, exact_freq, est_freq,
+           est_freq - exact_freq AS overcount,
+           est_freq >= exact_freq AS never_undercounts
+    FROM est
+    """,
+)
+def x07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    updates = toks.select(
+        "token", F.explode(rows).alias("r")
+    ).select(
+        "r",
+        (
+            md5_prefix_long(
+                F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token"))
+            )
+            % CMS_WIDTH
+        ).alias("pos"),
+    )
+    cells = updates.groupBy("r", "pos").agg(F.count("*").alias("cell_cnt"))
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_freq"))
+        .filter(F.col("exact_freq") >= CMS_MIN_FREQ)
+    )
+    probes = exact.select(
+        "token", "exact_freq", F.explode(rows).alias("r")
+    ).withColumn(
+        "pos",
+        md5_prefix_long(
+            F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token"))
+        )
+        % CMS_WIDTH,
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "pos"])  # fixed-size grid
+        .groupBy("token", "exact_freq")
+        .agg(F.min("cell_cnt").alias("est_freq"))
+    )
+    return est.select(
+        "token",
+        "exact_freq",
+        "est_freq",
+        (F.col("est_freq") - F.col("exact_freq")).alias("overcount"),
+        (F.col("est_freq") >= F.col("exact_freq")).alias("never_undercounts"),
+    )
