@@ -1381,3 +1381,98 @@ def s09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= KNN_K)
         .select("src", "dst", dround(F.col("cosine"), 6).alias("cosine"), "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# s10: maximum inner product search (MIPS) with LOSSLESS norm-bound
+# pruning. Recommendation/retrieval scoring is dot-product, not cosine
+# — there is no normalized sphere, so LSH/IVF recall tricks need
+# asymmetric transforms; the classic exact approach is Cauchy-Schwarz:
+# dot(q, x) <= |q| * |x|. Stage 1 scores the M corpus vectors with the
+# largest norms exactly and takes each probe's current kth-best; stage
+# 2 scans the remainder but computes the dot ONLY where the norm-bound
+# upper bound clears that threshold (minus a float-slack epsilon, so
+# rounding can only ADD candidates, never drop a true neighbor). The
+# result is bit-identical to brute force — the oracle IS brute force.
+#
+# Scale: the norm column is one pass at write time; stage 1 is a
+# TakeOrdered(M) + an M x probes broadcast product; stage 2 streams the
+# corpus with a scalar norm filter ahead of the 64-wide dot, so the
+# expensive arithmetic runs only on the surviving fraction (norm-sorted
+# parquet layout would turn the filter into partition pruning).
+# --------------------------------------------------------------------------
+MIPS_STAGE1_M = 50
+_MIPS_SLACK = 1e-6
+
+
+@register(
+    "s10_mips_topk",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
+                    FROM embeddings WHERE vec_id < {N_PROBES}),
+    scored AS (
+      SELECT probe_id, e.vec_id AS neighbor_id,
+             ROUND({_DOT_SQL.format(a='pe', b='e.embedding')}, 6) AS dot
+      FROM probes JOIN embeddings e ON e.vec_id <> probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY dot DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, dot, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def s10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("xnorm", _norm("embedding"))
+    probes = (
+        emb.filter(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("xnorm").alias("qnorm"),
+        )
+    )
+    top_m = (
+        emb.orderBy(F.desc("xnorm"), "vec_id")
+        .limit(MIPS_STAGE1_M)
+        .select("vec_id", "embedding", "xnorm")
+    )
+    stage1 = (
+        top_m.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn("dot", dround(_dot("pe", "embedding"), 6))
+    )
+    thresholds = (
+        stage1.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(F.desc("dot"), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") == TOP_K)
+        .select("probe_id", F.col("dot").alias("tk"))
+    )
+    probe_side = F.broadcast(probes.join(thresholds, "probe_id"))
+    rest = emb.join(
+        F.broadcast(top_m.select(F.col("vec_id").alias("m_id"))),
+        F.col("vec_id") == F.col("m_id"),
+        "left_anti",
+    )
+    stage2 = (
+        rest.crossJoin(probe_side)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        # Cauchy-Schwarz upper bound: cheap scalar product prunes before
+        # the 64-wide dot; the epsilon makes float rounding one-sided.
+        .filter(F.col("qnorm") * F.col("xnorm") >= F.col("tk") - _MIPS_SLACK)
+        .withColumn("dot", dround(_dot("pe", "embedding"), 6))
+    )
+    merged = stage1.select("probe_id", F.col("vec_id").alias("neighbor_id"), "dot").unionByName(
+        stage2.select("probe_id", F.col("vec_id").alias("neighbor_id"), "dot")
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("dot"), "neighbor_id")
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "dot", "rk")
+    )
