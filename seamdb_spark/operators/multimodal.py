@@ -94,6 +94,32 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def bmp_pixels(payload: bytes) -> bytes:
+    """Extract the raw BGR pixel bytes from a 24-bit uncompressed BMP.
+
+    Same header walk as :func:`decode_bmp` but returns the pixel data
+    itself (row-major, padding stripped, rows in stored order — the
+    exact inverse of :func:`build_bmp`). Input to per-pixel feature
+    extraction (m09 perceptual hashing).
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic / truncated header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    if len(payload) < data_off + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    return b"".join(
+        payload[data_off + r * stride : data_off + r * stride + width * 3]
+        for r in range(height)
+    )
+
+
 def decode_wav(payload: bytes) -> dict:
     """Parse a RIFF/WAVE PCM file (8- or 16-bit): format + sample stats.
 
@@ -797,3 +823,119 @@ def m08_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(frame_energy, schema=_AUDIO_ENERGY_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m09: perceptual average-hash (aHash) image near-dup — the image-side
+# analogue of d01/d02: decode each (synthesized, genuinely parsed) BMP,
+# grayscale it, pool onto a 4x4 grid, threshold each cell against the
+# global mean, and pack the 16 bits into an integer hash; images
+# sharing a hash are perceptual-duplicate candidates. All arithmetic is
+# integer (grayscale = (b+g+r)//3; the threshold compares
+# cell_sum * npix >= total_sum * cell_cnt cross-multiplied), so the
+# hash — and the group sizes — replay exactly in SQL from the digest
+# bytes, while the Spark side must round-trip REAL BMP files through
+# build_bmp -> bmp_pixels (stride padding included: widths 8..15 force
+# non-trivial row padding).
+#
+# Scale: decode + hash is row-local mapInPandas (zero shuffle); the
+# only exchange is the 16-bit-keyed group-size aggregate — exact-dedup
+# shape (d01), skew-free. At 100 TB the same plan runs with real image
+# payload columns; only the decode body changes.
+# --------------------------------------------------------------------------
+_AHASH_GRID = 4
+_AHASH_SCHEMA = "doc_id long, width long, height long, ahash long"
+
+
+def ahash_bmp(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, 16-bit average-hash) of a 24-bit BMP payload."""
+    info = decode_bmp(payload)
+    w, h = info["width"], info["height"]
+    px = bmp_pixels(payload)
+    grays = [
+        (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3
+        for p in range(w * h)
+    ]
+    cell_sum = [[0] * _AHASH_GRID for _ in range(_AHASH_GRID)]
+    cell_cnt = [[0] * _AHASH_GRID for _ in range(_AHASH_GRID)]
+    for p, g in enumerate(grays):
+        x, y = p % w, p // w
+        ci, cj = x * _AHASH_GRID // w, y * _AHASH_GRID // h
+        cell_sum[cj][ci] += g
+        cell_cnt[cj][ci] += 1
+    total, npix = sum(grays), w * h
+    ahash = 0
+    for cj in range(_AHASH_GRID):
+        for ci in range(_AHASH_GRID):
+            if cell_sum[cj][ci] * npix >= total * cell_cnt[cj][ci]:
+                ahash |= 1 << (_AHASH_GRID * cj + ci)
+    return w, h, ahash
+
+
+def _m09_oracle() -> str:
+    b = [_byte_at(f"((3 * t.p + {c}) % 16)") for c in range(3)]
+    return f"""
+    WITH hh AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             8 + {_byte_at("1")} % 8 AS w,
+             8 + {_byte_at("2")} % 8 AS h
+      FROM hh
+    ),
+    g AS (
+      SELECT doc_id, w, h, (t.p % w) AS x, (t.p // w) AS y,
+             ({b[0]} + {b[1]} + {b[2]}) // 3 AS gray
+      FROM d, unnest(range(0, w * h)) t(p)
+    ),
+    cells AS (
+      SELECT doc_id, w, h,
+             (x * {_AHASH_GRID}) // w AS ci, (y * {_AHASH_GRID}) // h AS cj,
+             SUM(gray) AS cell_sum, COUNT(*) AS cell_cnt
+      FROM g GROUP BY doc_id, w, h, ci, cj
+    ),
+    tot AS (SELECT doc_id, SUM(gray) AS total_sum, COUNT(*) AS npix
+            FROM g GROUP BY doc_id),
+    hashes AS (
+      SELECT c.doc_id, MAX(c.w) AS width, MAX(c.h) AS height,
+             SUM(CASE WHEN c.cell_sum * t.npix >= t.total_sum * c.cell_cnt
+                      THEN (CAST(1 AS BIGINT) << (({_AHASH_GRID}) * c.cj + c.ci))
+                      ELSE 0 END) AS ahash
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(ahash AS BIGINT) AS ahash,
+           CAST(grp.cnt AS BIGINT) AS group_size
+    FROM hashes
+    JOIN (SELECT ahash, COUNT(*) AS cnt FROM hashes GROUP BY ahash) grp
+      USING (ahash)
+    """
+
+
+@register("m09_image_ahash", oracle=_m09_oracle())
+def m09_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "ahash": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                w, h = 8 + digest[1] % 8, 8 + digest[2] % 8
+                pixels = bytes(digest[i % 16] for i in range(w * h * 3))
+                pw, ph, ah = ahash_bmp(build_bmp(w, h, pixels))  # real parse
+                out["doc_id"].append(doc_id)
+                out["width"].append(pw)
+                out["height"].append(ph)
+                out["ahash"].append(ah)
+            yield pd.DataFrame(out)
+
+    hashes = docs.mapInPandas(hash_images, schema=_AHASH_SCHEMA)
+    groups = hashes.groupBy("ahash").agg(F.count("*").alias("group_size"))
+    return hashes.join(groups, "ahash").select(
+        "doc_id", "width", "height", "ahash", "group_size"
+    )

@@ -156,3 +156,26 @@ def test_bmp_build_decode_roundtrip(w, h):
     info = decode_bmp(build_bmp(w, h, pixels))
     assert (info["width"], info["height"]) == (w, h)
     assert info["pixel_sum"] == sum(pixels)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=17),
+)
+def test_bmp_pixels_roundtrip_and_ahash_bounds(w, h):
+    """bmp_pixels inverts build_bmp exactly (stride padding stripped for
+    every width class), and the aHash stays within its 16-bit range with
+    at least one set bit (some cell is always >= the global mean)."""
+    import hashlib
+
+    from seamdb_spark.operators.multimodal import ahash_bmp, bmp_pixels, build_bmp
+
+    n = w * h * 3
+    digest = hashlib.md5(f"{w}x{h}".encode()).digest()
+    pixels = bytes(digest[i % 16] for i in range(n))
+    payload = build_bmp(w, h, pixels)
+    assert bmp_pixels(payload) == pixels
+    pw, ph, ah = ahash_bmp(payload)
+    assert (pw, ph) == (w, h)
+    assert 0 < ah < (1 << 16)
