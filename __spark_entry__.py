@@ -63,12 +63,11 @@ _R2_GREEN = [
 ]
 
 
-# Round-3 window (the driver's first-50 check): the 32 queries
+# Round-3 window (the driver's first-50 check): the 50 queries
 # registered after the round-2 window froze — every one locally
 # hash-green at sf0.01 (scripts/parity_check.py) but without a driver
-# row yet — pinned first, then 18 regression slots taken from the
-# OLDEST driver greens (round-1, registration order) so prior greens
-# keep rotating back through the gate.
+# row yet — exactly fill the window (no regression slots this round;
+# regression rotation resumes in round 4 when all queries have rows).
 #
 # ROUND-4 PROCEDURE: after CORRECTNESS_r03 lands, every query ever
 # registered has a driver-green row. From then on the window is purely

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .hashing import md5_prefix_long
-from .registry import register
+from .registry import ORACLE_SQL, register
 from .rounding import dround
 
 N_PROBES = 10
@@ -1476,3 +1476,159 @@ def s10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("probe_id", "neighbor_id", "dot", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# d17: SemDeDup-style semantic dedup — cluster the corpus with the s03
+# int64 Lloyd kernel, then search for near-duplicates ONLY within each
+# cluster (Abbas et al. 2023, "SemDeDup": semantic dup pairs are
+# overwhelmingly co-located in embedding clusters, so the all-pairs
+# O(n^2) comparison collapses to sum-of-squared-cluster-sizes). A
+# vector is dropped when a smaller-id vector in the same cell has
+# quantized cosine >= the d05/d06 near-dup threshold — the
+# deterministic "keep the first representative" rule.
+#
+# The oracle replays the SAME two Lloyd iterations in SQL (fragments
+# mirror _s03_oracle) and the same within-cell pair predicate, so cell
+# assignment, cosines, and keep/drop flags all hash-match.
+#
+# Scale: the per-cell self-join is the only quadratic term and it is
+# quadratic in CELL size, not corpus size; with K scaled to keep cells
+# ~constant (K ~ n / target_cell) the total work is O(n * target_cell).
+# Cells that still blow up switch to the d06/s09 per-bucket block
+# matmul kernel — same join keys, denser arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "d17_semantic_dedup",
+    oracle=None,  # replaced below — needs the Lloyd chain builder
+)
+def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quant = _qemb(_emb(spark, sf_dir)).localCheckpoint()
+    centroids = _centroid_rows(quant)
+    cdf = F.broadcast(
+        spark.createDataFrame(centroids, "cid int, cvec array<bigint>")
+    )
+    cells = (
+        quant.crossJoin(cdf)
+        .withColumn("d2", _qd2("q", "cvec"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("m"),
+            F.first("q").alias("q"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), "q")
+    )
+    with_norm = cells.withColumn(
+        "nq", _isum(F.transform("q", lambda v: v * v))
+    )
+    a = with_norm.select(
+        "cid",
+        F.col("vec_id").alias("a_id"),
+        F.col("q").alias("aq"),
+        F.col("nq").alias("an"),
+    )
+    b = with_norm.select(
+        "cid",
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("bq"),
+        F.col("nq").alias("bn"),
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            dround(
+                _isum(F.zip_with("aq", "bq", lambda x, y: x * y)).cast("double")
+                / (
+                    F.sqrt(F.col("an").cast("double"))
+                    * F.sqrt(F.col("bn").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        with_norm.join(
+            dups, with_norm.vec_id == dups.dup_id, "left"
+        )
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.col("dup_id").isNull().alias("keep"),
+        )
+    )
+
+
+def _d17_oracle() -> str:
+    """Lloyd chain fragments mirror _s03_oracle (same seeds, same two
+    iterations); the dedup predicate mirrors d05's rounded cosine."""
+    from .hashing import md5_prefix_long_sql
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+
+    def assign(vecs: str, cents: str) -> str:
+        return f"""
+      SELECT vec_id, q, cid FROM (
+        SELECT v.vec_id, v.q, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_QD2_SQL.format(a='v.q', b='c.cvec')}, c.cid) AS rk
+        FROM {vecs} v CROSS JOIN {cents} c
+      ) WHERE rk = 1
+    """
+
+    def means(assigned: str) -> str:
+        return f"""
+      SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+        SELECT cid, pos, CAST(SUM(val) AS BIGINT) // COUNT(*) AS cv FROM (
+          SELECT a.cid, t.pos, a.q[t.pos] AS val
+          FROM {assigned} a, range(1, 65) t(pos)
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    """
+
+    pair_dot = _ISUM_SQL.format(
+        l="list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])"
+    )
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT cid, q AS cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {IVF_K}
+    ),
+    a1 AS ({assign('quant', 'seeds')}),
+    c1 AS ({means('a1')}),
+    a2 AS ({assign('quant', 'c1')}),
+    c2 AS ({means('a2')}),
+    cells AS ({assign('quant', 'c2')}),
+    norms AS (
+      SELECT vec_id, q, cid,
+             {_ISUM_SQL.format(l='list_transform(q, v -> v * v)')} AS nq
+      FROM cells
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM norms a JOIN norms b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE ROUND(CAST({pair_dot} AS DOUBLE)
+                  / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))),
+                  6) >= {NEARDUP_COSINE}
+    )
+    SELECT n.vec_id,
+           CAST(n.cid AS BIGINT) AS cid,
+           d.dup_id IS NULL AS keep
+    FROM norms n LEFT JOIN dups d ON n.vec_id = d.dup_id
+    """
+
+
+ORACLE_SQL["d17_semantic_dedup"] = _d17_oracle()
