@@ -50,6 +50,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+from .materialize import materialized_df as _materialized  # noqa: E402
+
+
 # --------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on normalized text
 # --------------------------------------------------------------------------
@@ -254,6 +257,16 @@ def _simhash_oracle() -> str:
 
 @register("d03_dedup_simhash", oracle=_simhash_oracle())
 def d03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pair list doubles as the near-dup graph consumed by
+    # d09/d13/d14/g01 — materialize it once per session (see
+    # _materialized above) so the query and its dependents share it.
+    return _materialized(
+        spark, sf_dir, "simhash_pairs_full",
+        lambda: _simhash_pairs_build(spark, sf_dir),
+    )
+
+
+def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tok_hash = toks.select("doc_id", md5_prefix_long(F.col("tok")).alias("h"))
@@ -632,9 +645,26 @@ def _cc_oracle() -> str:
     """
 
 
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized near-dup pair list (the shared input of
+    d09/d13/d14/g01 — see _materialized)."""
+    return d03_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+
+
+def _cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized connected-component labels (shared by d09/d11/p01)."""
+    return _materialized(
+        spark, sf_dir, "cc_labels", lambda: _cc_build(spark, sf_dir)
+    )
+
+
 @register("d09_dedup_clusters", oracle=_cc_oracle())
 def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d03_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    return _cc_clusters(spark, sf_dir).orderBy("doc_id")
+
+
+def _cc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir)
     # Materialize the edge list ONCE — the d03 pipeline never re-runs —
     # pre-partitioned on the per-round join key (dst) and PERSISTED
     # (not localCheckpoint: a checkpoint scan reports unknown
@@ -677,13 +707,9 @@ def d09_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
         edges.unpersist()
-    return (
-        labels.select(
-            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
-        )
-        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
-        .orderBy("doc_id")
-    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
 
 
 def _cc_fixed_point(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -964,7 +990,7 @@ def _keeper_oracle() -> str:
 def d11_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import t02_quality_score
 
-    clusters = d09_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    clusters = _cc_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     quality = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
     joined = clusters.join(quality, "doc_id")
     agg = joined.groupBy("cluster_id").agg(
@@ -1089,7 +1115,7 @@ def d12_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d13_cross_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d03_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _simhash_pairs(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
@@ -1163,7 +1189,7 @@ def _pagerank_oracle() -> str:
 
 @register("g01_neardup_pagerank", oracle=_pagerank_oracle())
 def g01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d03_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _simhash_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
@@ -1249,7 +1275,7 @@ def d14_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_excess_copies"),
         )
     )
-    pairs = d03_dedup_simhash(spark, sf_dir).agg(
+    pairs = _simhash_pairs(spark, sf_dir).agg(
         F.count("*").alias("n_neardup_pairs")
     )
     return (

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _cc_ctes, d09_dedup_clusters
+from .dedup import _cc_clusters, _cc_ctes
 from .registry import register
 from .rounding import dround
 from .text import QUALITY_SQL, t02_quality_score
@@ -66,7 +66,7 @@ def _pipeline_oracle() -> str:
 @register("p01_curation_pipeline", oracle=_pipeline_oracle())
 def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    clusters = d09_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    clusters = _cc_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     members = quality.join(clusters, "doc_id", "left")
     keepers = (
         members.filter(

@@ -2136,28 +2136,22 @@ def q59_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cost"
         )
     )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # supplier/part are scale-variant: no forced broadcast — AQE keeps
+    # broadcasting them while they fit and falls back to SMJ beyond.
     eu = (
         _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(_t(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(9, 19, 29))
-    eu_supply = supply.join(
-        F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")
-    )
+    eu_supply = supply.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
     w = W.partitionBy("l_partkey")
     return (
         eu_supply.withColumn("min_cost", F.min("cost").over(w))
         .filter(F.col("cost") == F.col("min_cost"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
     )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .hashing import md5_prefix_long
+from .materialize import materialized_df, materialized_value
 from .registry import ORACLE_SQL, register
 from .rounding import dround
 
@@ -370,6 +371,24 @@ IVF_NPROBE = 6
 IVF_ITERS = 2
 
 
+def _quant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized int64 fixed-point corpus (shared by s03/d17; see
+    materialize.py — compute + checkpoint once per session)."""
+    return materialized_df(
+        spark, sf_dir, "quant_corpus",
+        lambda: _qemb(_emb(spark, sf_dir)),
+    )
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Materialized Lloyd centroid table (K x 64 int64 — O(1) driver
+    state, shared by s03/d17)."""
+    return materialized_value(
+        spark, sf_dir, "ivf_centroids",
+        lambda: _centroid_rows(_quant_corpus(spark, sf_dir)),
+    )
+
+
 def _qemb(emb: DataFrame) -> DataFrame:
     """vec_id + int64 fixed-point vector q = floor(x * 2^20)."""
     return emb.select(
@@ -531,8 +550,8 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the quantized corpus once: every Lloyd round and the final
     # assignment/scoring reuse it instead of re-scanning the parquet
     # (localCheckpoint also truncates lineage across iterations).
-    quant = _qemb(_emb(spark, sf_dir)).localCheckpoint()
-    centroids = _centroid_rows(quant)
+    quant = _quant_corpus(spark, sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
     cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cvec array<bigint>"))
 
     # Assign every vector to its cell: argmin via min(struct(d2, cid))
@@ -1503,8 +1522,8 @@ def s10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # replaced below — needs the Lloyd chain builder
 )
 def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    quant = _qemb(_emb(spark, sf_dir)).localCheckpoint()
-    centroids = _centroid_rows(quant)
+    quant = _quant_corpus(spark, sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
     cdf = F.broadcast(
         spark.createDataFrame(centroids, "cid int, cvec array<bigint>")
     )

@@ -1389,7 +1389,7 @@ def x07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CMS_WIDTH
         ).alias("pos"),
     )
-    cells = updates.groupBy("r", "pos").agg(F.count("*").alias("cell_cnt"))
+    grid = updates.groupBy("r", "pos").agg(F.count("*").alias("cell_cnt"))
     exact = (
         toks.groupBy("token")
         .agg(F.count("*").alias("exact_freq"))
@@ -1405,7 +1405,7 @@ def x07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         % CMS_WIDTH,
     )
     est = (
-        probes.join(F.broadcast(cells), ["r", "pos"])  # fixed-size grid
+        probes.join(F.broadcast(grid), ["r", "pos"])  # fixed-size grid
         .groupBy("token", "exact_freq")
         .agg(F.min("cell_cnt").alias("est_freq"))
     )

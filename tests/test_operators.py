@@ -296,6 +296,10 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "odf",
         # capped dense vocab (documented cap in d08)
         "vocab",
+        # x07: DEPTH x WIDTH counter grid — fixed size by construction
+        "grid",
+        # s10: MIPS_STAGE1_M-row largest-norm stage-1 table (constant M)
+        "top_m",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
