@@ -66,29 +66,42 @@ _R2_GREEN = [
 # Round-3 window (the driver's first-50 check): the 50 queries
 # registered after the round-2 window froze — every one locally
 # hash-green at sf0.01 (scripts/parity_check.py) but without a driver
-# row yet — exactly fill the window (no regression slots this round;
-# regression rotation resumes in round 4 when all queries have rows).
+# row yet — exactly fill the window, PINNED explicitly so that any
+# query registered after this list froze cannot displace a window
+# entry. (No regression slots this round; rotation resumes in round 4
+# when all 50 below have rows.)
 #
-# ROUND-4 PROCEDURE: after CORRECTNESS_r03 lands, every query ever
-# registered has a driver-green row. From then on the window is purely
-# rotational: pin (a) any NEW queries and any query whose plan/oracle
-# changed this round, then (b) fill to 50 with the queries whose last
-# green row is OLDEST (r1 greens not re-checked in r3 first, then r2
-# greens, then r3 greens), registration order within a tier.
-_REGRESSION_SLOTS = 50
+# ROUND-4 PROCEDURE: after CORRECTNESS_r03 lands, pin (a) any queries
+# registered after _R3_WINDOW froze (they have only local parity runs)
+# and any query whose plan/oracle changed this round, then (b) fill to
+# 50 with the queries whose last green row is OLDEST (r1 greens not
+# re-checked since, then r2 greens, then the r3 window), registration
+# order within a tier.
+_R3_WINDOW = [
+    "d15_bloom_prefilter", "t13_sequence_pack", "t14_pii_redact",
+    "t15_domain_mixture", "t16_bigram_lm_score", "t17_doc_chunking",
+    "t18_ngram_novelty", "t19_vocab_profile", "t20_rule_filter",
+    "t21_weighted_sample", "t22_safe_split", "t23_bpe_pair_stats",
+    "x07_cms_heavy_hitters", "d11_canonical_keeper", "d12_duplicated_spans",
+    "d13_cross_source_audit", "g01_neardup_pagerank", "d14_dedup_profile",
+    "d16_boilerplate_strip", "e10_last_touch_attribution",
+    "x06_sketch_merge_rollup", "e11_event_transitions", "e12_trending_types",
+    "e13_rolling_active_users", "e14_hourly_anomalies", "e15_rfm_segments",
+    "e16_hopping_windows", "e17_session_paths", "m05_binary_windows",
+    "m06_bmp_decode", "m07_wav_decode", "m08_audio_frame_energy",
+    "m09_image_ahash", "p01_curation_pipeline", "s06_ann_filtered_topk",
+    "s07_ann_rerank_topk", "s08_ann_pq_topk", "s09_knn_graph",
+    "s10_mips_topk", "d17_semantic_dedup", "p02_semantic_dedup",
+    "q51_suppliers_kept_waiting", "q52_dormant_customers",
+    "q53_argmax_aggregates", "q54_bitwise_aggregates", "q55_ntile_deciles",
+    "q56_relational_division", "q57_ordered_set_aggs",
+    "q58_null_aware_not_in", "q59_min_cost_supplier",
+]
 
 
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    driver_green = _R1_HASH_GREEN | set(_R2_GREEN)
-    rowless = [n for n in names if n not in driver_green]
-    # Oldest greens first for regression cover: r1 set in registration
-    # order, then the r2 window in its recorded order.
-    r1_in_order = [n for n in names if n in _R1_HASH_GREEN]
-    r2_in_order = [n for n in _R2_GREEN if n in names]
-    regression = r1_in_order + [n for n in r2_in_order if n not in r1_in_order]
-    fill = [n for n in regression if n not in rowless][: max(0, _REGRESSION_SLOTS - len(rowless))]
-    window = rowless + fill
+    window = [n for n in _R3_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 

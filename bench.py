@@ -53,6 +53,12 @@ def main() -> None:
     queries["q01_pricing_summary"](spark, sf_dir).count()
     for t in ("documents", "embeddings", "events"):
         load_table(spark, sf_dir, t).count()
+    # Spawn + warm the Python (Arrow/pandas/numpy) worker pool once, so
+    # the first mapInPandas query measured isn't charged worker startup.
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf.assign(np_ok=__import__("numpy").int64(1)) for pdf in it),
+        schema="id long, np_ok long",
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
