@@ -1406,3 +1406,150 @@ def d16_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("concat_ws(' ', filter(tk, (x, i) -> NOT array_contains(cv, i)))")
         ).alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# d18: MinHash estimator audit — for every LSH candidate pair, the
+# sketch-estimated Jaccard (fraction of the 8 permutations whose
+# min-hash agrees — the unbiased MinHash estimator) next to the exact
+# shingle Jaccard and the absolute error. This is the calibration
+# table an operator consults before trusting sketch-only dedup at
+# scale (where the exact verify join is the expensive part d02 pays);
+# est/exact/error are all rational values of small integers, so the
+# audit hash-matches exactly.
+#
+# Scale: identical plan shape to d02 up to the candidate join; the
+# audit adds one 8-term signature comparison per candidate (map-side,
+# no extra shuffle) — the exact-Jaccard column is the fixture-only
+# audit and is what sketch-only mode would drop.
+# --------------------------------------------------------------------------
+def _d18_oracle() -> str:
+    h = md5_prefix_long_sql("sh")
+    mh_exprs = ",\n           ".join(
+        f"MIN({minhash_value_sql('h', a, b)}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_rows = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        cols = " || '-' || ".join(
+            f"CAST(mh{j} AS VARCHAR)" for j in range(lo, lo + ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band_id, {cols} AS band_key FROM sigs"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_rows)
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+        for j in range(len(MINHASH_PARAMS))
+    )
+    n_perms = len(MINHASH_PARAMS)
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    exploded AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+    hashed AS (SELECT doc_id, {h} AS h FROM exploded),
+    sigs AS (SELECT doc_id, {mh_exprs} FROM hashed GROUP BY doc_id),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+       AND b1.doc_id < b2.doc_id
+    ),
+    audited AS (
+      SELECT c.doc_a, c.doc_b,
+             ({agree}) AS n_agree,
+             len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS exact_j
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           ROUND(n_agree / {n_perms}.0, 6) AS est_jaccard,
+           ROUND(exact_j, 6) AS exact_jaccard,
+           ROUND(ABS(n_agree / {n_perms}.0 - exact_j), 6) AS abs_error
+    FROM audited
+    """
+
+
+@register("d18_minhash_estimate_audit", oracle=_d18_oracle())
+def d18_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    hashed = exploded.select("doc_id", md5_prefix_long(F.col("sh")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    band_structs = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        key = F.concat_ws(
+            "-",
+            *[F.col(f"mh{j}").cast("string") for j in range(lo, lo + ROWS_PER_BAND)],
+        )
+        band_structs.append(
+            F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
+        )
+    bands = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc_id", "b.band_id", "b.band_key")
+        .repartition(64, "band_id", "band_key")
+    )
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n_perms = len(MINHASH_PARAMS)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_perms)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_perms)],
+    )
+    agree = None
+    for j in range(n_perms):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    exact_j = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_agree", agree.cast("long"))
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("exact_j", exact_j)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            dround(F.col("n_agree") / float(n_perms), 6).alias("est_jaccard"),
+            dround("exact_j", 6).alias("exact_jaccard"),
+            dround(F.abs(F.col("n_agree") / float(n_perms) - F.col("exact_j")), 6).alias(
+                "abs_error"
+            ),
+        )
+    )

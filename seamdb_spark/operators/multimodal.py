@@ -939,3 +939,87 @@ def m09_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.join(groups, "ahash").select(
         "doc_id", "width", "height", "ahash", "group_size"
     )
+
+
+# --------------------------------------------------------------------------
+# m10: audio downsample (decimate-by-2 with a 2-tap boxcar mean) over
+# REAL WAV decode — the resample step a speech pipeline runs to
+# normalize corpus sample rates before feature extraction. Each doc
+# synthesizes the same md5-derived 16-bit PCM file as m07, parses the
+# BYTES back (wav_samples, the real chunk walker), then averages
+# non-overlapping sample pairs: out[i] = floor((s[2i] + s[2i+1]) / 2).
+#
+# Cross-engine floor: Python's // floors while DuckDB's // truncates
+# toward zero, so both sides compute the mean on +32768-offset
+# (non-negative) values where truncation IS floor, then shift back.
+# The oracle replays sample synthesis analytically (digest byte at
+# k % 16); outputs cycle with period 8 in the output index, so the
+# whole-signal sums are 8-term sums times the cycle count — exact.
+#
+# Scale: row-local mapInPandas, zero shuffle — same profile as m07/m08.
+# --------------------------------------------------------------------------
+_RESAMPLE_SCHEMA = (
+    "doc_id long, n_in long, n_out long, rate_out long,"
+    " abs_sum_out long, peak_out long"
+)
+
+
+@register(
+    "m10_wav_resample",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             32 + {_byte_at("3")} % 3 * 16 AS n
+      FROM h
+    ),
+    o AS (
+      SELECT d.doc_id, d.n,
+             ((({_byte_at("((2 * t.i) % 16)")} - 128) * 256 + 32768)
+              + (({_byte_at("((2 * t.i + 1) % 16)")} - 128) * 256 + 32768))
+             // 2 - 32768 AS out_i
+      FROM d, unnest(range(0, 8)) t(i)
+    ),
+    s AS (
+      SELECT doc_id, n,
+             SUM(ABS(out_i)) AS cyc_abs,
+             MAX(ABS(out_i)) AS cyc_peak
+      FROM o GROUP BY doc_id, n
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_in,
+           CAST(n // 2 AS BIGINT) AS n_out,
+           CAST({_WAV_RATE} // 2 AS BIGINT) AS rate_out,
+           CAST((n // 2 // 8) * cyc_abs AS BIGINT) AS abs_sum_out,
+           CAST(cyc_peak AS BIGINT) AS peak_out
+    FROM s
+    """,
+)
+def m10_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_in": [], "n_out": [], "rate_out": [],
+                "abs_sum_out": [], "peak_out": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                n = 32 + digest[3] % 3 * 16
+                synth = [(digest[k % 16] - 128) * 256 for k in range(n)]
+                samples = wav_samples(build_wav(synth, _WAV_RATE))  # real parse
+                res = [
+                    ((samples[2 * i] + 32768) + (samples[2 * i + 1] + 32768)) // 2
+                    - 32768
+                    for i in range(len(samples) // 2)
+                ]
+                out["doc_id"].append(doc_id)
+                out["n_in"].append(len(samples))
+                out["n_out"].append(len(res))
+                out["rate_out"].append(_WAV_RATE // 2)
+                out["abs_sum_out"].append(sum(abs(v) for v in res))
+                out["peak_out"].append(max(abs(v) for v in res))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(resample, schema=_RESAMPLE_SCHEMA)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .hashing import md5_prefix_long
 from .registry import register
 from .rounding import dround
 
@@ -2154,4 +2155,76 @@ def q59_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cost") == F.col("min_cost"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
+    )
+
+
+# --------------------------------------------------------------------------
+# j01: salted skewed join — the 100 TB skew-mitigation pattern as an
+# oracle-checked operator. The probe side is given a deliberately
+# pathological key (90% of lineitem collapses onto key 0); a plain
+# shuffle join would send that entire key range to ONE reducer. The
+# salted plan appends salt = md5(row-id) % S to the probe key and
+# replicates the (small) build side S times, so the hot key fans out
+# over S reducers; the final aggregate merges the salt shards back.
+# The oracle is the UNSALTED join — proving the rewrite is
+# result-identical, which is the entire point of the technique.
+#
+# Scale: replication multiplies only the BUILD side (dim-sized) by S;
+# the probe side gains one 8-byte column. S scales with observed key
+# skew (AQE's skew-join split is the automatic version; explicit
+# salting is the portable one that also works for aggregations, t07).
+# sum_qty is exact (whole-number doubles), so no float-order concerns
+# on the hot key's giant group.
+# --------------------------------------------------------------------------
+J01_SALTS = 8
+
+
+@register(
+    "j01_salted_skew_join",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+                  ELSE l_orderkey % 100 END AS key,
+             l_quantity
+      FROM lineitem
+    ),
+    build AS (
+      SELECT o_orderkey % 100 AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT p.key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(p.l_quantity) AS sum_qty,
+           MAX(b.n_orders) AS n_orders
+    FROM probe p JOIN build b ON p.key = b.key
+    GROUP BY p.key
+    """,
+)
+def j01_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    probe = lineitem.select(
+        F.when(F.col("l_orderkey") % 100 < 90, F.lit(0).cast("long"))
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("key"),
+        "l_quantity",
+        # deterministic per-row salt (md5 of the composite row id)
+        (
+            md5_prefix_long(
+                F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+            )
+            % J01_SALTS
+        ).alias("salt"),
+    )
+    build = orders.groupBy((F.col("o_orderkey") % 100).alias("key")).agg(
+        F.count("*").alias("n_orders")
+    )
+    salts = spark.range(J01_SALTS).select(F.col("id").alias("salt"))
+    build_rep = build.crossJoin(F.broadcast(salts))  # dim × S replication
+    joined = probe.join(build_rep, ["key", "salt"])
+    return joined.groupBy("key").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.max("n_orders").alias("n_orders"),
     )
