@@ -447,3 +447,32 @@ def hopping_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_millis",
         )
     )
+
+
+def cms_grid_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of the x07 count-min-sketch grid: the
+    sketch is a pure monoid (cell-wise integer addition), so the SAME
+    DEPTH×WIDTH aggregate runs incrementally — each micro-batch's
+    partial grid merges into the running one by the aggregate's own
+    combine step. This is why CMS (and HLL, x06) are the 100 TB
+    streaming frequency pattern: state is DEPTH×WIDTH integers forever,
+    regardless of stream length.
+
+    Run to completion over the finite fixture, the grid equals the
+    batch x07 grid cell-for-cell (tested)."""
+    from ..operators.hashing import md5_prefix_long
+    from ..operators.text import CMS_DEPTH, CMS_WIDTH
+
+    docs = stream_documents(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    updates = toks.select("token", F.explode(rows).alias("r")).select(
+        "r",
+        (
+            md5_prefix_long(
+                F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token"))
+            )
+            % CMS_WIDTH
+        ).alias("pos"),
+    )
+    return updates.groupBy("r", "pos").agg(F.count("*").alias("cell_cnt"))

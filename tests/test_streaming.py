@@ -208,3 +208,34 @@ def test_hopping_rollup_stream_matches_batch(spark):
         for r in e16_hopping_windows(spark, SF_SMOKE).collect()
     }
     assert got == batch
+
+
+def test_cms_grid_stream_matches_batch(spark):
+    out = st.run_stream_to_memory(
+        st.cms_grid_stream(spark, SF_SMOKE), "cms_test", "complete"
+    )
+    got = {(r.r, r.pos): r.cell_cnt for r in out.collect()}
+    # batch grid: same update pipeline over the batch table
+    from seamdb_spark.operators.hashing import md5_prefix_long
+    from seamdb_spark.operators.text import CMS_DEPTH, CMS_WIDTH
+
+    toks = load_table(spark, SF_SMOKE, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    batch = (
+        toks.select("token", F.explode(rows).alias("r"))
+        .select(
+            "r",
+            (
+                md5_prefix_long(
+                    F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token"))
+                )
+                % CMS_WIDTH
+            ).alias("pos"),
+        )
+        .groupBy("r", "pos")
+        .count()
+    )
+    want = {(r.r, r.pos): r["count"] for r in batch.collect()}
+    assert got == want and len(got) > 0
