@@ -1284,7 +1284,9 @@ def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 3
 
 
-def _s09_oracle() -> str:
+def _s09_chain() -> str:
+    """CTE chain shared by the s09 oracle and the s11 expansion oracle:
+    planes -> sigs -> blocks -> quant -> cand -> scored -> ranked."""
     from .hashing import md5_prefix_long_sql
 
     plane_hash = md5_prefix_long_sql(
@@ -1293,8 +1295,7 @@ def _s09_oracle() -> str:
     plane_dot = _DOT_SQL.format(a="e.embedding", b="pl.wl")
     bits_per_block = LSH_PLANES // LSH_BLOCKS
     mask = (1 << bits_per_block) - 1
-    return f"""
-    WITH planes AS (
+    return f"""planes AS (
       SELECT p, list(w ORDER BY d) AS wl
       FROM (
         SELECT p, d, ({plane_hash} % 2001 - 1000) / 1000.0 AS w
@@ -1341,7 +1342,12 @@ def _s09_oracle() -> str:
              ROW_NUMBER() OVER (PARTITION BY src
                                 ORDER BY cosine DESC, dst) AS rk
       FROM scored
-    )
+    )"""
+
+
+def _s09_oracle() -> str:
+    return f"""
+    WITH {_s09_chain()}
     SELECT src, dst, ROUND(cosine, 6) AS cosine, rk
     FROM ranked WHERE rk <= {KNN_K}
     """
@@ -1349,6 +1355,13 @@ def _s09_oracle() -> str:
 
 @register("s09_knn_graph", oracle=_s09_oracle())
 def s09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized: the graph is the input of the s11 NN-descent round.
+    return materialized_df(
+        spark, sf_dir, "knn_graph", lambda: _s09_build(spark, sf_dir)
+    )
+
+
+def _s09_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -1651,3 +1664,104 @@ def _d17_oracle() -> str:
 
 
 ORACLE_SQL["d17_semantic_dedup"] = _d17_oracle()
+
+
+# --------------------------------------------------------------------------
+# s11: one NN-descent expansion round over the s09 k-NN graph — the
+# neighbor-of-a-neighbor-is-probably-a-neighbor step (Dong et al. 2011)
+# that turns a bucket-local approximate graph into a higher-recall one
+# without ever scoring all pairs. Candidates = current edges ∪ 2-hop
+# paths (g1.dst = g2.src); each candidate is exactly re-scored with the
+# same int64 quantized cosine and the per-source top-K is re-ranked.
+# `discovered` marks edges the base graph missed — the recall gain is
+# part of the checked output.
+#
+# The oracle replays the ENTIRE s09 chain (shared CTE builder) plus the
+# same 2-hop expansion, so graph, expansion, scores, ranks, and
+# discovered flags all hash-match.
+#
+# Scale: the expansion join is graph-sized (n×K ⋈ n×K on a K-bounded
+# key), never corpus-sized; re-scoring touches ≤ n×K² candidate pairs.
+# Iterating this round to convergence is the standard kNN-graph build;
+# each further round is the same plan on the previous output.
+# --------------------------------------------------------------------------
+def _s11_oracle() -> str:
+    pair_cos = (
+        "CAST(list_sum(list_transform(list_zip(sq.q, dq.q),"
+        " p -> p[1] * p[2])) AS DOUBLE)"
+        " / (sqrt(CAST(list_sum(list_transform(sq.q, x -> x * x)) AS DOUBLE))"
+        " * sqrt(CAST(list_sum(list_transform(dq.q, x -> x * x)) AS DOUBLE)))"
+    )
+    return f"""
+    WITH {_s09_chain()},
+    knn AS (SELECT src, dst FROM ranked WHERE rk <= {KNN_K}),
+    cand2 AS (
+      SELECT src, dst FROM knn
+      UNION
+      SELECT g1.src AS src, g2.dst AS dst
+      FROM knn g1 JOIN knn g2 ON g1.dst = g2.src
+      WHERE g2.dst <> g1.src
+    ),
+    scored2 AS (
+      SELECT c.src, c.dst, {pair_cos} AS cosine
+      FROM cand2 c
+      JOIN quant sq ON sq.vec_id = c.src
+      JOIN quant dq ON dq.vec_id = c.dst
+    ),
+    ranked2 AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rk
+      FROM scored2
+    )
+    SELECT r.src, r.dst, ROUND(r.cosine, 6) AS cosine, r.rk,
+           b.src IS NULL AS discovered
+    FROM ranked2 r
+    LEFT JOIN knn b ON b.src = r.src AND b.dst = r.dst
+    WHERE r.rk <= {KNN_K}
+    """
+
+
+@register("s11_knn_graph_descent", oracle=_s11_oracle())
+def s11_knn_graph_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = s09_knn_graph(spark, sf_dir).select("src", "dst")
+    two_hop = (
+        base.alias("g1")
+        .join(base.alias("g2"), F.col("g1.dst") == F.col("g2.src"))
+        .select(F.col("g1.src").alias("src"), F.col("g2.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cand = base.unionByName(two_hop).distinct()
+    quant = _quant_corpus(spark, sf_dir)
+    with_norm = quant.withColumn("nq", _isum(F.transform("q", lambda v: v * v)))
+    sq = with_norm.select(
+        F.col("vec_id").alias("src"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    dq = with_norm.select(
+        F.col("vec_id").alias("dst"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    scored = (
+        cand.join(sq, "src")
+        .join(dq, "dst")
+        .withColumn(
+            "cosine",
+            _isum(F.zip_with("qa", "qb", lambda x, y: x * y)).cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
+        .select("src", "dst", "cosine")
+    )
+    w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_K
+    )
+    base_flag = base.withColumn("_in_base", F.lit(True))
+    return (
+        ranked.join(base_flag, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            dround(F.col("cosine"), 6).alias("cosine"),
+            "rk",
+            F.col("_in_base").isNull().alias("discovered"),
+        )
+    )

@@ -515,3 +515,31 @@ def test_d18_estimator_error_bounds(spark, registry):
         assert abs(r.est_jaccard - r.n_agree / 8.0) < 1e-9
         assert 0.0 <= r.exact_jaccard <= 1.0
         assert abs(r.abs_error - abs(r.est_jaccard - r.exact_jaccard)) < 1e-6
+
+
+def test_nn_descent_recall_at_least_base_graph(spark, registry):
+    """One expansion round must not lose recall vs the base graph (it
+    re-ranks a superset of each source's candidates) and should find
+    edges the buckets missed (discovered > 0 on this fixture)."""
+    queries, _ = registry
+    exact = {}
+    for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect():
+        exact.setdefault(r.probe_id, []).append((r.rk, r.neighbor_id))
+    base, expanded, discovered = {}, {}, 0
+    for r in queries["s09_knn_graph"](spark, SF_SMOKE).collect():
+        base.setdefault(r.src, set()).add(r.dst)
+    for r in queries["s11_knn_graph_descent"](spark, SF_SMOKE).collect():
+        expanded.setdefault(r.src, set()).add(r.dst)
+        discovered += bool(r.discovered)
+
+    def recall(graph):
+        hits = total = 0
+        for pid, lst in exact.items():
+            top3 = {n for rk, n in lst if rk <= 3}
+            total += len(top3)
+            hits += len(top3 & graph.get(pid, set()))
+        return hits / total
+
+    r_base, r_exp = recall(base), recall(expanded)
+    assert r_exp >= r_base, f"descent recall {r_exp:.2f} < base {r_base:.2f}"
+    assert discovered > 0
