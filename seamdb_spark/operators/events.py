@@ -1211,3 +1211,101 @@ def e17_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_user_days"))
         .filter(F.col("n_user_days") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# x08: EXACT distinct-count rollup via packed-bitmap partials — the
+# mergeable-sketch pattern (x06) with a bitmap instead of an HLL:
+# user u sets bit (u % 63) of word (u // 63) — 63 usable bits per signed int64 word, the sign bit stays clear so neither engine overflows, hourly partials are
+# bit_or aggregates over (day, hour, word), the daily merge is a
+# second bit_or over the partials (bit_or is the monoid), and the
+# count is SUM(bit_count(word)). Unlike HLL this is exact — the output
+# proves merged == direct COUNT(DISTINCT) per day, and carries the
+# naive sum-of-hourly-counts next to it to show the double-count the
+# merge avoids. The roaring-bitmap columns real warehouses ship
+# (Doris/ClickHouse/Druid) are this exact structure with sparse word
+# encoding.
+#
+# Scale: partial state per group is |id-space|/64 words at worst —
+# dense-id spaces pack 63 users/word; sparse/skewed spaces switch to
+# roaring containers or x06's HLL. Both aggregations map-side-combine;
+# no distinct over raw events is ever shuffled for the rollup path.
+# --------------------------------------------------------------------------
+@register(
+    "x08_bitmap_distinct_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             date_trunc('hour', ts) AS hr,
+             user_id // 63 AS word_idx,
+             CAST(1 AS BIGINT) << (user_id % 63) AS bit
+      FROM events
+    ),
+    hourly AS (
+      SELECT day, hr, word_idx, bit_or(bit) AS wbits
+      FROM base GROUP BY day, hr, word_idx
+    ),
+    merged AS (
+      SELECT day, word_idx, bit_or(wbits) AS wbits
+      FROM hourly GROUP BY day, word_idx
+    ),
+    daily_merged AS (
+      SELECT day, CAST(SUM(bit_count(wbits)) AS BIGINT) AS n_merged
+      FROM merged GROUP BY day
+    ),
+    hourly_counts AS (
+      SELECT day, hr, CAST(SUM(bit_count(wbits)) AS BIGINT) AS n_hour
+      FROM hourly GROUP BY day, hr
+    ),
+    naive AS (
+      SELECT day, CAST(SUM(n_hour) AS BIGINT) AS n_hourly_sum
+      FROM hourly_counts GROUP BY day
+    ),
+    direct AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_direct
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           d.n_direct, m.n_merged, n.n_hourly_sum,
+           m.n_merged = d.n_direct AS merge_is_exact
+    FROM direct d
+    JOIN daily_merged m ON m.day = d.day
+    JOIN naive n ON n.day = d.day
+    """,
+)
+def x08_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        (F.col("user_id") / 63).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias(
+            "bit"
+        ),
+    )
+    hourly = ev.groupBy("day", "hr", "word_idx").agg(F.bit_or("bit").alias("wbits"))
+    merged = hourly.groupBy("day", "word_idx").agg(F.bit_or("wbits").alias("wbits"))
+    daily_merged = merged.groupBy("day").agg(
+        F.sum(F.bit_count("wbits")).alias("n_merged")
+    )
+    hourly_counts = hourly.groupBy("day", "hr").agg(
+        F.sum(F.bit_count("wbits")).alias("n_hour")
+    )
+    naive = hourly_counts.groupBy("day").agg(F.sum("n_hour").alias("n_hourly_sum"))
+    direct = (
+        _events(spark, sf_dir)
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n_direct"))
+    )
+    return (
+        direct.join(daily_merged, "day")
+        .join(naive, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_direct",
+            "n_merged",
+            "n_hourly_sum",
+            (F.col("n_merged") == F.col("n_direct")).alias("merge_is_exact"),
+        )
+    )

@@ -154,3 +154,101 @@ def p02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("vec_a", "vec_b").alias("keeper_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p03: unified dedup decision record — one row per document carrying
+# every dedup signal the stack computes and the final verdict a
+# curation run acts on:
+#   is_exact_dup     d01's content-hash group, non-minimal member
+#   is_lexical_dup   d09's connected-component label, non-canonical
+#   is_semantic_dup  d17's within-cluster embedding near-dup, dropped
+#   verdict          first matching of drop_exact > drop_lexical >
+#                    drop_semantic > keep
+# This is the audit artifact a production pipeline persists alongside
+# the cleaned corpus: every dropped doc names WHICH stage dropped it.
+#
+# The oracle composes the full recursive-CTE cluster chain (shared
+# with d09/d11/p01) and the full Lloyd chain (shared with d17) in one
+# statement — all three signals and the verdict hash-match.
+#
+# Scale: three doc_id-keyed equi-joins over per-doc flag tables; every
+# expensive input is a shared materialized intermediate (d03 graph, cc
+# labels, quant corpus + centroids), so the record costs three cheap
+# joins beyond what the stack already computed.
+# --------------------------------------------------------------------------
+from .similarity import _d17_chain, d17_semantic_dedup
+
+
+def _p03_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_ctes()},
+    labels AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    {_d17_chain()},
+    exact AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+    ),
+    exact_flag AS (
+      SELECT doc_id,
+             doc_id > MIN(doc_id) OVER (PARTITION BY h) AS is_exact_dup
+      FROM exact
+    ),
+    sem_flag AS (
+      SELECT n.vec_id AS doc_id, d.dup_id IS NOT NULL AS is_semantic_dup
+      FROM norms n LEFT JOIN dups d ON n.vec_id = d.dup_id
+    )
+    SELECT e.doc_id,
+           e.is_exact_dup,
+           COALESCE(l.doc_id <> l.cluster_id, FALSE) AS is_lexical_dup,
+           COALESCE(s.is_semantic_dup, FALSE) AS is_semantic_dup,
+           CASE WHEN e.is_exact_dup THEN 'drop_exact'
+                WHEN COALESCE(l.doc_id <> l.cluster_id, FALSE)
+                  THEN 'drop_lexical'
+                WHEN COALESCE(s.is_semantic_dup, FALSE)
+                  THEN 'drop_semantic'
+                ELSE 'keep' END AS verdict
+    FROM exact_flag e
+    LEFT JOIN labels l ON l.doc_id = e.doc_id
+    LEFT JOIN sem_flag s ON s.doc_id = e.doc_id
+    """
+
+
+@register("p03_dedup_decision_record", oracle=_p03_oracle())
+def p03_dedup_decision_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    )
+    exact_flag = docs.select(
+        "doc_id",
+        (F.col("doc_id") > F.min("doc_id").over(W.partitionBy("h"))).alias(
+            "is_exact_dup"
+        ),
+    )
+    lex = _cc_clusters(spark, sf_dir).select(
+        "doc_id", (~F.col("is_canonical")).alias("lex_dup")
+    )
+    sem = d17_semantic_dedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), (~F.col("keep")).alias("sem_dup")
+    )
+    merged = (
+        exact_flag.join(lex, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.coalesce("lex_dup", F.lit(False)).alias("is_lexical_dup"),
+            F.coalesce("sem_dup", F.lit(False)).alias("is_semantic_dup"),
+        )
+    )
+    return merged.withColumn(
+        "verdict",
+        F.when(F.col("is_exact_dup"), "drop_exact")
+        .when(F.col("is_lexical_dup"), "drop_lexical")
+        .when(F.col("is_semantic_dup"), "drop_semantic")
+        .otherwise("keep"),
+    )

@@ -1595,9 +1595,11 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d17_oracle() -> str:
+def _d17_chain() -> str:
     """Lloyd chain fragments mirror _s03_oracle (same seeds, same two
-    iterations); the dedup predicate mirrors d05's rounded cosine."""
+    iterations); the dedup predicate mirrors d05's rounded cosine.
+    Returns the CTE list (quant ... dups) shared by the d17 oracle and
+    the p03 decision-record oracle."""
     from .hashing import md5_prefix_long_sql
 
     seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
@@ -1625,8 +1627,7 @@ def _d17_oracle() -> str:
     pair_dot = _ISUM_SQL.format(
         l="list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])"
     )
-    return f"""
-    WITH quant AS (
+    return f"""quant AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
@@ -1655,7 +1656,12 @@ def _d17_oracle() -> str:
       WHERE ROUND(CAST({pair_dot} AS DOUBLE)
                   / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))),
                   6) >= {NEARDUP_COSINE}
-    )
+    )"""
+
+
+def _d17_oracle() -> str:
+    return f"""
+    WITH {_d17_chain()}
     SELECT n.vec_id,
            CAST(n.cid AS BIGINT) AS cid,
            d.dup_id IS NULL AS keep
