@@ -1155,22 +1155,42 @@ def _s08_oracle() -> str:
     """
 
 
+def _qnorm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized normalized fixed-point corpus (shared by s08/s12)."""
+    return materialized_df(
+        spark, sf_dir, "qnorm_corpus", lambda: _qnorm(_emb(spark, sf_dir))
+    )
+
+
+def _pq_codebook_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Materialized PQ codebook: the PQ_K smallest-md5-hash normalized
+    vectors, split into PQ_BLOCKS subvector codewords (O(1) driver
+    state; shared by s08/s12)."""
+    def build() -> list:
+        quant = _qnorm_corpus(spark, sf_dir)
+        seeds = (
+            quant.select(
+                "vec_id", "q",
+                md5_prefix_long(F.col("vec_id").cast("string")).alias("h"),
+            )
+            .orderBy("h", "vec_id")
+            .limit(PQ_K)
+            .collect()
+        )
+        rows = []
+        for cid, r in enumerate(seeds):
+            qv = [int(x) for x in r.q]
+            for b in range(PQ_BLOCKS):
+                rows.append((b, cid, qv[b * PQ_SUB : (b + 1) * PQ_SUB]))
+        return rows
+
+    return materialized_value(spark, sf_dir, "pq_codebook", build)
+
+
 @register("s08_ann_pq_topk", oracle=_s08_oracle())
 def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    quant = _qnorm(_emb(spark, sf_dir)).localCheckpoint()
-    seeds = (
-        quant.select(
-            "vec_id", "q", md5_prefix_long(F.col("vec_id").cast("string")).alias("h")
-        )
-        .orderBy("h", "vec_id")
-        .limit(PQ_K)
-        .collect()
-    )
-    cb_rows = []
-    for cid, r in enumerate(seeds):
-        qv = [int(x) for x in r.q]
-        for b in range(PQ_BLOCKS):
-            cb_rows.append((b, cid, qv[b * PQ_SUB : (b + 1) * PQ_SUB]))
+    quant = _qnorm_corpus(spark, sf_dir)
+    cb_rows = _pq_codebook_rows(spark, sf_dir)
     cb = F.broadcast(
         spark.createDataFrame(cb_rows, "b int, cid int, cw array<bigint>")
     )
@@ -1770,4 +1790,253 @@ def s11_knn_graph_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
             F.col("_in_base").isNull().alias("discovered"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# s12: IVF-PQ — the production ANN index layout (FAISS's IndexIVFPQ
+# shape): an IVF coarse quantizer prunes the corpus to IVF_NPROBE cells
+# per probe, PQ codes give each surviving vector an 8-byte compressed
+# representation scored by ADC table lookups, and an exact cosine
+# re-rank fixes the top-K. Composes the s03 kernel (Lloyd cells — here
+# over the NORMALIZED fixed-point corpus so L2 ordering matches
+# cosine) with the s08 kernel (codebook / codes / LUT), both shared
+# materialized intermediates. Simplification vs FAISS: codes encode
+# the raw normalized vector, not the cell residual — documented delta,
+# same plan shape.
+#
+# The oracle replays the full composition: Lloyd chain on the
+# normalized corpus, PQ code assignment, per-probe LUTs, the
+# cell-restricted ADC aggregation, pool, and re-rank.
+#
+# Scale: the scan side is |corpus| × (nprobe/K) rows of 8-byte codes —
+# both the cell pruning and the 32× code compression multiply; the
+# exact stage touches POOL floats per probe. This is the
+# billion-vector layout; cells partition the parquet, so probing is
+# partition pruning.
+# --------------------------------------------------------------------------
+S12_POOL = 100
+
+
+def _s12_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+    d2 = _QD2_SQL.format(a="c.sub", b="k.cw")
+    norm = _NORM_SQL.format(a="embedding")
+
+    def assign(vecs: str, cents: str) -> str:
+        return f"""
+      SELECT vec_id, q, cid FROM (
+        SELECT v.vec_id, v.q, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_QD2_SQL.format(a='v.q', b='c.cvec')}, c.cid) AS rk
+        FROM {vecs} v CROSS JOIN {cents} c
+      ) WHERE rk = 1
+    """
+
+    def means(assigned: str) -> str:
+        return f"""
+      SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+        SELECT cid, pos, CAST(SUM(val) AS BIGINT) // COUNT(*) AS cv FROM (
+          SELECT a.cid, t.pos, a.q[t.pos] AS val
+          FROM {assigned} a, range(1, 65) t(pos)
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    """
+
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / {norm} * {QUANT_SCALE})
+                    AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    ivf_seeds AS (
+      SELECT cid, q AS cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {IVF_K}
+    ),
+    a1 AS ({assign('quant', 'ivf_seeds')}),
+    c1 AS ({means('a1')}),
+    a2 AS ({assign('quant', 'c1')}),
+    c2 AS ({means('a2')}),
+    cells AS ({assign('quant', 'c2')}),
+    pq_seeds AS (
+      SELECT cid, q FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {PQ_K}
+    ),
+    cb AS (
+      SELECT t.b, s.cid,
+             list_slice(s.q, t.b * {PQ_SUB} + 1, t.b * {PQ_SUB} + {PQ_SUB}) AS cw
+      FROM pq_seeds s, range(0, {PQ_BLOCKS}) t(b)
+    ),
+    cblk AS (
+      SELECT vec_id, t.b,
+             list_slice(q, t.b * {PQ_SUB} + 1, t.b * {PQ_SUB} + {PQ_SUB}) AS sub
+      FROM quant, range(0, {PQ_BLOCKS}) t(b)
+    ),
+    codes AS (
+      SELECT vec_id, b, cid AS code FROM (
+        SELECT c.vec_id, c.b, k.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.b
+                                  ORDER BY {d2}, k.cid) AS rk
+        FROM cblk c JOIN cb k ON k.b = c.b
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_QD2_SQL.format(a='v.q', b='c.cvec')}, c.cid) AS rk
+        FROM quant v CROSS JOIN c2 c WHERE v.vec_id < {N_PROBES}
+      ) WHERE rk <= {IVF_NPROBE}
+    ),
+    lut AS (
+      SELECT c.vec_id AS probe_id, c.b, k.cid, {d2} AS d2
+      FROM cblk c JOIN cb k ON k.b = c.b
+      WHERE c.vec_id < {N_PROBES}
+    ),
+    approx AS (
+      SELECT l.probe_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.d2) AS BIGINT) AS approx_d2
+      FROM codes c
+      JOIN cells cl ON cl.vec_id = c.vec_id
+      JOIN probes p ON p.cid = cl.cid
+      JOIN lut l ON l.b = c.b AND l.cid = c.code AND l.probe_id = p.probe_id
+      WHERE c.vec_id <> l.probe_id
+      GROUP BY l.probe_id, c.vec_id
+    ),
+    pool AS (
+      SELECT probe_id, neighbor_id, approx_d2 FROM (
+        SELECT probe_id, neighbor_id, approx_d2,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY approx_d2, neighbor_id) AS rk_adc
+        FROM approx
+      ) WHERE rk_adc <= {S12_POOL}
+    ),
+    exact AS (
+      SELECT p.probe_id, p.neighbor_id, p.approx_d2,
+             ROUND({_cos_sql('pe.embedding', 'ne.embedding')}, 6) AS cosine
+      FROM pool p
+      JOIN embeddings ne ON ne.vec_id = p.neighbor_id
+      JOIN embeddings pe ON pe.vec_id = p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, cosine, approx_d2,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM exact
+    )
+    SELECT probe_id, neighbor_id, cosine, approx_d2, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    """
+
+
+@register("s12_ann_ivfpq_topk", oracle=_s12_oracle())
+def s12_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quant = _qnorm_corpus(spark, sf_dir)
+    # IVF side: Lloyd centroids over the SAME normalized corpus
+    centroids = materialized_value(
+        spark, sf_dir, "ivf_centroids_qnorm", lambda: _centroid_rows(quant)
+    )
+    cdf = F.broadcast(
+        spark.createDataFrame(centroids, "cid int, cvec array<bigint>")
+    )
+    cells = (
+        quant.crossJoin(cdf)
+        .withColumn("d2", _qd2("q", "cvec"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    probes = (
+        quant.filter(F.col("vec_id") < N_PROBES)
+        .crossJoin(cdf)
+        .withColumn("d2", _qd2("q", "cvec"))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+            ),
+        )
+        .filter(F.col("crk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), "cid")
+    )
+    # PQ side: shared codebook, per-vector codes, per-probe ADC LUTs
+    cb_rows = _pq_codebook_rows(spark, sf_dir)
+    cb = F.broadcast(
+        spark.createDataFrame(cb_rows, "b int, cid int, cw array<bigint>")
+    )
+    blocks_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.slice("q", b * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            for b in range(PQ_BLOCKS)
+        ]
+    )
+    cblk = quant.select("vec_id", F.explode(blocks_arr).alias("bk")).select(
+        "vec_id", "bk.b", "bk.sub"
+    )
+    codes = (
+        cblk.join(cb, "b")
+        .withColumn("d2", _qd2("sub", "cw"))
+        .groupBy("vec_id", "b")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "b", F.col("m.cid").alias("code"))
+    )
+    lut = (
+        cblk.filter(F.col("vec_id") < N_PROBES)
+        .join(cb, "b")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "b",
+            F.col("cid").alias("cw_cid"),
+            _qd2("sub", "cw").alias("d2"),
+        )
+    )
+    # ADC restricted to probed cells: codes ⋈ cells ⋈ probes ⋈ lut
+    approx = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(probes), "cid")
+        .join(F.broadcast(lut), ["probe_id", "b"])
+        .filter(F.col("code") == F.col("cw_cid"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    pool = (
+        approx.withColumn(
+            "rk_adc",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy("approx_d2", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rk_adc") <= S12_POOL)
+        .drop("rk_adc")
+    )
+    emb = _emb(spark, sf_dir)
+    pe = emb.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    exact = (
+        pool.join(F.broadcast(pe.filter(F.col("probe_id") < N_PROBES)), "probe_id")
+        .join(ne, "neighbor_id")
+        .withColumn(
+            "cosine",
+            dround(_dot("pe", "ne") / (_norm("pe") * _norm("ne")), 6),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "approx_d2", "rk")
     )

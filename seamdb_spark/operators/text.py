@@ -1416,3 +1416,45 @@ def x07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_freq") - F.col("exact_freq")).alias("overcount"),
         (F.col("est_freq") >= F.col("exact_freq")).alias("never_undercounts"),
     )
+
+
+# --------------------------------------------------------------------------
+# t24: token frequency spectrum — the frequency-of-frequencies table
+# (how many distinct tokens occur exactly k times), the input to
+# Good-Turing smoothing, vocabulary-growth (Heaps-law) estimation, and
+# the quickest corpus-health fingerprint (a natural corpus has a long
+# k=1 hapax tail; a template-heavy one doesn't). Pure integers — the
+# double aggregation (token counts, then count-of-counts) is the
+# classic two-level map-side-combining pattern.
+#
+# Scale: level 1 shuffles on token (vocabulary-sized result, Heaps-law
+# sublinear); level 2 shuffles on the count value — at most
+# |distinct counts| ~ O(max_freq) rows. Nothing corpus-sized past the
+# first aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "t24_frequency_spectrum",
+    oracle="""
+    WITH counts AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    )
+    SELECT freq,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(freq) AS BIGINT) AS mass
+    FROM counts
+    GROUP BY freq
+    """,
+)
+def t24_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    return counts.groupBy("freq").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("freq").alias("mass"),
+    )

@@ -543,3 +543,20 @@ def test_nn_descent_recall_at_least_base_graph(spark, registry):
     r_base, r_exp = recall(base), recall(expanded)
     assert r_exp >= r_base, f"descent recall {r_exp:.2f} < base {r_base:.2f}"
     assert discovered > 0
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, registry):
+    """IVF-PQ composes two lossy stages (cell pruning + 8-byte codes);
+    the exact re-rank recovers ordering within the pool. Floor set
+    below the measured fixture recall."""
+    queries, _ = registry
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s12_ann_ivfpq_topk"](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} too low"
