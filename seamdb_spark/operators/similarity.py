@@ -2026,8 +2026,9 @@ def s12_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ne = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
     )
+    probe_vecs = pe.filter(F.col("probe_id") < N_PROBES)  # O(N_PROBES) rows
     exact = (
-        pool.join(F.broadcast(pe.filter(F.col("probe_id") < N_PROBES)), "probe_id")
+        pool.join(F.broadcast(probe_vecs), "probe_id")
         .join(ne, "neighbor_id")
         .withColumn(
             "cosine",
