@@ -1309,3 +1309,73 @@ def x08_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_merged") == F.col("n_direct")).alias("merge_is_exact"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x09: sketch set-intersection estimate — HLL sketches support union
+# natively (merge), so |A ∩ B| comes from inclusion-exclusion:
+# |A| + |B| − |A ∪ B|, all three estimated. The audience-overlap
+# query ("how many users both clicked AND purchased") every analytics
+# stack runs on sketches at 100 TB because the exact answer needs a
+# user-level join. Exact values are the oracle-checked columns; the
+# sketch path is validated by an in-query tolerance bool (x01
+# pattern) — inclusion-exclusion compounds the error of three
+# estimates, so the bound is 3 × the per-sketch rsd.
+#
+# Scale: three mergeable sketches instead of a distinct user join;
+# partial sketches combine map-side. The exact twin (the user-level
+# semi-joins) is fixture-only audit.
+# --------------------------------------------------------------------------
+X09_RSD = 0.02
+
+
+@register(
+    "x09_sketch_intersection",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+      CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+      CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+        AS exact_intersection,
+      TRUE AS approx_ok
+    """,
+)
+def x09_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # exact twin: one user-keyed aggregation, then three count_ifs
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_a"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_b"),
+    )
+    exact = per_user.agg(
+        F.sum("has_a").alias("exact_a"),
+        F.sum("has_b").alias("exact_b"),
+        F.sum(F.col("has_a") * F.col("has_b")).alias("exact_intersection"),
+    )
+    # sketch path: three mergeable HLLs in one pass over raw events
+    totals = ev.agg(
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id")), X09_RSD
+        ).alias("est_a"),
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")), X09_RSD
+        ).alias("est_b"),
+        F.approx_count_distinct("user_id", X09_RSD).alias("est_union"),
+    )
+    tol = 3 * X09_RSD
+    est_i = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    ok = (
+        (F.abs(F.col("est_a") - F.col("exact_a")) <= tol * F.greatest(F.col("exact_a"), F.lit(1)))
+        & (F.abs(F.col("est_b") - F.col("exact_b")) <= tol * F.greatest(F.col("exact_b"), F.lit(1)))
+        & (
+            F.abs(est_i - F.col("exact_intersection"))
+            <= tol * F.greatest(F.col("exact_a"), F.col("exact_b")) + 3
+        )
+    )
+    return exact.join(F.broadcast(totals)).select(  # 1-row × 1-row
+        "exact_a", "exact_b", "exact_intersection", ok.alias("approx_ok")
+    )

@@ -476,3 +476,26 @@ def cms_grid_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos"),
     )
     return updates.groupBy("r", "pos").agg(F.count("*").alias("cell_cnt"))
+
+
+def bitmap_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of x08's packed-bitmap distinct: bit_or is
+    a monoid, so the per-(day, word) bitmap aggregate runs
+    incrementally — each micro-batch ORs its users' bits into the
+    running words. Exact distinct counting over an unbounded stream
+    with DAY x |id-space|/63 longs of state, no distinct-set
+    materialization. Run to completion, the words equal the batch
+    merged bitmap (tested); SUM(bit_count(wbits)) per day is then the
+    exact streaming DAU."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            (F.col("user_id") / 63).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("day", "word_idx")
+        .agg(F.bit_or("bit").alias("wbits"))
+    )

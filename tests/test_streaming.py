@@ -239,3 +239,35 @@ def test_cms_grid_stream_matches_batch(spark):
     )
     want = {(r.r, r.pos): r["count"] for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_bitmap_distinct_stream_matches_batch(spark):
+    out = st.run_stream_to_memory(
+        st.bitmap_distinct_stream(spark, SF_SMOKE), "bitmap_test", "complete"
+    )
+    got = {(str(r.day), r.word_idx): r.wbits for r in out.collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            (F.col("user_id") / 63).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("day", "word_idx")
+        .agg(F.bit_or("bit").alias("wbits"))
+    )
+    want = {(str(r.day), r.word_idx): r.wbits for r in batch.collect()}
+    assert got == want and len(got) > 0
+    # bit_count over the words == exact distinct per day
+    exact = {
+        str(r.day): r.n
+        for r in ev.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    from collections import defaultdict
+    per_day = defaultdict(int)
+    for (day, _), w in got.items():
+        per_day[day] += bin(w & ((1 << 63) - 1)).count("1")
+    assert dict(per_day) == exact
