@@ -1023,3 +1023,118 @@ def m10_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(resample, schema=_RESAMPLE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m11: REAL image downsample — 2x2 box-mean over genuinely parsed BMP
+# pixels (the image analogue of m10's audio decimation, and the real
+# version of m04's stub-decode thumbnail). Odd edges use clamped
+# (smaller) blocks, so any (w, h) is handled. The ENTIRE output byte
+# stream is checked, not just summaries: a Horner rolling hash
+# (acc*31 + byte mod 1e9+7) over the downsampled BGR bytes in order —
+# one wrong pixel anywhere breaks the hash. The oracle replays block
+# clamping, integer means, and the fold analytically from the digest
+# bytes.
+#
+# Scale: row-local mapInPandas, zero shuffle; identical profile to the
+# other decode ops. Real thumbnailing at 100 TB is this exact plan
+# with a codec decode in place of the BMP parser.
+# --------------------------------------------------------------------------
+_DOWNSAMPLE_SCHEMA = (
+    "doc_id long, width long, height long, out_w long, out_h long,"
+    " out_sum long, out_hash long"
+)
+_M11_MOD = 1_000_000_007
+
+
+def _m11_oracle() -> str:
+    def byte_at_pix(xx: str, yy: str) -> str:
+        return _byte_at(f"((3 * (({yy}) * w + ({xx})) + c) % 16)")
+
+    b00 = byte_at_pix("x0", "y0")
+    b10 = byte_at_pix("x1", "y0")
+    b01 = byte_at_pix("x0", "y1")
+    b11 = byte_at_pix("x1", "y1")
+    return f"""
+    WITH hh AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             8 + {_byte_at("1")} % 8 AS w,
+             8 + {_byte_at("2")} % 8 AS h,
+             (8 + {_byte_at("1")} % 8 + 1) // 2 AS ow,
+             (8 + {_byte_at("2")} % 8 + 1) // 2 AS oh
+      FROM hh
+    ),
+    g AS (
+      SELECT doc_id, hx, w, h, ow, oh, t.p,
+             ((t.p // 3) % ow) * 2 AS x0,
+             LEAST(((t.p // 3) % ow) * 2 + 1, w - 1) AS x1,
+             ((t.p // 3) // ow) * 2 AS y0,
+             LEAST(((t.p // 3) // ow) * 2 + 1, h - 1) AS y1,
+             t.p % 3 AS c
+      FROM d, unnest(range(0, ow * oh * 3)) t(p)
+    ),
+    v AS (
+      SELECT doc_id, w, h, ow, oh, p,
+             ({b00}
+              + CASE WHEN x1 > x0 THEN {b10} ELSE 0 END
+              + CASE WHEN y1 > y0 THEN {b01} ELSE 0 END
+              + CASE WHEN x1 > x0 AND y1 > y0 THEN {b11} ELSE 0 END)
+             // ((x1 - x0 + 1) * (y1 - y0 + 1)) AS val
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(ow) AS BIGINT) AS out_w,
+           CAST(MAX(oh) AS BIGINT) AS out_h,
+           CAST(SUM(val) AS BIGINT) AS out_sum,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list(val ORDER BY p)),
+             (acc, b) -> (acc * 31 + b) % {_M11_MOD}) AS BIGINT) AS out_hash
+    FROM v
+    GROUP BY doc_id
+    """
+
+
+@register("m11_bmp_downsample", oracle=_m11_oracle())
+def m11_bmp_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "out_w": [],
+                "out_h": [], "out_sum": [], "out_hash": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                w, h = 8 + digest[1] % 8, 8 + digest[2] % 8
+                pixels = bytes(digest[i % 16] for i in range(w * h * 3))
+                px = bmp_pixels(build_bmp(w, h, pixels))  # real parse
+                ow, oh = (w + 1) // 2, (h + 1) // 2
+                vals = []
+                for oy in range(oh):
+                    for ox in range(ow):
+                        for c in range(3):
+                            x1 = min(2 * ox + 1, w - 1)
+                            y1 = min(2 * oy + 1, h - 1)
+                            total = cnt = 0
+                            for yy in range(2 * oy, y1 + 1):
+                                for xx in range(2 * ox, x1 + 1):
+                                    total += px[3 * (yy * w + xx) + c]
+                                    cnt += 1
+                            vals.append(total // cnt)
+                acc = 0
+                for b in vals:
+                    acc = (acc * 31 + b) % _M11_MOD
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["out_sum"].append(sum(vals))
+                out["out_hash"].append(acc)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(downsample, schema=_DOWNSAMPLE_SCHEMA)
