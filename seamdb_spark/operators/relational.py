@@ -2228,3 +2228,74 @@ def j01_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("sum_qty"),
         F.max("n_orders").alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# q60: column profile — the data-quality summary every warehouse
+# ingestion runs first (Deequ/Great-Expectations shape): one pass over
+# the table computes count / null-count / distinct / min / max per
+# column, emitted long-form (one row per column). All profiled columns
+# aggregate in a SINGLE scan (Catalyst fuses the aggregates); the
+# long-form reshape is a constant-width stack of the 1-row wide result.
+#
+# Scale: one hash-aggregate pass, map-side partials; count_distinct
+# expands to the standard two-phase plan per column — at 100 TB the
+# documented swap is approx_count_distinct (x01) for the wide columns.
+# --------------------------------------------------------------------------
+@register(
+    "q60_column_profile",
+    oracle="""
+    WITH w AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(o_custkey) AS BIGINT) AS nn_custkey,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+        CAST(MIN(o_custkey) AS VARCHAR) AS mn_custkey,
+        CAST(MAX(o_custkey) AS VARCHAR) AS mx_custkey,
+        CAST(COUNT(o_totalprice) AS BIGINT) AS nn_totalprice,
+        CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_totalprice,
+        CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR) AS mn_totalprice,
+        CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR) AS mx_totalprice,
+        CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_priority,
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_priority,
+        CAST(MIN(o_orderpriority) AS VARCHAR) AS mn_priority,
+        CAST(MAX(o_orderpriority) AS VARCHAR) AS mx_priority
+      FROM orders
+    )
+    SELECT col, n_rows, n_nonnull, n_distinct, min_value, max_value FROM (
+      SELECT 'o_custkey' AS col, n_rows, nn_custkey AS n_nonnull,
+             nd_custkey AS n_distinct, mn_custkey AS min_value,
+             mx_custkey AS max_value FROM w
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, nn_totalprice, nd_totalprice,
+             mn_totalprice, mx_totalprice FROM w
+      UNION ALL
+      SELECT 'o_orderpriority', n_rows, nn_priority, nd_priority,
+             mn_priority, mx_priority FROM w
+    )
+    """,
+)
+def q60_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("mn_custkey"),
+        F.max("o_custkey").cast("string").alias("mx_custkey"),
+        F.count("o_totalprice").alias("nn_totalprice"),
+        F.count_distinct("o_totalprice").alias("nd_totalprice"),
+        dround(F.min("o_totalprice"), 2).cast("string").alias("mn_totalprice"),
+        dround(F.max("o_totalprice"), 2).cast("string").alias("mx_totalprice"),
+        F.count("o_orderpriority").alias("nn_priority"),
+        F.count_distinct("o_orderpriority").alias("nd_priority"),
+        F.min("o_orderpriority").alias("mn_priority"),
+        F.max("o_orderpriority").alias("mx_priority"),
+    )
+    return wide.selectExpr(
+        """stack(3,
+           'o_custkey', n_rows, nn_custkey, nd_custkey, mn_custkey, mx_custkey,
+           'o_totalprice', n_rows, nn_totalprice, nd_totalprice, mn_totalprice, mx_totalprice,
+           'o_orderpriority', n_rows, nn_priority, nd_priority, mn_priority, mx_priority)
+           AS (col, n_rows, n_nonnull, n_distinct, min_value, max_value)"""
+    )

@@ -560,3 +560,23 @@ def test_ivfpq_recall_vs_bruteforce(spark, registry):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} too low"
+
+
+def test_coverage_doc_tracks_registry(registry):
+    """COVERAGE.md's totals line and per-query mentions must track the
+    live registry — catches doc drift when operators are added."""
+    import pathlib
+    import re
+
+    queries, oracles = registry
+    text = (pathlib.Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    m = re.search(r"Totals: \*\*(\d+) queries, (\d+) with oracles\*\*", text)
+    assert m, "COVERAGE.md totals line missing"
+    assert int(m.group(1)) == len(queries), (
+        f"COVERAGE.md says {m.group(1)} queries, registry has {len(queries)}"
+    )
+    assert int(m.group(2)) == len(oracles)
+    # every registered query's short id appears somewhere in the doc
+    ids = {n.split("_")[0] for n in queries}
+    missing = {i for i in ids if i not in text}
+    assert not missing, f"COVERAGE.md never mentions: {sorted(missing)}"
