@@ -1379,3 +1379,61 @@ def x09_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(F.broadcast(totals)).select(  # 1-row × 1-row
         "exact_a", "exact_b", "exact_intersection", ok.alias("approx_ok")
     )
+
+
+# --------------------------------------------------------------------------
+# e18: session-duration distribution — the engagement histogram on top
+# of e02's sessionization (composed oracle: the e02 SQL is embedded as
+# a CTE, so both layers are checked end-to-end). Buckets are fixed
+# engagement bands; per band: session count, total events, and the
+# exact events-per-session ratio.
+#
+# Scale: inherits e02's single (user_id, ts) shuffle; the histogram is
+# a bounded-cardinality aggregate over the sessions table (per-user
+# session counts, orders smaller than events).
+# --------------------------------------------------------------------------
+E18_BANDS_SQL = """CASE
+  WHEN duration_s = 0 THEN '0_bounce'
+  WHEN duration_s < 300 THEN '1_short'
+  WHEN duration_s < 1800 THEN '2_medium'
+  ELSE '3_long' END"""
+
+
+def _e18_oracle() -> str:
+    from .registry import ORACLE_SQL as _osql
+
+    return f"""
+    WITH sess AS ({_osql["e02_sessionization"]})
+    SELECT {E18_BANDS_SQL} AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           ROUND(SUM(n_events) * 1.0 / COUNT(*), 6) AS events_per_session
+    FROM sess
+    GROUP BY 1
+    """
+
+
+@register("e18_session_duration_bands", oracle=_e18_oracle())
+def e18_session_duration_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = e02_sessionization(spark, sf_dir)
+    band = (
+        F.when(F.col("duration_s") == 0, "0_bounce")
+        .when(F.col("duration_s") < 300, "1_short")
+        .when(F.col("duration_s") < 1800, "2_medium")
+        .otherwise("3_long")
+    )
+    return (
+        sess.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .select(
+            "band",
+            "n_sessions",
+            "total_events",
+            dround(F.col("total_events") / F.col("n_sessions"), 6).alias(
+                "events_per_session"
+            ),
+        )
+    )
