@@ -1015,14 +1015,18 @@ def d11_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d12: exact duplicated-span detection (the "substring dedup" of
 # training-data pipelines: find long token spans appearing verbatim in
 # more than one document, and how much of each document is covered by
-# such spans). Spans are 8-token sliding windows keyed by md5 — the
-# hash narrows the shuffle key to 32 bytes regardless of span length.
+# such spans). Spans are 8-token sliding windows keyed by xxhash64 —
+# the hash narrows the shuffle key to 8 bytes regardless of span
+# length, and since h is never an output value the engines need not
+# hash identically (the oracle keys on md5; both are injective here —
+# the d10 precedent at the decontamination span key).
 #
-# Scale: explode is linear in corpus tokens; the span-popularity
-# aggregation is an equi-shuffle on the hash (uniform by
-# construction). At 100 TB the only adjustment is a longer span (50
-# tokens) and a Bloom-filter pre-pass on span hashes to skip the
-# singleton majority before the shuffle.
+# Scale: explode is linear in corpus tokens; span popularity is a
+# COUNT(*) OVER (PARTITION BY h) window — ONE equi-shuffle on the hash
+# (uniform by construction) instead of the groupBy-then-join-back
+# shape, which shuffles on h twice. At 100 TB the only adjustment is a
+# longer span (50 tokens) and a Bloom-filter pre-pass on span hashes
+# to skip the singleton majority before the shuffle.
 # --------------------------------------------------------------------------
 SPAN_TOKENS = 8
 
@@ -1071,14 +1075,15 @@ def d12_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .select("doc_id", F.md5("g").alias("h"))
+        .select("doc_id", F.xxhash64("g").alias("h"))
         .distinct()
     )
-    popularity = spans.groupBy("h").agg(F.count("*").alias("n_docs"))
+    counted = spans.withColumn(
+        "n_docs", F.count("*").over(W.partitionBy("h"))
+    )
     dup = F.count(F.when(F.col("n_docs") > 1, 1))
     return (
-        spans.join(popularity, "h")
-        .groupBy("doc_id")
+        counted.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
             dup.alias("n_dup_spans"),

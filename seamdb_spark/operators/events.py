@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .ranks import ntile_exact
 from .registry import register
 from .rounding import dround
 
@@ -1024,11 +1025,12 @@ def e14_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quartile windows order by (metric, user_id) so ties split
 # deterministically and both engines assign identical tiles.
 #
-# Scale: one user-keyed aggregation collapses events; the three NTILE
-# windows run over the (much smaller) per-user table. Global NTILE =
-# one total order of users per dimension — for 10^9 users switch to
-# approx-quantile boundaries + row-local bucketing (x05 pattern), same
-# output contract.
+# Scale: one user-keyed aggregation collapses events; each quartile
+# then comes from ranks.ntile_exact — range-partition on the metric,
+# per-partition offsets (dml.assign_serials pattern), exact NTILE from
+# the global rank — so user cardinality (which grows with data) never
+# lands on a single-partition WindowExec.  Three metrics = three
+# range shuffles of the per-user table, all fully parallel.
 # --------------------------------------------------------------------------
 @register(
     "e15_rfm_segments",
@@ -1065,19 +1067,21 @@ def e15_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("monetary"),
     )
-    r = F.ntile(4).over(W.orderBy("last_ts", "user_id"))
-    f = F.ntile(4).over(W.orderBy("frequency", "user_id"))
-    m = F.ntile(4).over(W.orderBy("monetary", "user_id"))
-    return per_user.select(
+    scored = ntile_exact(per_user, 4, ["last_ts", "user_id"], "r_score")
+    scored = ntile_exact(scored, 4, ["frequency", "user_id"], "f_score")
+    scored = ntile_exact(scored, 4, ["monetary", "user_id"], "m_score")
+    return scored.select(
         "user_id",
         F.col("last_ts").cast("string").alias("last_ts"),
         "frequency",
         "monetary",
-        r.alias("r_score"),
-        f.alias("f_score"),
-        m.alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
         F.concat(
-            r.cast("string"), f.cast("string"), m.cast("string")
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
         ).alias("segment"),
     )
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .hashing import md5_prefix_long
+from .ranks import ntile_exact
 from .registry import register
 from .rounding import dround
 
@@ -1883,11 +1884,14 @@ def q54_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # function family (rank/dense_rank/percent_rank/cume_dist/nth_value are
 # covered by q17/q44).
 #
-# Scale: a global NTILE is a total order — acceptable for reporting
-# outputs (one pass, TakeOrdered-free, but still a global sort). The
-# per-tile profile is a bounded 10-group aggregation. For fact-scale
-# tiling, the documented alternative is approx quantile boundaries +
-# row-local bucketing (x05's histogram shape).
+# Scale: a bare NTILE window (no PARTITION BY) would collapse every
+# order row onto ONE task (single-partition WindowExec).  Instead the
+# exact tile comes from ranks.ntile_exact: range-partition on the sort
+# key (ordered parallel partitions), per-partition offsets (one row per
+# partition to the driver — the dml.assign_serials pattern), then the
+# exact piecewise NTILE formula on the global rank.  Same hash-exact
+# output, fully distributed.  The per-tile profile is a bounded
+# 10-group aggregation.
 # --------------------------------------------------------------------------
 @register(
     "q55_ntile_deciles",
@@ -1907,11 +1911,10 @@ def q54_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q55_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    tiled = ntile_exact(orders, 10, ["o_totalprice", "o_orderkey"], "decile")
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),
             dround(F.min("o_totalprice"), 2).alias("lo"),

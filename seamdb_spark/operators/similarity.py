@@ -1216,20 +1216,25 @@ def s08_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "b", F.col("m.cid").alias("code"))
     )
     # Per-probe ADC lookup tables: O(N_PROBES x 8 x 16) rows, broadcast.
+    # The lut columns are renamed (lb/lcid) because both sides descend
+    # from the same cblk lineage — joining codes.b to an attribute with
+    # the SAME expression id would be self-referential (analyzer
+    # auto-disambiguates today, but it's one resolution change away
+    # from a silent cross join).
     lut = (
         cblk.filter(F.col("vec_id") < N_PROBES)
         .join(cb, "b")
         .select(
             F.col("vec_id").alias("probe_id"),
-            "b",
-            "cid",
+            F.col("b").alias("lb"),
+            F.col("cid").alias("lcid"),
             _qd2("sub", "cw").alias("d2"),
         )
     )
     approx = (
         codes.join(
             F.broadcast(lut),
-            (codes.b == lut.b) & (codes.code == lut.cid),
+            (F.col("b") == F.col("lb")) & (F.col("code") == F.col("lcid")),
         )
         .filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", "vec_id")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .hashing import md5_prefix_long, md5_prefix_long_sql
+from .ranks import global_rank
 from .registry import register
 from .rounding import dround
 
@@ -1135,11 +1136,13 @@ def t20_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-stratum fractions / t15's mixture weights); deterministic because
 # u is hash-derived, so the same corpus always yields the same sample.
 #
-# Scale: key computation is row-local; top-K is a rank window Spark
-# executes as per-partition top-K (WindowGroupLimit) — no global sort
-# materialization. Keys are rounded to 6 decimals BEFORE ranking on
-# both engines (doc_id tiebreak), so last-ulp pow() differences can't
-# flip the boundary.
+# Scale: key computation is row-local; the top-K is orderBy().limit(K)
+# — Spark's TakeOrderedAndProject, a distributed per-partition partial
+# top-K with only K rows per partition reaching the final merge (no
+# single-partition WindowExec anywhere). The <=K survivors are then
+# ranked with ranks.global_rank (range-partition + offsets). Keys are
+# rounded to 6 decimals BEFORE ranking on both engines (doc_id
+# tiebreak), so last-ulp pow() differences can't flip the boundary.
 # --------------------------------------------------------------------------
 SAMPLE_K = 100
 SAMPLE_MIN_QUALITY = 0.01
@@ -1178,11 +1181,12 @@ def t21_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(u, F.lit(1.0) / F.col("quality_score")), 6
         ).alias("sample_key"),
     )
-    w = W.orderBy(F.col("sample_key").desc(), "doc_id")
-    return (
-        keyed.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= SAMPLE_K)
-        .select("doc_id", "quality_score", "sample_key", "rk")
+    limited = keyed.orderBy(F.col("sample_key").desc(), "doc_id").limit(SAMPLE_K)
+    ranked, _n = global_rank(
+        limited, [F.col("sample_key").desc(), F.col("doc_id")], "rk"
+    )
+    return ranked.select(
+        "doc_id", "quality_score", "sample_key", F.col("rk").cast("int").alias("rk")
     )
 
 

@@ -580,3 +580,39 @@ def test_coverage_doc_tracks_registry(registry):
     ids = {n.split("_")[0] for n in queries}
     missing = {i for i in ids if i not in text}
     assert not missing, f"COVERAGE.md never mentions: {sorted(missing)}"
+
+
+def test_ntile_exact_matches_window_ntile(spark):
+    """ranks.ntile_exact must reproduce SQL NTILE exactly — including
+    the larger-buckets-FIRST rule the equi-split floor formula gets
+    wrong (n=13, k=5: NTILE sizes 3,3,3,2,2; floor split 3,3,2,3,2)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from seamdb_spark.operators.ranks import ntile_exact
+
+    for n, k in [(13, 5), (10, 3), (5, 8), (100, 7), (64, 4)]:
+        df = spark.range(n).select(
+            (F.col("id") * 37 % n).alias("v"), F.col("id").alias("tb")
+        )
+        want = {
+            (r.v, r.tb): r.t
+            for r in df.select(
+                "v", "tb", F.ntile(k).over(W.orderBy("v", "tb")).alias("t")
+            ).collect()
+        }
+        got = {
+            (r.v, r.tb): r.t
+            for r in ntile_exact(df, k, ["v", "tb"], "t", num_partitions=4).collect()
+        }
+        assert got == want, f"ntile mismatch at n={n}, k={k}"
+
+
+def test_no_unpartitioned_windows_in_scale_variant_plans(spark, registry):
+    """q55/e15/t21 previously ran a no-PARTITION-BY window over
+    scale-variant data (single-partition WindowExec). Their physical
+    plans must now be window-free on the scale-variant path."""
+    queries, _ = registry
+    for name in ["q55_ntile_deciles", "e15_rfm_segments", "t21_weighted_sample"]:
+        plan = queries[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{name} still plans a Window node"
