@@ -1558,3 +1558,103 @@ def d18_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d19: exact duplicated-SUBSTRING runs — the suffix-array-style dedup
+# of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+# Models Better"): find MAXIMAL token runs that appear verbatim more
+# than once anywhere in the corpus (including twice in the same
+# document), with exact per-document offsets. Extends d12 (which flags
+# fixed-length spans per doc) to the span-merge step: a run is a
+# maximal stretch of consecutive duplicated span STARTS, covering
+# tokens [start, last_start + SPAN - 1] — exactly what a suffix-array
+# pass reports, built from equi-joinable fixed-width spans instead of
+# a monolithic suffix array (which doesn't distribute).
+#
+# Scale: posexplode is linear in corpus tokens; occurrence counting is
+# one COUNT(*) OVER (PARTITION BY h) shuffle on the 8-byte span hash
+# (uniform); the islands window partitions BY DOCUMENT, so no
+# single-partition window anywhere. At 10^12 spans a 64-bit key sees
+# ~birthday-bound collisions — the production variant keys on two
+# independently-salted xxhash64s (128 bits), same plan shape.
+# --------------------------------------------------------------------------
+D19_SPAN = 8
+D19_MIN_RUN = 12
+
+
+@register(
+    "d19_substring_runs",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(list_slice(string_split(text, ' '),
+                                            i, i + {D19_SPAN - 1}), ' ')) AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, len(string_split(text, ' ')) - {D19_SPAN - 2})) AS i
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {D19_SPAN}
+      )
+    ),
+    counted AS (
+      SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM spans
+    ),
+    duppos AS (SELECT doc_id, pos FROM counted WHERE n_occ >= 2),
+    grp AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM duppos
+    ),
+    runs AS (
+      SELECT doc_id, MIN(pos) AS token_start,
+             MAX(pos) + {D19_SPAN - 1} AS token_end
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(token_start AS BIGINT) AS token_start,
+           CAST(token_end AS BIGINT) AS token_end,
+           CAST(token_end - token_start + 1 AS BIGINT) AS run_tokens
+    FROM runs
+    WHERE token_end - token_start + 1 >= {D19_MIN_RUN}
+    """,
+)
+def d19_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # All span OCCURRENCES with start positions — no distinct: a span
+    # repeated twice within one document is duplicated content too.
+    spans = (
+        docs.filter(F.size(F.split("text", " ")) >= D19_SPAN)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(array(split(text, ' ')),"
+                    f" toks -> transform(sequence(0, size(toks) - {D19_SPAN}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {D19_SPAN}))))"
+                    "[0]"
+                )
+            ).alias("pos", "g"),
+        )
+        # h is internal-only (never output) so the engines need not
+        # hash identically — xxhash64 keeps the shuffle key at 8 bytes
+        # (d10/d12 precedent); the oracle keys on md5.
+        .select("doc_id", "pos", F.xxhash64("g").alias("h"))
+    )
+    counted = spans.withColumn("n_occ", F.count("*").over(W.partitionBy("h")))
+    duppos = counted.filter(F.col("n_occ") >= 2).select("doc_id", "pos")
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        duppos.withColumn("g", F.col("pos") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").cast("long").alias("token_start"),
+            (F.max("pos") + F.lit(D19_SPAN - 1)).cast("long").alias("token_end"),
+        )
+        .drop("g")
+        .withColumn(
+            "run_tokens", (F.col("token_end") - F.col("token_start") + 1).cast("long")
+        )
+        .filter(F.col("run_tokens") >= D19_MIN_RUN)
+        .select("doc_id", "token_start", "token_end", "run_tokens")
+    )

