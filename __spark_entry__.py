@@ -99,9 +99,52 @@ _R3_WINDOW = [
 ]
 
 
+# Round-4 window, built per the ROUND-4 PROCEDURE above:
+# (a) slots 1-12: the queries registered after _R3_WINDOW froze (only
+#     local parity runs so far);
+# (b) slots 13-15: registered THIS round (d19/t25/s13);
+# (c) slots 16-20: plan or oracle changed this round (q55/e15/t21 moved
+#     off the single-partition global window; s08's ADC join was
+#     re-aliased; d12 switched to the one-shuffle window popularity) —
+#     re-verify under the driver even though all were r3-green;
+# (d) slots 21-50: the 30 OLDEST r1 greens (no driver row since round
+#     1, two-plus rounds of code churn ago), registration order.
+#
+# ROUND-5 PROCEDURE: after CORRECTNESS_r04 lands, pin (a) queries
+# registered after _R4_WINDOW froze and (b) any query whose plan or
+# oracle changes in round 5, then fill to 50 oldest-green-first: the
+# 15 remaining r1 greens (q14-q29 block), then the r2 greens in
+# _R2_GREEN order, then _R3_WINDOW, then _R4_WINDOW.
+_R4_WINDOW = [
+    # (a) rowless after r3 freeze
+    "e18_session_duration_bands", "q60_column_profile", "m10_wav_resample",
+    "m11_bmp_downsample", "x08_bitmap_distinct_rollup",
+    "x09_sketch_intersection", "s11_knn_graph_descent", "s12_ann_ivfpq_topk",
+    "t24_frequency_spectrum", "p03_dedup_decision_record",
+    "d18_minhash_estimate_audit", "j01_salted_skew_join",
+    # (b) new in round 4
+    "d19_substring_runs", "t25_bpe_apply", "s13_graph_beam_search",
+    # (c) plan/oracle changed in round 4
+    "q55_ntile_deciles", "e15_rfm_segments", "t21_weighted_sample",
+    "s08_ann_pq_topk", "d12_duplicated_spans",
+    # (d) oldest r1 greens, registration order
+    "d01_dedup_exact", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
+    "d04_dedup_ngram_jaccard", "d07_dedup_jaccard_prefix_filtered",
+    "d08_dedup_jaccard_blocked", "e01_hourly_rollup", "e02_sessionization",
+    "e03_json_props", "x02_percentile", "x04_array_agg", "e04_asof_join",
+    "e05_range_join", "q50_window_time_range", "e06_gapfill_rollup",
+    "m01_binary_metadata", "m03_frame_sample", "q01_pricing_summary",
+    "q02_filter_predicates", "q03_shipping_priority", "q04_order_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_left_join_nulls", "q08_full_outer_join", "q09_anti_join",
+    "q10_semi_join", "q11_theta_band_join", "q12_having_distinct",
+    "q13_stats_aggregates",
+]
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R3_WINDOW if n in names]
+    window = [n for n in _R4_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 

@@ -1330,6 +1330,16 @@ def x08_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partial sketches combine map-side. The exact twin (the user-level
 # semi-joins) is fixture-only audit.
 # --------------------------------------------------------------------------
+# Tolerance contract for the in-query approx_ok bool (the oracle pins
+# it TRUE, so a violation surfaces as a hash mismatch): per-sketch
+# error <= 3*X09_RSD relative; the inclusion-exclusion intersection
+# gets 3*X09_RSD * max(|A|,|B|) + 3 — relative to the LARGER operand
+# (not the intersection itself) because HLL error scales with the
+# sketched set sizes, plus an absolute +3 floor for tiny fixtures.
+# tests/test_operators.py::test_sketch_intersection_within_tolerance
+# re-derives the estimates and asserts the same bounds with readable
+# margins, so a Spark HLL++ implementation change fails THERE
+# diagnosably before the driver's opaque hash gate.
 X09_RSD = 0.02
 
 

@@ -582,6 +582,13 @@ def test_coverage_doc_tracks_registry(registry):
     ids = {n.split("_")[0] for n in queries}
     missing = {i for i in ids if i not in text}
     assert not missing, f"COVERAGE.md never mentions: {sorted(missing)}"
+    # README must not carry per-module query counts (they drift
+    # silently — round-3 advice); totals live in COVERAGE.md only
+    readme = (pathlib.Path(__file__).resolve().parent.parent / "README.md").read_text()
+    assert not re.search(r"\d+ queries", readme), (
+        "README.md carries a hardcoded query count — drop it or move it "
+        "behind this test like COVERAGE.md's totals line"
+    )
 
 
 def test_ntile_exact_matches_window_ntile(spark):
@@ -673,3 +680,37 @@ def test_bpe_apply_shrinks_and_is_consistent(spark, registry):
         assert r.n_before - r.n_after >= 0
         if r.n_merged == 0:
             assert r.n_after == r.n_before
+
+
+def test_sketch_intersection_within_tolerance(spark):
+    """x09 diagnostic twin: recompute the three HLL estimates and the
+    exact values directly and assert each within the documented bound
+    (3*X09_RSD relative; intersection vs max(|A|,|B|) + 3). If Spark's
+    HLL++ ever drifts, THIS fails with readable margins instead of the
+    driver's opaque hash mismatch on approx_ok."""
+    from pyspark.sql import functions as F
+
+    from seamdb_spark.operators.events import X09_RSD, _events
+
+    ev = _events(spark, SF_SMOKE).filter(F.col("event_type").isin("click", "purchase"))
+    r = ev.agg(
+        F.count_distinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias("a"),
+        F.count_distinct(F.when(F.col("event_type") == "purchase", F.col("user_id"))).alias("b"),
+        F.count_distinct("user_id").alias("u"),
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id")), X09_RSD
+        ).alias("ea"),
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")), X09_RSD
+        ).alias("eb"),
+        F.approx_count_distinct("user_id", X09_RSD).alias("eu"),
+    ).collect()[0]
+    tol = 3 * X09_RSD
+    exact_i = r.a + r.b - r.u
+    est_i = r.ea + r.eb - r.eu
+    assert abs(r.ea - r.a) <= tol * max(r.a, 1), f"A: est {r.ea} vs exact {r.a}"
+    assert abs(r.eb - r.b) <= tol * max(r.b, 1), f"B: est {r.eb} vs exact {r.b}"
+    assert abs(est_i - exact_i) <= tol * max(r.a, r.b) + 3, (
+        f"intersection: est {est_i} vs exact {exact_i} "
+        f"(bound {tol * max(r.a, r.b) + 3:.1f})"
+    )
