@@ -113,8 +113,8 @@ _R3_WINDOW = [
 # ROUND-5 PROCEDURE: after CORRECTNESS_r04 lands, pin (a) queries
 # registered after _R4_WINDOW froze and (b) any query whose plan or
 # oracle changes in round 5, then fill to 50 oldest-green-first: the
-# 15 remaining r1 greens (q14-q29 block), then the r2 greens in
-# _R2_GREEN order, then _R3_WINDOW, then _R4_WINDOW.
+# 18 remaining r1 greens (q11/q12/q13 + the q14-q29 block), then the
+# r2 greens in _R2_GREEN order, then _R3_WINDOW, then _R4_WINDOW.
 _R4_WINDOW = [
     # (a) rowless after r3 freeze
     "e18_session_duration_bands", "q60_column_profile", "m10_wav_resample",
@@ -124,6 +124,7 @@ _R4_WINDOW = [
     "d18_minhash_estimate_audit", "j01_salted_skew_join",
     # (b) new in round 4
     "d19_substring_runs", "t25_bpe_apply", "s13_graph_beam_search",
+    "x10_kmv_distinct", "x11_kmv_set_ops", "t26_trigram_backoff_score",
     # (c) plan/oracle changed in round 4
     "q55_ntile_deciles", "e15_rfm_segments", "t21_weighted_sample",
     "s08_ann_pq_topk", "d12_duplicated_spans",
@@ -137,8 +138,7 @@ _R4_WINDOW = [
     "q02_filter_predicates", "q03_shipping_priority", "q04_order_priority",
     "q05_local_supplier_volume", "q06_forecast_revenue",
     "q07_left_join_nulls", "q08_full_outer_join", "q09_anti_join",
-    "q10_semi_join", "q11_theta_band_join", "q12_having_distinct",
-    "q13_stats_aggregates",
+    "q10_semi_join",
 ]
 
 

@@ -1451,3 +1451,219 @@ def e18_session_duration_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x10: KMV (K-minimum-values) distinct sketch — the DETERMINISTIC
+# sketch family (Bar-Yossef et al. 2002 / theta sketches): hash every
+# user with the shared md5-derived 32-bit hash, keep the K smallest
+# distinct values per group; the K-th smallest u estimates the
+# cardinality as (K-1)/u (u normalized to [0,1]). Unlike HLL (x01/x09,
+# whose engine-internal sketches force tolerance-bool oracles), the
+# ENTIRE sketch is replayable in SQL — the k-th value, the estimate,
+# and the realized relative error are all hash-checked columns.
+#
+# Scale: one distinct over (group, h) with map-side combine, then a
+# rank-filtered window Spark rewrites to WindowGroupLimit — each map
+# task forwards at most K rows per group to the exchange, so the
+# per-group sort is over |groups| x K rows no matter the corpus size.
+# Sketches are trivially mergeable (K smallest of the union), which
+# x11 exercises.
+# --------------------------------------------------------------------------
+KMV_K = 64
+_KMV_SCALE = 4294967296.0  # hash space size: md5_prefix_long < 2^32
+
+
+def _kmv_hash_sql() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    return md5_prefix_long_sql("CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "x10_kmv_distinct",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type, {{h}} AS h FROM events
+    ),
+    sk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashes
+    ),
+    agg AS (
+      SELECT event_type, MAX(h) AS kth_min,
+             CAST(COUNT(*) AS BIGINT) AS k_used
+      FROM sk WHERE rk <= {KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_type, e.exact_users, a.kth_min, a.k_used,
+             CASE WHEN a.k_used < {KMV_K} THEN CAST(a.k_used AS DOUBLE)
+                  ELSE ({KMV_K} - 1) * {_KMV_SCALE} / a.kth_min END AS est
+      FROM exact e JOIN agg a USING (event_type)
+    )
+    SELECT event_type, exact_users, kth_min, k_used,
+           ROUND(est, 6) AS est_users,
+           ROUND((est - exact_users) / exact_users, 6) AS rel_err
+    FROM scored
+    """.format(h=_kmv_hash_sql()),
+)
+def x10_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .hashing import md5_prefix_long
+
+    ev = _events(spark, sf_dir)
+    hashes = ev.select(
+        "event_type",
+        md5_prefix_long(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    sk = hashes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    agg = sk.groupBy("event_type").agg(
+        F.max("h").alias("kth_min"), F.count("*").alias("k_used")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.lit((KMV_K - 1) * _KMV_SCALE) / F.col("kth_min"))
+    return exact.join(agg, "event_type").select(
+        "event_type",
+        "exact_users",
+        "kth_min",
+        "k_used",
+        dround(est, 6).alias("est_users"),
+        dround((est - F.col("exact_users")) / F.col("exact_users"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x11: KMV set operations — the reason theta/KMV sketches exist: union
+# = K smallest of the merged value sets; Jaccard = fraction of the
+# merged sketch present in BOTH operands; intersection = Jaccard x
+# union estimate (Beyer et al. 2007). This is the audience-overlap
+# query x09 answers with HLL inclusion-exclusion, but with a sketch
+# whose every intermediate is hash-checked — no tolerance bool.
+#
+# Scale: operand sketches are x10's WindowGroupLimit pattern; the
+# merge is orderBy().limit(K) over <= 2K rows (TakeOrdered, no global
+# window); membership flags are two semi-join probes of a K-row set.
+# --------------------------------------------------------------------------
+X11_A = "click"
+X11_B = "purchase"
+
+
+@register(
+    "x11_kmv_set_ops",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type, {{h}} AS h FROM events
+      WHERE event_type IN ('{X11_A}', '{X11_B}')
+    ),
+    sk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashes
+    ),
+    a AS (SELECT h FROM sk WHERE event_type = '{X11_A}' AND rk <= {KMV_K}),
+    b AS (SELECT h FROM sk WHERE event_type = '{X11_B}' AND rk <= {KMV_K}),
+    merged AS (
+      SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    mstats AS (
+      SELECT MAX(h) AS kth_min, CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM a)
+                                     AND h IN (SELECT h FROM b)) AS BIGINT)
+               AS n_common
+      FROM merged
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union,
+             CAST(COUNT(DISTINCT CASE WHEN has_a AND has_b THEN user_id END)
+                  AS BIGINT) AS exact_intersection
+      FROM (
+        SELECT user_id,
+               bool_or(event_type = '{X11_A}') AS has_a,
+               bool_or(event_type = '{X11_B}') AS has_b
+        FROM events WHERE event_type IN ('{X11_A}', '{X11_B}')
+        GROUP BY user_id
+      )
+    ),
+    scored AS (
+      SELECT e.exact_union, e.exact_intersection, m.k_used, m.n_common,
+             CASE WHEN m.k_used < {KMV_K} THEN CAST(m.k_used AS DOUBLE)
+                  ELSE ({KMV_K} - 1) * {_KMV_SCALE} / m.kth_min END AS est_u
+      FROM exact e, mstats m
+    )
+    SELECT exact_union, exact_intersection, k_used, n_common,
+           ROUND(est_u, 6) AS est_union,
+           ROUND(CAST(n_common AS DOUBLE) / k_used, 6) AS jaccard_est,
+           ROUND(est_u * n_common / k_used, 6) AS est_intersection
+    FROM scored
+    """.format(h=_kmv_hash_sql()),
+)
+def x11_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .hashing import md5_prefix_long
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin(X11_A, X11_B))
+    hashes = ev.select(
+        "event_type",
+        md5_prefix_long(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    sk = hashes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    a = sk.filter(F.col("event_type") == X11_A).select("h")
+    b = sk.filter(F.col("event_type") == X11_B).select("h")
+    merged = a.union(b).distinct().orderBy("h").limit(KMV_K)
+    flagged = (
+        merged.join(a.withColumnRenamed("h", "ha"), merged.h == F.col("ha"), "left")
+        .join(b.withColumnRenamed("h", "hb"), merged.h == F.col("hb"), "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull()).alias("common"),
+        )
+    )
+    kmv_stats = flagged.agg(  # 1-row merged-sketch summary
+        F.max("h").alias("kth_min"),
+        F.count("*").alias("k_used"),
+        F.sum(F.col("common").cast("long")).alias("n_common"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == X11_A).cast("int")).alias("has_a"),
+            F.max((F.col("event_type") == X11_B).cast("int")).alias("has_b"),
+        )
+        .agg(
+            F.count("*").alias("exact_union"),
+            F.sum(F.col("has_a") * F.col("has_b")).alias("exact_intersection"),
+        )
+    )
+    est_u = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.lit((KMV_K - 1) * _KMV_SCALE) / F.col("kth_min"))
+    return exact.join(F.broadcast(kmv_stats)).select(  # 1-row x 1-row
+        "exact_union",
+        "exact_intersection",
+        "k_used",
+        "n_common",
+        dround(est_u, 6).alias("est_union"),
+        dround(F.col("n_common").cast("double") / F.col("k_used"), 6).alias(
+            "jaccard_est"
+        ),
+        dround(est_u * F.col("n_common") / F.col("k_used"), 6).alias(
+            "est_intersection"
+        ),
+    )

@@ -1565,3 +1565,133 @@ def t25_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.concat_ws(" ", F.slice("l", 1, 10)).alias("preview"),
     )
+
+
+# --------------------------------------------------------------------------
+# t26: trigram STUPID-BACKOFF LM scoring (Brants et al. 2007, "Large
+# Language Models in Machine Translation" — the web-scale LM built
+# precisely because it needs only counts, no discounting): counts are
+# estimated on t08's TRAIN split, then EVERY document (train + held
+# out) is scored, so val/test docs hit trigrams unseen in train and
+# exercise the backoff chain for real:
+#   seen trigram:  S = c(w1 w2 w3) / c(w1 w2)
+#   else bigram:   S = 0.4 * c(w2 w3) / c(w2)
+#   else unigram:  S = 0.4^2 * c(w3) / N        (0 if w3 unseen)
+# All arithmetic is integer ppm ((x * 10^6) div y; the 0.4 factors are
+# *400000 and *160000), so partial-agg order cannot move a bit — the
+# t16 determinism discipline extended to the backoff chain.
+#
+# Scale: one trigram stream over the corpus; count tables are
+# vocabulary-sized (Heaps-law sublinear) with map-side combine; the
+# stream⋈counts joins broadcast while vocab fits and degrade to
+# n-gram-keyed hash joins — exactly t16's plan, 3 count tables wider.
+# --------------------------------------------------------------------------
+@register(
+    "t26_trigram_backoff_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l,
+             {md5_prefix_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+               AS is_train
+      FROM documents
+    ),
+    stream AS (
+      SELECT doc_id, is_train,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tg,
+             l[i] || ' ' || l[i+1] AS ctx2,
+             l[i+1] || ' ' || l[i+2] AS bg,
+             l[i+1] AS ctx1,
+             l[i+2] AS uni
+      FROM (SELECT doc_id, is_train, l,
+                   unnest(range(1, len(l) - 1)) AS i
+            FROM toks WHERE len(l) >= 3)
+    ),
+    c_tg   AS (SELECT tg,   CAST(COUNT(*) AS BIGINT) AS c3 FROM stream WHERE is_train GROUP BY tg),
+    c_ctx2 AS (SELECT ctx2, CAST(COUNT(*) AS BIGINT) AS c2x FROM stream WHERE is_train GROUP BY ctx2),
+    c_bg   AS (SELECT bg,   CAST(COUNT(*) AS BIGINT) AS c2 FROM stream WHERE is_train GROUP BY bg),
+    c_ctx1 AS (SELECT ctx1, CAST(COUNT(*) AS BIGINT) AS c1x FROM stream WHERE is_train GROUP BY ctx1),
+    c_uni  AS (SELECT uni,  CAST(COUNT(*) AS BIGINT) AS c1 FROM stream WHERE is_train GROUP BY uni),
+    n_tot  AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM stream WHERE is_train),
+    scored AS (
+      SELECT s.doc_id,
+             CASE WHEN t.c3 IS NOT NULL THEN (t.c3 * 1000000) // x2.c2x
+                  WHEN b.c2 IS NOT NULL THEN (b.c2 * 400000) // x1.c1x
+                  ELSE COALESCE((u.c1 * 160000) // n.n, 0) END AS ppm,
+             CASE WHEN t.c3 IS NOT NULL THEN 0
+                  WHEN b.c2 IS NOT NULL THEN 1 ELSE 2 END AS backoff
+      FROM stream s
+      LEFT JOIN c_tg t ON t.tg = s.tg
+      LEFT JOIN c_ctx2 x2 ON x2.ctx2 = s.ctx2
+      LEFT JOIN c_bg b ON b.bg = s.bg
+      LEFT JOIN c_ctx1 x1 ON x1.ctx1 = s.ctx1
+      LEFT JOIN c_uni u ON u.uni = s.uni
+      CROSS JOIN n_tot n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(*) FILTER (WHERE backoff = 1) AS BIGINT) AS n_backoff_bi,
+           CAST(COUNT(*) FILTER (WHERE backoff = 2) AS BIGINT) AS n_backoff_uni,
+           CAST(MIN(ppm) AS BIGINT) AS min_ppm,
+           ROUND(CAST(SUM(ppm) AS BIGINT) * 1.0 / COUNT(*), 2) AS mean_ppm
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def t26_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_train = (md5_prefix_long(F.col("doc_id").cast("string")) % 100) < 80
+    stream = (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            is_train.alias("is_train"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(array(split(text, ' ')),"
+                    " toks -> transform(sequence(0, size(toks) - 3),"
+                    " i -> struct("
+                    "   concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS tg,"
+                    "   concat_ws(' ', toks[i], toks[i+1]) AS ctx2,"
+                    "   concat_ws(' ', toks[i+1], toks[i+2]) AS bg,"
+                    "   toks[i+1] AS ctx1,"
+                    "   toks[i+2] AS uni))))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "is_train", "b.tg", "b.ctx2", "b.bg", "b.ctx1", "b.uni")
+    )
+    train = stream.filter("is_train")
+    c_tg = train.groupBy("tg").agg(F.count("*").alias("c3"))
+    c_ctx2 = train.groupBy("ctx2").agg(F.count("*").alias("c2x"))
+    c_bg = train.groupBy("bg").agg(F.count("*").alias("c2"))
+    c_ctx1 = train.groupBy("ctx1").agg(F.count("*").alias("c1x"))
+    c_uni = train.groupBy("uni").agg(F.count("*").alias("c1"))
+    n_total = train.agg(F.count("*").alias("n"))
+    ppm = (
+        F.when(
+            F.col("c3").isNotNull(), F.expr("(c3 * 1000000) div c2x")
+        )
+        .when(F.col("c2").isNotNull(), F.expr("(c2 * 400000) div c1x"))
+        .otherwise(F.coalesce(F.expr("(c1 * 160000) div n"), F.lit(0)))
+    )
+    backoff = (
+        F.when(F.col("c3").isNotNull(), 0)
+        .when(F.col("c2").isNotNull(), 1)
+        .otherwise(2)
+    )
+    scored = (
+        stream.join(c_tg, "tg", "left")
+        .join(c_ctx2, "ctx2", "left")
+        .join(c_bg, "bg", "left")
+        .join(c_ctx1, "ctx1", "left")
+        .join(c_uni, "uni", "left")
+        .join(F.broadcast(n_total))  # 1-row total
+        .select("doc_id", ppm.alias("ppm"), backoff.alias("backoff"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum((F.col("backoff") == 1).cast("long")).alias("n_backoff_bi"),
+        F.sum((F.col("backoff") == 2).cast("long")).alias("n_backoff_uni"),
+        F.min("ppm").alias("min_ppm"),
+        dround(F.sum("ppm") * F.lit(1.0) / F.count("*"), 2).alias("mean_ppm"),
+    )

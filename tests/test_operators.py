@@ -300,6 +300,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "grid",
         # s13: fixed beam-search entry-point table, len(S13_ENTRIES) rows
         "entries",
+        # x11: 1-row merged-KMV-sketch summary aggregate
+        "kmv_stats",
         # s10: MIPS_STAGE1_M-row largest-norm stage-1 table (constant M)
         "top_m",
         # j01: J01_SALTS-row salt table (spark.range(S), constant S)
