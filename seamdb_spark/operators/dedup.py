@@ -111,7 +111,10 @@ _SHINGLES_SQL = """
 # --------------------------------------------------------------------------
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+def _lsh_cand_ctes() -> str:
+    """CTE chain ``sh, exploded, hashed, sigs, bands, cand`` — the LSH
+    banding pipeline up to distinct candidate pairs, shared by the d02
+    and d21 oracles (identical candidate set, different verify stage)."""
     h = md5_prefix_long_sql("sh")
     mh_exprs = ",\n           ".join(
         f"MIN({minhash_value_sql('h', a, b)}) AS mh{j}"
@@ -125,8 +128,7 @@ def _minhash_oracle() -> str:
         )
         band_rows.append(f"SELECT doc_id, {band} AS band_id, {cols} AS band_key FROM sigs")
     bands_sql = "\n      UNION ALL\n      ".join(band_rows)
-    return f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    return f"""sh AS ({_SHINGLES_SQL}),
     exploded AS (
       SELECT doc_id, unnest(shingles) AS sh FROM sh
     ),
@@ -145,7 +147,12 @@ def _minhash_oracle() -> str:
       FROM bands b1 JOIN bands b2
         ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
        AND b1.doc_id < b2.doc_id
-    ),
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_lsh_cand_ctes()},
     verified AS (
       SELECT c.doc_a, c.doc_b,
              len(list_intersect(a.shingles, b.shingles)) * 1.0 /
@@ -159,8 +166,10 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("d02_dedup_minhash_lsh", oracle=_minhash_oracle())
-def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct LSH candidate pairs ``(doc_a, doc_b)``, doc_a < doc_b —
+    the banding pipeline shared by d02 (Jaccard verify) and d21
+    (edit-distance verify)."""
     sh = _shingles_df(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     hashed = exploded.select("doc_id", md5_prefix_long(F.col("sh")).alias("h"))
@@ -202,6 +211,13 @@ def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
         .distinct()
     )
+    return cand
+
+
+@register("d02_dedup_minhash_lsh", oracle=_minhash_oracle())
+def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    cand = _lsh_candidate_pairs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -212,6 +228,88 @@ def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("j", inter.cast("double") / union)
         .filter(F.col("j") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround("j", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# d21: edit-distance verification of LSH candidates — the classic
+# two-stage near-dup pipeline (cheap sketch recall stage, expensive
+# exact verify stage) with character-level edit similarity as the
+# verifier instead of shingle Jaccard. Both engines ship a built-in
+# Levenshtein (Spark `levenshtein`, DuckDB `levenshtein`), so the
+# verify stage stays JVM-side / vectorized on both ends.
+#
+# Scale (100 TB): candidates come from the banding equi-join (never
+# all-pairs); before the O(|a|·|b|) DP kernel runs, a length-bound
+# prune kills pairs that cannot reach the threshold (edit distance is
+# >= the length difference, so sim >= θ requires
+# max_len - min_len <= (1-θ)·max_len). At θ=0.6 that removes every
+# pair whose lengths differ by >40% with a codegen'd comparison — the
+# DP kernel only ever runs on length-compatible candidates.
+# --------------------------------------------------------------------------
+EDIT_SIM_THRESHOLD = 0.6
+
+
+@register(
+    "d21_editdist_verified_neardup",
+    oracle=f"""
+    WITH {_lsh_cand_ctes()},
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             da.text AS ta, db.text AS tb,
+             length(da.text) AS len_a, length(db.text) AS len_b
+      FROM cand c
+      JOIN documents da ON c.doc_a = da.doc_id
+      JOIN documents db ON c.doc_b = db.doc_id
+    ),
+    pruned AS (
+      SELECT * FROM pairs
+      WHERE GREATEST(len_a, len_b) - LEAST(len_a, len_b)
+            <= (1.0 - {EDIT_SIM_THRESHOLD}) * GREATEST(len_a, len_b)
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, len_a, len_b,
+             levenshtein(ta, tb) AS edit_dist,
+             1.0 - levenshtein(ta, tb) * 1.0 / GREATEST(len_a, len_b) AS sim
+      FROM pruned
+    )
+    SELECT doc_a, doc_b,
+           CAST(len_a AS BIGINT) AS len_a,
+           CAST(len_b AS BIGINT) AS len_b,
+           CAST(edit_dist AS BIGINT) AS edit_dist,
+           ROUND(sim, 6) AS edit_sim
+    FROM scored WHERE sim >= {EDIT_SIM_THRESHOLD}
+    """,
+)
+def d21_editdist_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text", F.length("text").alias("n"))
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+        F.col("n").alias("len_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+        F.col("n").alias("len_b"),
+    )
+    max_len = F.greatest("len_a", "len_b")
+    min_len = F.least("len_a", "len_b")
+    pruned = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter((max_len - min_len) <= (1.0 - EDIT_SIM_THRESHOLD) * max_len)
+    )
+    scored = pruned.withColumn(
+        "edit_dist", F.levenshtein("ta", "tb").cast("long")
+    ).withColumn(
+        "edit_sim", F.lit(1.0) - F.col("edit_dist") * F.lit(1.0) / max_len
+    )
+    return (
+        scored.filter(F.col("edit_sim") >= EDIT_SIM_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", "len_a", "len_b", "edit_dist",
+            dround("edit_sim", 6).alias("edit_sim"),
+        )
     )
 
 

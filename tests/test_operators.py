@@ -716,3 +716,35 @@ def test_sketch_intersection_within_tolerance(spark):
         f"intersection: est {est_i} vs exact {exact_i} "
         f"(bound {tol * max(r.a, r.b) + 3:.1f})"
     )
+
+
+def test_editdist_verify_matches_reference_dp(spark, registry):
+    """d21: every reported pair must really meet the edit-similarity
+    threshold — recompute Levenshtein with an independent pure-Python
+    DP for a sample and compare exactly; also check the length-bound
+    invariant (edit distance >= length difference) on every row."""
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import EDIT_SIM_THRESHOLD, _docs
+
+    rows = queries["d21_editdist_verified_neardup"](spark, SF_SMOKE).collect()
+    assert rows, "fixture should contain edit-similar near-dup pairs"
+    texts = {r.doc_id: r.text for r in _docs(spark, SF_SMOKE).collect()}
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.edit_dist >= abs(r.len_a - r.len_b)
+        assert r.edit_sim >= EDIT_SIM_THRESHOLD
+        assert r.len_a == len(texts[r.doc_a]) and r.len_b == len(texts[r.doc_b])
+    for r in rows[:10]:
+        assert r.edit_dist == lev(texts[r.doc_a], texts[r.doc_b]), (
+            r.doc_a, r.doc_b,
+        )
