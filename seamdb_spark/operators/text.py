@@ -1695,3 +1695,120 @@ def t26_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ppm").alias("min_ppm"),
         dround(F.sum("ppm") * F.lit(1.0) / F.count("*"), 2).alias("mean_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# t27: DSIR-style data selection — hashed-bigram importance scoring
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"). Both the target distribution (here: lang='en' docs) and
+# the raw corpus are modelled as multinomials over B hashed bigram
+# buckets; each doc is scored by how much more likely its bigrams are
+# under the target than under the raw distribution. The published
+# method sums log-ratios; this engine sums the Laplace-smoothed ppm
+# *differences* instead — same ordering signal, but all-integer, so
+# partial-agg order cannot move a bit (the t16/t26 determinism
+# discipline; ln() is libm-dependent and not bit-stable across
+# engines).
+#
+# Scale (100 TB): the bucket weight table is exactly DSIR_BUCKETS rows
+# regardless of corpus size — counts aggregate with map-side combine,
+# the weights broadcast to every executor, and the per-doc score is a
+# single doc_id-keyed aggregation. The feature stream never shuffles
+# except into those two bounded aggs.
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "t27_dsir_importance",
+    oracle=f"""
+    WITH flat AS (
+      SELECT doc_id, lang,
+             {md5_prefix_long_sql("g")} % {DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(string_split(text, ' '))),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                  string_split(text, ' ')[i+1]))) AS g
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+      )
+    ),
+    raw_c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r FROM flat GROUP BY bucket),
+    tgt_c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_t
+              FROM flat WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS r_tot,
+             CAST(COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS BIGINT) AS t_tot
+      FROM flat
+    ),
+    weights AS (
+      SELECT r.bucket,
+             ((COALESCE(t.c_t, 0) + 1) * 1000000) // (tot.t_tot + {DSIR_BUCKETS})
+             - ((r.c_r + 1) * 1000000) // (tot.r_tot + {DSIR_BUCKETS}) AS w
+      FROM raw_c r
+      LEFT JOIN tgt_c t ON r.bucket = t.bucket
+      CROSS JOIN totals tot
+    )
+    SELECT f.doc_id,
+           ANY_VALUE(f.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(w.w) AS BIGINT) AS score,
+           ROUND(CAST(SUM(w.w) AS BIGINT) * 1.0 / COUNT(*), 2) AS mean_score,
+           CAST(SUM(w.w) AS BIGINT) > 0 AS selected
+    FROM flat f JOIN weights w ON f.bucket = w.bucket
+    GROUP BY f.doc_id
+    """,
+)
+def t27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    flat = (
+        docs.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "flatten(transform(array(split(text, ' ')),"
+                    " toks -> transform(sequence(0, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1]))))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id", "lang",
+            (md5_prefix_long(F.col("g")) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    is_tgt = F.col("lang") == DSIR_TARGET_LANG
+    raw_c = flat.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    tgt_c = flat.filter(is_tgt).groupBy("bucket").agg(F.count("*").alias("c_t"))
+    totals = flat.agg(
+        F.count("*").alias("r_tot"),
+        F.count(F.when(is_tgt, 1)).alias("t_tot"),
+    )
+    weights = (
+        raw_c.join(tgt_c, "bucket", "left")
+        .join(F.broadcast(totals))  # 1-row totals
+        .select(
+            "bucket",
+            (
+                F.expr(
+                    f"((coalesce(c_t, 0) + 1) * 1000000) div (t_tot + {DSIR_BUCKETS})"
+                )
+                - F.expr(f"((c_r + 1) * 1000000) div (r_tot + {DSIR_BUCKETS})")
+            ).alias("w"),
+        )
+    )
+    return (
+        flat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_bigrams"),
+            F.sum("w").alias("score"),
+            dround(F.sum("w") * F.lit(1.0) / F.count("*"), 2).alias("mean_score"),
+            (F.sum("w") > 0).alias("selected"),
+        )
+    )

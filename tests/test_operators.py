@@ -748,3 +748,51 @@ def test_editdist_verify_matches_reference_dp(spark, registry):
         assert r.edit_dist == lev(texts[r.doc_a], texts[r.doc_b]), (
             r.doc_a, r.doc_b,
         )
+
+
+def test_dsir_importance_matches_reference_impl(spark, registry):
+    """t27: recompute every doc's DSIR score from first principles in
+    pure Python (md5-bucketed bigrams, Laplace-smoothed integer ppm
+    weights) and compare exactly. The fixture's lang labels are
+    independent of the text (shared vocabulary), so no separation
+    assertion is possible — exact-replay is the audit instead."""
+    import hashlib
+
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import _docs
+    from seamdb_spark.operators.text import DSIR_BUCKETS, DSIR_TARGET_LANG
+
+    docs = [
+        (r.doc_id, r.lang, r.text.split(" "))
+        for r in _docs(spark, SF_SMOKE).collect()
+    ]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    feats = {
+        d: [bucket(f"{t[i]} {t[i+1]}") for i in range(len(t) - 1)]
+        for d, _, t in docs
+        if len(t) >= 2
+    }
+    langs = {d: lang for d, lang, _ in docs}
+    raw_c, tgt_c = {}, {}
+    for d, bs in feats.items():
+        for b in bs:
+            raw_c[b] = raw_c.get(b, 0) + 1
+            if langs[d] == DSIR_TARGET_LANG:
+                tgt_c[b] = tgt_c.get(b, 0) + 1
+    r_tot = sum(raw_c.values())
+    t_tot = sum(tgt_c.values())
+    w = {
+        b: ((tgt_c.get(b, 0) + 1) * 1000000) // (t_tot + DSIR_BUCKETS)
+        - ((c + 1) * 1000000) // (r_tot + DSIR_BUCKETS)
+        for b, c in raw_c.items()
+    }
+    rows = queries["t27_dsir_importance"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(feats)
+    for r in rows:
+        expect = sum(w[b] for b in feats[r.doc_id])
+        assert r.score == expect, (r.doc_id, r.score, expect)
+        assert r.n_bigrams == len(feats[r.doc_id])
+        assert r.selected == (r.score > 0)
