@@ -1332,6 +1332,139 @@ def g01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# g02: triangle counting + local clustering coefficient over the
+# near-dup graph — distinguishes tight duplication cliques (template
+# families, mirrored sites: coefficient → 1) from star-shaped hubs
+# (one canonical page with many partial copies: coefficient → 0),
+# which d09's connected components cannot tell apart.
+#
+# Algorithm: degree orientation (each undirected edge points from the
+# (degree, id)-smaller endpoint to the larger) — the standard
+# distributed-triangle-count trick. Every triangle is then counted
+# exactly once as a wedge (s→x, s→y) closed by the oriented edge x→y,
+# and the wedge fan-out per node is bounded by its OUT-degree in the
+# orientation, which is O(sqrt(E)) for any graph — the heavy-hitter
+# star centers of the near-dup graph never explode as wedge centers.
+# Total work O(E^1.5) worst case, all equi-joins.
+#
+# Scale: pairs are dedup output (orders smaller than the corpus); two
+# degree joins + one wedge self-join + one closing equi-join, every
+# one on integer keys with map-side combinable counts.
+# --------------------------------------------------------------------------
+def _triangle_oracle() -> str:
+    return f"""
+    WITH {_simhash_sig_sql().strip()},
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS id FROM pairs UNION ALL SELECT doc_b AS id FROM pairs
+      ) GROUP BY id
+    ),
+    oriented AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN p.doc_a ELSE p.doc_b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN p.doc_b ELSE p.doc_a END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN db.d ELSE da.d END AS dst_d
+      FROM pairs p
+      JOIN deg da ON da.id = p.doc_a
+      JOIN deg db ON db.id = p.doc_b
+    ),
+    tri AS (
+      SELECT w.src AS a, w.x, w.y
+      FROM (
+        SELECT o1.src, o1.dst AS x, o2.dst AS y
+        FROM oriented o1 JOIN oriented o2
+          ON o1.src = o2.src
+         AND (o1.dst_d < o2.dst_d OR (o1.dst_d = o2.dst_d AND o1.dst < o2.dst))
+      ) w
+      JOIN oriented e ON e.src = w.x AND e.dst = w.y
+    ),
+    per_node AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT x AS id FROM tri
+        UNION ALL SELECT y AS id FROM tri
+      ) GROUP BY id
+    )
+    SELECT deg.id AS doc_id,
+           deg.d AS degree,
+           COALESCE(t.n_tri, 0) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN (2000 * COALESCE(t.n_tri, 0)) // (deg.d * (deg.d - 1))
+                ELSE CAST(0 AS BIGINT) END AS clustering_milli
+    FROM deg LEFT JOIN per_node t ON t.id = deg.id
+    """
+
+
+@register("g02_triangle_count", oracle=_triangle_oracle())
+def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("id").alias("doc_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("id").alias("doc_b"), F.col("d").alias("d_b"))
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dst_d"),
+        )
+    )
+    o1 = oriented.select(
+        "src", F.col("dst").alias("x"), F.col("dst_d").alias("x_d")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("src2"), F.col("dst").alias("y"), F.col("dst_d").alias("y_d")
+    )
+    wedges = o1.join(
+        o2,
+        (F.col("src") == F.col("src2"))
+        & (
+            (F.col("x_d") < F.col("y_d"))
+            | ((F.col("x_d") == F.col("y_d")) & (F.col("x") < F.col("y")))
+        ),
+    ).select(F.col("src").alias("a"), "x", "y")
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    per_node = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("x").alias("id")))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.expr("(2000 * coalesce(n_tri, 0)) div (d * (d - 1))"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("clustering_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # d14: corpus dedup profile — the one-row dashboard a curation run
 # reports per shard: corpus size, exact-duplicate groups and excess
 # copies (d01's aggregation), near-dup pair count (d03's blocking), and

@@ -796,3 +796,35 @@ def test_dsir_importance_matches_reference_impl(spark, registry):
         assert r.score == expect, (r.doc_id, r.score, expect)
         assert r.n_bigrams == len(feats[r.doc_id])
         assert r.selected == (r.score > 0)
+
+
+def test_triangle_count_matches_bruteforce(spark, registry):
+    """g02: recount every node's triangles brute-force from the same
+    simhash pair list and compare exactly, including the clustering
+    coefficient arithmetic."""
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import _simhash_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _simhash_pairs(spark, SF_SMOKE).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = queries["g02_triangle_count"](spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in rows} == set(adj)
+    assert any(r.n_triangles > 0 for r in rows), "fixture graph has no triangles"
+    for r in rows:
+        nbrs = adj[r.doc_id]
+        assert r.degree == len(nbrs)
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and y in adj[x]
+        )
+        assert r.n_triangles == tri, (r.doc_id, r.n_triangles, tri)
+        expect_cc = (2000 * tri) // (r.degree * (r.degree - 1)) if r.degree >= 2 else 0
+        assert r.clustering_milli == expect_cc
