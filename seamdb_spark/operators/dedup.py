@@ -1889,3 +1889,134 @@ def d19_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_tokens") >= D19_MIN_RUN)
         .select("doc_id", "token_start", "token_end", "run_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# d20: content-defined chunking (CDC) dedup — the FastCDC/LBFS family:
+# chunk boundaries are decided by the CONTENT (a token whose hash is
+# ≡ 0 mod CDC_MOD opens a new chunk), not by fixed offsets, so the
+# same text region produces the same chunks wherever it appears —
+# insertions/deletions shift fixed windows but leave CDC chunks
+# aligned. Identical chunks are then detected corpus-wide by hash and
+# each document reports what fraction of its tokens live in chunks
+# that occur more than once (storage-dedup and near-dup triage signal
+# complementary to d12's fixed-width spans).
+#
+# Scale: chunking is row-local array work (one split + one filter +
+# one transform per doc, zero shuffle); popularity is one
+# COUNT(*) OVER (PARTITION BY chunk-hash) shuffle on an 8-byte
+# xxhash64 key (uniform); per-doc rollup shuffles on doc_id. Average
+# chunk length is CDC_MOD tokens regardless of corpus size.
+# --------------------------------------------------------------------------
+CDC_MOD = 8
+
+# Spark-SQL twin of hashing.md5_prefix_long for use inside lambda
+# expressions (conv is Spark-side only; the oracle uses
+# md5_prefix_long_sql's strpos expansion).
+_SPARK_TOKHASH = "CAST(conv(substring(md5({0}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _cdc_oracle() -> str:
+    tok_hash = md5_prefix_long_sql("l[i]")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    bounded AS (
+      SELECT doc_id, l, n,
+             list_prepend(1, list_filter(range(2, n + 1),
+                 i -> {tok_hash} % {CDC_MOD} = 0)) AS starts
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, len(starts) + 1),
+                 j -> struct_pack(
+                   chunk_id := j - 1,
+                   n_tok := (CASE WHEN j < len(starts)
+                             THEN starts[j + 1] - 1 ELSE n END) - starts[j] + 1,
+                   h := md5(array_to_string(list_slice(l, starts[j],
+                       CASE WHEN j < len(starts)
+                            THEN starts[j + 1] - 1 ELSE n END), ' '))))) AS c
+      FROM bounded
+    ),
+    flat AS (SELECT doc_id, n, c.chunk_id, c.n_tok, c.h FROM chunks),
+    pop AS (
+      SELECT doc_id, n, n_tok,
+             COUNT(*) OVER (PARTITION BY h) AS n_occ
+      FROM flat
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE n_occ >= 2) AS BIGINT) AS n_dup_chunks,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE n_occ >= 2), 0) AS BIGINT)
+             AS dup_tokens,
+           CAST((1000 * COALESCE(SUM(n_tok) FILTER (WHERE n_occ >= 2), 0))
+                // ANY_VALUE(n) AS BIGINT) AS dup_ratio_milli
+    FROM pop
+    GROUP BY doc_id
+    """
+
+
+@register("d20_cdc_chunk_dedup", oracle=_cdc_oracle())
+def d20_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok_hash = _SPARK_TOKHASH.format("toks[i]")
+    # starts is bound as a COLUMN before the chunk transform so each
+    # token is hashed exactly once — inlining the filter into the
+    # per-chunk lambda would re-hash the whole token array per chunk
+    # (the _shingles_df re-split trap, O(n²/CDC_MOD) hashing).
+    flat = (
+        docs.filter(F.size(F.split("text", " ")) >= 1)
+        .select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .withColumn(
+            "starts",
+            F.expr(
+                "concat(array(0), filter(sequence(1, size(toks) - 1),"
+                f" i -> {tok_hash} % {CDC_MOD} = 0))"
+            ),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(
+                    "transform(starts, (s, j) -> struct("
+                    " j AS chunk_id,"
+                    " s AS start,"
+                    " coalesce(try_element_at(starts, j + 2), size(toks)) AS nxt))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("toks").alias("n"),
+            (F.col("c.nxt") - F.col("c.start")).alias("n_tok"),
+            F.expr(
+                "concat_ws(' ', slice(toks, c.start + 1, c.nxt - c.start))"
+            ).alias("chunk_text"),
+        )
+        # Internal popularity key — xxhash64 (8-byte shuffle key, d19
+        # precedent); the oracle keys the same chunks on md5.
+        .select(
+            "doc_id", "n", "n_tok", F.xxhash64("chunk_text").alias("h")
+        )
+    )
+    pop = flat.withColumn("n_occ", F.count("*").over(W.partitionBy("h")))
+    is_dup = F.col("n_occ") >= 2
+    return pop.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(is_dup, 1)).alias("n_dup_chunks"),
+        F.any_value("n").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(is_dup, F.col("n_tok"))), F.lit(0))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.expr(
+            "CAST((1000 * coalesce(sum(CASE WHEN n_occ >= 2 THEN n_tok END), 0))"
+            " div any_value(n) AS BIGINT)"
+        ).alias("dup_ratio_milli"),
+    )

@@ -828,3 +828,43 @@ def test_triangle_count_matches_bruteforce(spark, registry):
         assert r.n_triangles == tri, (r.doc_id, r.n_triangles, tri)
         expect_cc = (2000 * tri) // (r.degree * (r.degree - 1)) if r.degree >= 2 else 0
         assert r.clustering_milli == expect_cc
+
+
+def test_cdc_chunking_matches_reference_impl(spark, registry):
+    """d20: replay content-defined chunking in pure Python (md5-bucket
+    boundaries, corpus-wide chunk popularity) and compare every doc's
+    dup accounting exactly. Also assert the CDC property: every chunk
+    boundary token hashes to 0 mod CDC_MOD."""
+    import hashlib
+
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import CDC_MOD, _docs
+
+    def th(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    docs = {r.doc_id: r.text.split(" ") for r in _docs(spark, SF_SMOKE).collect()}
+    chunks_per_doc = {}
+    pop = {}
+    for d, toks in docs.items():
+        starts = [0] + [i for i in range(1, len(toks)) if th(toks[i]) % CDC_MOD == 0]
+        spans = [
+            (s, (starts[j + 1] if j + 1 < len(starts) else len(toks)) - s)
+            for j, s in enumerate(starts)
+        ]
+        cs = [" ".join(toks[s : s + ln]) for s, ln in spans]
+        chunks_per_doc[d] = [(ln, c) for (s, ln), c in zip(spans, cs)]
+        for c in cs:
+            pop[c] = pop.get(c, 0) + 1
+
+    rows = queries["d20_cdc_chunk_dedup"](spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    assert any(r.n_dup_chunks > 0 for r in rows), "fixture has no duplicate chunks"
+    for r in rows:
+        cl = chunks_per_doc[r.doc_id]
+        dup_toks = sum(ln for ln, c in cl if pop[c] >= 2)
+        assert r.n_chunks == len(cl)
+        assert r.n_dup_chunks == sum(1 for _, c in cl if pop[c] >= 2)
+        assert r.n_tokens == len(docs[r.doc_id])
+        assert r.dup_tokens == dup_toks
+        assert r.dup_ratio_milli == (1000 * dup_toks) // len(docs[r.doc_id])
