@@ -1138,3 +1138,85 @@ def m11_bmp_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(downsample, schema=_DOWNSAMPLE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m12: per-channel image statistics over REAL BMP decode — the
+# channel-wise sum/min/max profile an image-curation pipeline computes
+# (dead-channel detection, white/black-frame filtering) — 3 rows per
+# image, one per interleaved byte channel (BMP 24-bit: B, G, R).
+#
+# Oracle pattern (m06 lineage): the image payload is synthesized from
+# the doc's md5 digest (pixel byte i = digest[i mod 16]), REALLY
+# encoded by build_bmp (stride padding, headers) and REALLY re-parsed
+# by bmp_pixels; channel attribution walks the decoded byte stream.
+# The digest/channel interleave cycles every lcm(16, 3) = 48 bytes, so
+# DuckDB computes the expected stats analytically over one 48-cycle
+# (full_cycles * cycle_sum + prefix remainder; min/max over the
+# positions that actually occur) — any builder/parser positional bug
+# (stride, row walk, offset) breaks the match.
+#
+# Scale: identical to m06 — row-local mapInPandas, Arrow-batched, zero
+# shuffle; output is exactly 3 rows per image.
+# --------------------------------------------------------------------------
+_CHANNEL_SCHEMA = (
+    "doc_id long, channel long, n_bytes long, ch_sum long, ch_min long,"
+    " ch_max long"
+)
+
+
+@register(
+    "m12_bmp_channel_stats",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             (1 + {_md5_byte_sql(1).replace('md5(text)', 'hx')} % 4)
+           * (1 + {_md5_byte_sql(2).replace('md5(text)', 'hx')} % 4) * 3 AS m
+      FROM h
+    ),
+    cyc AS (
+      SELECT d.doc_id, d.m, i, i % 3 AS channel, {_BYTE_I_SQL.replace('2 * i + 1', '2 * (i % 16) + 1').replace('2 * i + 2', '2 * (i % 16) + 2')} AS byte
+      FROM d, (SELECT unnest(range(0, 48)) AS i)
+    )
+    SELECT doc_id,
+           CAST(channel AS BIGINT) AS channel,
+           CAST(m // 3 AS BIGINT) AS n_bytes,
+           CAST((m // 48) * SUM(byte)
+                + COALESCE(SUM(byte) FILTER (WHERE i < m % 48), 0) AS BIGINT)
+             AS ch_sum,
+           CAST(MIN(CASE WHEN m >= 48 OR i < m % 48 THEN byte END) AS BIGINT)
+             AS ch_min,
+           CAST(MAX(CASE WHEN m >= 48 OR i < m % 48 THEN byte END) AS BIGINT)
+             AS ch_max
+    FROM cyc
+    GROUP BY doc_id, channel, m
+    """,
+)
+def m12_bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth_channel_stats(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "channel": [], "n_bytes": [], "ch_sum": [],
+                "ch_min": [], "ch_max": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                w, h = 1 + digest[1] % 4, 1 + digest[2] % 4
+                pixels = bytes(digest[i % 16] for i in range(w * h * 3))
+                decoded = bmp_pixels(build_bmp(w, h, pixels))  # real roundtrip
+                for c in range(3):
+                    ch = decoded[c::3]
+                    out["doc_id"].append(doc_id)
+                    out["channel"].append(c)
+                    out["n_bytes"].append(len(ch))
+                    out["ch_sum"].append(sum(ch))
+                    out["ch_min"].append(min(ch))
+                    out["ch_max"].append(max(ch))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(synth_channel_stats, schema=_CHANNEL_SCHEMA)

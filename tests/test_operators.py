@@ -868,3 +868,25 @@ def test_cdc_chunking_matches_reference_impl(spark, registry):
         assert r.n_tokens == len(docs[r.doc_id])
         assert r.dup_tokens == dup_toks
         assert r.dup_ratio_milli == (1000 * dup_toks) // len(docs[r.doc_id])
+
+
+def test_bmp_channel_stats_consistent_with_decode(spark, registry):
+    """m12 × m06 cross-check: the three channel sums of each image must
+    add up to m06's pixel_sum, channel byte counts to width*height*3,
+    and min <= max within [0, 255]."""
+    queries, _ = registry
+    m06 = {
+        r.doc_id: r for r in queries["m06_bmp_decode"](spark, SF_SMOKE).collect()
+    }
+    by_doc = {}
+    for r in queries["m12_bmp_channel_stats"](spark, SF_SMOKE).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(m06)
+    for doc_id, chans in by_doc.items():
+        assert sorted(c.channel for c in chans) == [0, 1, 2]
+        assert sum(c.ch_sum for c in chans) == m06[doc_id].pixel_sum
+        assert sum(c.n_bytes for c in chans) == (
+            m06[doc_id].width * m06[doc_id].height * 3
+        )
+        for c in chans:
+            assert 0 <= c.ch_min <= c.ch_max <= 255
