@@ -1667,3 +1667,99 @@ def x11_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_intersection"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# e19: per-user inter-arrival profile — the temporal-behavior signal
+# (bot detection, engagement typing): gaps between a user's
+# consecutive events, with the Goh–Barabási burstiness coefficient
+# B = (σ−μ)/(σ+μ) ∈ [-1, 1] (−1 periodic, 0 Poisson, →1 bursty).
+#
+# Determinism: gap sums/squares aggregate as exact integers (gaps in
+# SECONDS so the squared sum stays far inside int64), and the float
+# tail (mean, sqrt of the variance, the B ratio) is a fixed
+# single-expression pipeline over those integers — sqrt is
+# IEEE-exact, so both engines compute bit-identical doubles before
+# the dround(6) guard.
+#
+# Scale: one lag window PARTITIONED BY user_id (never global), one
+# user-keyed aggregation — both shuffle on the same key, and AQE can
+# reuse the partitioning. No skew: a user's event count bounds the
+# partition row count.
+# --------------------------------------------------------------------------
+E19_MIN_EVENTS = 3
+
+
+@register(
+    "e19_interarrival_profile",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_s,
+             epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+      FROM ordered WHERE prev_ts IS NOT NULL
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+             CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+             CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+      FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, min_gap_us, max_gap_us,
+           sum_gap_us // n_gaps AS mean_gap_us,
+           ROUND(
+             (sqrt(s2 * 1.0 / n_gaps - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps))
+              - s1 * 1.0 / n_gaps)
+             / (sqrt(s2 * 1.0 / n_gaps - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps))
+                + s1 * 1.0 / n_gaps), 6) AS burstiness
+    FROM agg
+    WHERE n_gaps >= {E19_MIN_EVENTS - 1} AND s1 > 0
+    """,
+)
+def e19_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+            F.expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000").alias(
+                "gap_s"
+            ),
+        )
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    )
+    # Identical float expression tree to the oracle: integer sums →
+    # double mean/σ → B ratio (sqrt is IEEE-exact; see header).
+    mu = F.col("s1") * F.lit(1.0) / F.col("n_gaps")
+    sigma = F.sqrt(F.col("s2") * F.lit(1.0) / F.col("n_gaps") - mu * mu)
+    return (
+        agg.filter(
+            (F.col("n_gaps") >= E19_MIN_EVENTS - 1) & (F.col("s1") > 0)
+        )
+        .select(
+            "user_id", "n_gaps", "min_gap_us", "max_gap_us",
+            F.expr("sum_gap_us div n_gaps").alias("mean_gap_us"),
+            dround((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+        )
+    )

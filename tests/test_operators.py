@@ -890,3 +890,43 @@ def test_bmp_channel_stats_consistent_with_decode(spark, registry):
         )
         for c in chans:
             assert 0 <= c.ch_min <= c.ch_max <= 255
+
+
+def test_interarrival_burstiness_bounds_and_replay(spark, registry):
+    """e19: burstiness must lie in [-1, 1]; replay a sample of users'
+    gap stats in pure Python from the raw events and compare the
+    integer columns exactly and burstiness to 6 decimals."""
+    import math
+
+    queries, _ = registry
+    from seamdb_spark.operators.events import _events
+
+    rows = queries["e19_interarrival_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    ev = sorted(
+        (
+            (r.user_id, r.ts, r.event_id)
+            for r in _events(spark, SF_SMOKE)
+            .select("user_id", "ts", "event_id")
+            .collect()
+        ),
+    )
+    by_user = {}
+    for u, ts, eid in ev:
+        by_user.setdefault(u, []).append(ts)
+    for r in rows[:20]:
+        assert -1.0 <= r.burstiness <= 1.0
+        tss = by_user[r.user_id]
+        gaps_us = [
+            int((b - a).total_seconds() * 1_000_000 + 0.5)
+            for a, b in zip(tss, tss[1:])
+        ]
+        gaps_s = [g // 1_000_000 for g in gaps_us]
+        assert r.n_gaps == len(gaps_us)
+        assert r.min_gap_us == min(gaps_us)
+        assert r.max_gap_us == max(gaps_us)
+        assert r.mean_gap_us == sum(gaps_us) // len(gaps_us)
+        n = len(gaps_s)
+        mu = sum(gaps_s) / n
+        sigma = math.sqrt(sum(g * g for g in gaps_s) / n - mu * mu)
+        assert abs(r.burstiness - (sigma - mu) / (sigma + mu)) < 1e-5
