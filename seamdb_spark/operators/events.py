@@ -1763,3 +1763,86 @@ def e19_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e20: event-type co-occurrence lift — which event types appear
+# together in the same (user, day) context more than independence
+# predicts (lift = P(a,b) / (P(a)·P(b)); PMI without the log, kept in
+# integer ppm so the oracle matches bit-for-bit). The market-basket /
+# feature-engineering primitive over behavioral data.
+#
+# Scale: contexts prune to distinct (user, day, type) first — at most
+# |users|·|days|·|types| rows; the pair self-join is keyed on the
+# CONTEXT (each context contributes C(k,2) pairs with k ≤ |event
+# types|, a constant), and the final count table is |types|² — tiny at
+# any corpus scale, with map-side combine all the way. The ppm
+# arithmetic keeps n_ab·N·10^6 inside int64 while contexts < ~9·10^6;
+# beyond that, the production variant divides before scaling
+# ((n_ab·10^6 div n_a)·N div n_b) at the cost of one rounding step.
+# --------------------------------------------------------------------------
+@register(
+    "e20_cooccurrence_lift",
+    oracle="""
+    WITH ctx AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    n_ctx AS (
+      SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n FROM ctx
+    ),
+    singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM ctx GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ctx a JOIN ctx b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.et_a, p.et_b, sa.n_t AS n_a, sb.n_t AS n_b, p.n_ab,
+           (p.n_ab * n.n * 1000000) // (sa.n_t * sb.n_t) AS lift_ppm
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.et_a
+    JOIN singles sb ON sb.event_type = p.et_b
+    CROSS JOIN n_ctx n
+    """,
+)
+def e20_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ctx = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    n_ctx = ctx.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n")
+    )
+    singles = ctx.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = ctx.select("user_id", "day", F.col("event_type").alias("et_a"))
+    b = ctx.select(
+        F.col("user_id").alias("user_b"), F.col("day").alias("day_b"),
+        F.col("event_type").alias("et_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("day") == F.col("day_b"))
+            & (F.col("et_a") < F.col("et_b")),
+        )
+        .groupBy("et_a", "et_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("et_a"), F.col("n_t").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("et_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "et_a")
+        .join(F.broadcast(sb), "et_b")
+        .join(F.broadcast(n_ctx))
+        .select(
+            "et_a", "et_b", "n_a", "n_b", "n_ab",
+            F.expr("(n_ab * n * 1000000) div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )

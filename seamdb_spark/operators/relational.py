@@ -2302,3 +2302,86 @@ def q60_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            'o_orderpriority', n_rows, nn_priority, nd_priority, mn_priority, mx_priority)
            AS (col, n_rows, n_nonnull, n_distinct, min_value, max_value)"""
     )
+
+
+# --------------------------------------------------------------------------
+# q61: gaps-and-islands — longest streak of consecutive order months
+# per customer (the classic sequential-SQL pattern: month_num minus
+# ROW_NUMBER is constant within an island). One output row per
+# customer with their best streak and its bounds.
+#
+# Scale: distinct (custkey, month) prunes to at most |customers|×|months|
+# rows; both windows partition BY CUSTOMER (bounded partitions, never
+# global) and the final argmax is a groupBy on the same key — one
+# shuffle, reused by AQE across the window and the aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q61_order_streaks",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS mnum
+      FROM orders
+    ),
+    grp AS (
+      SELECT o_custkey, mnum,
+             mnum - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mnum)
+               AS g
+      FROM months
+    ),
+    streaks AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS streak_months,
+             MIN(mnum) AS start_mnum,
+             MAX(mnum) AS end_mnum
+      FROM grp GROUP BY o_custkey, g
+    ),
+    best AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY streak_months DESC, start_mnum)
+               AS rn
+      FROM streaks
+    )
+    SELECT o_custkey, streak_months,
+           CAST(start_mnum // 12 AS BIGINT) AS start_year,
+           CAST(start_mnum % 12 + 1 AS BIGINT) AS start_month,
+           CAST(end_mnum // 12 AS BIGINT) AS end_year,
+           CAST(end_mnum % 12 + 1 AS BIGINT) AS end_month
+    FROM best WHERE rn = 1
+    """,
+)
+def q61_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    months = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("mnum"),
+    ).distinct()
+    w = W.partitionBy("o_custkey").orderBy("mnum")
+    streaks = (
+        months.withColumn("g", F.col("mnum") - F.row_number().over(w))
+        .groupBy("o_custkey", "g")
+        .agg(
+            F.count("*").alias("streak_months"),
+            F.min("mnum").alias("start_mnum"),
+            F.max("mnum").alias("end_mnum"),
+        )
+    )
+    wb = W.partitionBy("o_custkey").orderBy(
+        F.col("streak_months").desc(), F.col("start_mnum")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "streak_months",
+            F.expr("start_mnum div 12").alias("start_year"),
+            (F.col("start_mnum") % 12 + 1).cast("long").alias("start_month"),
+            F.expr("end_mnum div 12").alias("end_year"),
+            (F.col("end_mnum") % 12 + 1).cast("long").alias("end_month"),
+        )
+    )

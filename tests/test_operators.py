@@ -930,3 +930,66 @@ def test_interarrival_burstiness_bounds_and_replay(spark, registry):
         mu = sum(gaps_s) / n
         sigma = math.sqrt(sum(g * g for g in gaps_s) / n - mu * mu)
         assert abs(r.burstiness - (sigma - mu) / (sigma + mu)) < 1e-5
+
+
+def test_order_streaks_replay(spark, registry):
+    """q61: recompute each customer's longest consecutive-month streak
+    in pure Python from the raw orders and compare every column."""
+    queries, _ = registry
+    from seamdb_spark.operators.relational import _t
+
+    orders = _t(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderdate").collect()
+    months = {}
+    for r in orders:
+        m = r.o_orderdate.year * 12 + r.o_orderdate.month - 1
+        months.setdefault(r.o_custkey, set()).add(m)
+    rows = {r.o_custkey: r for r in queries["q61_order_streaks"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(months)
+    for cust, ms in months.items():
+        best = None  # (len, start, end)
+        sms = sorted(ms)
+        run_start = sms[0]
+        prev = sms[0]
+        for m in sms[1:] + [None]:
+            if m is None or m != prev + 1:
+                cand = (prev - run_start + 1, run_start, prev)
+                # longest streak; ties -> earliest start
+                if best is None or cand[0] > best[0] or (
+                    cand[0] == best[0] and cand[1] < best[1]
+                ):
+                    best = cand
+                if m is not None:
+                    run_start = m
+            prev = m if m is not None else prev
+        r = rows[cust]
+        assert r.streak_months == best[0], (cust, r, best)
+        assert (r.start_year, r.start_month) == (best[1] // 12, best[1] % 12 + 1)
+        assert (r.end_year, r.end_month) == (best[2] // 12, best[2] % 12 + 1)
+
+
+def test_cooccurrence_lift_replay(spark, registry):
+    """e20: replay the (user, day) co-occurrence counting and ppm lift
+    in pure Python and compare exactly."""
+    queries, _ = registry
+    from seamdb_spark.operators.events import _events
+
+    ev = _events(spark, SF_SMOKE).select("user_id", "ts", "event_type").collect()
+    ctx = {}
+    for r in ev:
+        ctx.setdefault((r.user_id, r.ts.date()), set()).add(r.event_type)
+    n = len(ctx)
+    singles, pairs = {}, {}
+    for types in ctx.values():
+        for t in types:
+            singles[t] = singles.get(t, 0) + 1
+        ts = sorted(types)
+        for i, x in enumerate(ts):
+            for y in ts[i + 1 :]:
+                pairs[(x, y)] = pairs.get((x, y), 0) + 1
+    rows = queries["e20_cooccurrence_lift"](spark, SF_SMOKE).collect()
+    assert {(r.et_a, r.et_b) for r in rows} == set(pairs)
+    for r in rows:
+        n_ab = pairs[(r.et_a, r.et_b)]
+        assert r.n_ab == n_ab
+        assert r.n_a == singles[r.et_a] and r.n_b == singles[r.et_b]
+        assert r.lift_ppm == (n_ab * n * 1_000_000) // (r.n_a * r.n_b)
