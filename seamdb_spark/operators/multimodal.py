@@ -1220,3 +1220,117 @@ def m12_bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(synth_channel_stats, schema=_CHANNEL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m13: silence-run segmentation over REAL WAV decode — the VAD-style
+# primitive an audio-curation pipeline runs before chunking: frame the
+# signal (AUDIO_FRAME samples), flag low-energy frames, and report the
+# silent RUNS (gaps-and-islands over frame indexes) per clip — clips
+# that are mostly silence get dropped, long mid-clip runs become split
+# points.
+#
+# Oracle pattern (m07/m08 lineage): the payload is synthesized from
+# the doc's md5 digest, REALLY encoded by build_wav and re-parsed by
+# wav_samples; DuckDB replays the identical frame energies from the
+# digest bytes and runs the same islands grouping in SQL — a parser
+# bug (chunk walk, sample width, padding) breaks the match.
+#
+# Scale: decode + framing + run-finding is row-local mapInPandas
+# (zero shuffle, one output row per clip); thresholding is integer
+# (energy = Σ s² over 6 samples), so no float drift anywhere.
+# --------------------------------------------------------------------------
+M13_SILENCE_ENERGY = 2_100_000_000
+_SILENCE_SCHEMA = (
+    "doc_id long, n_frames long, n_silent long, n_runs long,"
+    " longest_run long"
+)
+
+
+def _m13_oracle() -> str:
+    energy_terms = " + ".join(
+        f"(({_byte_at(f'((6 * t.f + {j}) % 16)')} - 128) * 256)"
+        f" * (({_byte_at(f'((6 * t.f + {j}) % 16)')} - 128) * 256)"
+        for j in range(6)
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx, 32 + {_byte_at('3')} % 3 * 16 AS n FROM h
+    ),
+    frames AS (
+      SELECT doc_id, t.f AS frame, {energy_terms} AS energy
+      FROM d, unnest(range(0, n // 6)) t(f)
+    ),
+    silent AS (
+      SELECT doc_id, frame FROM frames WHERE energy < {M13_SILENCE_ENERGY}
+    ),
+    grp AS (
+      SELECT doc_id, frame,
+             frame - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame)
+               AS g
+      FROM silent
+    ),
+    runs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM grp GROUP BY doc_id, g
+    ),
+    per_doc_runs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(MAX(run_len) AS BIGINT) AS longest_run
+      FROM runs GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(COUNT(*) FILTER (WHERE f.energy < {M13_SILENCE_ENERGY})
+                  AS BIGINT) AS n_silent
+      FROM frames f GROUP BY f.doc_id
+    )
+    SELECT p.doc_id, p.n_frames, p.n_silent,
+           COALESCE(r.n_runs, 0) AS n_runs,
+           COALESCE(r.longest_run, 0) AS longest_run
+    FROM per_doc p LEFT JOIN per_doc_runs r ON r.doc_id = p.doc_id
+    """
+
+
+@register("m13_silence_runs", oracle=_m13_oracle())
+def m13_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def silence_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_frames": [], "n_silent": [], "n_runs": [],
+                "longest_run": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                n = 32 + digest[3] % 3 * 16
+                synth = [(digest[k % 16] - 128) * 256 for k in range(n)]
+                samples = wav_samples(build_wav(synth, _WAV_RATE))  # real parse
+                nf = len(samples) // AUDIO_FRAME
+                silent = [
+                    sum(
+                        s * s
+                        for s in samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                    )
+                    < M13_SILENCE_ENERGY
+                    for f in range(nf)
+                ]
+                runs = []
+                cur = 0
+                for flag in silent + [False]:
+                    if flag:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["n_silent"].append(sum(silent))
+                out["n_runs"].append(len(runs))
+                out["longest_run"].append(max(runs) if runs else 0)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(silence_runs, schema=_SILENCE_SCHEMA)

@@ -306,6 +306,12 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "top_m",
         # j01: J01_SALTS-row salt table (spark.range(S), constant S)
         "salts",
+        # t27: DSIR bucket weight table — exactly DSIR_BUCKETS rows at
+        # any corpus size (the point of feature hashing)
+        "weights",
+        # e20: per-event-type marginals (|types| rows) + 1-row context
+        # count
+        "sa", "sb", "n_ctx",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
@@ -993,3 +999,26 @@ def test_cooccurrence_lift_replay(spark, registry):
         assert r.n_ab == n_ab
         assert r.n_a == singles[r.et_a] and r.n_b == singles[r.et_b]
         assert r.lift_ppm == (n_ab * n * 1_000_000) // (r.n_a * r.n_b)
+
+
+def test_silence_runs_consistent_with_frame_energy(spark, registry):
+    """m13 × m08 cross-check: frame counts agree; run accounting is
+    internally consistent (silent frames == sum of run lengths,
+    longest <= silent, runs only exist when silent frames do)."""
+    queries, _ = registry
+    m08 = {
+        r.doc_id: r
+        for r in queries["m08_audio_frame_energy"](spark, SF_SMOKE).collect()
+    }
+    rows = queries["m13_silence_runs"](spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in rows} == set(m08)
+    assert any(r.n_runs > 0 for r in rows), "fixture has no silent runs"
+    for r in rows:
+        assert r.n_frames == m08[r.doc_id].n_audio_frames
+        assert 0 <= r.n_silent <= r.n_frames
+        assert (r.n_runs == 0) == (r.n_silent == 0)
+        assert r.longest_run <= r.n_silent
+        if r.n_runs:
+            # runs partition the silent frames
+            assert r.n_runs <= r.n_silent
+            assert r.longest_run >= (r.n_silent + r.n_runs - 1) // r.n_runs
