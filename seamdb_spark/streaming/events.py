@@ -499,3 +499,85 @@ def bitmap_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "word_idx")
         .agg(F.bit_or("bit").alias("wbits"))
     )
+
+
+def interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of e19_interarrival_profile via
+    applyInPandasWithState: per-user state carries the last event
+    timestamp plus exact integer gap accumulators (count, sum, min,
+    max, seconds-resolution sum/sum-of-squares); each micro-batch folds
+    its events in time order and emits the updated profile. The LAST
+    update per user equals the batch e19 integer columns exactly, and
+    the burstiness inputs (s1, s2) are exposed so the coefficient can
+    be finished downstream.
+
+    Scale: state is six integers per user; within-batch work is linear
+    after a per-user sort. Watermarking bounds state only if users
+    expire — profiles are naturally compact, so NoTimeout is sound.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_gaps", T.LongType()),
+            T.StructField("min_gap_us", T.LongType()),
+            T.StructField("max_gap_us", T.LongType()),
+            T.StructField("sum_gap_us", T.LongType()),
+            T.StructField("s1", T.LongType()),
+            T.StructField("s2", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("mn", T.LongType()),
+            T.StructField("mx", T.LongType()),
+            T.StructField("sm", T.LongType()),
+            T.StructField("s1", T.LongType()),
+            T.StructField("s2", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        last, n, mn, mx, sm, s1, s2 = (
+            state.get if state.exists else (None, 0, None, None, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us in pdf["ts_us"]:
+                ts_us = int(ts_us)
+                if last is not None:
+                    g = ts_us - last
+                    gs = g // 1_000_000
+                    n += 1
+                    sm += g
+                    s1 += gs
+                    s2 += gs * gs
+                    mn = g if mn is None else min(mn, g)
+                    mx = g if mx is None else max(mx, g)
+                last = ts_us
+        state.update((last, n, mn, mx, sm, s1, s2))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([key[0]], dtype="Int64"),
+                "n_gaps": pd.array([n], dtype="Int64"),
+                "min_gap_us": pd.array([mn], dtype="Int64"),
+                "max_gap_us": pd.array([mx], dtype="Int64"),
+                "sum_gap_us": pd.array([sm], dtype="Int64"),
+                "s1": pd.array([s1], dtype="Int64"),
+                "s2": pd.array([s2], dtype="Int64"),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1022,3 +1022,33 @@ def test_silence_runs_consistent_with_frame_energy(spark, registry):
             # runs partition the silent frames
             assert r.n_runs <= r.n_silent
             assert r.longest_run >= (r.n_silent + r.n_runs - 1) // r.n_runs
+
+
+def test_new_op_plans_broadcast_bounded_sides(spark, registry):
+    """Plan audits for the round-4 additions: e20's marginals and t27's
+    bucket weight table must plan as broadcast joins (bounded sides);
+    q61 and e19 must contain only PARTITIONED windows (no global sort
+    single-partition WindowExec)."""
+    queries, _ = registry
+    for name in ("t27_dsir_importance", "e20_cooccurrence_lift"):
+        plan = (
+            queries[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            f"{name}: bounded side not broadcast"
+        )
+    for name in ("q61_order_streaks", "e19_interarrival_profile"):
+        plan = (
+            queries[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # every Sort feeding a Window must be a local per-partition sort
+        # under a hash partitioning, never a global range sort
+        assert "rangepartitioning" not in plan.lower(), (
+            f"{name}: global range sort in a windowed plan"
+        )

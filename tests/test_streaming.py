@@ -271,3 +271,25 @@ def test_bitmap_distinct_stream_matches_batch(spark):
     for (day, _), w in got.items():
         per_day[day] += bin(w & ((1 << 63) - 1)).count("1")
     assert dict(per_day) == exact
+
+
+def test_interarrival_stream_matches_batch(spark):
+    """Streaming gap profile: the last update per user must equal the
+    batch e19 integer columns (n_gaps/min/max/mean inputs) exactly."""
+    import __spark_entry__ as entry_mod
+
+    out = st.run_stream_to_memory(
+        st.interarrival_stream(spark, SF_SMOKE), "interarrival_test", "update"
+    )
+    got = {}
+    for r in out.collect():  # update mode: later rows supersede earlier
+        got[r.user_id] = (r.n_gaps, r.min_gap_us, r.max_gap_us, r.sum_gap_us)
+    batch = entry_mod.queries()["e19_interarrival_profile"](
+        spark, SF_SMOKE
+    ).collect()
+    assert batch
+    for r in batch:
+        assert got[r.user_id][0] == r.n_gaps
+        assert got[r.user_id][1] == r.min_gap_us
+        assert got[r.user_id][2] == r.max_gap_us
+        assert got[r.user_id][3] // r.n_gaps == r.mean_gap_us
