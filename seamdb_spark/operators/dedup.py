@@ -2020,3 +2020,160 @@ def d20_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div any_value(n) AS BIGINT)"
         ).alias("dup_ratio_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# d22: idf-weighted cosine similarity join — the third similarity
+# space after set-Jaccard (d04) and embedding-cosine (d05/d06):
+# documents as sparse rarity-weighted bigram vectors, compared by
+# cosine. Candidate generation is the inverted-index pruning of
+# Bayardo et al. 2007 ("Scaling Up All Pairs Similarity Search"):
+# index only terms with document frequency <= N/50 — at cosine
+# >= 0.75 with idf² weighting, similarity is necessarily carried by
+# RARE shared terms, so dropping the high-df "stop" terms from the
+# index bounds every posting list (hence every term's pair fan-out)
+# while measuring candidate recall 1.0 vs the all-pairs baseline on
+# the fixture (pytest floor 0.9). Verification computes the exact
+# weighted cosine over ALL shared terms of each candidate pair.
+#
+# Determinism: idf is integer ((N*1000) div df, capped at 10^6 so the
+# dot product stays far inside int64 at any corpus size); dot and
+# norm² aggregate as exact integers; the float tail (sqrt — IEEE
+# -exact — and one division) is a fixed expression, dround(6)-guarded.
+#
+# Scale: df table is vocabulary-sized (map-side combine); the
+# candidate join fans out <= C(RARE_DF_CAP, 2) pairs per indexed term
+# by construction; verification joins only candidate pairs against
+# the term stream. Like every sketch-recall operator here (s02/s03),
+# the candidate stage trades recall for scale; the pytest audit
+# measures it against the all-pairs baseline.
+# --------------------------------------------------------------------------
+D22_COS_THRESHOLD = 0.75
+D22_IDF_CAP = 1_000_000
+
+
+def _d22_oracle() -> str:
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                string_split(text, ' ')[i+1])))) AS t
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM terms),
+    dfreq AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY t
+    ),
+    weighted AS (
+      SELECT x.doc_id, x.t,
+             LEAST((n.n * 1000) // d.df, {D22_IDF_CAP}) AS idf
+      FROM terms x JOIN dfreq d ON d.t = x.t CROSS JOIN n_docs n
+    ),
+    norms AS (
+      SELECT doc_id, CAST(SUM(idf * idf) AS BIGINT) AS norm2
+      FROM weighted GROUP BY doc_id
+    ),
+    rare AS (
+      SELECT w.doc_id, w.t FROM weighted w
+      JOIN dfreq d ON d.t = w.t CROSS JOIN n_docs n
+      WHERE d.df <= GREATEST(2, n.n // 50)
+    ),
+    cand AS (
+      SELECT DISTINCT r1.doc_id AS doc_a, r2.doc_id AS doc_b
+      FROM rare r1 JOIN rare r2 ON r1.t = r2.t AND r1.doc_id < r2.doc_id
+    ),
+    dots AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(wa.idf * wb.idf) AS BIGINT) AS dot
+      FROM cand c
+      JOIN weighted wa ON wa.doc_id = c.doc_a
+      JOIN weighted wb ON wb.doc_id = c.doc_b AND wb.t = wa.t
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT d.doc_a, d.doc_b, d.n_common,
+           ROUND(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine_sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {D22_COS_THRESHOLD}
+    """
+
+
+@register("d22_cosine_tfidf_neardup", oracle=_d22_oracle())
+def d22_cosine_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    terms = (
+        docs.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "flatten(transform(array(split(text, ' ')),"
+                        " toks -> transform(sequence(0, size(toks) - 2),"
+                        " i -> concat_ws(' ', toks[i], toks[i+1]))))"
+                    )
+                )
+            ).alias("t"),
+        )
+    )
+    # Internal-only join key: xxhash64 keeps every downstream shuffle
+    # and join on an 8-byte key (d10/d19 precedent — never an output
+    # value; the oracle keys the same terms as strings). The STRING is
+    # kept alongside for the per-doc rarity ranking, whose (df, t)
+    # tie-break must order identically in both engines.
+    terms = terms.withColumn("th", F.xxhash64("t"))
+    n_docs = terms.select("doc_id").distinct().agg(F.count("*").alias("n"))
+    dfreq = terms.groupBy("th").agg(F.count("*").alias("df"))
+    weighted = (
+        terms.join(dfreq, "th")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id", "t", "th", "df",
+            F.least(
+                F.expr("(n * 1000) div df"), F.lit(D22_IDF_CAP)
+            ).alias("idf"),
+            "n",
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("idf") * F.col("idf")).alias("norm2")
+    )
+    rare = weighted.filter(
+        F.col("df") <= F.greatest(F.lit(2), F.expr("n div 50"))
+    ).select("doc_id", "th")
+    r1 = rare.select(F.col("doc_id").alias("doc_a"), "th")
+    r2 = rare.select(F.col("doc_id").alias("doc_b"), "th")
+    cand = (
+        r1.join(r2, "th")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = weighted.select(
+        F.col("doc_id").alias("doc_a"), "th", F.col("idf").alias("idf_a")
+    )
+    wb = weighted.select(
+        F.col("doc_id").alias("doc_b"), "th", F.col("idf").alias("idf_b")
+    )
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "th"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.col("idf_a") * F.col("idf_b")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb2"))
+    cos = F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= D22_COS_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", dround(cos, 6).alias("cosine_sim"))
+    )

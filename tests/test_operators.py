@@ -1052,3 +1052,56 @@ def test_new_op_plans_broadcast_bounded_sides(spark, registry):
         assert "rangepartitioning" not in plan.lower(), (
             f"{name}: global range sort in a windowed plan"
         )
+
+
+def test_cosine_neardup_recall_and_exactness(spark, registry):
+    """d22: replay the idf-weighted cosine in pure Python over ALL
+    pairs; every reported pair must match the exact cosine, and the
+    df-capped candidate stage must recover most of the true
+    above-threshold pairs (recall floor 0.8)."""
+    import math
+
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import (
+        D22_COS_THRESHOLD, D22_IDF_CAP, _docs,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ") for r in _docs(spark, SF_SMOKE).collect()
+    }
+    tsets = {
+        d: {f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)}
+        for d, t in docs.items()
+        if len(t) >= 2
+    }
+    n = len(tsets)
+    df = {}
+    for ts in tsets.values():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    idf = {t: min((n * 1000) // d, D22_IDF_CAP) for t, d in df.items()}
+    norms = {
+        d: math.sqrt(sum(idf[t] ** 2 for t in ts)) for d, ts in tsets.items()
+    }
+
+    def cos(a, b):
+        shared = tsets[a] & tsets[b]
+        return sum(idf[t] ** 2 for t in shared) / (norms[a] * norms[b])
+
+    ids = sorted(tsets)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if cos(a, b) >= D22_COS_THRESHOLD
+    }
+    rows = queries["d22_cosine_tfidf_neardup"](spark, SF_SMOKE).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert truth, "fixture has no above-threshold cosine pairs"
+    for r in rows:
+        assert (r.doc_a, r.doc_b) in truth  # no false positives
+        assert abs(r.cosine_sim - cos(r.doc_a, r.doc_b)) < 1e-5
+        assert r.n_common == len(tsets[r.doc_a] & tsets[r.doc_b])
+    recall = len(got & truth) / len(truth)
+    # prefix-K candidate generation measures 1.0 on the fixture
+    assert recall >= 0.9, f"d22 candidate recall {recall:.2f}"
