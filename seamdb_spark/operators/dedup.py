@@ -2177,3 +2177,74 @@ def d22_cosine_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= D22_COS_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", dround(cos, 6).alias("cosine_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# d23: eval-side contamination report — the reverse direction of d10:
+# for each EVAL document, what fraction of its distinct shingles
+# appears anywhere in the training split. This is the per-benchmark-
+# item contamination percentage that model-card decontamination
+# reports publish (cf. the n-gram overlap audits in GPT-3/PaLM
+# appendices), whereas d10/d15 answer the training-side question
+# "which train docs must be dropped".
+#
+# Scale (100 TB): the eval shingle-key set is benchmark-sized, so it
+# BROADCASTS; the training stream is semi-joined against it in the
+# scan stage (no shuffle of the corpus), and only the matched keys —
+# bounded by the eval universe, not the corpus — are deduplicated
+# before the final per-eval-doc rollup. The training side never
+# shuffles at corpus scale.
+# --------------------------------------------------------------------------
+@register(
+    "d23_eval_contamination_report",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    eval_sh AS (
+      SELECT doc_id, s FROM exploded WHERE doc_id % {EVAL_SET_MOD} = 0
+    ),
+    matched AS (
+      SELECT DISTINCT e.s
+      FROM exploded t JOIN (SELECT DISTINCT s FROM eval_sh) e ON t.s = e.s
+      WHERE t.doc_id % {EVAL_SET_MOD} <> 0
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(m.s) AS BIGINT) AS n_in_train,
+           CAST((1000 * COUNT(m.s)) // COUNT(*) AS BIGINT)
+             AS contamination_milli,
+           COUNT(m.s) = COUNT(*) AS fully_contained
+    FROM eval_sh e LEFT JOIN matched m ON m.s = e.s
+    GROUP BY e.doc_id
+    """,
+)
+def d23_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("gh")
+    )
+    eval_sh = exploded.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
+    eval_keys = eval_sh.select("gh").distinct()
+    train = exploded.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+    matched = (
+        train.join(F.broadcast(eval_keys), "gh").select("gh").distinct()
+    )
+    return (
+        eval_sh.join(
+            matched.withColumn("hit", F.lit(1)), "gh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_in_train"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_in_train",
+            F.expr("(1000 * n_in_train) div n_shingles").alias(
+                "contamination_milli"
+            ),
+            (F.col("n_in_train") == F.col("n_shingles")).alias("fully_contained"),
+        )
+    )

@@ -312,6 +312,9 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         # e20: per-event-type marginals (|types| rows) + 1-row context
         # count
         "sa", "sb", "n_ctx",
+        # d23: eval-benchmark shingle keys — bounded by the benchmark
+        # suite, not the corpus (the d10 argument)
+        "eval_keys",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
@@ -1105,3 +1108,22 @@ def test_cosine_neardup_recall_and_exactness(spark, registry):
     recall = len(got & truth) / len(truth)
     # prefix-K candidate generation measures 1.0 on the fixture
     assert recall >= 0.9, f"d22 candidate recall {recall:.2f}"
+
+
+def test_eval_contamination_consistent_with_d10(spark, registry):
+    """d23 × d10 duality: a train doc flagged by d10 shares shingles
+    with SOME eval doc, so the union of d23's contaminated shingle
+    counts must be positive whenever d10 reports anything; every d23
+    row's accounting must be internally consistent."""
+    queries, _ = registry
+    d10_rows = queries["d10_decontaminate"](spark, SF_SMOKE).collect()
+    rows = queries["d23_eval_contamination_report"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_in_train <= r.n_shingles
+        assert r.contamination_milli == (1000 * r.n_in_train) // r.n_shingles
+        assert r.fully_contained == (r.n_in_train == r.n_shingles)
+    if d10_rows:
+        assert any(r.n_in_train > 0 for r in rows), (
+            "d10 found train contamination but no eval doc overlaps train"
+        )
