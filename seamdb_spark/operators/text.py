@@ -1812,3 +1812,70 @@ def t27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w") > 0).alias("selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t28: temperature-scaled domain sampling weights — the multilingual /
+# multi-source mixing rule (τ = 2, i.e. p_d ∝ n_d^(1/2)) used to
+# up-weight low-resource domains when composing a training mixture
+# (cf. the temperature-sampling schemes of multilingual LM training
+# and UniMax). Complements t15 (which normalizes ad-hoc target
+# weights) with the size-derived policy.
+#
+# Determinism: weights are FLOOR(SQRT(n_d * 10^6)) — integer-exact in
+# both engines (sqrt is IEEE correctly-rounded and, for n < ~10^15,
+# never rounds across an integer boundary, so the floor matches the
+# true integer square root); everything downstream is integer ppm.
+# No float SUM ever happens, so aggregation order cannot move a bit.
+#
+# Scale: one |sources|-row aggregate with map-side combine, then a
+# broadcast-sized cross join against its own 1-row total — O(1)
+# beyond the corpus scan.
+# --------------------------------------------------------------------------
+@register(
+    "t28_temperature_sampling",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(SQRT(n_docs * 1000000)) AS BIGINT) AS w
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+             CAST(SUM(w) AS BIGINT) AS w_tot
+      FROM weighted
+    )
+    SELECT w.source, w.n_docs,
+           (w.n_docs * 1000000) // t.n_tot AS raw_ppm,
+           (w.w * 1000000) // t.w_tot AS temp_ppm,
+           ((w.w * 1000000) // t.w_tot * 1000)
+             // GREATEST((w.n_docs * 1000000) // t.n_tot, 1) AS boost_milli
+    FROM weighted w CROSS JOIN tot t
+    """,
+)
+def t28_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    weighted = counts.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs") * F.lit(1_000_000))).cast("long")
+    )
+    tot = weighted.agg(
+        F.sum("n_docs").alias("n_tot"), F.sum("w").alias("w_tot")
+    )
+    return (
+        weighted.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div n_tot").alias("raw_ppm"),
+            F.expr("(w * 1000000) div w_tot").alias("temp_ppm"),
+            F.expr(
+                "((w * 1000000) div w_tot * 1000)"
+                " div greatest((n_docs * 1000000) div n_tot, 1)"
+            ).alias("boost_milli"),
+        )
+    )

@@ -315,6 +315,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         # d23: eval-benchmark shingle keys — bounded by the benchmark
         # suite, not the corpus (the d10 argument)
         "eval_keys",
+        # t28: 1-row (n_tot, w_tot) aggregate
+        "tot",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
@@ -1127,3 +1129,26 @@ def test_eval_contamination_consistent_with_d10(spark, registry):
         assert any(r.n_in_train > 0 for r in rows), (
             "d10 found train contamination but no eval doc overlaps train"
         )
+
+
+def test_temperature_sampling_flattens_mixture(spark, registry):
+    """t28: temperature weights must (a) replay exactly in Python via
+    integer sqrt, (b) sum to ~1e6 ppm, and (c) flatten the mixture —
+    every below-average source is boosted, every above-average source
+    is damped."""
+    import math
+
+    queries, _ = registry
+    rows = queries["t28_temperature_sampling"](spark, SF_SMOKE).collect()
+    assert rows
+    n_tot = sum(r.n_docs for r in rows)
+    w = {r.source: math.isqrt(r.n_docs * 1_000_000) for r in rows}
+    w_tot = sum(w.values())
+    assert abs(sum(r.temp_ppm for r in rows) - 1_000_000) <= len(rows)
+    for r in rows:
+        assert r.raw_ppm == (r.n_docs * 1_000_000) // n_tot
+        assert r.temp_ppm == (w[r.source] * 1_000_000) // w_tot
+        if r.raw_ppm * len(rows) < 1_000_000:  # below-average share
+            assert r.boost_milli >= 1000
+        elif r.raw_ppm * len(rows) > 1_000_000:
+            assert r.boost_milli <= 1000
