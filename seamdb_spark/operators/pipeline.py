@@ -252,3 +252,83 @@ def p03_dedup_decision_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("is_semantic_dup"), "drop_semantic")
         .otherwise("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# p04: data-SELECTION pipeline — the round-4 counterpart of p01's
+# curation chain, composing the selection-era stages end-to-end into
+# one per-document decision: eval holdout split -> contamination drop
+# (d10 rule) -> quality floor (t02) -> intra-corpus duplication budget
+# (d20 CDC dup ratio) -> DSIR importance tier (t27). One query, one
+# oracle: the full chain is hash-checked as a unit, so a regression in
+# ANY composed stage surfaces here as well as in its own gate.
+#
+# Scale: every stage is its own documented plan (t27 broadcasts a
+# 1024-row weight table, d20 shuffles once on chunk hash, d10
+# broadcasts the eval universe); the final verdict is a doc_id-keyed
+# join chain — skew-free, no new shuffle shape.
+# --------------------------------------------------------------------------
+P04_DUP_MAX_MILLI = 500
+
+
+def _p04_oracle() -> str:
+    from .dedup import EVAL_SET_MOD
+    from .registry import ORACLE_SQL
+
+    dsir = ORACLE_SQL["t27_dsir_importance"]
+    cdc = ORACLE_SQL["d20_cdc_chunk_dedup"]
+    cont = ORACLE_SQL["d10_decontaminate"]
+    return f"""
+    WITH quality AS ({QUALITY_SQL})
+    SELECT q.doc_id,
+           ROUND(q.quality_score, 6) AS quality_score,
+           cdc.dup_ratio_milli,
+           COALESCE(dsir.selected, FALSE) AS dsir_selected,
+           CAST(COALESCE(cont.drop_doc, 0) AS BIGINT) AS contaminated,
+           CASE WHEN q.doc_id % {EVAL_SET_MOD} = 0 THEN 'eval_holdout'
+                WHEN COALESCE(cont.drop_doc, 0) = 1 THEN 'drop_contaminated'
+                WHEN q.quality_score < {QUALITY_MIN} THEN 'drop_quality'
+                WHEN cdc.dup_ratio_milli >= {P04_DUP_MAX_MILLI}
+                  THEN 'drop_duplication'
+                WHEN NOT COALESCE(dsir.selected, FALSE)
+                  THEN 'defer_low_importance'
+                ELSE 'select' END AS decision
+    FROM quality q
+    JOIN ({cdc}) cdc ON cdc.doc_id = q.doc_id
+    LEFT JOIN ({dsir}) dsir ON dsir.doc_id = q.doc_id
+    LEFT JOIN ({cont}) cont ON cont.doc_id = q.doc_id
+    """
+
+
+@register("p04_selection_pipeline", oracle=_p04_oracle())
+def p04_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import EVAL_SET_MOD, d10_decontaminate, d20_cdc_chunk_dedup
+    from .text import t27_dsir_importance
+
+    quality = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    cdc = d20_cdc_chunk_dedup(spark, sf_dir).select("doc_id", "dup_ratio_milli")
+    dsir = t27_dsir_importance(spark, sf_dir).select(
+        "doc_id", F.col("selected").alias("dsir_sel")
+    )
+    cont = d10_decontaminate(spark, sf_dir).select("doc_id", "drop_doc")
+    base = (
+        quality.join(cdc, "doc_id")
+        .join(dsir, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            dround("quality_score", 6).alias("quality_score"),
+            "dup_ratio_milli",
+            F.coalesce("dsir_sel", F.lit(False)).alias("dsir_selected"),
+            F.coalesce("drop_doc", F.lit(0)).cast("long").alias("contaminated"),
+        )
+    )
+    return base.withColumn(
+        "decision",
+        F.when(F.col("doc_id") % EVAL_SET_MOD == 0, "eval_holdout")
+        .when(F.col("contaminated") == 1, "drop_contaminated")
+        .when(F.col("quality_score") < QUALITY_MIN, "drop_quality")
+        .when(F.col("dup_ratio_milli") >= P04_DUP_MAX_MILLI, "drop_duplication")
+        .when(~F.col("dsir_selected"), "defer_low_importance")
+        .otherwise("select"),
+    )

@@ -120,3 +120,34 @@ def test_attribution_channels(spark):
             assert r.lag_us is None
         else:
             assert r.lag_us >= 0
+
+
+def test_selection_pipeline_decision_precedence(spark):
+    """p04: every document gets exactly one decision; the decision must
+    agree with recomputing the precedence chain from the composed
+    stages' own outputs."""
+    from seamdb_spark.operators.dedup import EVAL_SET_MOD
+    from seamdb_spark.operators.pipeline import P04_DUP_MAX_MILLI, QUALITY_MIN
+
+    rows = _q("p04_selection_pipeline")(spark, SF_SMOKE).collect()
+    n_docs = _q("t02_quality_score")(spark, SF_SMOKE).count()
+    assert len(rows) == n_docs
+    seen = set()
+    for r in rows:
+        assert r.doc_id not in seen
+        seen.add(r.doc_id)
+        if r.doc_id % EVAL_SET_MOD == 0:
+            want = "eval_holdout"
+        elif r.contaminated == 1:
+            want = "drop_contaminated"
+        elif r.quality_score < QUALITY_MIN:
+            want = "drop_quality"
+        elif r.dup_ratio_milli >= P04_DUP_MAX_MILLI:
+            want = "drop_duplication"
+        elif not r.dsir_selected:
+            want = "defer_low_importance"
+        else:
+            want = "select"
+        assert r.decision == want, (r.doc_id, r.decision, want)
+    decisions = {r.decision for r in rows}
+    assert "select" in decisions and "defer_low_importance" in decisions
