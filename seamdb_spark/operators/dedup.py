@@ -2139,6 +2139,13 @@ def d22_cosine_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+    # The weighted table feeds four consumers (norms, the rare index,
+    # both dot-join sides); recomputing the codegen'd split+hash
+    # pipeline per consumer measured FASTER and far more stable than
+    # localCheckpoint here (3.8-5.7s vs 3.8-23.5s at sf0.1: the
+    # checkpoint writes ~675k rows and its blocks churn the block
+    # manager across repeated runs). On a cluster, persist(DISK) before
+    # the fan-out if the corpus scan dominates.
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.col("idf") * F.col("idf")).alias("norm2")
     )

@@ -1813,9 +1813,15 @@ def e19_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e20_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    ctx = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
-    ).distinct()
+    ctx = (
+        ev.select(
+            "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .distinct()
+        # ctx feeds four consumers (context count, marginals, both pair
+        # sides) — materialize the scan+distinct once.
+        .localCheckpoint()
+    )
     n_ctx = ctx.select("user_id", "day").distinct().agg(
         F.count("*").alias("n")
     )
