@@ -1152,3 +1152,49 @@ def test_temperature_sampling_flattens_mixture(spark, registry):
             assert r.boost_milli >= 1000
         elif r.raw_ppm * len(rows) > 1_000_000:
             assert r.boost_milli <= 1000
+
+
+def test_shuffle_budget_regression_gate(spark, registry):
+    """Plan-shape regression gate: each listed query's physical plan
+    must not plan MORE Exchange (shuffle) nodes than its recorded
+    budget. Catching an accidental extra shuffle at plan level is the
+    cheap version of a 100 TB regression: locally it costs
+    milliseconds, on a real corpus it costs a full-data network pass.
+    Budgets are the CURRENT counts (local[4], AQE initial plan) — if a
+    deliberate plan change raises one, update the budget in the same
+    commit and say why; lowering is always fine. Plan-subtree
+    recomputation (e.g. d22's term pipeline feeding four consumers)
+    counts each copy, which is intentional: a fifth recompute is also
+    a regression."""
+    queries, _ = registry
+    budgets = {
+        "q01_pricing_summary": 1,
+        "d01_dedup_exact": 1,
+        "d02_dedup_minhash_lsh": 8,
+        "d12_duplicated_spans": 3,
+        "d15_bloom_prefilter": 5,
+        "d20_cdc_chunk_dedup": 2,
+        "d22_cosine_tfidf_neardup": 38,
+        "d23_eval_contamination_report": 5,
+        "t27_dsir_importance": 7,
+        "e19_interarrival_profile": 1,
+        "e20_cooccurrence_lift": 9,
+        "q61_order_streaks": 2,
+        "s01_ann_bruteforce_topk": 2,
+        "t28_temperature_sampling": 4,
+        "e01_hourly_rollup": 2,
+        "t01_token_count": 0,
+        "q03_shipping_priority": 3,
+    }
+    over = []
+    for name, budget in budgets.items():
+        plan = (
+            queries[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = plan.count("Exchange ")
+        if n > budget:
+            over.append(f"{name}: {n} shuffles > budget {budget}")
+    assert not over, "; ".join(over)
