@@ -2189,3 +2189,79 @@ def s13_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("qcos"), 6).alias("cosine"),
         "rk",
     )
+
+
+# --------------------------------------------------------------------------
+# s14: ANN recall audit — the similarity-family counterpart of d18's
+# estimator audit: run the exact baseline (s01) and the two sketch
+# indexes (s02 LSH, s03 IVF) IN-ENGINE and report each method's
+# pair-level recall against the exact top-k as one dashboard row per
+# method. This is the query an index-tuning loop actually runs before
+# changing b/r or nprobe on a production corpus sample — and because
+# every composed pipeline is deterministic, the whole audit is
+# hash-checked end-to-end (the oracle replays all three pipelines).
+#
+# Scale: the cost is the three composed pipelines' own (documented)
+# costs on a SAMPLE — the audit itself adds two doc-keyed semi-joins
+# and a 3-row aggregate. Run it on a probe sample, not the corpus.
+# --------------------------------------------------------------------------
+def _s14_oracle() -> str:
+    from .registry import ORACLE_SQL
+
+    exact = ORACLE_SQL["s01_ann_bruteforce_topk"]
+    lsh = ORACLE_SQL["s02_ann_lsh_topk"]
+    ivf = ORACLE_SQL["s03_ann_ivf_topk"]
+    return f"""
+    WITH exact_pairs AS (
+      SELECT probe_id, neighbor_id FROM ({exact})
+    ),
+    methods AS (
+      SELECT 'lsh' AS method, probe_id, neighbor_id FROM ({lsh})
+      UNION ALL
+      SELECT 'ivf' AS method, probe_id, neighbor_id FROM ({ivf})
+    ),
+    n_exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM exact_pairs),
+    hits AS (
+      SELECT m.method,
+             CAST(COUNT(*) AS BIGINT) AS n_found,
+             CAST(COUNT(e.probe_id) AS BIGINT) AS n_hit
+      FROM methods m
+      LEFT JOIN exact_pairs e
+        ON e.probe_id = m.probe_id AND e.neighbor_id = m.neighbor_id
+      GROUP BY m.method
+    )
+    SELECT h.method, h.n_found, h.n_hit, x.n AS n_exact,
+           (1000 * h.n_hit) // x.n AS recall_milli
+    FROM hits h CROSS JOIN n_exact x
+    """
+
+
+@register("s14_ann_recall_audit", oracle=_s14_oracle())
+def s14_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = s01_ann_bruteforce_topk(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    methods = (
+        s02_ann_lsh_topk(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "probe_id", "neighbor_id")
+        .unionAll(
+            s03_ann_ivf_topk(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "probe_id", "neighbor_id"
+            )
+        )
+    )
+    n_exact = exact.agg(F.count("*").alias("n"))
+    hit = exact.withColumn("hit", F.lit(1))
+    return (
+        methods.join(hit, ["probe_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").alias("n_found"),
+            F.count("hit").alias("n_hit"),
+        )
+        .join(F.broadcast(n_exact))
+        .select(
+            "method", "n_found", "n_hit", F.col("n").alias("n_exact"),
+            F.expr("(1000 * n_hit) div n").alias("recall_milli"),
+        )
+    )

@@ -1198,3 +1198,17 @@ def test_shuffle_budget_regression_gate(spark, registry):
         if n > budget:
             over.append(f"{name}: {n} shuffles > budget {budget}")
     assert not over, "; ".join(over)
+
+
+def test_ann_recall_audit_consistent_with_floors(spark, registry):
+    """s14: the in-engine recall audit must agree with this suite's own
+    recall floors (LSH >= 0.9, IVF >= 0.7) and its accounting must be
+    internally consistent (hits <= found, hits <= exact)."""
+    queries, _ = registry
+    rows = {r.method: r for r in queries["s14_ann_recall_audit"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert 0 <= r.n_hit <= min(r.n_found, r.n_exact)
+        assert r.recall_milli == (1000 * r.n_hit) // r.n_exact
+    assert rows["lsh"].recall_milli >= 900
+    assert rows["ivf"].recall_milli >= 700
