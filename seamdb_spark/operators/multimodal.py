@@ -1334,3 +1334,102 @@ def m13_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(silence_runs, schema=_SILENCE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m14: mixed-modality routing — a HETEROGENEOUS payload column (one
+# format per row, decided here by doc_id parity: even → BMP image,
+# odd → WAV clip) decoded through the magic-byte sniffer
+# (decode_media), which is exactly how a real multimodal shard with a
+# binary column + untrusted format metadata must be processed: route
+# per ROW, never per table. Output is one normalized row per payload:
+# the detected kind, its unit count (pixel bytes / sample frames), the
+# integer content metric (pixel_sum / abs_sum) and the [0,1] feature
+# mean — the common schema downstream curation consumes regardless of
+# modality.
+#
+# Oracle: CASE on parity between the m06 pixel-sum cycle formula and
+# the m07 |sample|-sum cycle formula — a routing bug (wrong sniffer
+# branch, header mix-up) lands rows on the wrong formula and breaks
+# the hash.
+#
+# Scale: row-local mapInPandas, zero shuffle; the router adds one
+# magic-byte comparison per payload.
+# --------------------------------------------------------------------------
+_ROUTER_SCHEMA = (
+    "doc_id long, kind string, n_units long, content_sum long,"
+    " feat_mean double"
+)
+
+
+@register(
+    "m14_modality_router",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             (1 + {_md5_byte_sql(1).replace('md5(text)', 'hx')} % 4)
+           * (1 + {_md5_byte_sql(2).replace('md5(text)', 'hx')} % 4) * 3 AS m,
+             32 + {_md5_byte_sql(3).replace('md5(text)', 'hx')} % 3 * 16 AS n
+      FROM h
+    ),
+    s AS (
+      SELECT d.doc_id, m, n,
+             SUM({_BYTE_I_SQL}) AS cyc_sum,
+             SUM(CASE WHEN i < m % 16 THEN {_BYTE_I_SQL} ELSE 0 END) AS pre_sum,
+             SUM(ABS({_BYTE_I_SQL} - 128)) AS cyc_abs
+      FROM d, (SELECT unnest(range(0, 16)) AS i)
+      GROUP BY d.doc_id, m, n
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN m ELSE n END AS BIGINT)
+             AS n_units,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN (m // 16) * cyc_sum + pre_sum
+                     ELSE (n // 16) * 256 * cyc_abs END AS BIGINT)
+             AS content_sum,
+           CASE WHEN doc_id % 2 = 0
+                THEN ((m // 16) * cyc_sum + pre_sum) / (m * 255.0)
+                ELSE ((n // 16) * 256 * cyc_abs) / (n * 32768.0) END
+             AS feat_mean
+    FROM s
+    """,
+)
+def m14_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def route_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "kind": [], "n_units": [], "content_sum": [],
+                "feat_mean": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                if doc_id % 2 == 0:
+                    w, h = 1 + digest[1] % 4, 1 + digest[2] % 4
+                    payload = build_bmp(
+                        w, h, bytes(digest[i % 16] for i in range(w * h * 3))
+                    )
+                else:
+                    n = 32 + digest[3] % 3 * 16
+                    payload = build_wav(
+                        [(digest[k % 16] - 128) * 256 for k in range(n)],
+                        _WAV_RATE,
+                    )
+                info = decode_media(payload)  # magic-byte routed
+                if info["kind"] == "bmp":
+                    units = info["width"] * info["height"] * 3
+                    csum = info["pixel_sum"]
+                else:
+                    units = info["n_frames"]
+                    csum = info["abs_sum"]
+                out["doc_id"].append(doc_id)
+                out["kind"].append(info["kind"])
+                out["n_units"].append(units)
+                out["content_sum"].append(csum)
+                out["feat_mean"].append(info["feat_mean"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(route_decode, schema=_ROUTER_SCHEMA)

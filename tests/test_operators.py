@@ -1212,3 +1212,27 @@ def test_ann_recall_audit_consistent_with_floors(spark, registry):
         assert r.recall_milli == (1000 * r.n_hit) // r.n_exact
     assert rows["lsh"].recall_milli >= 900
     assert rows["ivf"].recall_milli >= 700
+
+
+def test_modality_router_agrees_with_single_format_decodes(spark, registry):
+    """m14 × m06/m07 cross-check: even docs must reproduce m06's BMP
+    pixel accounting, odd docs m07's WAV sample accounting — same
+    payloads, routed through the magic-byte sniffer."""
+    queries, _ = registry
+    m06 = {r.doc_id: r for r in queries["m06_bmp_decode"](spark, SF_SMOKE).collect()}
+    m07 = {r.doc_id: r for r in queries["m07_wav_decode"](spark, SF_SMOKE).collect()}
+    rows = queries["m14_modality_router"](spark, SF_SMOKE).collect()
+    assert rows and {r.doc_id for r in rows} == set(m06)
+    for r in rows:
+        if r.doc_id % 2 == 0:
+            ref = m06[r.doc_id]
+            assert r.kind == "bmp"
+            assert r.n_units == ref.width * ref.height * 3
+            assert r.content_sum == ref.pixel_sum
+            assert r.feat_mean == ref.feat_mean
+        else:
+            ref = m07[r.doc_id]
+            assert r.kind == "wav"
+            assert r.n_units == ref.n_samples
+            assert r.content_sum == ref.abs_sum
+            assert r.feat_mean == ref.feat_mean
