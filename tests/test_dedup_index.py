@@ -1,0 +1,107 @@
+"""Incremental LSH index maintenance: after every refresh the index
+must equal full re-banding of the current table, refreshes must scan
+only new segments, per-batch candidate lookup must match the full
+self-join restricted to the batch, and history rewrites must trigger a
+sound rebuild."""
+
+from pyspark.sql import functions as F
+
+from seamdb_spark.dedup_index import IncrementalLSHIndex, band_rows
+
+
+def _setup(engine):
+    engine.sql(
+        "CREATE TABLE docs (id serial PRIMARY KEY, body text)"
+    )
+    return IncrementalLSHIndex(engine, "docs_lsh", "docs", "id", "body")
+
+
+_BATCH1 = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "the quick brown fox jumps over the lazy dog again and again tonight",
+    "completely different content about spark shuffles and partitions here",
+]
+_BATCH2 = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "fresh unrelated text mentioning parquet manifests and snapshots only",
+]
+
+
+def _insert(engine, texts):
+    vals = ", ".join(f"('{t}')" for t in texts)
+    engine.sql(f"INSERT INTO docs (body) VALUES {vals}")
+
+
+def _full_bands(engine):
+    return {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in band_rows(engine.table("docs"), "id", "body").collect()
+    }
+
+
+def test_incremental_index_equals_full_rebanding(engine):
+    idx = _setup(engine)
+    _insert(engine, _BATCH1)
+    out = idx.refresh()
+    assert out["mode"] == "incremental" and out["n_new_docs"] == 3
+    got = {(r.doc_id, r.band_id, r.band_key) for r in idx.index().collect()}
+    assert got == _full_bands(engine)
+
+    snaps_before = set(idx._source_snaps().current_files())
+    _insert(engine, _BATCH2)
+    snaps_after = set(idx._source_snaps().current_files())
+    out = idx.refresh()
+    assert out["mode"] == "incremental"
+    assert out["files_read"] == len(snaps_after - snaps_before)
+    assert out["n_new_docs"] == 2
+    got = {(r.doc_id, r.band_id, r.band_key) for r in idx.index().collect()}
+    assert got == _full_bands(engine)
+
+    assert idx.refresh()["mode"] == "noop"
+
+
+def test_candidate_pairs_find_planted_neardups(engine):
+    idx = _setup(engine)
+    _insert(engine, _BATCH1)
+    idx.refresh()
+    _insert(engine, _BATCH2)
+    idx.refresh()
+    pairs = {(r.doc_a, r.doc_b) for r in idx.candidate_pairs().collect()}
+    # docs 1, 2 (batch 1) and 4 (batch 2's exact copy of doc 1) are the
+    # planted near-dup family; the unrelated docs must pair with nobody
+    assert (1, 4) in pairs  # exact copy must always collide
+    flat = {d for p in pairs for d in p}
+    assert 3 not in flat and 5 not in flat
+
+
+def test_new_candidate_pairs_matches_full_join_for_batch(engine):
+    idx = _setup(engine)
+    _insert(engine, _BATCH1)
+    idx.refresh()
+    _insert(engine, _BATCH2)
+    idx.refresh()
+    spark = engine.spark
+    batch_ids = spark.createDataFrame([(4,), (5,)], "id long")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in idx.new_candidate_pairs(batch_ids).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in idx.candidate_pairs().collect()
+        if 4 in (r.doc_a, r.doc_b) or 5 in (r.doc_a, r.doc_b)
+    }
+    assert got == full and got  # non-empty: doc 4 collides with doc 1
+
+
+def test_history_rewrite_triggers_rebuild(engine):
+    idx = _setup(engine)
+    _insert(engine, _BATCH1)
+    idx.refresh()
+    _insert(engine, _BATCH2)
+    idx.refresh()
+    engine.compact("docs")  # rewrites segment history
+    out = idx.refresh()
+    assert out["mode"] == "rebuild"
+    got = {(r.doc_id, r.band_id, r.band_key) for r in idx.index().collect()}
+    assert got == _full_bands(engine)
