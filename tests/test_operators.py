@@ -317,6 +317,11 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "eval_keys",
         # t28: 1-row (n_tot, w_tot) aggregate
         "tot",
+        # s14: 1-row exact-pair count
+        "n_exact",
+        # dedup_index: the per-refresh ingest batch — bounded by batch
+        # size (operator input), not the corpus
+        "new_doc_ids",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
