@@ -1852,3 +1852,162 @@ def e20_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_ab * n * 1000000) div (n_a * n_b)").alias("lift_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e21: SAX-style time-series motif discovery — find the most similar
+# pairs of 8-hour activity-value subsequences across users (recurring
+# behavioral motifs). The scale shape is the iSAX family (indexable
+# Symbolic Aggregate approXimation; cf. the distributed data-series
+# search literature, e.g. Odyssey VLDB'23): each window is reduced by
+# PAA (4 segments of 2 hours) and quantized to a 4-symbol word;
+# candidate pairs come from an EQUI-JOIN on the word (never all-pairs;
+# alphabet 8 over 4 segments = 4096 buckets — the iSAX cardinality knob)
+# and only candidates pay the exact distance; trivial matches
+# (overlapping windows of the same user) are excluded, and the global
+# top-20 by exact distance (fully tie-broken) is returned.
+#
+# Determinism: hourly values are fixed to integer cents via
+# floor(sum*100 + 0.5) (the dround scaling, e01 precedent), so PAA
+# sums, quantization, and squared distances are all int64 — no float
+# ever aggregates.
+#
+# Scale: hourly rollup is one (user, hour) agg; windows explode
+# row-locally (stride 4 → n/4 windows per user); the word join's
+# fan-out is bounded by word-bucket size (tunable via segments ×
+# alphabet); the final top-k is a 20-row TakeOrdered. At 100 TB,
+# partition the word join by (word) and raise the alphabet to thin
+# buckets — the published iSAX cardinality-splitting trick.
+# --------------------------------------------------------------------------
+E21_WINDOW = 8
+E21_STRIDE = 4
+E21_TOPK = 20
+
+
+@register(
+    "e21_sax_motifs",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+             CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT user_id, list(v ORDER BY h) AS vals
+      FROM hourly GROUP BY user_id
+    ),
+    wins AS (
+      SELECT user_id, p AS start,
+             list_slice(vals, p + 1, p + {E21_WINDOW}) AS w
+      FROM (
+        SELECT user_id, vals,
+               unnest(list_filter(range(0, len(vals) - {E21_WINDOW - 1}),
+                                  p -> p % {E21_STRIDE} = 0)) AS p
+        FROM series WHERE len(vals) >= {E21_WINDOW}
+      )
+    ),
+    feat AS (
+      SELECT user_id, start, w,
+             list_transform(range(0, 4), i -> w[2*i + 1] + w[2*i + 2]) AS segs
+      FROM wins
+    ),
+    words AS (
+      SELECT user_id, start, w,
+             array_to_string(list_transform(segs,
+               s -> CAST((s - list_min(segs)) * 8
+                         // (list_max(segs) - list_min(segs) + 1)
+                         AS VARCHAR)), '') AS word
+      FROM feat
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, a.start AS start_a,
+             b.user_id AS user_b, b.start AS start_b, a.word,
+             CAST(list_sum(list_transform(range(1, {E21_WINDOW + 1}),
+               i -> (a.w[i] - b.w[i]) * (a.w[i] - b.w[i]))) AS BIGINT) AS dist
+      FROM words a JOIN words b
+        ON a.word = b.word
+       AND (a.user_id < b.user_id
+            OR (a.user_id = b.user_id AND a.start + {E21_WINDOW} <= b.start))
+    )
+    SELECT user_a, CAST(start_a AS BIGINT) AS start_a,
+           user_b, CAST(start_b AS BIGINT) AS start_b, word, dist
+    FROM pairs
+    ORDER BY dist, user_a, start_a, user_b, start_b
+    LIMIT {E21_TOPK}
+    """,
+)
+def e21_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("v")
+        )
+    )
+    series = (
+        hourly.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("h", "v"))).alias("sv"))
+        .select(
+            "user_id",
+            F.expr("transform(sv, x -> x.v)").alias("vals"),
+        )
+        .filter(F.size("vals") >= E21_WINDOW)
+    )
+    wins = series.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"transform(filter(sequence(0, size(vals) - {E21_WINDOW}),"
+                f"                 p -> p % {E21_STRIDE} = 0),"
+                f" p -> struct(p AS start, slice(vals, p + 1, {E21_WINDOW}) AS w))"
+            )
+        ).alias("win"),
+    ).select("user_id", F.col("win.start").alias("start"), F.col("win.w").alias("w"))
+    feat = wins.withColumn(
+        "segs", F.expr("transform(sequence(0, 3), i -> w[2*i] + w[2*i + 1])")
+    )
+    words = feat.withColumn(
+        "word",
+        F.expr(
+            "array_join(transform(segs,"
+            " s -> CAST((s - array_min(segs)) * 8"
+            " div (array_max(segs) - array_min(segs) + 1) AS STRING)), '')"
+        ),
+    ).select("user_id", "start", "w", "word")
+    a = words.select(
+        F.col("user_id").alias("user_a"), F.col("start").alias("start_a"),
+        F.col("w").alias("wa"), "word",
+    )
+    b = words.select(
+        F.col("user_id").alias("user_b"), F.col("start").alias("start_b"),
+        F.col("w").alias("wb"), F.col("word").alias("word_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("word") == F.col("word_b"))
+        & (
+            (F.col("user_a") < F.col("user_b"))
+            | (
+                (F.col("user_a") == F.col("user_b"))
+                & (F.col("start_a") + E21_WINDOW <= F.col("start_b"))
+            )
+        ),
+    ).select(
+        "user_a", "start_a", "user_b", "start_b", "word",
+        F.expr(
+            "aggregate(zip_with(wa, wb, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, z) -> acc + z)"
+        ).alias("dist"),
+    )
+    return (
+        pairs.orderBy("dist", "user_a", "start_a", "user_b", "start_b")
+        .limit(E21_TOPK)
+        .select(
+            "user_a", F.col("start_a").cast("long").alias("start_a"),
+            "user_b", F.col("start_b").cast("long").alias("start_b"),
+            "word", "dist",
+        )
+    )

@@ -1241,3 +1241,56 @@ def test_modality_router_agrees_with_single_format_decodes(spark, registry):
             assert r.n_units == ref.n_samples
             assert r.content_sum == ref.abs_sum
             assert r.feat_mean == ref.feat_mean
+
+
+def test_sax_motifs_replay(spark, registry):
+    """e21: replay the whole SAX pipeline (hourly cents, PAA words,
+    word-blocked pairs, exact distances, top-20) in pure Python and
+    compare the result exactly."""
+    import math
+
+    queries, _ = registry
+    from seamdb_spark.operators.events import (
+        E21_STRIDE, E21_TOPK, E21_WINDOW, _events,
+    )
+
+    ev = _events(spark, SF_SMOKE).select("user_id", "ts", "value").collect()
+    hourly = {}
+    for r in ev:
+        h = int(r.ts.timestamp()) // 3600
+        hourly.setdefault(r.user_id, {}).setdefault(h, 0.0)
+        hourly[r.user_id][h] += r.value
+    series = {
+        u: [int(math.floor(hv[h] * 100 + 0.5)) for h in sorted(hv)]
+        for u, hv in hourly.items()
+    }
+    wins = []
+    for u, vals in series.items():
+        if len(vals) < E21_WINDOW:
+            continue
+        for p in range(0, len(vals) - E21_WINDOW + 1, E21_STRIDE):
+            w = vals[p : p + E21_WINDOW]
+            segs = [w[2 * i] + w[2 * i + 1] for i in range(4)]
+            lo, hi = min(segs), max(segs)
+            word = "".join(str((s - lo) * 8 // (hi - lo + 1)) for s in segs)
+            wins.append((u, p, w, word))
+    pairs = []
+    # word-bucketed candidate pairs with trivial-match exclusion
+    for ua, sa, wa, worda in wins:
+        for ub, sb, wb, wordb in wins:
+            if worda != wordb:
+                continue
+            if not (ua < ub or (ua == ub and sa + E21_WINDOW <= sb)):
+                continue
+            dist = sum((x - y) ** 2 for x, y in zip(wa, wb))
+            pairs.append((dist, ua, sa, ub, sb, worda))
+    pairs.sort()
+    want = [
+        (ua, sa, ub, sb, word, dist)
+        for dist, ua, sa, ub, sb, word in pairs[:E21_TOPK]
+    ]
+    got = [
+        (r.user_a, r.start_a, r.user_b, r.start_b, r.word, r.dist)
+        for r in queries["e21_sax_motifs"](spark, SF_SMOKE).collect()
+    ]
+    assert got == want
