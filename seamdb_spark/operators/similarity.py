@@ -2265,3 +2265,147 @@ def s14_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n_hit) div n").alias("recall_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# s15: MMR-diversified top-k rerank (Carbonell & Goldstein 1998,
+# "maximal marginal relevance") — the post-retrieval stage that turns
+# a relevance-ordered candidate pool into a RELEVANT-BUT-DIVERSE
+# result set: greedily pick argmax of
+#   mmr(c) = 0.7·rel(c) − 0.3·max_{s∈selected} cos(c, s)
+# (max-sim floored at 0 — the common practical variant), K rounds.
+# Completes the retrieval chain recall (s02/s03) → rerank (s07) →
+# diversify.
+#
+# The greedy loop is SEQUENTIAL by nature; K is small and fixed, so
+# the rounds UNROLL into the plan (the g01/Lloyd unrolled-iteration
+# discipline) — each round is one per-probe window argmax plus one
+# candidates⋈selected join computing the new max-sim. All arithmetic
+# is fixed-expression IEEE doubles over the proven cosine fold, so the
+# oracle replays the identical rounds CTE-by-CTE.
+#
+# Scale: everything is keyed and partitioned by probe_id; per-probe
+# work is O(K·P) cosines over a P-row pool. The pool itself comes from
+# any upstream retriever — brute force here for exactness; swap in
+# s03/s08 output at corpus scale.
+# --------------------------------------------------------------------------
+MMR_POOL = 8
+MMR_K = 4
+MMR_LAMBDA = "0.7"
+
+
+def _s15_oracle() -> str:
+    cos_cs = _cos_sql("r.ne", "s.ne")
+    ctes = [f"""probes AS (SELECT vec_id AS probe_id, embedding AS pe
+                    FROM embeddings WHERE vec_id < {N_PROBES}),
+    scored AS (
+      SELECT probe_id, e.vec_id AS nid, e.embedding AS ne,
+             {_cos_sql('pe', 'e.embedding')} AS rel
+      FROM probes JOIN embeddings e ON e.vec_id <> probe_id
+    ),
+    rem0 AS (
+      SELECT probe_id, nid, ne, rel, CAST(0.0 AS DOUBLE) AS ms
+      FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY rel DESC, nid) AS rk
+        FROM scored s
+      ) WHERE rk <= {MMR_POOL}
+    )"""]
+    for t in range(1, MMR_K + 1):
+        ctes.append(f"""sel{t} AS (
+      SELECT probe_id, nid, ne, rel, mmr FROM (
+        SELECT r.*, {MMR_LAMBDA} * r.rel - (1 - {MMR_LAMBDA}) * r.ms AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY r.probe_id
+                 ORDER BY {MMR_LAMBDA} * r.rel - (1 - {MMR_LAMBDA}) * r.ms DESC,
+                          r.nid) AS rn
+        FROM rem{t - 1} r
+      ) WHERE rn = 1
+    ),
+    rem{t} AS (
+      SELECT r.probe_id, r.nid, r.ne, r.rel,
+             GREATEST(r.ms, {cos_cs}) AS ms
+      FROM rem{t - 1} r JOIN sel{t} s
+        ON s.probe_id = r.probe_id AND s.nid <> r.nid
+    )""")
+    selects = "\n      UNION ALL\n      ".join(
+        f"SELECT probe_id, {t} AS mmr_rank, nid AS neighbor_id,"
+        f" ROUND(rel, 6) AS cosine, ROUND(mmr, 6) AS mmr_score FROM sel{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT * FROM (
+      {selects}
+    )
+    """
+
+
+@register("s15_mmr_diversified_topk", oracle=_s15_oracle())
+def s15_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    lam = float(MMR_LAMBDA)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("ne"),
+            (_dot("pe", "embedding") / (_norm("pe") * _norm("embedding"))).alias(
+                "rel"
+            ),
+        )
+    )
+    w_pool = W.partitionBy("probe_id").orderBy(F.col("rel").desc(), F.col("nid"))
+    rem = (
+        scored.withColumn("rk", F.row_number().over(w_pool))
+        .filter(F.col("rk") <= MMR_POOL)
+        .select("probe_id", "nid", "ne", "rel", F.lit(0.0).alias("ms"))
+    )
+    mmr = F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("ms")
+    picks = []
+    for t in range(1, MMR_K + 1):
+        w_sel = W.partitionBy("probe_id").orderBy(mmr.desc(), F.col("nid"))
+        sel = (
+            rem.withColumn("mmr", mmr)
+            .withColumn("rn", F.row_number().over(w_sel))
+            .filter(F.col("rn") == 1)
+            .select("probe_id", "nid", "ne", "rel", "mmr")
+        )
+        picks.append(
+            sel.select(
+                "probe_id",
+                F.lit(t).alias("mmr_rank"),
+                F.col("nid").alias("neighbor_id"),
+                dround("rel", 6).alias("cosine"),
+                dround("mmr", 6).alias("mmr_score"),
+            )
+        )
+        if t < MMR_K:
+            s = sel.select(
+                F.col("probe_id").alias("sp"),
+                F.col("nid").alias("snid"),
+                F.col("ne").alias("se"),
+            )
+            rem = (
+                rem.join(
+                    s,
+                    (F.col("probe_id") == F.col("sp"))
+                    & (F.col("nid") != F.col("snid")),
+                )
+                .select(
+                    "probe_id", "nid", "ne", "rel",
+                    F.greatest(
+                        F.col("ms"),
+                        _dot("ne", "se") / (_norm("ne") * _norm("se")),
+                    ).alias("ms"),
+                )
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out

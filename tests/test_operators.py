@@ -1294,3 +1294,26 @@ def test_sax_motifs_replay(spark, registry):
         for r in queries["e21_sax_motifs"](spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark, registry):
+    """s15: the MMR property — rank-1 equals the pure-relevance top-1,
+    every later pick trades relevance for diversity (mmr_score is
+    non-increasing per probe), and no probe repeats a neighbor."""
+    queries, _ = registry
+    s01 = {}
+    for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect():
+        if r.rk == 1:
+            s01[r.probe_id] = r.neighbor_id
+    by_probe = {}
+    for r in queries["s15_mmr_diversified_topk"](spark, SF_SMOKE).collect():
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == set(s01)
+    for probe, rows in by_probe.items():
+        rows.sort(key=lambda r: r.mmr_rank)
+        assert [r.mmr_rank for r in rows] == [1, 2, 3, 4]
+        assert rows[0].neighbor_id == s01[probe]  # rank 1 == pure argmax
+        ids = [r.neighbor_id for r in rows]
+        assert len(set(ids)) == len(ids)
+        scores = [r.mmr_score for r in rows]
+        assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
