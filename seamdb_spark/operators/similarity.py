@@ -2365,6 +2365,11 @@ def s15_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w_pool))
         .filter(F.col("rk") <= MMR_POOL)
         .select("probe_id", "nid", "ne", "rel", F.lit(0.0).alias("ms"))
+        # The pool is N_PROBES × MMR_POOL rows (~80); without this the
+        # unrolled rounds re-derive the full corpus cross-join per
+        # round (measured 11.8s -> ~2s at sf0.1). Tiny checkpoint, no
+        # block churn (cf. the d22 counter-example).
+        .localCheckpoint()
     )
     mmr = F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("ms")
     picks = []
