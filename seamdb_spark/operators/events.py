@@ -2011,3 +2011,191 @@ def e21_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word", "dist",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e22: Markov removal-effect attribution — the data-driven alternative
+# to last-touch (e10): model user journeys as a first-order Markov
+# chain (START → event states → CONV on first purchase / NULL on
+# journey end), estimate each channel's contribution as its REMOVAL
+# EFFECT (how much the START→CONV probability drops when paths through
+# the channel are severed), and normalize effects into attribution
+# shares. Published marketing-analytics standard (Anderl et al. 2016
+# framing); the conversion probability is computed by BOUNDED-HORIZON
+# value iteration (E22_HORIZON unrolled rounds — the g01/Lloyd
+# discipline), all in integer ppm so every round is order-independent
+# exact and the oracle replays the rounds CTE-by-CTE.
+#
+# The channel list is the fixture's fixed event-type enum minus the
+# conversion event; a pytest guards that the enum still matches, so
+# fixture drift surfaces as a readable test failure, not an opaque
+# hash mismatch.
+#
+# Scale: journeys truncate at first conversion inside a per-user
+# window (never global); the transition matrix is |states|² (tiny at
+# any corpus scale) and every value-iteration round is a join-agg over
+# it — the corpus is touched exactly once.
+# --------------------------------------------------------------------------
+E22_CHANNELS = ["click", "error", "signup", "view"]
+E22_CONV = "purchase"
+E22_HORIZON = 8
+
+
+def _e22_trans_sql() -> str:
+    return f"""trunc AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = '{E22_CONV}' THEN 'CONV'
+                  ELSE event_type END AS state,
+             COUNT(CASE WHEN event_type = '{E22_CONV}' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_convs
+      FROM events
+    ),
+    kept AS (SELECT * FROM trunc WHERE prior_convs = 0),
+    hops AS (
+      SELECT user_id, state,
+             LAG(state) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev,
+             LEAD(state) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM kept
+    ),
+    raw_edges AS (
+      SELECT COALESCE(prev, 'START') AS src, state AS dst FROM hops
+      UNION ALL
+      SELECT state, 'NULL' FROM hops WHERE nxt IS NULL AND state <> 'CONV'
+    ),
+    counts AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM raw_edges GROUP BY src, dst
+    ),
+    trans AS (
+      SELECT c.src, c.dst,
+             (c.n * 1000000) // t.tot AS p_ppm
+      FROM counts c
+      JOIN (SELECT src, SUM(n) AS tot FROM counts GROUP BY src) t
+        ON t.src = c.src
+    )"""
+
+
+def _e22_value_ctes(tag: str, removed: str | None) -> str:
+    """Unrolled value-iteration CTEs v_{tag}_0..HORIZON over trans."""
+    kill = f"CASE WHEN t.dst = '{removed}' THEN 0 ELSE t.p_ppm END" \
+        if removed else "t.p_ppm"
+    ctes = [f"v_{tag}_0 AS (SELECT DISTINCT src AS state,"
+            f" CAST(0 AS BIGINT) AS v FROM trans)"]
+    for k in range(1, E22_HORIZON + 1):
+        ctes.append(f"""v_{tag}_{k} AS (
+      SELECT t.src AS state,
+             CAST(SUM({kill} * CASE WHEN t.dst = 'CONV' THEN 1000000
+                       WHEN t.dst = 'NULL' THEN 0
+                       ELSE COALESCE(p.v, 0) END) // 1000000 AS BIGINT) AS v
+      FROM trans t LEFT JOIN v_{tag}_{k - 1} p ON p.state = t.dst
+      GROUP BY t.src
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def _e22_oracle() -> str:
+    scen = [_e22_value_ctes("base", None)]
+    for c in E22_CHANNELS:
+        scen.append(_e22_value_ctes(c, c))
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT '{c}' AS channel,"
+        f" (SELECT v FROM v_base_{E22_HORIZON} WHERE state = 'START')"
+        f"   AS base_conv_ppm,"
+        f" (SELECT v FROM v_{c}_{E22_HORIZON} WHERE state = 'START')"
+        f"   AS removed_conv_ppm"
+        for c in E22_CHANNELS
+    )
+    joined = ",\n    ".join(scen)
+    return f"""
+    WITH {_e22_trans_sql()},
+    {joined},
+    effects AS (
+      SELECT channel, base_conv_ppm, removed_conv_ppm,
+             base_conv_ppm - removed_conv_ppm AS removal_effect_ppm
+      FROM ({rows})
+    )
+    SELECT channel, base_conv_ppm, removed_conv_ppm, removal_effect_ppm,
+           CAST((removal_effect_ppm * 1000) //
+                GREATEST((SELECT SUM(removal_effect_ppm) FROM effects), 1)
+                AS BIGINT) AS attribution_milli
+    FROM effects
+    """
+
+
+@register("e22_markov_attribution", oracle=_e22_oracle())
+def e22_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    state = F.when(F.col("event_type") == E22_CONV, "CONV").otherwise(
+        F.col("event_type")
+    )
+    trunc = ev.select(
+        "user_id", "ts", "event_id", state.alias("state"),
+        F.count(F.when(F.col("event_type") == E22_CONV, 1))
+        .over(w.rowsBetween(W.unboundedPreceding, -1))
+        .alias("prior_convs"),
+    )
+    kept = trunc.filter(F.col("prior_convs") == 0)
+    hops = kept.select(
+        "user_id", "state",
+        F.lag("state").over(w).alias("prev"),
+        F.lead("state").over(w).alias("nxt"),
+    )
+    edges = hops.select(
+        F.coalesce("prev", F.lit("START")).alias("src"),
+        F.col("state").alias("dst"),
+    ).unionAll(
+        hops.filter(F.col("nxt").isNull() & (F.col("state") != "CONV")).select(
+            F.col("state").alias("src"), F.lit("NULL").alias("dst")
+        )
+    )
+    counts = edges.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("tot"))
+    trans = (
+        counts.join(F.broadcast(totals), "src")
+        .select("src", "dst", F.expr("(n * 1000000) div tot").alias("p_ppm"))
+    )
+    # The transition matrix is |states|^2 rows REGARDLESS of corpus
+    # size — the distributed phase ends here. Solving the chain is
+    # O(|states|^2 * HORIZON) integer math on a corpus-independent
+    # input, so it runs driver-side (40 tiny join-agg stages measured
+    # 12.5s of pure scheduler overhead; this is not a driver-side
+    # corpus loop). The arithmetic is the oracle's, bit for bit.
+    t_rows = [(r.src, r.dst, r.p_ppm) for r in trans.collect()]
+    states = sorted({s for s, _, _ in t_rows})
+
+    def converge(removed):
+        v = {s: 0 for s in states}
+        for _ in range(E22_HORIZON):
+            nv = {}
+            for s in states:
+                acc = 0
+                for src_s, dst, p in t_rows:
+                    if src_s != s:
+                        continue
+                    p_eff = 0 if dst == removed else p
+                    val = (
+                        1_000_000 if dst == "CONV"
+                        else 0 if dst == "NULL"
+                        else v.get(dst, 0)
+                    )
+                    acc += p_eff * val
+                nv[s] = acc // 1_000_000
+            v = nv
+        return v["START"]
+
+    base = converge(None)
+    effects = [(c, base, converge(c)) for c in E22_CHANNELS]
+    eff_tot = max(sum(b - r for _, b, r in effects), 1)
+    out_rows = [
+        (c, b, r, b - r, ((b - r) * 1000) // eff_tot) for c, b, r in effects
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, base_conv_ppm long, removed_conv_ppm long,"
+        " removal_effect_ppm long, attribution_milli long",
+    )

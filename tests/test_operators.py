@@ -1317,3 +1317,29 @@ def test_mmr_diversifies_vs_pure_relevance(spark, registry):
         assert len(set(ids)) == len(ids)
         scores = [r.mmr_score for r in rows]
         assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
+
+
+def test_markov_attribution_invariants(spark, registry):
+    """e22: the event-type enum must match the hardcoded channel list
+    (fixture-drift guard — a change here must surface readably, not as
+    an oracle hash mismatch); removal can only LOSE conversion mass;
+    attribution shares must sum to ~1000 milli."""
+    from pyspark.sql import functions as F
+
+    queries, _ = registry
+    from seamdb_spark.operators.events import E22_CHANNELS, E22_CONV, _events
+
+    observed = {
+        r.event_type
+        for r in _events(spark, SF_SMOKE).select("event_type").distinct().collect()
+    }
+    assert observed == set(E22_CHANNELS) | {E22_CONV}
+    rows = queries["e22_markov_attribution"](spark, SF_SMOKE).collect()
+    assert {r.channel for r in rows} == set(E22_CHANNELS)
+    base = {r.base_conv_ppm for r in rows}
+    assert len(base) == 1 and base.pop() > 0
+    for r in rows:
+        assert 0 <= r.removed_conv_ppm <= r.base_conv_ppm
+        assert r.removal_effect_ppm == r.base_conv_ppm - r.removed_conv_ppm
+    total_milli = sum(r.attribution_milli for r in rows)
+    assert 1000 - len(rows) <= total_milli <= 1000
