@@ -2255,3 +2255,60 @@ def d23_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n_in_train") == F.col("n_shingles")).alias("fully_contained"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d24: frequency-aware downsampling — the SOFT alternative to hard
+# dedup (keep one copy, drop the rest): every duplicate-group member
+# survives with probability 1/n_copies, so the EXPECTED number of
+# surviving copies per distinct text is exactly one while the choice
+# stays independent per document (the "downweight duplicates instead
+# of deleting them" recipe used when exact dedup is too destructive).
+# The coin is the deterministic md5-derived key of the doc_id (t08/t21
+# precedent), so the sample is reproducible and oracle-replayable.
+#
+# Scale: one hash-groupBy for copy counts (d01's shuffle), one
+# broadcast-size-safe join back on the 128-bit content key, then a
+# row-local keep decision — no new shuffle shape.
+# --------------------------------------------------------------------------
+@register(
+    "d24_frequency_downsample",
+    oracle=f"""
+    WITH copies AS (
+      SELECT md5(lower(trim(text))) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.doc_id, c.n_copies,
+             (1000000 // c.n_copies) AS keep_ppm,
+             {md5_prefix_long_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000
+               AS coin_ppm
+      FROM documents d JOIN copies c ON md5(lower(trim(d.text))) = c.h
+    )
+    SELECT doc_id, n_copies, CAST(keep_ppm AS BIGINT) AS keep_ppm,
+           CAST(coin_ppm AS BIGINT) AS coin_ppm,
+           coin_ppm < keep_ppm AS kept
+    FROM scored
+    """,
+)
+def d24_frequency_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    copies = docs.groupBy(h.alias("h")).agg(F.count("*").alias("n_copies"))
+    scored = (
+        docs.select("doc_id", h.alias("h"))
+        .join(copies, "h")
+        .select(
+            "doc_id",
+            "n_copies",
+            F.expr("1000000 div n_copies").alias("keep_ppm"),
+            (md5_prefix_long(F.col("doc_id").cast("string")) % 1_000_000).alias(
+                "coin_ppm"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_copies", "keep_ppm", "coin_ppm",
+        (F.col("coin_ppm") < F.col("keep_ppm")).alias("kept"),
+    )

@@ -1343,3 +1343,32 @@ def test_markov_attribution_invariants(spark, registry):
         assert r.removal_effect_ppm == r.base_conv_ppm - r.removed_conv_ppm
     total_milli = sum(r.attribution_milli for r in rows)
     assert 1000 - len(rows) <= total_milli <= 1000
+
+
+def test_frequency_downsample_replay_and_expectation(spark, registry):
+    """d24: replay the keep decision in pure Python (md5 coin, integer
+    keep threshold); unique docs must always be kept (keep_ppm = 1e6);
+    duplicate groups must keep roughly one expected copy."""
+    import hashlib
+
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import _docs
+
+    texts = {
+        r.doc_id: r.text for r in _docs(spark, SF_SMOKE).collect()
+    }
+    groups = {}
+    for d, t in texts.items():
+        groups.setdefault(hashlib.md5(t.strip().lower().encode()).hexdigest(), []).append(d)
+    rows = {r.doc_id: r for r in queries["d24_frequency_downsample"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(texts)
+    for h, members in groups.items():
+        for d in members:
+            r = rows[d]
+            assert r.n_copies == len(members)
+            assert r.keep_ppm == 1_000_000 // len(members)
+            coin = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1_000_000
+            assert r.coin_ppm == coin
+            assert r.kept == (coin < r.keep_ppm)
+            if len(members) == 1:
+                assert r.kept  # coin < 1e6 always
