@@ -110,11 +110,21 @@ _R3_WINDOW = [
 # (d) slots 21-50: the 30 OLDEST r1 greens (no driver row since round
 #     1, two-plus rounds of code churn ago), registration order.
 #
-# ROUND-5 PROCEDURE: after CORRECTNESS_r04 lands, pin (a) queries
-# registered after _R4_WINDOW froze and (b) any query whose plan or
-# oracle changes in round 5, then fill to 50 oldest-green-first: the
-# 18 remaining r1 greens (q11/q12/q13 + the q14-q29 block), then the
-# r2 greens in _R2_GREEN order, then _R3_WINDOW, then _R4_WINDOW.
+# ROUND-5 PROCEDURE: after CORRECTNESS_r04 lands, pin (a) the 19
+# queries registered after _R4_WINDOW froze (all locally hash-green at
+# sf0.001/0.01 — most also spot-checked at sf0.1):
+#   d20_cdc_chunk_dedup, d21_editdist_verified_neardup,
+#   d22_cosine_tfidf_neardup, d23_eval_contamination_report,
+#   d24_frequency_downsample, t27_dsir_importance,
+#   t28_temperature_sampling, g02_triangle_count,
+#   m12_bmp_channel_stats, m13_silence_runs, m14_modality_router,
+#   e19_interarrival_profile, e20_cooccurrence_lift, e21_sax_motifs,
+#   e22_markov_attribution, q61_order_streaks, p04_selection_pipeline,
+#   s14_ann_recall_audit, s15_mmr_diversified_topk
+# plus (b) any query whose plan or oracle changes in round 5, then
+# fill to 50 oldest-green-first: the 18 remaining r1 greens (q11/q12/
+# q13 + the q14-q29 block), then the r2 greens in _R2_GREEN order,
+# then _R3_WINDOW, then _R4_WINDOW.
 _R4_WINDOW = [
     # (a) rowless after r3 freeze
     "e18_session_duration_bands", "q60_column_profile", "m10_wav_resample",
