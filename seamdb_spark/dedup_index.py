@@ -44,16 +44,34 @@ def band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, band_id, band_key) LSH band rows for each document —
     the same deterministic banding as d02 (hashing.py constants), on an
     arbitrary (id, text) DataFrame."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(
-            F.expr(
-                f"flatten(transform(array(split({text_col}, ' ')),"
-                " toks -> transform(sequence(0, size(toks) - 3),"
-                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"
-            )
-        ).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    # Docs with <3 tokens produce no 3-shingles (matches d02's
+    # _SHINGLES_SQL `WHERE len >= 3`), and the expression must be TOTAL
+    # — safe on short docs regardless of filter placement: a bare
+    # sequence(0, size - 3) auto-descends for size < 3 (ANSI-mode index
+    # error, or silent 1/2-gram pseudo-shingles with ANSI off), and
+    # Catalyst merges/reorders filters (InferFiltersFromGenerate +
+    # CombineFilters evaluate the downstream generate guard before a
+    # preceding size filter), so index positions are clamped inside the
+    # expression: sequence(0, size-1) is always ascending, and the
+    # i <= size-3 filter empties it for short docs.
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform("
+                    " filter(sequence(0, size(toks) - 1),"
+                    "        i -> i <= size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
     hashed = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", md5_prefix_long(F.col("s")).alias("h")
     )

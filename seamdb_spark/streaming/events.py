@@ -547,8 +547,13 @@ def interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         last, n, mn, mx, sm, s1, s2 = (
             state.get if state.exists else (None, 0, None, None, 0, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        # One group's batch may arrive as MULTIPLE Arrow chunks with no
+        # cross-chunk ordering guarantee — concatenate first, then sort
+        # ONCE, so gaps never fold across chunk boundaries out of time
+        # order (per-chunk sorting would).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
             for ts_us in pdf["ts_us"]:
                 ts_us = int(ts_us)
                 if last is not None:

@@ -39,6 +39,18 @@ def _full_bands(engine):
     }
 
 
+def test_short_docs_are_skipped_not_crashed(engine):
+    """Docs with <3 tokens yield no 3-shingles, so band_rows must skip
+    them (matching d02's `WHERE len >= 3` oracle) — NOT raise under
+    Spark 4 ANSI mode (sequence(0, -2) auto-descends, so an unguarded
+    toks[i+2] would error) and NOT emit 1/2-gram pseudo-shingles."""
+    idx = _setup(engine)
+    _insert(engine, ["solo", "two tokens", "three proper tokens here"])
+    out = idx.refresh()
+    assert out["mode"] == "incremental" and out["n_new_docs"] == 1
+    assert {r.doc_id for r in idx.index().collect()} == {3}
+
+
 def test_incremental_index_equals_full_rebanding(engine):
     idx = _setup(engine)
     _insert(engine, _BATCH1)

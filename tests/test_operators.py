@@ -30,6 +30,31 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_documents_fixture_contract(spark):
+    """Pin the fixture properties several text operators assume, so a
+    future testdata change surfaces HERE readably instead of as an
+    opaque ANSI index error or oracle hash mismatch:
+    - every doc has >= 3 whitespace tokens (the shingling expressions
+      use sequence(0, size-k) for k <= 3, which auto-DESCENDS on
+      shorter docs — an ANSI-mode error; general APIs like
+      dedup_index.band_rows and d20 clamp, fixture-bound operators
+      rely on this floor);
+    - text is ASCII (d21: Spark levenshtein counts codepoints, DuckDB
+      counts bytes)."""
+    from pyspark.sql import functions as F
+
+    from seamdb_spark.operators.dedup import _docs
+
+    r = _docs(spark, SF_SMOKE).agg(
+        F.min(F.size(F.split("text", " "))).alias("min_toks"),
+        F.max(
+            (F.length(F.col("text")) != F.octet_length(F.col("text"))).cast("int")
+        ).alias("non_ascii"),
+    ).collect()[0]
+    assert r.min_toks >= 3, f"shortest doc has {r.min_toks} tokens"
+    assert r.non_ascii == 0, "documents fixture contains non-ASCII text"
+
+
 def test_lsh_recall_vs_bruteforce(spark, registry):
     queries, _ = registry
     exact = {
@@ -745,6 +770,13 @@ def test_editdist_verify_matches_reference_dp(spark, registry):
     rows = queries["d21_editdist_verified_neardup"](spark, SF_SMOKE).collect()
     assert rows, "fixture should contain edit-similar near-dup pairs"
     texts = {r.doc_id: r.text for r in _docs(spark, SF_SMOKE).collect()}
+    # d21's engine/oracle parity assumes ASCII: Spark's levenshtein is
+    # codepoint-based, DuckDB's is byte-based. A fixture change that
+    # introduces non-ASCII must surface HERE, readably, not as an
+    # opaque hash mismatch in the driver gate.
+    assert all(t.isascii() for t in texts.values()), (
+        "d21 requires an ASCII fixture (codepoint-vs-byte levenshtein)"
+    )
 
     def lev(a: str, b: str) -> int:
         prev = list(range(len(b) + 1))
@@ -1113,7 +1145,8 @@ def test_cosine_neardup_recall_and_exactness(spark, registry):
         assert abs(r.cosine_sim - cos(r.doc_a, r.doc_b)) < 1e-5
         assert r.n_common == len(tsets[r.doc_a] & tsets[r.doc_b])
     recall = len(got & truth) / len(truth)
-    # prefix-K candidate generation measures 1.0 on the fixture
+    # df-capped inverted-index candidate generation (Bayardo-style
+    # rare-term pruning) measures 1.0 on the fixture
     assert recall >= 0.9, f"d22 candidate recall {recall:.2f}"
 
 
@@ -1179,7 +1212,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "d12_duplicated_spans": 3,
         "d15_bloom_prefilter": 5,
         "d20_cdc_chunk_dedup": 2,
-        "d22_cosine_tfidf_neardup": 38,
+        # round 5: term/df pipeline memoized via materialize.py — the
+        # four consumers read one checkpointed artifact (was 38).
+        "d22_cosine_tfidf_neardup": 8,
         "d23_eval_contamination_report": 5,
         "t27_dsir_importance": 7,
         "e19_interarrival_profile": 1,
