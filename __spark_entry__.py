@@ -152,9 +152,52 @@ _R4_WINDOW = [
 ]
 
 
+# Round-5 window, built per the ROUND-5 PROCEDURE above:
+# (a) slots 1-19: the queries registered after _R4_WINDOW froze (all
+#     19 locally hash-green, no driver row yet) — driver-green 182/182
+#     becomes true when these land;
+# (b) next: queries whose PLAN changed in round 5 (d20's CDC boundary
+#     clamp; d22's memoized term pipeline) and queries registered in
+#     round 5 itself — inserted here as they land;
+# (c) fill to 50 oldest-green-first: the 18 r1 greens with no driver
+#     row since round 1 (q11-q29 block), then _R2_GREEN order.
+#
+# ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) any queries
+# registered after _R5_WINDOW froze plus any whose plan/oracle changes
+# in round 6, then fill to 50 oldest-green-first: the r2 greens not in
+# _R5_WINDOW (from "q30_topk_per_group" onward in _R2_GREEN order),
+# then _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW.
+_R5_WINDOW = [
+    # (a) rowless after r4 freeze — locally hash-green only
+    "d20_cdc_chunk_dedup", "d21_editdist_verified_neardup",
+    "d22_cosine_tfidf_neardup", "d23_eval_contamination_report",
+    "d24_frequency_downsample", "t27_dsir_importance",
+    "t28_temperature_sampling", "g02_triangle_count",
+    "m12_bmp_channel_stats", "m13_silence_runs", "m14_modality_router",
+    "e19_interarrival_profile", "e20_cooccurrence_lift", "e21_sax_motifs",
+    "e22_markov_attribution", "q61_order_streaks", "p04_selection_pipeline",
+    "s14_ann_recall_audit", "s15_mmr_diversified_topk",
+    # (b) registered in round 5
+    "s16_hnsw_layered_search", "t29_hashed_classifier_score",
+    "d25_paragraph_neardup",
+    # (c) oldest-green-first fill: 18 r1 greens without a row since r1
+    "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
+    "q14_rollup", "q15_cube", "q16_grouping_sets", "q17_window_rank",
+    "q18_window_running", "q19_window_range_frame", "q20_set_operations",
+    "q21_scalar_subquery", "q22_correlated_subquery", "q23_cte_max_revenue",
+    "q24_string_functions", "q26_datetime_functions",
+    "q27_date_diff_interval", "q28_case_cast", "q29_distinct",
+    # (c) then r2 greens in _R2_GREEN order
+    "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
+    "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
+    "e09_conversion_lag", "m02_media_features", "m04_image_resize",
+    "q25_math_functions",
+]
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R4_WINDOW if n in names]
+    window = [n for n in _R5_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 

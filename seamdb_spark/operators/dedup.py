@@ -285,8 +285,9 @@ def d21_editdist_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     # ASCII assumption: Spark's levenshtein counts UTF-8 CODEPOINT
     # edits while DuckDB's counts BYTE edits, and both sides normalize
     # by length() — so engine and oracle agree only while the fixture
-    # text is ASCII (asserted in tests/test_pipeline_ops.py). Non-ASCII
-    # corpora need a codepoint-consistent oracle before reuse.
+    # text is ASCII (asserted in tests/test_operators.py::
+    # test_documents_fixture_contract). Non-ASCII corpora need a
+    # codepoint-consistent oracle before reuse.
     cand = _lsh_candidate_pairs(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "text", F.length("text").alias("n"))
     a = docs.select(
@@ -2328,4 +2329,262 @@ def d24_frequency_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_copies", "keep_ppm", "coin_ppm",
         (F.col("coin_ppm") < F.col("keep_ppm")).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# d25: paragraph-granularity near-dup — the gap between d12/d19 (exact
+# repeated spans) and d17 (whole-doc semantic): a doc can be globally
+# novel while individual PARAGRAPHS are lifted near-verbatim from other
+# docs (template reuse, quoted boilerplate, syndicated passages).
+# Composition a curation pipeline actually ships: chunk via t17's
+# slice machinery (stride = chunk size → non-overlapping windows, so
+# token accounting stays exact — the d16 mask discipline), push the
+# CHUNKS through the d02 MinHash-band kernel (same hash constants,
+# same band layout), verify candidate chunk pairs by shingle Jaccard,
+# and roll up per doc: how many of its paragraphs have a cross-doc
+# near-dup, and what token fraction that contaminates.
+#
+# Scale (100 TB): chunks multiply rows ~n/32-fold but every stage
+# stays the d02 shape — banding equi-join on (band_id, band_key)
+# yields CANDIDATES only (never all-pairs across chunks), the verify
+# join touches candidates, and the rollup is one doc_id-keyed agg.
+# Cross-doc filter (doc_a < doc_b) also kills the trivial self-matches
+# of overlapping windows — another reason the windows don't overlap.
+# The chunk-shingle table feeds three consumers (sigs, both verify
+# sides) and is session-materialized like d22's term pipeline.
+# --------------------------------------------------------------------------
+D25_CHUNK = 32
+D25_JACCARD = 0.6
+# Composite chunk key for the band self-join: cid = doc_id * 10^5 + k.
+# Sound while docs stay under 10^5 chunks = 3.2M tokens (documented
+# bound; the fixture max is 4 chunks) and doc_id < 9.2e13.
+D25_CID_MOD = 100_000
+
+
+def _d25_oracle() -> str:
+    h = md5_prefix_long_sql("sh")
+    mh_exprs = ",\n             ".join(
+        f"MIN({minhash_value_sql('h', a, b)}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_rows = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        cols = " || '-' || ".join(
+            f"CAST(mh{j} AS VARCHAR)" for j in range(lo, lo + ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, chunk_id, {band} AS band_id, {cols} AS band_key"
+            " FROM sigs"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_rows)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, n,
+             UNNEST(generate_series(0,
+               CAST(CEIL(GREATEST(n - {D25_CHUNK}, 0) / {D25_CHUNK}.0)
+                    AS BIGINT))) AS k
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, k AS chunk_id, n,
+             list_slice(t, k * {D25_CHUNK} + 1,
+                        k * {D25_CHUNK} + {D25_CHUNK}) AS ct
+      FROM idx
+    ),
+    csh AS (
+      SELECT doc_id, chunk_id,
+             list_distinct(list_transform(range(1, len(ct) - 1),
+               i -> concat_ws(' ', ct[i], ct[i+1], ct[i+2]))) AS shingles
+      FROM chunks
+      WHERE len(ct) >= 3
+    ),
+    exploded AS (
+      SELECT doc_id, chunk_id, unnest(shingles) AS sh FROM csh
+    ),
+    hashed AS (
+      SELECT doc_id, chunk_id, {h} AS h FROM exploded
+    ),
+    sigs AS (
+      SELECT doc_id, chunk_id, {mh_exprs}
+      FROM hashed GROUP BY doc_id, chunk_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS da, b1.chunk_id AS ca,
+                      b2.doc_id AS db, b2.chunk_id AS cb
+      FROM bands b1 JOIN bands b2
+        ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+       AND b1.doc_id < b2.doc_id
+    ),
+    verified AS (
+      SELECT c.da, c.ca, c.db, c.cb
+      FROM cand c
+      JOIN csh a ON c.da = a.doc_id AND c.ca = a.chunk_id
+      JOIN csh b ON c.db = b.doc_id AND c.cb = b.chunk_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= {D25_JACCARD}
+    ),
+    dup_chunks AS (
+      SELECT DISTINCT doc_id, chunk_id FROM (
+        SELECT da AS doc_id, ca AS chunk_id FROM verified
+        UNION ALL
+        SELECT db AS doc_id, cb AS chunk_id FROM verified
+      )
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE d.chunk_id IS NOT NULL) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(ANY_VALUE(c.n) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(len(c.ct))
+                         FILTER (WHERE d.chunk_id IS NOT NULL), 0) AS BIGINT)
+             AS dup_tokens,
+           CAST((1000 * COALESCE(SUM(len(c.ct))
+                                 FILTER (WHERE d.chunk_id IS NOT NULL), 0))
+                // ANY_VALUE(c.n) AS BIGINT) AS dup_ratio_milli
+    FROM chunks c
+    LEFT JOIN dup_chunks d
+      ON c.doc_id = d.doc_id AND c.chunk_id = d.chunk_id
+    GROUP BY c.doc_id
+    """
+
+
+@register("d25_paragraph_neardup", oracle=_d25_oracle())
+def d25_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_extra = F.ceil(
+        F.greatest(F.col("n") - D25_CHUNK, F.lit(0)) / F.lit(float(D25_CHUNK))
+    ).cast("long")
+    piece = F.slice(
+        F.col("t"), (F.col("chunk_id") * D25_CHUNK + 1).cast("int"), D25_CHUNK
+    )
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("chunk_id"),
+    ).select("doc_id", "chunk_id", "n", piece.alias("ct"))
+
+    def _build_chunk_shingles() -> DataFrame:
+        # Shingle positions are clamped inside the expression (the
+        # band_rows discipline): ct is bound as a column, the filtered
+        # ascending sequence never indexes past len(ct).
+        return (
+            chunks.filter(F.size("ct") >= 3)
+            .select(
+                "doc_id",
+                "chunk_id",
+                F.array_distinct(
+                    F.expr(
+                        "transform("
+                        " filter(sequence(0, size(ct) - 1),"
+                        "        i -> i <= size(ct) - 3),"
+                        " i -> concat_ws(' ', ct[i], ct[i+1], ct[i+2]))"
+                    )
+                ).alias("shingles"),
+            )
+        )
+
+    csh = _materialized(spark, sf_dir, "d25_chunk_shingles", _build_chunk_shingles)
+    hashed = csh.select(
+        "doc_id", "chunk_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", "chunk_id", md5_prefix_long(F.col("sh")).alias("h"))
+    sigs = hashed.groupBy("doc_id", "chunk_id").agg(
+        *[
+            F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    band_structs = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        key = F.concat_ws(
+            "-",
+            *[F.col(f"mh{j}").cast("string") for j in range(lo, lo + ROWS_PER_BAND)],
+        )
+        band_structs.append(
+            F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
+        )
+    bands = (
+        sigs.select(
+            "doc_id", "chunk_id", F.explode(F.array(*band_structs)).alias("b")
+        )
+        .select("doc_id", "chunk_id", "b.band_id", "b.band_key")
+        # Same AQE-coalesce guard as _lsh_candidate_pairs: keep the
+        # bucket self-join parallel.
+        .repartition(64, "band_id", "band_key")
+    )
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.band_key") == F.col("b2.band_key"))
+            # cross-doc only: paragraph contamination means ANOTHER doc
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("da"), F.col("b1.chunk_id").alias("ca"),
+            F.col("b2.doc_id").alias("db"), F.col("b2.chunk_id").alias("cb"),
+        )
+        .distinct()
+    )
+    a = csh.select(
+        F.col("doc_id").alias("da"), F.col("chunk_id").alias("ca"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = csh.select(
+        F.col("doc_id").alias("db"), F.col("chunk_id").alias("cb"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        cand.join(a, ["da", "ca"])
+        .join(b, ["db", "cb"])
+        .filter(inter.cast("double") / union >= D25_JACCARD)
+        .select("da", "ca", "db", "cb")
+    )
+    dup_chunks = (
+        verified.select(F.col("da").alias("doc_id"), F.col("ca").alias("chunk_id"))
+        .unionAll(
+            verified.select(
+                F.col("db").alias("doc_id"), F.col("cb").alias("chunk_id")
+            )
+        )
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    is_dup = F.col("is_dup").isNotNull()
+    return (
+        chunks.join(dup_chunks, ["doc_id", "chunk_id"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(is_dup, 1)).alias("n_dup_chunks"),
+            F.any_value("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum(F.when(is_dup, F.size("ct"))), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.expr(
+                "CAST((1000 * coalesce(sum(CASE WHEN is_dup IS NOT NULL"
+                " THEN size(ct) END), 0)) div any_value(n) AS BIGINT)"
+            ).alias("dup_ratio_milli"),
+        )
     )

@@ -163,6 +163,13 @@ def e03_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boolean: the oracle asserts TRUE, so the driver's hash gate fails iff
 # the sketch drifts out of its accuracy envelope (HLL++ rsd=0.05 default;
 # 0.15 is a generous 3-sigma bound asserted in pytest too).
+#
+# Diagnosable failure path: a hash mismatch on one of these bools says
+# only "FALSE != TRUE". tests/test_operators.py::
+# test_sketch_tolerance_rederivation re-derives every estimate (x01/
+# x03/x06; x09 has its own twin test) with the same expressions and
+# tolerances and asserts with the actual margins, so a Spark sketch
+# implementation change fails there readably before the driver gate.
 # --------------------------------------------------------------------------
 APPROX_DISTINCT_RTOL = 0.15
 

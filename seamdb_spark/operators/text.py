@@ -1879,3 +1879,130 @@ def t28_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boost_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t29: hashed linear-classifier quality scoring — the fastText-style
+# model-based filter stage (Joulin et al. 2016 hashing-trick linear
+# classifier; the quality-classifier stage of GPT-3/LLaMA-style
+# curation pipelines) that sits between t20's hard rules and t27's
+# DSIR resampling. Unlike t27 (corpus-vs-target contrast on the FULL
+# corpus), t29 follows the supervised discipline: a deterministic
+# labeled subset (t08's hash-mod split machinery — doc_id md5 bucket
+# < 20) trains per-bucket weights w[b] = smoothed positive-rate ppm −
+# negative-rate ppm over hashed unigram features (label: lang = 'en',
+# the t27 target domain); EVERY doc — labeled or not — is then scored
+# by the broadcast weight table. score = Σ w[hash(tok) % B] is the
+# linear logit; the published σ(·) is omitted as it is monotone (same
+# ordering/threshold) and libm-exp is not bit-stable across engines —
+# the t16/t26/t27 all-integer determinism discipline.
+#
+# Scale (100 TB): the weight table is exactly T29_BUCKETS rows
+# whatever the corpus size — label counts aggregate with map-side
+# combine over the labeled slice only, the weights broadcast, and
+# scoring is one doc_id-keyed aggregation. Nothing corpus-sized ever
+# shuffles except into that single bounded agg, and training cost
+# scales with the labeled fraction, not the corpus.
+# --------------------------------------------------------------------------
+T29_BUCKETS = 512
+T29_LABELED_PCT = 20
+T29_POS_LANG = "en"
+
+
+@register(
+    "t29_hashed_classifier_score",
+    oracle=f"""
+    WITH flat AS (
+      SELECT doc_id, lang,
+             {md5_prefix_long_sql("CAST(doc_id AS VARCHAR)")} % 100
+               < {T29_LABELED_PCT} AS is_labeled,
+             {md5_prefix_long_sql("tok")} % {T29_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      )
+    ),
+    pos_c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_p FROM flat
+              WHERE is_labeled AND lang = '{T29_POS_LANG}' GROUP BY bucket),
+    neg_c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_n FROM flat
+              WHERE is_labeled AND lang <> '{T29_POS_LANG}' GROUP BY bucket),
+    totals AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE lang = '{T29_POS_LANG}') AS BIGINT) AS p_tot,
+             CAST(COUNT(*) FILTER (WHERE lang <> '{T29_POS_LANG}') AS BIGINT) AS n_tot
+      FROM flat WHERE is_labeled
+    ),
+    buckets AS (SELECT unnest(range(0, {T29_BUCKETS})) AS bucket),
+    weights AS (
+      SELECT b.bucket,
+             ((COALESCE(p.c_p, 0) + 1) * 1000000) // (t.p_tot + {T29_BUCKETS})
+             - ((COALESCE(n.c_n, 0) + 1) * 1000000) // (t.n_tot + {T29_BUCKETS}) AS w
+      FROM buckets b
+      LEFT JOIN pos_c p ON b.bucket = p.bucket
+      LEFT JOIN neg_c n ON b.bucket = n.bucket
+      CROSS JOIN totals t
+    )
+    SELECT f.doc_id,
+           ANY_VALUE(f.lang) AS lang,
+           ANY_VALUE(f.is_labeled) AS is_labeled,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.w) AS BIGINT) AS score,
+           ROUND(CAST(SUM(w.w) AS BIGINT) * 1.0 / COUNT(*), 2) AS mean_score,
+           CAST(SUM(w.w) AS BIGINT) > 0 AS predicted_pos
+    FROM flat f JOIN weights w ON f.bucket = w.bucket
+    GROUP BY f.doc_id
+    """,
+)
+def t29_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    flat = docs.select(
+        "doc_id",
+        "lang",
+        (
+            md5_prefix_long(F.col("doc_id").cast("string")) % 100
+            < T29_LABELED_PCT
+        ).alias("is_labeled"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id", "lang", "is_labeled",
+        (md5_prefix_long(F.col("tok")) % T29_BUCKETS).alias("bucket"),
+    )
+    labeled = flat.filter("is_labeled")
+    is_pos = F.col("lang") == T29_POS_LANG
+    pos_c = labeled.filter(is_pos).groupBy("bucket").agg(F.count("*").alias("c_p"))
+    neg_c = labeled.filter(~is_pos).groupBy("bucket").agg(F.count("*").alias("c_n"))
+    totals = labeled.agg(
+        F.count(F.when(is_pos, 1)).alias("p_tot"),
+        F.count(F.when(~is_pos, 1)).alias("n_tot"),
+    )
+    # Dense bucket spine: a feature bucket unseen in the labeled slice
+    # still carries the smoothing-only prior weight, exactly as a
+    # trained hashing-trick model has a weight for every slot.
+    buckets = spark.range(T29_BUCKETS).select(F.col("id").alias("bucket"))
+    weights = (
+        buckets.join(pos_c, "bucket", "left")
+        .join(neg_c, "bucket", "left")
+        .join(F.broadcast(totals))  # 1-row totals
+        .select(
+            "bucket",
+            (
+                F.expr(
+                    f"((coalesce(c_p, 0) + 1) * 1000000) div (p_tot + {T29_BUCKETS})"
+                )
+                - F.expr(
+                    f"((coalesce(c_n, 0) + 1) * 1000000) div (n_tot + {T29_BUCKETS})"
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        flat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.any_value("is_labeled").alias("is_labeled"),
+            F.count("*").alias("n_tokens"),
+            F.sum("w").alias("score"),
+            dround(F.sum("w") * F.lit(1.0) / F.count("*"), 2).alias("mean_score"),
+            (F.sum("w") > 0).alias("predicted_pos"),
+        )
+    )

@@ -84,6 +84,66 @@ def test_percentile_approx_accuracy(spark, registry):
         assert r.approx_ok, f"{r.event_type}: approx median outside tolerance"
 
 
+def test_sketch_tolerance_rederivation(spark):
+    """Diagnosable failure path for the x01/x03/x06 tolerance bools
+    (the x09 twin is test_sketch_intersection_within_tolerance): the
+    oracles pin approx_ok/merged_ok TRUE, so a Spark HLL++/KLL
+    implementation change would surface in the driver gate only as an
+    opaque hash mismatch. This test re-derives every estimate with the
+    SAME expressions and tolerances the operators embed and asserts
+    with the actual margins in the message, so sketch drift fails HERE
+    readably first."""
+    from pyspark.sql import functions as F
+
+    from seamdb_spark.operators.events import APPROX_DISTINCT_RTOL, _events
+
+    ev = _events(spark, SF_SMOKE)
+    # x01: per-type HLL vs exact distinct (rsd default 0.05, bound 0.15)
+    for r in (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id").alias("est"),
+        )
+        .collect()
+    ):
+        rel = abs(r.est - r.exact) / max(r.exact, 1)
+        assert rel < APPROX_DISTINCT_RTOL, (
+            f"x01 {r.event_type}: HLL est {r.est} vs exact {r.exact} "
+            f"(rel err {rel:.4f} >= {APPROX_DISTINCT_RTOL})"
+        )
+    # x03: KLL-style approx median vs exact (max(5% rel, 1.0 abs))
+    for r in (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("exact"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("est"),
+        )
+        .collect()
+    ):
+        margin = max(abs(r.exact) * 0.05, 1.0)
+        assert abs(r.est - r.exact) < margin, (
+            f"x03 {r.event_type}: approx median {r.est} vs exact "
+            f"{r.exact} (|diff| {abs(r.est - r.exact):.4f} >= {margin:.4f})"
+        )
+    # x06: hourly-HLL union-merge vs exact distinct (same 0.15 bound)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = hourly.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    for r in merged.join(exact, "event_type").collect():
+        rel = abs(r.est - r.exact) / max(r.exact, 1)
+        assert rel < APPROX_DISTINCT_RTOL, (
+            f"x06 {r.event_type}: merged HLL est {r.est} vs exact "
+            f"{r.exact} (rel err {rel:.4f} >= {APPROX_DISTINCT_RTOL})"
+        )
+
+
 def test_media_features_deterministic(spark, registry):
     queries, _ = registry
     a = sorted(queries["m02_media_features"](spark, SF_SMOKE).collect())
@@ -844,6 +904,110 @@ def test_dsir_importance_matches_reference_impl(spark, registry):
         assert r.score == expect, (r.doc_id, r.score, expect)
         assert r.n_bigrams == len(feats[r.doc_id])
         assert r.selected == (r.score > 0)
+
+
+def test_hashed_classifier_matches_reference_impl(spark, registry):
+    """t29: recompute every doc's classifier score from first
+    principles in pure Python — t08-style md5 doc split, md5-bucketed
+    unigrams, weights trained on the LABELED slice only with Laplace
+    ppm smoothing — and compare exactly (the t27 replay discipline).
+    Also checks the supervised split boundary: weights must derive
+    from labeled docs only, which the replay enforces by construction."""
+    import hashlib
+
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import _docs
+    from seamdb_spark.operators.text import (
+        T29_BUCKETS,
+        T29_LABELED_PCT,
+        T29_POS_LANG,
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = [
+        (r.doc_id, r.lang, r.text.split(" "))
+        for r in _docs(spark, SF_SMOKE).collect()
+    ]
+    labeled = {d for d, _, _ in docs if h(str(d)) % 100 < T29_LABELED_PCT}
+    assert labeled and len(labeled) < len(docs), "split must be proper"
+    feats = {d: [h(t) % T29_BUCKETS for t in toks] for d, _, toks in docs}
+    langs = {d: lang for d, lang, _ in docs}
+    pos_c, neg_c = {}, {}
+    p_tot = n_tot = 0
+    for d in labeled:
+        for b in feats[d]:
+            if langs[d] == T29_POS_LANG:
+                pos_c[b] = pos_c.get(b, 0) + 1
+                p_tot += 1
+            else:
+                neg_c[b] = neg_c.get(b, 0) + 1
+                n_tot += 1
+    w = {
+        b: ((pos_c.get(b, 0) + 1) * 1000000) // (p_tot + T29_BUCKETS)
+        - ((neg_c.get(b, 0) + 1) * 1000000) // (n_tot + T29_BUCKETS)
+        for b in range(T29_BUCKETS)
+    }
+    rows = queries["t29_hashed_classifier_score"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        expect = sum(w[b] for b in feats[r.doc_id])
+        assert r.score == expect, (r.doc_id, r.score, expect)
+        assert r.n_tokens == len(feats[r.doc_id])
+        assert r.is_labeled == (r.doc_id in labeled)
+        assert r.predicted_pos == (r.score > 0)
+
+
+def test_paragraph_neardup_vs_bruteforce(spark, registry):
+    """d25: recompute contaminated chunks brute-force in Python (all
+    cross-doc chunk pairs, exact shingle Jaccard) and check (a) zero
+    false positives — every engine-flagged doc count is <= the brute
+    count, with per-chunk flags coming only from truly above-threshold
+    pairs, (b) banding recall >= 0.9 on flagged chunks, (c) the token
+    accounting identities hold on every row."""
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import D25_CHUNK, D25_JACCARD, _docs
+
+    docs = {r.doc_id: r.text.split(" ") for r in _docs(spark, SF_SMOKE).collect()}
+    chunk_sh = {}
+    n_chunks_py = {}
+    for d, toks in docs.items():
+        n_chunks_py[d] = max(1, -(-len(toks) // D25_CHUNK))
+        for k in range(n_chunks_py[d]):
+            ct = toks[k * D25_CHUNK : (k + 1) * D25_CHUNK]
+            if len(ct) >= 3:
+                chunk_sh[(d, k)] = {
+                    " ".join(ct[i : i + 3]) for i in range(len(ct) - 2)
+                }
+    truth_dup = set()
+    keys = sorted(chunk_sh)
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1 :]:
+            if ka[0] == kb[0]:
+                continue
+            sa, sb = chunk_sh[ka], chunk_sh[kb]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= D25_JACCARD:
+                truth_dup.add(ka)
+                truth_dup.add(kb)
+    truth_per_doc = {}
+    for d, _k in truth_dup:
+        truth_per_doc[d] = truth_per_doc.get(d, 0) + 1
+
+    rows = queries["d25_paragraph_neardup"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(docs)
+    got_flagged = sum(r.n_dup_chunks for r in rows)
+    assert truth_dup, "fixture should contain cross-doc near-dup paragraphs"
+    for r in rows:
+        assert r.n_chunks == n_chunks_py[r.doc_id]
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert r.dup_ratio_milli == (1000 * r.dup_tokens) // r.n_tokens
+        # no false positives: banding candidates are a subset of truth
+        assert r.n_dup_chunks <= truth_per_doc.get(r.doc_id, 0), r.doc_id
+    recall = got_flagged / len(truth_dup)
+    assert recall >= 0.9, f"d25 chunk recall {recall:.2f}"
 
 
 def test_triangle_count_matches_bruteforce(spark, registry):
