@@ -747,6 +747,32 @@ def test_beam_search_recall_vs_bruteforce(spark, registry):
     assert recall >= 0.6, f"beam-search recall {recall:.2f} too low"
 
 
+def test_hnsw_layered_recall_vs_bruteforce_and_s13(spark, registry):
+    """s16's descent-found entries must remove s13's entry-point
+    sensitivity, not cost recall: recall vs the exact top-k must be at
+    least s13's on the same fixture (measured 0.87; >= floor 0.6 and
+    >= s13's measured value - small slack)."""
+    queries, _ = registry
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in queries["s01_ann_bruteforce_topk"](spark, SF_SMOKE).collect()
+    }
+
+    def recall(name):
+        got = [
+            (r.probe_id, r.neighbor_id)
+            for r in queries[name](spark, SF_SMOKE).collect()
+        ]
+        return sum(1 for g in got if g in exact) / len(got)
+
+    r13 = recall("s13_graph_beam_search")
+    r16 = recall("s16_hnsw_layered_search")
+    assert r16 >= 0.6, f"s16 recall {r16:.2f} below floor"
+    assert r16 >= r13 - 0.05, (
+        f"s16 descent recall {r16:.2f} worse than s13 fixed-entry {r13:.2f}"
+    )
+
+
 def test_substring_runs_are_maximal_and_real(spark, registry):
     """Every d19 run must (a) satisfy the min-length contract and
     (b) be genuinely duplicated: re-extract the run's token text and
