@@ -1,11 +1,16 @@
-"""Incremental MinHash-LSH index maintenance over engine tables — the
-operational form of d02 for a growing corpus: instead of re-banding
-100 TB per dedup run, ``refresh()`` diffs the source table's snapshot
-manifest against the segments already indexed (the ContinuousRollup
-pattern, rollups.py) and bands ONLY the newly appended files, appending
-their band rows to a persisted index snapshot. Work per refresh is
-O(new documents); near-dup candidate pairs come from an equi-join on
-the maintained index.
+"""Incremental text-index maintenance over engine tables — the
+operational form of the dedup/decontamination operators for a growing
+corpus: instead of re-deriving 100 TB per run, ``refresh()`` diffs the
+source table's snapshot manifest against the segments already indexed
+(the ContinuousRollup pattern, rollups.py) and derives ONLY the newly
+appended files, appending their rows to a persisted index snapshot.
+Work per refresh is O(new documents). Two indexes share the machinery:
+
+- ``IncrementalLSHIndex`` (the d02 kernel): near-dup candidate pairs
+  from an equi-join on maintained band rows;
+- ``IncrementalEvalIndex`` (the d10/d15 kernel): a maintained eval
+  shingle-hash universe whose 8 KiB Bloom bitmap decontaminates any
+  training DataFrame without re-deriving the eval side.
 
 Correctness stance: the index after any refresh equals full re-banding
 of the current snapshot (band rows are per-document and the banding is
@@ -40,21 +45,20 @@ from .operators.hashing import (
 from .snapshots import TableSnapshots
 
 
-def band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, band_id, band_key) LSH band rows for each document —
-    the same deterministic banding as d02 (hashing.py constants), on an
-    arbitrary (id, text) DataFrame."""
-    # Docs with <3 tokens produce no 3-shingles (matches d02's
-    # _SHINGLES_SQL `WHERE len >= 3`), and the expression must be TOTAL
-    # — safe on short docs regardless of filter placement: a bare
-    # sequence(0, size - 3) auto-descends for size < 3 (ANSI-mode index
-    # error, or silent 1/2-gram pseudo-shingles with ANSI off), and
-    # Catalyst merges/reorders filters (InferFiltersFromGenerate +
-    # CombineFilters evaluate the downstream generate guard before a
-    # preceding size filter), so index positions are clamped inside the
-    # expression: sequence(0, size-1) is always ascending, and the
-    # i <= size-3 filter empties it for short docs.
-    sh = (
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, shingles) — distinct 3-word shingles per document, on
+    an arbitrary (id, text) DataFrame; docs with <3 tokens are skipped
+    (matches d02's ``_SHINGLES_SQL WHERE len >= 3``)."""
+    # The expression must be TOTAL — safe on short docs regardless of
+    # filter placement: a bare sequence(0, size - 3) auto-descends for
+    # size < 3 (ANSI-mode index error, or silent 1/2-gram
+    # pseudo-shingles with ANSI off), and Catalyst merges/reorders
+    # filters (InferFiltersFromGenerate + CombineFilters evaluate the
+    # downstream generate guard before a preceding size filter), so
+    # index positions are clamped inside the expression:
+    # sequence(0, size-1) is always ascending, and the i <= size-3
+    # filter empties it for short docs.
+    return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.split(F.col(text_col), " ").alias("toks"),
@@ -72,6 +76,13 @@ def band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .filter(F.size("shingles") > 0)
     )
+
+
+def band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band rows for each document —
+    the same deterministic banding as d02 (hashing.py constants), on an
+    arbitrary (id, text) DataFrame."""
+    sh = shingle_arrays(df, id_col, text_col)
     hashed = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", md5_prefix_long(F.col("s")).alias("h")
     )
@@ -96,9 +107,22 @@ def band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
 
 
-class IncrementalLSHIndex:
-    """Persisted, incrementally-maintained LSH band index of an Engine
-    table's text column."""
+def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, h) — per-doc distinct md5-prefix shingle hashes (the
+    d15 decontamination key), on an arbitrary (id, text) DataFrame."""
+    sh = shingle_arrays(df, id_col, text_col)
+    return sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", md5_prefix_long(F.col("s")).alias("h")
+    )
+
+
+class _IncrementalTextIndex:
+    """Shared manifest-diff machinery for persisted, incrementally-
+    maintained per-document derivations of an Engine table: subclasses
+    define ``_derive(df)`` (rows keyed by ``doc_id``); ``refresh()``
+    derives ONLY newly appended segments and appends to the index
+    snapshot, rebuilding from scratch when indexed segments disappear
+    from the source manifest (compaction rewrote history)."""
 
     def __init__(self, engine, name: str, source: str,
                  id_col: str, text_col: str) -> None:
@@ -113,6 +137,9 @@ class IncrementalLSHIndex:
         self.state = TableSnapshots(os.path.join(base, "state"))
 
     # --------------------------------------------------------- helpers
+    def _derive(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
     def _source_snaps(self) -> TableSnapshots:
         store = self.engine.store
         return TableSnapshots(store.table_dir(self.engine.database, self.source))
@@ -130,26 +157,25 @@ class IncrementalLSHIndex:
 
     def _state_schema(self):
         spark = self.engine.spark
-        return band_rows(
-            spark.createDataFrame([], self._source_schema()),
-            self.id_col, self.text_col,
+        return self._derive(
+            spark.createDataFrame([], self._source_schema())
         ).schema
 
-    def _bands_of(self, files: list[str]) -> DataFrame:
+    def _derive_of(self, files: list[str]) -> DataFrame:
         spark = self.engine.spark
         df = (
             spark.read.schema(self._source_schema()).parquet(*files)
             if files
             else spark.createDataFrame([], self._source_schema())
         )
-        return band_rows(df, self.id_col, self.text_col)
+        return self._derive(df)
 
     # ------------------------------------------------------------- api
     def refresh(self) -> dict:
         """Index newly appended source segments.
 
         Returns {"mode": "incremental"|"rebuild"|"noop",
-                 "files_read": <segments banded this refresh>,
+                 "files_read": <segments derived this refresh>,
                  "n_new_docs": <documents indexed this refresh>}.
         """
         snaps = self._source_snaps()
@@ -161,7 +187,7 @@ class IncrementalLSHIndex:
         new_files = [f for f in current if f not in processed]
 
         if vanished or unsound:
-            full = self._bands_of(current)
+            full = self._derive_of(current)
             self.state.commit(
                 full, mode="overwrite", extra={"processed": current}
             )
@@ -171,14 +197,22 @@ class IncrementalLSHIndex:
         if not new_files:
             return {"mode": "noop", "files_read": 0, "n_new_docs": 0}
 
-        fresh = self._bands_of(new_files)
+        fresh = self._derive_of(new_files)
         self.state.commit(fresh, mode="append", extra={"processed": current})
         n = fresh.select("doc_id").distinct().count()
         return {"mode": "incremental", "files_read": len(new_files), "n_new_docs": n}
 
     def index(self) -> DataFrame:
-        """The current band index (doc_id, band_id, band_key)."""
+        """The current index rows."""
         return self.state.read(self.engine.spark, self._state_schema())
+
+
+class IncrementalLSHIndex(_IncrementalTextIndex):
+    """Persisted, incrementally-maintained LSH band index of an Engine
+    table's text column. ``index()`` rows: (doc_id, band_id, band_key)."""
+
+    def _derive(self, df: DataFrame) -> DataFrame:
+        return band_rows(df, self.id_col, self.text_col)
 
     def candidate_pairs(self) -> DataFrame:
         """All near-dup candidate pairs (doc_a < doc_b) from the index."""
@@ -223,4 +257,98 @@ class IncrementalLSHIndex:
                 F.greatest("nb.doc_id", "ib.doc_id").alias("doc_b"),
             )
             .distinct()
+        )
+
+
+class IncrementalEvalIndex(_IncrementalTextIndex):
+    """Persisted, incrementally-maintained EVAL-SHINGLE index — the
+    operational form of d10/d15 decontamination for a growing eval
+    suite: instead of re-deriving the eval shingle universe per
+    decontamination run, ``refresh()`` shingle-hashes only newly
+    appended eval segments (manifest diff, compaction-safe rebuild —
+    the ``_IncrementalTextIndex`` contract), and ``contaminated()``
+    runs the d15 plan against the MAINTAINED index: the 8 KiB Bloom
+    bitmap is re-packed from index rows (a 1024-row bit_or agg, never
+    a corpus scan) and broadcast as a plan literal so non-candidate
+    training shingles die inside the scan stage; only Bloom survivors
+    reach the exact join against the indexed universe.
+
+    ``index()`` rows: (doc_id, h) — per-doc distinct md5-prefix shingle
+    hashes (the d15 key); the universe is their distinct h set, so
+    append order and cross-batch duplicates cannot change it.
+    """
+
+    def _derive(self, df: DataFrame) -> DataFrame:
+        return shingle_hash_rows(df, self.id_col, self.text_col)
+
+    # ------------------------------------------------------------- api
+    def shingle_universe(self) -> DataFrame:
+        """Distinct indexed shingle hashes (column ``h``)."""
+        return self.index().select("h").distinct()
+
+    def bloom_words(self) -> list[int]:
+        """The d15 Bloom bitmap (BLOOM_BITS bits as m/64 packed int64
+        words) of the indexed universe — O(1) driver state: only the
+        1024 packed words ever reach the driver."""
+        from .operators.dedup import BLOOM_BITS
+
+        univ = self.shingle_universe()
+        pos = (
+            univ.select((F.col("h") % BLOOM_BITS).alias("p"))
+            .unionAll(univ.select(F.expr(f"h DIV {BLOOM_BITS}").alias("p")))
+            .distinct()
+        )
+        words = (
+            pos.select(
+                F.expr("p DIV 64").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(bit)").alias("word"))
+            .collect()
+        )
+        by_idx = {int(r.w): int(r.word) for r in words}
+        return [by_idx.get(i, 0) for i in range(BLOOM_BITS // 64)]
+
+    def contaminated(self, train_df: DataFrame, id_col: str, text_col: str,
+                     min_shingles: int | None = None) -> DataFrame:
+        """d15's Bloom-prefiltered decontamination of ``train_df``
+        against the maintained eval index: per train doc, Bloom hits,
+        exact hits, the false-positive gap, and the drop verdict."""
+        from .operators.dedup import BLOOM_BITS, DECONTAM_MIN_SHINGLES
+
+        if min_shingles is None:
+            min_shingles = DECONTAM_MIN_SHINGLES
+        bitmap = self.bloom_words()
+        hashed = shingle_hash_rows(train_df, id_col, text_col)
+        probe = (
+            hashed.withColumn("bloom", F.lit(bitmap))
+            .withColumn("p1", F.col("h") % BLOOM_BITS)
+            .withColumn("p2", F.expr(f"h DIV {BLOOM_BITS}"))
+        )
+        hits = probe.filter(
+            F.expr(
+                "((bloom[CAST(p1 DIV 64 AS INT)] >> CAST(p1 % 64 AS INT)) & 1) = 1"
+                " AND ((bloom[CAST(p2 DIV 64 AS INT)] >> CAST(p2 % 64 AS INT)) & 1) = 1"
+            )
+        ).select("doc_id", "h")
+        agg = hits.groupBy("doc_id").agg(F.count("*").alias("n_bloom_hits"))
+        exact = (
+            hits.join(self.shingle_universe(), "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_exact_hits"))
+        )
+        return agg.join(exact, "doc_id", "left").select(
+            "doc_id",
+            "n_bloom_hits",
+            F.coalesce(F.col("n_exact_hits"), F.lit(0)).alias("n_exact_hits"),
+            (
+                F.col("n_bloom_hits")
+                - F.coalesce(F.col("n_exact_hits"), F.lit(0))
+            ).alias("n_false_pos"),
+            (
+                F.coalesce(F.col("n_exact_hits"), F.lit(0)) >= min_shingles
+            ).cast("long").alias("drop_doc"),
         )

@@ -117,3 +117,104 @@ def test_history_rewrite_triggers_rebuild(engine):
     assert out["mode"] == "rebuild"
     got = {(r.doc_id, r.band_id, r.band_key) for r in idx.index().collect()}
     assert got == _full_bands(engine)
+
+
+# ---------------------------------------------------------------- eval index
+from seamdb_spark.dedup_index import IncrementalEvalIndex, shingle_arrays
+
+
+def _setup_eval(engine):
+    engine.sql("CREATE TABLE evals (id serial PRIMARY KEY, body text)")
+    return IncrementalEvalIndex(engine, "evals_decon", "evals", "id", "body")
+
+
+_EVAL1 = [
+    "question about spark shuffles and partitions in large clusters",
+    "what is the capital of france and when was it founded exactly",
+]
+_EVAL2 = [
+    "reasoning puzzle with knights and knaves on a remote island",
+]
+
+
+def _full_universe(engine):
+    sh = shingle_arrays(engine.table("evals"), "id", "body")
+    return {
+        r.h
+        for r in sh.select(F.explode("shingles").alias("s"))
+        .selectExpr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) AS h")
+        .distinct()
+        .collect()
+    }
+
+
+def test_eval_index_refresh_equals_full_rebuild(engine):
+    idx = _setup_eval(engine)
+    engine.sql(
+        "INSERT INTO evals (body) VALUES "
+        + ", ".join(f"('{t}')" for t in _EVAL1)
+    )
+    out = idx.refresh()
+    assert out["mode"] == "incremental" and out["n_new_docs"] == 2
+    assert {r.h for r in idx.shingle_universe().collect()} == _full_universe(engine)
+
+    engine.sql(f"INSERT INTO evals (body) VALUES ('{_EVAL2[0]}')")
+    out = idx.refresh()
+    assert out["mode"] == "incremental" and out["n_new_docs"] == 1
+    assert {r.h for r in idx.shingle_universe().collect()} == _full_universe(engine)
+    assert idx.refresh()["mode"] == "noop"
+
+    engine.compact("evals")  # rewrites segment history
+    out = idx.refresh()
+    assert out["mode"] == "rebuild"
+    assert {r.h for r in idx.shingle_universe().collect()} == _full_universe(engine)
+
+
+def test_eval_index_contaminated_matches_direct_join(engine):
+    """The Bloom-prefiltered verdict from the maintained index must
+    equal the direct d10-style exact join computed from scratch —
+    including exact-hit counts (Bloom adds candidates, never drops:
+    exact ⊆ bloom is also asserted per row)."""
+    idx = _setup_eval(engine)
+    engine.sql(
+        "INSERT INTO evals (body) VALUES "
+        + ", ".join(f"('{t}')" for t in _EVAL1 + _EVAL2)
+    )
+    idx.refresh()
+    spark = engine.spark
+    train = spark.createDataFrame(
+        [
+            # doc 1 lifts a full eval sentence (contaminated)
+            (1, "intro words question about spark shuffles and partitions"
+                " in large clusters trailing words"),
+            # doc 2 shares nothing
+            (2, "completely unrelated text about parquet manifests and"
+                " snapshot retention policies"),
+            # doc 3 shares a single 3-shingle (below the drop threshold)
+            (3, "the capital of france is mentioned here only briefly"),
+        ],
+        "tid long, body string",
+    )
+    got = {
+        r.doc_id: r
+        for r in idx.contaminated(train, "tid", "body").collect()
+    }
+    univ = _full_universe(engine)
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for tid, body in [(1, train.collect()[0].body), (3, train.collect()[2].body)]:
+        toks = body.split(" ")
+        shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        n_exact = sum(1 for s in shingles if h32(s) in univ)
+        if tid in got:
+            r = got[tid]
+            assert r.n_exact_hits == n_exact
+            assert r.n_bloom_hits >= r.n_exact_hits  # exact ⊆ bloom
+            assert r.drop_doc == (n_exact >= 3)
+        else:
+            assert n_exact == 0
+    assert 1 in got and got[1].drop_doc == 1
+    assert 2 not in got or got[2].n_exact_hits == 0
