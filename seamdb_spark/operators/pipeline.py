@@ -332,3 +332,80 @@ def p04_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~F.col("dsir_selected"), "defer_low_importance")
         .otherwise("select"),
     )
+
+
+# --------------------------------------------------------------------------
+# p05: model-based curation report — the round-5 composition proving
+# the supervised/paragraph-granularity stages compose end-to-end: per
+# document, the t29 classifier logit, d25's contaminated-paragraph
+# ratio, and the source's t28 temperature sampling weight, folded into
+# one decision. The decision order mirrors how production curation
+# stacks sequence these: holdout isolation first, then structural
+# paragraph-level dedup, then the model-based quality gate; survivors
+# carry their source's mixing weight out to the sampler.
+#
+# Scale: composes three documented plans (t29 broadcasts a 512-row
+# weight table, d25 is banding-equi-join-bounded, t28 is a
+# |sources|-row broadcast) plus doc_id-keyed verdict joins and one
+# broadcast source join — no new shuffle shape.
+# --------------------------------------------------------------------------
+P05_PARA_DUP_MAX_MILLI = 500
+
+
+def _p05_oracle() -> str:
+    from .dedup import EVAL_SET_MOD
+    from .registry import ORACLE_SQL
+
+    t29 = ORACLE_SQL["t29_hashed_classifier_score"]
+    d25 = ORACLE_SQL["d25_paragraph_neardup"]
+    t28 = ORACLE_SQL["t28_temperature_sampling"]
+    return f"""
+    SELECT c.doc_id,
+           c.score AS classifier_score,
+           p.dup_ratio_milli AS para_dup_milli,
+           t.temp_ppm AS source_temp_ppm,
+           CASE WHEN c.doc_id % {EVAL_SET_MOD} = 0 THEN 'eval_holdout'
+                WHEN p.dup_ratio_milli >= {P05_PARA_DUP_MAX_MILLI}
+                  THEN 'drop_paragraph_dup'
+                WHEN c.score <= 0 THEN 'drop_classifier'
+                ELSE 'select' END AS decision
+    FROM ({t29}) c
+    JOIN ({d25}) p ON p.doc_id = c.doc_id
+    JOIN documents d ON d.doc_id = c.doc_id
+    JOIN ({t28}) t ON t.source = d.source
+    """
+
+
+@register("p05_model_curation_report", oracle=_p05_oracle())
+def p05_model_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from .dedup import EVAL_SET_MOD, d25_paragraph_neardup
+    from .text import t28_temperature_sampling, t29_hashed_classifier_score
+
+    clf = t29_hashed_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("classifier_score")
+    )
+    para = d25_paragraph_neardup(spark, sf_dir).select(
+        "doc_id", F.col("dup_ratio_milli").alias("para_dup_milli")
+    )
+    temp = t28_temperature_sampling(spark, sf_dir).select(
+        "source", F.col("temp_ppm").alias("source_temp_ppm")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = (
+        clf.join(para, "doc_id")
+        .join(src, "doc_id")
+        .join(F.broadcast(temp), "source")  # |sources| rows
+        .select("doc_id", "classifier_score", "para_dup_milli",
+                "source_temp_ppm")
+    )
+    return base.withColumn(
+        "decision",
+        F.when(F.col("doc_id") % EVAL_SET_MOD == 0, "eval_holdout")
+        .when(
+            F.col("para_dup_milli") >= P05_PARA_DUP_MAX_MILLI,
+            "drop_paragraph_dup",
+        )
+        .when(F.col("classifier_score") <= 0, "drop_classifier")
+        .otherwise("select"),
+    )
