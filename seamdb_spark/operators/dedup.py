@@ -2588,3 +2588,77 @@ def d25_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d26: containment-verified near-dup — the ASYMMETRIC complement of
+# d02's Jaccard: containment(A in B) = |A ∩ B| / |A| detects docs that
+# are near-SUBSETS of another (quoted passages, article + wrapper
+# boilerplate, truncated re-posts) which symmetric Jaccard misses
+# whenever the containing doc is much larger (J = |∩|/|∪| shrinks with
+# |B| while containment doesn't — the distinction Broder 1997 draws
+# between resemblance and containment). Candidates come from the SAME
+# banding equi-join as d02 (shared _lsh_candidate_pairs pipeline);
+# verification computes both directions exactly and keeps pairs where
+# either side is mostly contained in the other, labeling the subset
+# side.
+#
+# Scale (100 TB): identical candidate-bounded shape as d02 — banding
+# yields candidates, the shingle-array join touches candidates only.
+# Caveat the output documents: banding recall is tuned for
+# RESEMBLANCE, so a tiny quote inside a huge doc may not band-collide;
+# the span-level operators (d12/d19/d25) are the high-recall path for
+# small-fragment containment, while d26 covers the near-subset regime.
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@register(
+    "d26_containment_neardup",
+    oracle=f"""
+    WITH {_lsh_cand_ctes()},
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common,
+             len(a.shingles) AS n_a,
+             len(b.shingles) AS n_b,
+             len(list_intersect(a.shingles, b.shingles)) * 1.0
+               / len(a.shingles) AS c_ab,
+             len(list_intersect(a.shingles, b.shingles)) * 1.0
+               / len(b.shingles) AS c_ba
+      FROM cand c JOIN sh a ON c.doc_a = a.doc_id
+                  JOIN sh b ON c.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           ROUND(c_ab, 6) AS containment_ab,
+           ROUND(c_ba, 6) AS containment_ba,
+           CASE WHEN c_ab >= c_ba THEN doc_a ELSE doc_b END AS subset_doc
+    FROM verified
+    WHERE GREATEST(c_ab, c_ba) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def d26_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    c_ab = inter.cast("double") / F.size("sh_a")
+    c_ba = inter.cast("double") / F.size("sh_b")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", inter.cast("long"))
+        .withColumn("c_ab", c_ab)
+        .withColumn("c_ba", c_ba)
+        .filter(F.greatest("c_ab", "c_ba") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", "n_common",
+            dround("c_ab", 6).alias("containment_ab"),
+            dround("c_ba", 6).alias("containment_ba"),
+            F.when(F.col("c_ab") >= F.col("c_ba"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("subset_doc"),
+        )
+    )

@@ -1036,6 +1036,40 @@ def test_paragraph_neardup_vs_bruteforce(spark, registry):
     assert recall >= 0.9, f"d25 chunk recall {recall:.2f}"
 
 
+def test_containment_neardup_exact_replay(spark, registry):
+    """d26: replay both containment directions in pure Python from the
+    raw shingle sets for every reported pair; check the subset-side
+    label, the threshold, and the containment >= Jaccard identity
+    against d02's output on shared pairs."""
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import CONTAINMENT_THRESHOLD, _docs
+
+    texts = {r.doc_id: r.text.split(" ") for r in _docs(spark, SF_SMOKE).collect()}
+    sh = {
+        d: {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        for d, t in texts.items()
+        if len(t) >= 3
+    }
+    rows = queries["d26_containment_neardup"](spark, SF_SMOKE).collect()
+    assert rows, "fixture should contain containment near-dups"
+    d02 = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in queries["d02_dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    for r in rows:
+        sa, sb = sh[r.doc_a], sh[r.doc_b]
+        inter = len(sa & sb)
+        assert r.n_common == inter
+        assert abs(r.containment_ab - inter / len(sa)) < 1e-6
+        assert abs(r.containment_ba - inter / len(sb)) < 1e-6
+        assert max(r.containment_ab, r.containment_ba) >= CONTAINMENT_THRESHOLD
+        expect_subset = r.doc_a if r.containment_ab >= r.containment_ba else r.doc_b
+        assert r.subset_doc == expect_subset
+        j = d02.get((r.doc_a, r.doc_b))
+        if j is not None:  # containment >= Jaccard, always
+            assert max(r.containment_ab, r.containment_ba) >= j - 1e-6
+
+
 def test_triangle_count_matches_bruteforce(spark, registry):
     """g02: recount every node's triangles brute-force from the same
     simhash pair list and compare exactly, including the clustering
