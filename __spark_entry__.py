@@ -180,7 +180,7 @@ _R5_WINDOW = [
     # (b) registered in round 5
     "s16_hnsw_layered_search", "t29_hashed_classifier_score",
     "d25_paragraph_neardup", "p05_model_curation_report",
-    "d26_containment_neardup",
+    "d26_containment_neardup", "m15_jpeg_roundtrip",
     # (c) oldest-green-first fill: 18 r1 greens without a row since r1
     "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
     "q14_rollup", "q15_cube", "q16_grouping_sets", "q17_window_rank",
@@ -191,7 +191,7 @@ _R5_WINDOW = [
     # (c) then r2 greens in _R2_GREEN order
     "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
     "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
-    "e09_conversion_lag", "m02_media_features",
+    "e09_conversion_lag",
 ]
 
 

@@ -1,10 +1,12 @@
 """Multimodal column plumbing (beyond-reference extension).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata. BMP and WAV decode is REAL (pure-Python byte-layout parsers,
-``decode_bmp``/``decode_wav``, driven through the oracle gate by
-m06/m07); formats that need codec libraries absent from this container
-(JPEG/PNG/MP4) remain a clearly-marked deterministic stub. The
+metadata. BMP, WAV, and baseline JPEG decode is REAL (pure-Python
+byte-layout parsers ``decode_bmp``/``decode_wav`` and a pure-Python +
+numpy baseline-JFIF codec ``build_jpeg``/``decode_jpeg``, driven
+through the oracle gate by m06/m07/m15); formats that still need codec
+libraries absent from this container (PNG/MP4, subsampled or
+progressive JPEG) remain a clearly-marked deterministic stub. The
 Spark-side plumbing is real throughout: binary column synthesis,
 Arrow-batched ``mapInPandas`` with an explicit output schema, and
 partition-preserving flow (no driver collect).
@@ -23,6 +25,7 @@ partition. Feature extraction parallelizes per-batch with zero shuffle.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 
@@ -174,22 +177,399 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / JFIF) codec — pure Python + numpy, no
+# codec libraries. Closes the former decode_media() JPEG boundary.
+# The ENCODER exists to build genuine test files (the build_bmp/
+# build_wav discipline): baseline sequential DCT, 3-component YCbCr
+# 4:4:4, one 8-bit quant table, and custom UNIFORM-LENGTH canonical
+# Huffman tables declared in the file's DHT segments — T.81 lets a
+# file carry any valid tables (Kraft sums 12/16 and 162/256 < 1, no
+# all-ones code), and uniform lengths trade compression ratio for an
+# obviously-correct construction. The DECODER is general for baseline
+# 4:4:4 / grayscale: it reads whatever DQT/DHT the file declares,
+# Huffman-decodes the entropy stream (byte-unstuffing 0xFF00),
+# dequantizes, IDCTs, and converts back to RGB. Subsampled (4:2:0/
+# 4:2:2), progressive (SOF2), and 16-bit-table files raise ValueError
+# — a documented format boundary, not a stub.
+#
+# Determinism: DCT/IDCT are 8x8 float64 matrix products in a fixed
+# operation order; quantization uses rint (half-even); color
+# conversion is integer (encode) / fixed-expression float (decode).
+# Same bytes in, same bytes out — Arrow-batch hash-stable.
+# --------------------------------------------------------------------------
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Mild quantization table (Annex-K luminance shape scaled toward high
+# quality) — declared in DQT, so any table is decodable; a gentle one
+# keeps round-trip error small for the m15 tolerance-bool oracle.
+_JPEG_QTAB = [
+    4, 3, 3, 4, 5, 8, 10, 12, 3, 3, 3, 4, 5, 11, 12, 11,
+    3, 3, 4, 5, 8, 11, 14, 11, 3, 4, 5, 6, 10, 17, 16, 12,
+    4, 5, 7, 11, 14, 22, 21, 15, 5, 7, 11, 13, 16, 21, 23, 18,
+    10, 13, 16, 17, 21, 24, 24, 20, 14, 18, 19, 20, 22, 20, 21, 20,
+]
+
+_JPEG_DC_SYMBOLS = list(range(12))           # DC categories, 4 bits each
+_JPEG_AC_SYMBOLS = [0x00, 0xF0] + [          # EOB, ZRL, then (run,size)
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]                                            # 162 symbols, 8 bits each
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    C = np.zeros((8, 8), dtype=np.float64)
+    for k in range(8):
+        for n in range(8):
+            C[k, n] = math.cos(math.pi * (2 * n + 1) * k / 16.0)
+    C *= 0.5
+    C[0, :] *= 1.0 / math.sqrt(2.0)
+    return C
+
+
+def _jpeg_huff_spec(symbols, length):
+    """(bits[1..16], symbols, symbol->(code,len)) — canonical, uniform."""
+    bits = [0] * 17
+    bits[length] = len(symbols)
+    codes = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return bits, list(symbols), codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per T.81
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self):
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError("unexpected marker inside scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read(self, nbits):
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_category(v):
+    a = abs(v)
+    c = 0
+    while a:
+        a >>= 1
+        c += 1
+    return c
+
+
+def _jpeg_extend(v, cat):
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def build_jpeg(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw RGB bytes (len == width*height*3, row-major) as a
+    baseline JFIF (YCbCr 4:4:4). Dimensions must be multiples of 8 —
+    the synthesized fixtures are; a general encoder would edge-pad."""
+    import numpy as np
+
+    if width % 8 or height % 8:
+        raise ValueError("build_jpeg requires multiple-of-8 dimensions")
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length mismatch")
+    C = _jpeg_dct_matrix()
+    q = np.array(_JPEG_QTAB, dtype=np.float64).reshape(8, 8)
+    px = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(height, width, 3)
+    px = px.astype(np.int64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    cb = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128
+    cr = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128
+    planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+
+    _, _, dc_codes = _jpeg_huff_spec(_JPEG_DC_SYMBOLS, 4)
+    _, _, ac_codes = _jpeg_huff_spec(_JPEG_AC_SYMBOLS, 8)
+    w = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            for ci, plane in enumerate(planes):
+                block = plane[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+                qc = np.rint((C @ block @ C.T) / q).astype(np.int64)
+                zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - prev_dc[ci]
+                prev_dc[ci] = zz[0]
+                cat = _jpeg_category(diff)
+                code, nb = dc_codes[cat]
+                w.write(code, nb)
+                if cat:
+                    w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+                last_nz = 0
+                for i in range(1, 64):
+                    if zz[i]:
+                        last_nz = i
+                run = 0
+                for i in range(1, last_nz + 1):
+                    v = zz[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, nb = ac_codes[0xF0]  # ZRL
+                        w.write(code, nb)
+                        run -= 16
+                    cat = _jpeg_category(v)
+                    code, nb = ac_codes[(run << 4) | cat]
+                    w.write(code, nb)
+                    w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                    run = 0
+                if last_nz < 63:
+                    code, nb = ac_codes[0x00]  # EOB
+                    w.write(code, nb)
+    scan = w.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_QTAB[ZIGZAG[k]] for k in range(64)))
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", height, width) + bytes([3])
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    dc_bits, dc_syms, _ = _jpeg_huff_spec(_JPEG_DC_SYMBOLS, 4)
+    ac_bits, ac_syms, _ = _jpeg_huff_spec(_JPEG_AC_SYMBOLS, 8)
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits[1:17]) + bytes(dc_syms))
+    dht += seg(0xC4, bytes([0x10]) + bytes(ac_bits[1:17]) + bytes(ac_syms))
+    sos = seg(
+        0xDA, bytes([3]) + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
+    )
+    jfif = seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    return b"\xff\xd8" + jfif + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _jpeg_decode_table(bits, symbols):
+    """Canonical (code, length) -> symbol map from DHT bits/values."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[(code, length)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(reader, table):
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline sequential JFIF (4:4:4 color or grayscale).
+
+    Returns {"kind", "width", "height", "n_frames", "feat_dim",
+    "pixels" (RGB bytes, row-major), "pixel_sum", "feat_mean"}.
+    Subsampled / progressive / 16-bit-table files raise ValueError.
+    """
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qtabs: dict[int, object] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    sof = None
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    tab[ZIGZAG[k]] = body[off + 1 + k]
+                qtabs[tq] = tab.reshape(8, 8)
+                off += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xC0:
+            prec = body[0]
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (4:4:4/grayscale only)"
+                    )
+                comps.append((cid, tq))
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            sof = (w, h, comps)
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = [0] + list(body[off + 1 : off + 17])
+                nsym = sum(bits)
+                syms = list(body[off + 17 : off + 17 + nsym])
+                table = _jpeg_decode_table(bits, syms)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                off += 17 + nsym
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            scan_start = pos + 2 + size
+            break
+        pos += 2 + size
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    w, h, comps = sof
+    if w % 8 or h % 8:
+        raise ValueError("non-multiple-of-8 JPEG dimensions unsupported")
+    end = payload.rfind(b"\xff\xd9")
+    reader = _JpegBitReader(payload[scan_start : end if end > 0 else len(payload)])
+    C = _jpeg_dct_matrix()
+    planes = [np.zeros((h, w), dtype=np.float64) for _ in scan_comps]
+    prev_dc = [0] * len(scan_comps)
+    comp_q = {cid: qtabs[tq] for cid, tq in comps}
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci, (cid, dct_id, act_id) in enumerate(scan_comps):
+                dct = dc_tables[dct_id]
+                act = ac_tables[act_id]
+                zz = [0] * 64
+                cat = _jpeg_huff_decode(reader, dct)
+                diff = _jpeg_extend(reader.read(cat), cat) if cat else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    sym = _jpeg_huff_decode(reader, act)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0x0F
+                    i += run
+                    if i > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[i] = _jpeg_extend(reader.read(cat), cat)
+                    i += 1
+                coef = np.zeros(64, dtype=np.float64)
+                for k in range(64):
+                    coef[ZIGZAG[k]] = zz[k]
+                coef = coef.reshape(8, 8) * comp_q[cid].astype(np.float64)
+                planes[ci][by:by + 8, bx:bx + 8] = C.T @ coef @ C + 128.0
+    ip = [np.clip(np.rint(p), 0, 255).astype(np.int64) for p in planes]
+    if len(ip) == 3:
+        y, cb, cr = ip[0], ip[1] - 128, ip[2] - 128
+        r = np.clip(np.rint(y + 1.402 * cr), 0, 255).astype(np.uint8)
+        g = np.clip(
+            np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255
+        ).astype(np.uint8)
+        b = np.clip(np.rint(y + 1.772 * cb), 0, 255).astype(np.uint8)
+        rgb = np.stack([r, g, b], axis=2)
+    else:
+        g8 = ip[0].astype(np.uint8)
+        rgb = np.stack([g8, g8, g8], axis=2)
+    pix = rgb.tobytes()
+    psum = int(rgb.astype(np.int64).sum())
+    return {
+        "kind": "jpeg", "width": int(w), "height": int(h), "n_frames": 1,
+        "feat_dim": 3, "pixels": pix, "pixel_sum": psum,
+        "feat_mean": psum / (len(pix) * 255.0) if pix else 0.0,
+    }
+
+
 def decode_media(payload: bytes) -> dict:
     """Decode a media payload by sniffing magic bytes.
 
-    BMP and WAV decode for real (pure-Python parsers above). Other
-    formats require codec libraries absent from this container and raise
-    NotImplementedError — callers with synthetic payloads use
-    :func:`fake_decode` for the deterministic oracle path.
+    BMP, WAV, and baseline JPEG decode for real (pure-Python parsers
+    above). Remaining formats require codec libraries absent from this
+    container and raise NotImplementedError — callers with synthetic
+    payloads use :func:`fake_decode` for the deterministic oracle path.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP/WAV decode natively; other formats require codec "
-        "libraries (PIL/ffmpeg) not installed — use fake_decode for the "
-        "deterministic test path"
+        "only BMP/WAV/baseline-JPEG decode natively; other formats "
+        "(PNG/MP4/...) require codec libraries (PIL/ffmpeg) not "
+        "installed — use fake_decode for the deterministic test path"
     )
 
 
@@ -1433,3 +1813,95 @@ def m14_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(route_decode, schema=_ROUTER_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m15: REAL JPEG round-trip through the DuckDB gate — the m06 pattern
+# for the lossy codec: each sampled doc synthesizes a deterministic
+# smooth 16x16 RGB ramp (linear planes never clamp, so the original
+# pixel sum has a closed form the oracle evaluates exactly), encodes
+# it with build_jpeg (baseline JFIF, 4:4:4, declared uniform Huffman
+# tables), decodes the bytes back with the general decode_jpeg via
+# decode_media magic sniffing, and emits what the DECODER read:
+# dimensions, MCU count, the builder's exact pixel sum, and a
+# reconstruction-tolerance bool (max per-pixel |error| <= 8; measured
+# 3 on the ramps — lossy DCT quantization bounds it, the x01
+# tolerance-bool discipline for values SQL cannot replay). A bug in
+# segment emission, Huffman coding, byte stuffing, dequantization, or
+# the IDCT breaks either the pinned-TRUE bool or the dims — as a hash
+# mismatch.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle; the
+# deterministic 1-in-8 doc sample bounds the pure-Python entropy-coder
+# cost (the decode kernel itself is the production path for a real
+# JPEG column; swap the sample for the column at deployment).
+# --------------------------------------------------------------------------
+_JPEG_RT_SCHEMA = (
+    "doc_id long, width long, height long, n_mcus long,"
+    " orig_pixel_sum long, recon_ok boolean"
+)
+M15_SAMPLE_MOD = 8
+M15_ERR_BOUND = 8
+
+
+@register(
+    "m15_jpeg_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS n_mcus,
+           CAST(256 * (doc_id % 64 + (doc_id * 7) % 64 + (doc_id * 13) % 64)
+                + 27 * 1920 AS BIGINT) AS orig_pixel_sum,
+           TRUE AS recon_ok
+    FROM documents
+    WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    """,
+)
+def m15_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_mcus": [],
+                "orig_pixel_sum": [], "recon_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                d1, d2, d3 = d % 64, (d * 7) % 64, (d * 13) % 64
+                xs = np.arange(16).reshape(1, 16)
+                ys = np.arange(16).reshape(16, 1)
+                rgb = np.stack(
+                    [d1 + 6 * xs + 3 * ys + 0 * ys,
+                     d2 + 4 * xs + 5 * ys,
+                     d3 + 2 * xs + 7 * ys],
+                    axis=2,
+                ).astype(np.uint8)  # linear ramps, max 198 — never clamps
+                raw = rgb.tobytes()
+                payload = build_jpeg(16, 16, raw)
+                info = decode_media(payload)  # magic-sniffed real decode
+                a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                b = np.frombuffer(info["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                max_err = int(np.abs(a - b).max())
+                out["doc_id"].append(d)
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["n_mcus"].append(
+                    (info["width"] // 8) * (info["height"] // 8)
+                )
+                out["orig_pixel_sum"].append(int(a.sum()))
+                out["recon_ok"].append(
+                    info["kind"] == "jpeg" and max_err <= M15_ERR_BOUND
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=_JPEG_RT_SCHEMA)

