@@ -177,10 +177,12 @@ _R5_WINDOW = [
     "e19_interarrival_profile", "e20_cooccurrence_lift", "e21_sax_motifs",
     "e22_markov_attribution", "q61_order_streaks", "p04_selection_pipeline",
     "s14_ann_recall_audit", "s15_mmr_diversified_topk",
-    # (b) registered in round 5
+    # (b) registered in round 5, or plan changed in round 5 (s13: the
+    #     memoized symmetrized-edge list; d20/d21/d22 are already in (a))
     "s16_hnsw_layered_search", "t29_hashed_classifier_score",
     "d25_paragraph_neardup", "p05_model_curation_report",
     "d26_containment_neardup", "m15_jpeg_roundtrip",
+    "s13_graph_beam_search",
     # (c) oldest-green-first fill: 18 r1 greens without a row since r1
     "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
     "q14_rollup", "q15_cube", "q16_grouping_sets", "q17_window_rank",
@@ -191,7 +193,6 @@ _R5_WINDOW = [
     # (c) then r2 greens in _R2_GREEN order
     "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
     "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
-    "e09_conversion_lag",
 ]
 
 

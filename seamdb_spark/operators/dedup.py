@@ -2561,13 +2561,19 @@ def d25_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter.cast("double") / union >= D25_JACCARD)
         .select("da", "ca", "db", "cb")
     )
+    # Both endpoints of each verified pair are contaminated — emit them
+    # in ONE pass (explode of a 2-struct array) instead of a two-sided
+    # union, which would plan the whole candidate+verify subtree twice.
     dup_chunks = (
-        verified.select(F.col("da").alias("doc_id"), F.col("ca").alias("chunk_id"))
-        .unionAll(
-            verified.select(
-                F.col("db").alias("doc_id"), F.col("cb").alias("chunk_id")
-            )
+        verified.select(
+            F.explode(
+                F.expr(
+                    "array(struct(da AS doc_id, ca AS chunk_id),"
+                    " struct(db AS doc_id, cb AS chunk_id))"
+                )
+            ).alias("e")
         )
+        .select("e.doc_id", "e.chunk_id")
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )

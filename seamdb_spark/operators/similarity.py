@@ -2140,12 +2140,23 @@ def _s13_oracle() -> str:
     """
 
 
+
+def _sym_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized s09 edge list (src, dst) — materialized once per
+    session: s13 and s16 walk it every hop, and re-deriving the union+
+    distinct per run re-shuffles the (tiny) edge table repeatedly."""
+    def build() -> DataFrame:
+        base = s09_knn_graph(spark, sf_dir).select("src", "dst")
+        return base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    return materialized_df(spark, sf_dir, "sym_knn_edges", build)
+
+
 @register("s13_graph_beam_search", oracle=_s13_oracle())
 def s13_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = s09_knn_graph(spark, sf_dir).select("src", "dst")
-    edges = base.unionByName(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = _sym_knn_edges(spark, sf_dir)
     quant = _quant_corpus(spark, sf_dir)
     probes = quant.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
@@ -2547,10 +2558,7 @@ def _s16_oracle() -> str:
 
 @register("s16_hnsw_layered_search", oracle=_s16_oracle())
 def s16_hnsw_layered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = s09_knn_graph(spark, sf_dir).select("src", "dst")
-    edges = base.unionByName(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = _sym_knn_edges(spark, sf_dir)
     quant = _quant_corpus(spark, sf_dir)
     probes = quant.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
@@ -2601,19 +2609,24 @@ def s16_hnsw_layered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     # Layer 1: walk the member-restricted subgraph
     l1_members = nodes.filter(layer_hash % S16_L1_MOD == 0).select("node")
+
     # 2-hop closure through any layer-0 node (see oracle note): the
     # member-restricted 1-hop subgraph is near-empty at K=3.
-    mid = edges.select(F.col("src").alias("mid"), F.col("dst"))
-    edges1 = (
-        edges.select("src", F.col("dst").alias("mid"))
-        .join(mid, "mid")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .join(l1_members.withColumnRenamed("node", "src"), "src")
-        .join(l1_members.withColumnRenamed("node", "dst"), "dst")
-        .select("src", "dst")
-        .distinct()
-    )
+    # Materialized: the walk re-reads it every hop.
+    def _build_l1_edges() -> DataFrame:
+        mid = edges.select(F.col("src").alias("mid"), F.col("dst"))
+        return (
+            edges.select("src", F.col("dst").alias("mid"))
+            .join(mid, "mid")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .join(l1_members.withColumnRenamed("node", "src"), "src")
+            .join(l1_members.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .distinct()
+        )
+
+    edges1 = materialized_df(spark, sf_dir, "s16_l1_edges", _build_l1_edges)
     scored1 = walk(entry1, edges1, S16_L1_HOPS, S16_L1_BEAM)
     entry0 = scored1.filter(F.col("rk") <= S16_ENTRIES).select(
         "probe_id", "node"

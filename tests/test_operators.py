@@ -1449,6 +1449,14 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "e01_hourly_rollup": 2,
         "t01_token_count": 0,
         "q03_shipping_priority": 3,
+        # round-5 additions (chunk-shingle table and sym-edge list are
+        # session-materialized, so these counts are post-checkpoint)
+        "t29_hashed_classifier_score": 8,
+        "d25_paragraph_neardup": 11,
+        "d26_containment_neardup": 8,
+        "p05_model_curation_report": 25,
+        "m15_jpeg_roundtrip": 0,
+        "s16_hnsw_layered_search": 8,
     }
     over = []
     for name, budget in budgets.items():
