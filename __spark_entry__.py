@@ -165,8 +165,9 @@ _R4_WINDOW = [
 # ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) any queries
 # registered after _R5_WINDOW froze plus any whose plan/oracle changes
 # in round 6, then fill to 50 oldest-green-first: the r2 greens not in
-# _R5_WINDOW (from "q30_topk_per_group" onward in _R2_GREEN order),
-# then _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW.
+# _R5_WINDOW (from "e09_conversion_lag" onward in _R2_GREEN order —
+# e09/m02/m04/q25 lost their slots to round-5 registrations), then
+# _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW.
 _R5_WINDOW = [
     # (a) rowless after r4 freeze — locally hash-green only
     "d20_cdc_chunk_dedup", "d21_editdist_verified_neardup",

@@ -586,3 +586,85 @@ def interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of d15_bloom_prefilter: a training-doc
+    FEED is decontaminated against a STATIC eval set. The 8 KiB Bloom
+    bitmap of the eval shingles is built once batch-side (the
+    IncrementalEvalIndex role) and broadcast as a plan literal into
+    the streaming stage, so non-candidate shingles die row-local
+    inside each micro-batch; only Bloom survivors reach the
+    stream-static join against the exact eval universe. Output: per
+    train doc, bloom hits, exact hits, and the drop verdict — the d15
+    columns.
+
+    Scale: the static side is eval-sized (bitmap O(1) broadcast,
+    universe a normal broadcast/shuffle join candidate); streaming
+    state is only the aggregation's per-doc counters, bounded by docs
+    in flight. In production the feed carries an ingest timestamp and
+    the agg takes a watermark so state ages out; the fixture has no
+    time column, so the finite replay runs in complete mode.
+    """
+    from ..dedup_index import shingle_hash_rows
+    from ..operators.dedup import BLOOM_BITS, DECONTAM_MIN_SHINGLES, EVAL_SET_MOD
+    from ..sources import load_table
+
+    # Static eval side (batch): universe + packed bitmap words.
+    eval_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % EVAL_SET_MOD == 0
+    )
+    univ = shingle_hash_rows(eval_docs, "doc_id", "text").select("h").distinct()
+    pos = (
+        univ.select((F.col("h") % BLOOM_BITS).alias("p"))
+        .unionAll(univ.select(F.expr(f"h DIV {BLOOM_BITS}").alias("p")))
+        .distinct()
+    )
+    words = (
+        pos.select(
+            F.expr("p DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .collect()
+    )  # 1024 packed longs — O(1) driver state (the d15 discipline)
+    by_idx = {int(r.w): int(r.word) for r in words}
+    bitmap = [by_idx.get(i, 0) for i in range(BLOOM_BITS // 64)]
+
+    train = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % EVAL_SET_MOD != 0
+    )
+    hashed = shingle_hash_rows(train, "doc_id", "text")
+    probe = (
+        hashed.withColumn("bloom", F.lit(bitmap))
+        .withColumn("p1", F.col("h") % BLOOM_BITS)
+        .withColumn("p2", F.expr(f"h DIV {BLOOM_BITS}"))
+    )
+    hits = probe.filter(
+        F.expr(
+            "((bloom[CAST(p1 DIV 64 AS INT)] >> CAST(p1 % 64 AS INT)) & 1) = 1"
+            " AND ((bloom[CAST(p2 DIV 64 AS INT)] >> CAST(p2 % 64 AS INT)) & 1) = 1"
+        )
+    ).select("doc_id", "h")
+    # Stream-static LEFT join marks exact membership; one aggregation
+    # then yields both counters.
+    marked = hits.join(
+        univ.withColumn("exact", F.lit(1)), "h", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bloom_hits"),
+            F.count("exact").alias("n_exact_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+            (F.col("n_exact_hits") >= DECONTAM_MIN_SHINGLES)
+            .cast("long")
+            .alias("drop_doc"),
+        )
+    )

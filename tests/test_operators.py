@@ -153,12 +153,16 @@ def test_media_features_deterministic(spark, registry):
 
 
 def test_decode_media_unsupported_formats_are_explicit():
-    # Codec-needing formats (here: a JPEG SOI marker) remain an explicit
-    # boundary; BMP/WAV take the real-parser paths below.
+    # Codec-needing formats (here: a PNG magic) remain an explicit
+    # NotImplementedError boundary; BMP/WAV/JPEG take the real-parser
+    # paths (a JPEG SOI now routes to decode_jpeg, so a malformed one
+    # is a ValueError — a real parse failure, not a missing codec).
     from seamdb_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0 not decodable without codecs")
+        decode_media(b"\x89PNG\r\n\x1a\n not decodable without codecs")
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xe0 malformed jpeg payload")
 
 
 def test_bmp_decode_handcrafted():
@@ -404,6 +408,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "tot",
         # s14: 1-row exact-pair count
         "n_exact",
+        # p05: t28 temperature weights — |sources| rows at any SF
+        "temp",
         # dedup_index: the per-refresh ingest batch — bounded by batch
         # size (operator input), not the corpus
         "new_doc_ids",

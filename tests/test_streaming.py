@@ -293,3 +293,28 @@ def test_interarrival_stream_matches_batch(spark):
         assert got[r.user_id][1] == r.min_gap_us
         assert got[r.user_id][2] == r.max_gap_us
         assert got[r.user_id][3] // r.n_gaps == r.mean_gap_us
+
+
+def test_decontaminate_stream_matches_batch_d15(spark):
+    """Streaming Bloom decontamination must agree with batch d15 on
+    every column for every flagged doc (identical kernels: same
+    bitmap construction, same probe expression, same exact join)."""
+    import __spark_entry__ as entry_mod
+    from seamdb_spark.streaming.events import (
+        decontaminate_stream,
+        run_stream_to_memory,
+    )
+
+    got = {
+        r.doc_id: (r.n_bloom_hits, r.n_exact_hits, r.n_false_pos, r.drop_doc)
+        for r in run_stream_to_memory(
+            decontaminate_stream(spark, SF_SMOKE), "decon_stream"
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.n_bloom_hits, r.n_exact_hits, r.n_false_pos, r.drop_doc)
+        for r in entry_mod.queries()["d15_bloom_prefilter"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want and want
