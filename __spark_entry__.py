@@ -165,8 +165,8 @@ _R4_WINDOW = [
 # ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) any queries
 # registered after _R5_WINDOW froze plus any whose plan/oracle changes
 # in round 6, then fill to 50 oldest-green-first: the r2 greens not in
-# _R5_WINDOW (from "e09_conversion_lag" onward in _R2_GREEN order —
-# e09/m02/m04/q25 lost their slots to round-5 registrations), then
+# _R5_WINDOW (from "e08_retention_cohorts" onward in _R2_GREEN order —
+# e08/e09/m02/m04/q25 lost their slots to round-5 registrations), then
 # _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW.
 _R5_WINDOW = [
     # (a) rowless after r4 freeze — locally hash-green only
@@ -183,6 +183,7 @@ _R5_WINDOW = [
     "s16_hnsw_layered_search", "t29_hashed_classifier_score",
     "d25_paragraph_neardup", "p05_model_curation_report",
     "d26_containment_neardup", "m15_jpeg_roundtrip",
+    "m16_jpeg_ahash_stability",
     "s13_graph_beam_search",
     # (c) oldest-green-first fill: 18 r1 greens without a row since r1
     "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
@@ -193,7 +194,7 @@ _R5_WINDOW = [
     "q27_date_diff_interval", "q28_case_cast", "q29_distinct",
     # (c) then r2 greens in _R2_GREEN order
     "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
-    "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
+    "x03_percentile_approx", "e07_funnel_steps",
 ]
 
 

@@ -1905,3 +1905,114 @@ def m15_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(roundtrip, schema=_JPEG_RT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m16: perceptual-hash stability under JPEG — the property that makes
+# aHash (m09) usable for image dedup on REAL corpora, where the same
+# picture circulates re-encoded at different qualities: the 16-bit
+# average-hash of the DECODED (lossy) image must match the hash of the
+# original. Composes the m15 ramp fixtures, the T.81 codec, and a
+# generic aHash kernel: the oracle replays the ORIGINAL image's hash
+# analytically (the m09 SQL chain over the ramp formula — exact
+# integer arithmetic), and pins a stability bool (Hamming distance
+# original-vs-decoded <= 1; measured 0 on every fixture — ramp cell
+# means sit far from the global-mean threshold relative to the <= 3
+# quantization error).
+#
+# Scale: identical to m09/m15 — row-local Arrow-batched mapInPandas,
+# one exchange only if grouped downstream.
+# --------------------------------------------------------------------------
+_M16_SCHEMA = "doc_id long, ahash long, jpeg_stable boolean"
+M16_HAMMING_BOUND = 1
+
+
+def ahash_rgb(width: int, height: int, rgb: bytes) -> int:
+    """16-bit average-hash of raw interleaved 3-byte pixels (the m09
+    kernel generalized off BMP payloads; gray = (c0+c1+c2)//3 is
+    channel-order-agnostic, so BGR and RGB inputs hash identically)."""
+    grays = [
+        (rgb[3 * p] + rgb[3 * p + 1] + rgb[3 * p + 2]) // 3
+        for p in range(width * height)
+    ]
+    cell_sum = [[0] * _AHASH_GRID for _ in range(_AHASH_GRID)]
+    cell_cnt = [[0] * _AHASH_GRID for _ in range(_AHASH_GRID)]
+    for p, g in enumerate(grays):
+        x, y = p % width, p // width
+        ci, cj = x * _AHASH_GRID // width, y * _AHASH_GRID // height
+        cell_sum[cj][ci] += g
+        cell_cnt[cj][ci] += 1
+    total, npix = sum(grays), width * height
+    out = 0
+    for cj in range(_AHASH_GRID):
+        for ci in range(_AHASH_GRID):
+            if cell_sum[cj][ci] * npix >= total * cell_cnt[cj][ci]:
+                out |= 1 << (_AHASH_GRID * cj + ci)
+    return out
+
+
+@register(
+    "m16_jpeg_ahash_stability",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 64 AS d1, (doc_id * 7) % 64 AS d2,
+             (doc_id * 13) % 64 AS d3
+      FROM documents WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    ),
+    g AS (
+      SELECT doc_id, (t.p % 16) AS x, (t.p // 16) AS y,
+             ((d1 + 6 * (t.p % 16) + 3 * (t.p // 16))
+              + (d2 + 4 * (t.p % 16) + 5 * (t.p // 16))
+              + (d3 + 2 * (t.p % 16) + 7 * (t.p // 16))) // 3 AS gray
+      FROM d, unnest(range(0, 256)) t(p)
+    ),
+    cells AS (
+      SELECT doc_id,
+             (x * {_AHASH_GRID}) // 16 AS ci, (y * {_AHASH_GRID}) // 16 AS cj,
+             SUM(gray) AS cell_sum, COUNT(*) AS cell_cnt
+      FROM g GROUP BY doc_id, ci, cj
+    ),
+    tot AS (SELECT doc_id, SUM(gray) AS total_sum, COUNT(*) AS npix
+            FROM g GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(SUM(CASE WHEN c.cell_sum * t.npix >= t.total_sum * c.cell_cnt
+                    THEN (CAST(1 AS BIGINT) << ({_AHASH_GRID} * c.cj + c.ci))
+                    ELSE 0 END) AS BIGINT) AS ahash,
+           TRUE AS jpeg_stable
+    FROM cells c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id
+    """,
+)
+def m16_jpeg_ahash_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def stability(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "ahash": [], "jpeg_stable": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                d1, d2, d3 = d % 64, (d * 7) % 64, (d * 13) % 64
+                xs = np.arange(16).reshape(1, 16)
+                ys = np.arange(16).reshape(16, 1)
+                rgb = np.stack(
+                    [d1 + 6 * xs + 3 * ys, d2 + 4 * xs + 5 * ys,
+                     d3 + 2 * xs + 7 * ys],
+                    axis=2,
+                ).astype(np.uint8).tobytes()
+                orig = ahash_rgb(16, 16, rgb)
+                decoded = decode_media(build_jpeg(16, 16, rgb))["pixels"]
+                after = ahash_rgb(16, 16, decoded)
+                hamming = bin(orig ^ after).count("1")
+                out["doc_id"].append(d)
+                out["ahash"].append(orig)
+                out["jpeg_stable"].append(hamming <= M16_HAMMING_BOUND)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(stability, schema=_M16_SCHEMA)

@@ -1462,6 +1462,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "d26_containment_neardup": 8,
         "p05_model_curation_report": 25,
         "m15_jpeg_roundtrip": 0,
+        "m16_jpeg_ahash_stability": 0,
         "s16_hnsw_layered_search": 8,
     }
     over = []

@@ -221,6 +221,31 @@ def test_jpeg_build_decode_roundtrip_bounded_error(bw, bh, seed):
     assert decode_jpeg(payload)["pixels"] == out["pixels"]
 
 
+def test_jpeg_ahash_exactly_stable_on_ramps():
+    """m16's pinned bound is Hamming <= 1; on the ramp fixtures the
+    measured distance is exactly 0 — assert the stronger fact so a
+    codec regression that starts flipping cells surfaces here first."""
+    import numpy as np
+
+    from seamdb_spark.operators.multimodal import (
+        ahash_rgb,
+        build_jpeg,
+        decode_jpeg,
+    )
+
+    for d in [0, 9, 23, 41, 63]:
+        d1, d2, d3 = d % 64, (d * 7) % 64, (d * 13) % 64
+        xs = np.arange(16).reshape(1, 16)
+        ys = np.arange(16).reshape(16, 1)
+        rgb = np.stack(
+            [d1 + 6 * xs + 3 * ys, d2 + 4 * xs + 5 * ys, d3 + 2 * xs + 7 * ys],
+            axis=2,
+        ).astype(np.uint8).tobytes()
+        orig = ahash_rgb(16, 16, rgb)
+        after = ahash_rgb(16, 16, decode_jpeg(build_jpeg(16, 16, rgb))["pixels"])
+        assert orig == after, f"d={d}: {orig:016b} vs {after:016b}"
+
+
 def test_jpeg_decoder_rejects_unsupported_variants():
     """The decoder's format boundary is explicit: progressive files,
     corrupted markers, and truncation raise ValueError (never a wrong
