@@ -2006,3 +2006,102 @@ def t29_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w") > 0).alias("predicted_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t30: LM-perplexity tercile filtering — the CCNet selection rule
+# (Wenzek et al. 2020): score every document with the corpus bigram LM
+# (t16's all-integer conditional-probability ppm), length-normalize,
+# and split the corpus into head / middle / tail TERCILES of LM
+# likelihood; the canonical pipeline keeps head+middle and drops (or
+# down-weights) the tail. Normalization is integer (sum_ppm div
+# n_bigrams) so the ranking is exact in both engines, and the tercile
+# assignment uses the distributed exact-ntile plan (ranks.ntile_exact
+# — the q55/e15 machinery), never a single-partition global window.
+#
+# Scale (100 TB): t16's two vocabulary-sized count shuffles + one
+# doc-level agg, then ntile_exact's range-partition rank (sample-based
+# boundaries, the SortExec discipline) — no stage sees the corpus in
+# one partition.
+# --------------------------------------------------------------------------
+@register(
+    "t30_perplexity_buckets",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> struct_pack(w1 := string_split(text, ' ')[i],
+                                  g  := concat_ws(' ', string_split(text, ' ')[i],
+                                                  string_split(text, ' ')[i+1])))) AS b
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    flat AS (SELECT doc_id, b.w1 AS w1, b.g AS g FROM occ),
+    bg_counts AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c_bg FROM flat GROUP BY g),
+    u_counts  AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_u FROM flat GROUP BY w1),
+    scored AS (
+      SELECT f.doc_id, (b.c_bg * 1000000) // u.c_u AS ppm
+      FROM flat f JOIN bg_counts b ON f.g = b.g
+                  JOIN u_counts u ON f.w1 = u.w1
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS norm_ppm
+      FROM scored GROUP BY doc_id
+    ),
+    binned AS (
+      SELECT doc_id, n_bigrams, norm_ppm,
+             NTILE(3) OVER (ORDER BY norm_ppm DESC, doc_id) AS tercile
+      FROM per_doc
+    )
+    SELECT doc_id, n_bigrams, norm_ppm,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           tercile <= 2 AS keep
+    FROM binned
+    """,
+)
+def t30_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ranks import ntile_exact
+
+    docs = _docs(spark, sf_dir)
+    flat = (
+        docs.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(array(split(text, ' ')),"
+                    " toks -> transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1,"
+                    "             concat_ws(' ', toks[i], toks[i+1]) AS g))))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.g")
+    )
+    bg_counts = flat.groupBy("g").agg(F.count("*").alias("c_bg"))
+    u_counts = flat.groupBy("w1").agg(F.count("*").alias("c_u"))
+    scored = (
+        flat.join(bg_counts, "g")
+        .join(u_counts, "w1")
+        .select("doc_id", F.expr("(c_bg * 1000000) div c_u").alias("ppm"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(ppm) div count(*)").alias("norm_ppm"),
+    )
+    binned = ntile_exact(
+        per_doc, 3, [F.col("norm_ppm").desc(), F.col("doc_id")], "tercile"
+    )
+    return binned.select(
+        "doc_id",
+        "n_bigrams",
+        "norm_ppm",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        (F.col("tercile") <= 2).alias("keep"),
+    )
