@@ -133,7 +133,7 @@ _R4_WINDOW = [
     "t24_frequency_spectrum", "p03_dedup_decision_record",
     "d18_minhash_estimate_audit", "j01_salted_skew_join",
     # (b) new in round 4
-    "d19_substring_runs", "t25_bpe_apply", "s13_graph_beam_search", "t30_perplexity_buckets",
+    "d19_substring_runs", "t25_bpe_apply", "s13_graph_beam_search",
     "x10_kmv_distinct", "x11_kmv_set_ops", "t26_trigram_backoff_score",
     # (c) plan/oracle changed in round 4
     "q55_ntile_deciles", "e15_rfm_segments", "t21_weighted_sample",

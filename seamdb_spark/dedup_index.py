@@ -289,51 +289,24 @@ class IncrementalEvalIndex(_IncrementalTextIndex):
     def bloom_words(self) -> list[int]:
         """The d15 Bloom bitmap (BLOOM_BITS bits as m/64 packed int64
         words) of the indexed universe — O(1) driver state: only the
-        1024 packed words ever reach the driver."""
-        from .operators.dedup import BLOOM_BITS
+        1024 packed words ever reach the driver. Shares d15's exact
+        kernel (operators.dedup.bloom_words_of)."""
+        from .operators.dedup import bloom_words_of
 
-        univ = self.shingle_universe()
-        pos = (
-            univ.select((F.col("h") % BLOOM_BITS).alias("p"))
-            .unionAll(univ.select(F.expr(f"h DIV {BLOOM_BITS}").alias("p")))
-            .distinct()
-        )
-        words = (
-            pos.select(
-                F.expr("p DIV 64").alias("w"),
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
-                ).alias("bit"),
-            )
-            .groupBy("w")
-            .agg(F.expr("bit_or(bit)").alias("word"))
-            .collect()
-        )
-        by_idx = {int(r.w): int(r.word) for r in words}
-        return [by_idx.get(i, 0) for i in range(BLOOM_BITS // 64)]
+        return bloom_words_of(self.shingle_universe())
 
     def contaminated(self, train_df: DataFrame, id_col: str, text_col: str,
                      min_shingles: int | None = None) -> DataFrame:
         """d15's Bloom-prefiltered decontamination of ``train_df``
         against the maintained eval index: per train doc, Bloom hits,
         exact hits, the false-positive gap, and the drop verdict."""
-        from .operators.dedup import BLOOM_BITS, DECONTAM_MIN_SHINGLES
+        from .operators.dedup import DECONTAM_MIN_SHINGLES, bloom_hits_of
 
         if min_shingles is None:
             min_shingles = DECONTAM_MIN_SHINGLES
         bitmap = self.bloom_words()
         hashed = shingle_hash_rows(train_df, id_col, text_col)
-        probe = (
-            hashed.withColumn("bloom", F.lit(bitmap))
-            .withColumn("p1", F.col("h") % BLOOM_BITS)
-            .withColumn("p2", F.expr(f"h DIV {BLOOM_BITS}"))
-        )
-        hits = probe.filter(
-            F.expr(
-                "((bloom[CAST(p1 DIV 64 AS INT)] >> CAST(p1 % 64 AS INT)) & 1) = 1"
-                " AND ((bloom[CAST(p2 DIV 64 AS INT)] >> CAST(p2 % 64 AS INT)) & 1) = 1"
-            )
-        ).select("doc_id", "h")
+        hits = bloom_hits_of(hashed, bitmap)
         agg = hits.groupBy("doc_id").agg(F.count("*").alias("n_bloom_hits"))
         exact = (
             hits.join(self.shingle_universe(), "h")

@@ -949,6 +949,47 @@ def d10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_BITS = 1 << 16
 
 
+def bloom_words_of(hashes: DataFrame) -> list[int]:
+    """Pack the d15 Bloom bitmap (two probes per 32-bit hash: low/high
+    16 bits) from a DataFrame with column ``h`` — built distributed,
+    only the m/64 = 1024 packed int64 words reach the driver. Shared
+    by d15, IncrementalEvalIndex, and the streaming decontaminator so
+    the three stay bit-identical by construction."""
+    pos = (
+        hashes.select((F.col("h") % BLOOM_BITS).alias("p"))
+        .unionAll(hashes.select(F.expr(f"h DIV {BLOOM_BITS}").alias("p")))
+        .distinct()
+    )
+    words = (
+        pos.select(
+            F.expr("p DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .collect()
+    )
+    by_idx = {int(r.w): int(r.word) for r in words}
+    return [by_idx.get(i, 0) for i in range(BLOOM_BITS // 64)]
+
+
+def bloom_hits_of(hashed: DataFrame, bitmap: list[int]) -> DataFrame:
+    """Filter a (doc_id, h) stream to Bloom survivors: the bitmap ships
+    as ONE array literal in the plan and both probes are codegen'd bit
+    tests — the scan-stage kill that never shuffles the corpus."""
+    probe = (
+        hashed.withColumn("bloom", F.lit(bitmap))
+        .withColumn("p1", F.col("h") % BLOOM_BITS)
+        .withColumn("p2", F.expr(f"h DIV {BLOOM_BITS}"))
+    )
+    return probe.filter(
+        F.expr(
+            "((bloom[CAST(p1 DIV 64 AS INT)] >> CAST(p1 % 64 AS INT)) & 1) = 1"
+            " AND ((bloom[CAST(p2 DIV 64 AS INT)] >> CAST(p2 % 64 AS INT)) & 1) = 1"
+        )
+    ).select("doc_id", "h")
+
+
 def _d15_oracle() -> str:
     h = md5_prefix_long_sql("s")
     return f"""
@@ -992,38 +1033,9 @@ def d15_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "s", md5_prefix_long(F.col("s")).alias("h")
     )
     evalh = hashed.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
-    # Build the bitmap distributed: positions -> 64-bit words via bit_or
-    # partial agg; only the packed words (m/64 = 1024 rows) reach the
-    # driver, then ship back as ONE array literal in the plan.
-    pos = (
-        evalh.select((F.col("h") % BLOOM_BITS).alias("p"))
-        .unionAll(evalh.select(F.expr(f"h DIV {BLOOM_BITS}").alias("p")))
-        .distinct()
-    )
-    words = (
-        pos.select(
-            F.expr("p DIV 64").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(bit)").alias("word"))
-        .collect()
-    )
-    by_idx = {int(r.w): int(r.word) for r in words}
-    bitmap = [by_idx.get(i, 0) for i in range(BLOOM_BITS // 64)]
-
+    bitmap = bloom_words_of(evalh)
     train = hashed.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
-    probe = (
-        train.withColumn("bloom", F.lit(bitmap))
-        .withColumn("p1", F.col("h") % BLOOM_BITS)
-        .withColumn("p2", F.expr(f"h DIV {BLOOM_BITS}"))
-    )
-    hits = probe.filter(
-        F.expr(
-            "((bloom[CAST(p1 DIV 64 AS INT)] >> CAST(p1 % 64 AS INT)) & 1) = 1"
-            " AND ((bloom[CAST(p2 DIV 64 AS INT)] >> CAST(p2 % 64 AS INT)) & 1) = 1"
-        )
-    ).select("doc_id", "h")
+    hits = bloom_hits_of(train, bitmap)
     agg = hits.groupBy("doc_id").agg(F.count("*").alias("n_bloom_hits"))
     eunv = evalh.select("h").distinct()
     exact = (
@@ -2356,10 +2368,6 @@ def d24_frequency_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 D25_CHUNK = 32
 D25_JACCARD = 0.6
-# Composite chunk key for the band self-join: cid = doc_id * 10^5 + k.
-# Sound while docs stay under 10^5 chunks = 3.2M tokens (documented
-# bound; the fixture max is 4 chunks) and doc_id < 9.2e13.
-D25_CID_MOD = 100_000
 
 
 def _d25_oracle() -> str:

@@ -50,9 +50,11 @@ FEATURE_SCHEMA = (
 # REAL decode: header validation, dimension/sample extraction, and pixel
 # /sample statistics. m06/m07 drive them through the DuckDB gate on
 # synthesized-but-genuine files; tests/test_operators.py checks them on
-# handcrafted fixtures byte-for-byte. Formats that genuinely need codec
-# libraries (JPEG/PNG/MP4/...) still raise NotImplementedError — that is
-# the documented container boundary, no longer the default path.
+# handcrafted fixtures byte-for-byte. Baseline JPEG also decodes for
+# real (the T.81 codec further down, m15/m16). Formats that genuinely
+# need codec libraries (PNG/MP4/..., and subsampled or progressive
+# JPEG) still raise NotImplementedError / ValueError — that is the
+# documented container boundary, no longer the default path.
 # --------------------------------------------------------------------------
 def decode_bmp(payload: bytes) -> dict:
     """Parse an uncompressed 24-bit BMP: dimensions + pixel-sum stats.
@@ -447,6 +449,8 @@ def decode_jpeg(payload: bytes) -> dict:
         if marker == 0xDB:
             off = 0
             while off < len(body):
+                if off + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT segment")
                 pq, tq = body[off] >> 4, body[off] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit JPEG quant tables unsupported")
@@ -458,9 +462,13 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline sequential JPEG (SOF0) supported")
         elif marker == 0xC0:
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF0 segment")
             prec = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF0 component list")
             comps = []
             for i in range(ncomp):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -475,14 +483,20 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xC4:
             off = 0
             while off < len(body):
+                if off + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
                 tc, th = body[off] >> 4, body[off] & 0x0F
                 bits = [0] + list(body[off + 1 : off + 17])
                 nsym = sum(bits)
+                if off + 17 + nsym > len(body):
+                    raise ValueError("truncated JPEG DHT symbol list")
                 syms = list(body[off + 17 : off + 17 + nsym])
                 table = _jpeg_decode_table(bits, syms)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 off += 17 + nsym
         elif marker == 0xDA:
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
@@ -496,6 +510,14 @@ def decode_jpeg(payload: bytes) -> dict:
     w, h, comps = sof
     if w % 8 or h % 8:
         raise ValueError("non-multiple-of-8 JPEG dimensions unsupported")
+    # Undeclared-table references are parse failures (the documented
+    # ValueError contract), not KeyErrors in the MCU loop.
+    for _cid, tq in comps:
+        if tq not in qtabs:
+            raise ValueError(f"JPEG references undeclared quant table {tq}")
+    for _cid, dct_id, act_id in scan_comps:
+        if dct_id not in dc_tables or act_id not in ac_tables:
+            raise ValueError("JPEG references undeclared Huffman table")
     end = payload.rfind(b"\xff\xd9")
     reader = _JpegBitReader(payload[scan_start : end if end > 0 else len(payload)])
     C = _jpeg_dct_matrix()
@@ -1228,28 +1250,13 @@ _AHASH_SCHEMA = "doc_id long, width long, height long, ahash long"
 
 
 def ahash_bmp(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, 16-bit average-hash) of a 24-bit BMP payload."""
+    """(width, height, 16-bit average-hash) of a 24-bit BMP payload —
+    the generic pixel kernel (ahash_rgb, defined with m16) over the
+    real BMP parse; gray = (c0+c1+c2)//3 is channel-order-agnostic, so
+    BGR pixel order hashes identically to RGB."""
     info = decode_bmp(payload)
     w, h = info["width"], info["height"]
-    px = bmp_pixels(payload)
-    grays = [
-        (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3
-        for p in range(w * h)
-    ]
-    cell_sum = [[0] * _AHASH_GRID for _ in range(_AHASH_GRID)]
-    cell_cnt = [[0] * _AHASH_GRID for _ in range(_AHASH_GRID)]
-    for p, g in enumerate(grays):
-        x, y = p % w, p // w
-        ci, cj = x * _AHASH_GRID // w, y * _AHASH_GRID // h
-        cell_sum[cj][ci] += g
-        cell_cnt[cj][ci] += 1
-    total, npix = sum(grays), w * h
-    ahash = 0
-    for cj in range(_AHASH_GRID):
-        for ci in range(_AHASH_GRID):
-            if cell_sum[cj][ci] * npix >= total * cell_cnt[cj][ci]:
-                ahash |= 1 << (_AHASH_GRID * cj + ci)
-    return w, h, ahash
+    return w, h, ahash_rgb(w, h, bmp_pixels(payload))
 
 
 def _m09_oracle() -> str:
@@ -1836,6 +1843,22 @@ def m14_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cost (the decode kernel itself is the production path for a real
 # JPEG column; swap the sample for the column at deployment).
 # --------------------------------------------------------------------------
+def _ramp_rgb(doc_id: int):
+    """The deterministic 16x16 smooth-ramp RGB fixture m15/m16 share:
+    three linear planes (max value 198 — never clamps), so the original
+    pixel sum and aHash have closed forms the oracles evaluate in SQL.
+    Changing this formula requires changing BOTH oracles in lockstep."""
+    import numpy as np
+
+    d1, d2, d3 = doc_id % 64, (doc_id * 7) % 64, (doc_id * 13) % 64
+    xs = np.arange(16).reshape(1, 16)
+    ys = np.arange(16).reshape(16, 1)
+    return np.stack(
+        [d1 + 6 * xs + 3 * ys, d2 + 4 * xs + 5 * ys, d3 + 2 * xs + 7 * ys],
+        axis=2,
+    ).astype(np.uint8)
+
+
 _JPEG_RT_SCHEMA = (
     "doc_id long, width long, height long, n_mcus long,"
     " orig_pixel_sum long, recon_ok boolean"
@@ -1875,16 +1898,7 @@ def m15_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                d1, d2, d3 = d % 64, (d * 7) % 64, (d * 13) % 64
-                xs = np.arange(16).reshape(1, 16)
-                ys = np.arange(16).reshape(16, 1)
-                rgb = np.stack(
-                    [d1 + 6 * xs + 3 * ys + 0 * ys,
-                     d2 + 4 * xs + 5 * ys,
-                     d3 + 2 * xs + 7 * ys],
-                    axis=2,
-                ).astype(np.uint8)  # linear ramps, max 198 — never clamps
-                raw = rgb.tobytes()
+                raw = _ramp_rgb(d).tobytes()
                 payload = build_jpeg(16, 16, raw)
                 info = decode_media(payload)  # magic-sniffed real decode
                 a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
@@ -1998,14 +2012,7 @@ def m16_jpeg_ahash_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             out: dict[str, list] = {"doc_id": [], "ahash": [], "jpeg_stable": []}
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                d1, d2, d3 = d % 64, (d * 7) % 64, (d * 13) % 64
-                xs = np.arange(16).reshape(1, 16)
-                ys = np.arange(16).reshape(16, 1)
-                rgb = np.stack(
-                    [d1 + 6 * xs + 3 * ys, d2 + 4 * xs + 5 * ys,
-                     d3 + 2 * xs + 7 * ys],
-                    axis=2,
-                ).astype(np.uint8).tobytes()
+                rgb = _ramp_rgb(d).tobytes()
                 orig = ahash_rgb(16, 16, rgb)
                 decoded = decode_media(build_jpeg(16, 16, rgb))["pixels"]
                 after = ahash_rgb(16, 16, decoded)

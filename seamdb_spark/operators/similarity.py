@@ -2173,7 +2173,7 @@ def s13_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     beam = probes.select("probe_id").crossJoin(F.broadcast(entries))
     scored = None
     w_probe = W.partitionBy("probe_id").orderBy(F.col("qcos").desc(), "node")
-    for _ in range(S13_HOPS):
+    for hop_i in range(S13_HOPS):
         hop = edges.select(F.col("src").alias("node"), "dst")
         expanded = beam.join(hop, "node").select(
             "probe_id", F.col("dst").alias("node")
@@ -2189,11 +2189,14 @@ def s13_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Cut lineage each hop: the beam is O(probes x S13_BEAM) rows,
         # and without the checkpoint hop h's plan re-derives hops 1..h-1
         # (exponential plan growth — the d09 pointer-jumping discipline).
-        beam = (
-            scored.filter(F.col("rk") <= S13_BEAM)
-            .select("probe_id", "node")
-            .localCheckpoint()
-        )
+        # The FINAL hop's beam is never consumed (the result reads
+        # `scored`), so its eager checkpoint job is skipped.
+        if hop_i < S13_HOPS - 1:
+            beam = (
+                scored.filter(F.col("rk") <= S13_BEAM)
+                .select("probe_id", "node")
+                .localCheckpoint()
+            )
     return scored.filter(F.col("rk") <= S13_TOP).select(
         "probe_id",
         F.col("node").alias("neighbor_id"),
@@ -2575,7 +2578,7 @@ def s16_hnsw_layered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     def walk(beam: DataFrame, hop_edges: DataFrame, hops: int,
              beam_width: int) -> DataFrame:
         scored = None
-        for _ in range(hops):
+        for hop_i in range(hops):
             expanded = beam.join(
                 hop_edges.select(F.col("src").alias("node"), "dst"), "node"
             ).select("probe_id", F.col("dst").alias("node"))
@@ -2588,12 +2591,15 @@ def s16_hnsw_layered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("rk", F.row_number().over(w_probe))
             )
             # Lineage cut per hop — the s13/d09 iteration discipline;
-            # the beam stays O(probes x beam_width).
-            beam = (
-                scored.filter(F.col("rk") <= beam_width)
-                .select("probe_id", "node")
-                .localCheckpoint()
-            )
+            # the beam stays O(probes x beam_width). The final hop's
+            # beam is never consumed (callers read `scored`), so its
+            # eager checkpoint job is skipped.
+            if hop_i < hops - 1:
+                beam = (
+                    scored.filter(F.col("rk") <= beam_width)
+                    .select("probe_id", "node")
+                    .localCheckpoint()
+                )
         return scored
 
     # Layer 2: exhaustive coarse entry (probes x n/16, broadcast probes)

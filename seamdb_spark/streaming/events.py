@@ -607,46 +607,36 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     time column, so the finite replay runs in complete mode.
     """
     from ..dedup_index import shingle_hash_rows
-    from ..operators.dedup import BLOOM_BITS, DECONTAM_MIN_SHINGLES, EVAL_SET_MOD
+    from ..operators.dedup import (
+        DECONTAM_MIN_SHINGLES,
+        EVAL_SET_MOD,
+        bloom_hits_of,
+        bloom_words_of,
+    )
     from ..sources import load_table
 
-    # Static eval side (batch): universe + packed bitmap words.
+    # Static eval side (batch): universe + packed bitmap words — the
+    # EXACT d15 kernels (shared helpers), so stream == batch by
+    # construction. The universe is persisted: it feeds the bitmap
+    # build once and then the stream-static join of EVERY micro-batch,
+    # which would otherwise re-derive the eval shingle pipeline per
+    # batch.
     eval_docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % EVAL_SET_MOD == 0
     )
-    univ = shingle_hash_rows(eval_docs, "doc_id", "text").select("h").distinct()
-    pos = (
-        univ.select((F.col("h") % BLOOM_BITS).alias("p"))
-        .unionAll(univ.select(F.expr(f"h DIV {BLOOM_BITS}").alias("p")))
+    univ = (
+        shingle_hash_rows(eval_docs, "doc_id", "text")
+        .select("h")
         .distinct()
+        .persist()
     )
-    words = (
-        pos.select(
-            F.expr("p DIV 64").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(bit)").alias("word"))
-        .collect()
-    )  # 1024 packed longs — O(1) driver state (the d15 discipline)
-    by_idx = {int(r.w): int(r.word) for r in words}
-    bitmap = [by_idx.get(i, 0) for i in range(BLOOM_BITS // 64)]
+    bitmap = bloom_words_of(univ)
 
     train = stream_documents(spark, sf_dir).filter(
         F.col("doc_id") % EVAL_SET_MOD != 0
     )
     hashed = shingle_hash_rows(train, "doc_id", "text")
-    probe = (
-        hashed.withColumn("bloom", F.lit(bitmap))
-        .withColumn("p1", F.col("h") % BLOOM_BITS)
-        .withColumn("p2", F.expr(f"h DIV {BLOOM_BITS}"))
-    )
-    hits = probe.filter(
-        F.expr(
-            "((bloom[CAST(p1 DIV 64 AS INT)] >> CAST(p1 % 64 AS INT)) & 1) = 1"
-            " AND ((bloom[CAST(p2 DIV 64 AS INT)] >> CAST(p2 % 64 AS INT)) & 1) = 1"
-        )
-    ).select("doc_id", "h")
+    hits = bloom_hits_of(hashed, bitmap)
     # Stream-static LEFT join marks exact membership; one aggregation
     # then yields both counters.
     marked = hits.join(
