@@ -2676,3 +2676,114 @@ def d26_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("subset_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# g03: degree profile + degree assortativity of the near-dup graph —
+# the graph-health summary a dedup pipeline reads before trusting
+# cluster-level decisions (Newman 2002 assortativity): positive r
+# means high-degree docs (template hubs) link to each other (big
+# near-dup families), negative r means hubs link to leaves (one
+# canonical + many variants). Pearson r over edge-endpoint degrees
+# with the edge list symmetrized (both orientations — the standard
+# undirected treatment, which makes Σx = Σy and Σx² = Σy², so
+# r = (nΣxy − S²) / (nQ − S²) over exact integer sums; the single
+# float division is a fixed expression, dround(6)-guarded; NULL when
+# degrees are constant).
+#
+# Scale: shares the memoized simhash pair list (d03/g01/g02); degrees
+# are one group count; the metric is a 1-row aggregate over the edge
+# list with map-side partials — nothing beyond the graph build.
+# --------------------------------------------------------------------------
+def _g03_oracle() -> str:
+    return f"""
+    WITH {_simhash_sig_sql().strip()},
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS id FROM pairs UNION ALL SELECT doc_b AS id FROM pairs
+      ) GROUP BY id
+    ),
+    sym AS (
+      SELECT da.d AS x, db.d AS y
+      FROM pairs p JOIN deg da ON da.id = p.doc_a
+                   JOIN deg db ON db.id = p.doc_b
+      UNION ALL
+      SELECT db.d, da.d
+      FROM pairs p JOIN deg da ON da.id = p.doc_a
+                   JOIN deg db ON db.id = p.doc_b
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM sym
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree,
+           (SELECT CAST((1000 * SUM(d)) // COUNT(*) AS BIGINT) FROM deg)
+             AS mean_degree_milli,
+           ROUND((sums.n * sums.sxy - sums.s * sums.s) * 1.0
+                 / NULLIF(sums.n * sums.q - sums.s * sums.s, 0), 6)
+             AS assortativity
+    FROM sums
+    """
+
+
+@register("g03_degree_assortativity", oracle=_g03_oracle())
+def g03_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("id").alias("doc_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("id").alias("doc_b"), F.col("d").alias("d_b"))
+    # Both orientations in ONE pass (the d25 two-struct explode — a
+    # two-sided union would plan the pair+degree join twice).
+    sym = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(d_a AS x, d_b AS y),"
+                    " struct(d_b AS x, d_a AS y))"
+                )
+            ).alias("e")
+        )
+        .select("e.x", "e.y")
+    )
+    sums = sym.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    node_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("d").alias("max_degree"),
+        F.expr("CAST((1000 * sum(d)) div count(*) AS BIGINT)").alias(
+            "mean_degree_milli"
+        ),
+    )
+    edge_count = pairs.agg(F.count("*").alias("n_edges"))
+    r = (F.col("n") * F.col("sxy") - F.col("s") * F.col("s")) * F.lit(1.0) / F.expr(
+        "nullif(n * q - s * s, 0)"
+    )
+    return (
+        node_stats.join(F.broadcast(edge_count))  # 1-row x 1-row
+        .join(F.broadcast(sums))
+        .select(
+            "n_nodes", "n_edges", "max_degree", "mean_degree_milli",
+            dround(r, 6).alias("assortativity"),
+        )
+    )

@@ -1646,3 +1646,32 @@ def test_frequency_downsample_replay_and_expectation(spark, registry):
             assert r.kept == (coin < r.keep_ppm)
             if len(members) == 1:
                 assert r.kept  # coin < 1e6 always
+
+
+def test_degree_assortativity_matches_bruteforce(spark, registry):
+    """g03: recompute degrees and Newman's assortativity coefficient
+    from the same simhash pair list in pure Python and compare to
+    1e-5 (the engine value is a single float division over exact
+    integer sums)."""
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import _simhash_pairs
+
+    pairs = [(r.doc_a, r.doc_b) for r in _simhash_pairs(spark, SF_SMOKE).collect()]
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [(deg[a], deg[b]) for a, b in pairs] + [
+        (deg[b], deg[a]) for a, b in pairs
+    ]
+    n = len(xs)
+    s = sum(x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    q = sum(x * x for x, _ in xs)
+    expect = (n * sxy - s * s) / (n * q - s * s)
+    [r] = queries["g03_degree_assortativity"](spark, SF_SMOKE).collect()
+    assert r.n_nodes == len(deg)
+    assert r.n_edges == len(pairs)
+    assert r.max_degree == max(deg.values())
+    assert r.mean_degree_milli == (1000 * sum(deg.values())) // len(deg)
+    assert abs(r.assortativity - expect) < 1e-5
