@@ -2787,3 +2787,113 @@ def g03_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(r, 6).alias("assortativity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d27: idf-WEIGHTED SimHash near-dup — the production variant of d03
+# (Charikar 2002 fingerprints as deployed in Manku et al. 2007, where
+# features carry weights): each token occurrence votes ±idf instead of
+# ±1, so rare informative terms dominate the fingerprint and shared
+# boilerplate ("the", connective glue) can no longer hold two
+# unrelated docs within Hamming range. Weights are the d22 integer
+# discipline — least((N*1000) div df, cap) with df = distinct docs
+# containing the token — and the vote sums are exact int64, so the
+# fingerprint replays bit-for-bit in SQL. Candidates use the SAME
+# 8-nibble multi-index blocking as d03 (hamming <= 6 pigeonholes >= 2
+# equal nibbles → recall 1 vs the oracle's brute-force verify).
+#
+# Scale: one extra vocabulary-sized df aggregate + an h-keyed join
+# versus d03 (map-side combine, Heaps-law sublinear); everything else
+# is the d03 plan shape — bounded nibble buckets, never all-pairs.
+# --------------------------------------------------------------------------
+D27_IDF_CAP = 1_000_000
+
+
+def _d27_oracle() -> str:
+    h = md5_prefix_long_sql("tok")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (SELECT doc_id, {h} AS h FROM toks),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM th),
+    dfreq AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM th GROUP BY h
+    ),
+    w AS (
+      SELECT d.h, LEAST((n.nd * 1000) // d.df, {D27_IDF_CAP}) AS w
+      FROM dfreq d CROSS JOIN n
+    ),
+    bit_votes AS (
+      SELECT t.doc_id, b,
+             SUM(CASE WHEN (t.h >> b) & 1 = 1 THEN wt.w ELSE -wt.w END) AS vote
+      FROM th t JOIN w wt ON wt.h = t.h,
+           (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
+      GROUP BY t.doc_id, b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bit_votes GROUP BY doc_id
+    )
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+           CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+    FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("d27_weighted_simhash", oracle=_d27_oracle())
+def d27_weighted_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    th = toks.select("doc_id", md5_prefix_long(F.col("tok")).alias("h"))
+    n_docs = th.select("doc_id").distinct().agg(F.count("*").alias("nd"))
+    dfreq = th.distinct().groupBy("h").agg(F.count("*").alias("df"))
+    weights = dfreq.join(F.broadcast(n_docs)).select(
+        "h",
+        F.least(F.expr("(nd * 1000) div df"), F.lit(D27_IDF_CAP)).alias("w"),
+    )
+    tokw = th.join(weights, "h")
+    votes = tokw.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1)") == 1, F.col("w"))
+                .otherwise(-F.col("w"))
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    simhash_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash_expr = term if simhash_expr is None else simhash_expr + term
+    sigs = votes.select("doc_id", simhash_expr.alias("simhash"))
+    chunks = spark.range(SIMHASH_CHUNKS).select(F.col("id").cast("int").alias("c"))
+    keyed = (
+        sigs.crossJoin(F.broadcast(chunks))
+        .select(
+            "doc_id", "simhash", "c",
+            F.expr("(shiftright(simhash, c * 4) & 15)").alias("nib"),
+        )
+        # Same AQE-coalesce guard as d03's blocking self-join.
+        .repartition(64, "c", "nib")
+    )
+    k1 = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "nib"
+    )
+    k2 = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "nib"
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        k1.join(k2, ["c", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

@@ -1675,3 +1675,52 @@ def test_degree_assortativity_matches_bruteforce(spark, registry):
     assert r.max_degree == max(deg.values())
     assert r.mean_degree_milli == (1000 * sum(deg.values())) // len(deg)
     assert abs(r.assortativity - expect) < 1e-5
+
+
+def test_weighted_simhash_matches_reference_impl(spark, registry):
+    """d27: recompute every doc's idf-weighted fingerprint from first
+    principles in pure Python (md5 32-bit token hash, doc-frequency
+    idf with the d22 cap, signed integer votes) and the brute-force
+    pair set, and compare exactly — the blocking must lose nothing
+    (pigeonhole over 8 nibbles at hamming <= 6)."""
+    import hashlib
+
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import (
+        D27_IDF_CAP,
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+        _docs,
+    )
+
+    docs = {r.doc_id: r.text.split(" ") for r in _docs(spark, SF_SMOKE).collect()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    df: dict[int, int] = {}
+    for toks in docs.values():
+        for hh in {h32(t) for t in toks}:
+            df[hh] = df.get(hh, 0) + 1
+    nd = len(docs)
+    w = {hh: min((nd * 1000) // c, D27_IDF_CAP) for hh, c in df.items()}
+    sigs = {}
+    for d, toks in docs.items():
+        votes = [0] * SIMHASH_BITS
+        for t in toks:
+            hh = h32(t)
+            for b in range(SIMHASH_BITS):
+                votes[b] += w[hh] if (hh >> b) & 1 else -w[hh]
+        sigs[d] = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+    ids = sorted(sigs)
+    truth = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in queries["d27_weighted_simhash"](spark, SF_SMOKE).collect()
+    }
+    assert got == truth and truth
