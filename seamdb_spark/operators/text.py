@@ -2105,3 +2105,112 @@ def t30_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         (F.col("tercile") <= 2).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# t31: held-out bigram-LM evaluation — the split-disciplined version
+# of t16 and the AB check a data-quality team actually runs: estimate
+# the bigram LM from the TRAIN split ONLY (t08's deterministic
+# hash-mod split), then score the VAL split's documents under it,
+# counting out-of-vocabulary bigrams explicitly. t16 scores the corpus
+# under counts that include every scored doc (self-influence); the
+# held-out protocol removes it, which is what makes scores comparable
+# across candidate corpora. All-integer: seen bigrams score
+# (c_bg * 1e6) div c_u from train counts; unseen bigrams contribute 0
+# and are counted in oov_bigrams (reported, not smoothed away — the
+# oracle replays exactly).
+#
+# Scale (100 TB): train-side counts are vocabulary-sized map-side
+# combines (the t16 argument); the val stream left-joins them on the
+# bigram key, and the split filters are row-local hash predicates —
+# no new shuffle shape beyond t16.
+# --------------------------------------------------------------------------
+@register(
+    "t31_heldout_lm_eval",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             {md5_prefix_long_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    occ AS (
+      SELECT doc_id, bucket,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> struct_pack(w1 := string_split(text, ' ')[i],
+                                  g  := concat_ws(' ', string_split(text, ' ')[i],
+                                                  string_split(text, ' ')[i+1])))) AS b
+      FROM split
+    ),
+    flat AS (SELECT doc_id, bucket, b.w1 AS w1, b.g AS g FROM occ),
+    bg_counts AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS c_bg FROM flat
+      WHERE bucket < 80 GROUP BY g
+    ),
+    u_counts AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_u FROM flat
+      WHERE bucket < 80 GROUP BY w1
+    ),
+    val_scored AS (
+      SELECT f.doc_id,
+             CASE WHEN b.c_bg IS NOT NULL AND u.c_u IS NOT NULL
+                  THEN (b.c_bg * 1000000) // u.c_u END AS ppm
+      FROM flat f
+      LEFT JOIN bg_counts b ON f.g = b.g
+      LEFT JOIN u_counts u ON f.w1 = u.w1
+      WHERE f.bucket >= 80 AND f.bucket < 90
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) FILTER (WHERE ppm IS NULL) AS BIGINT) AS oov_bigrams,
+           CAST(COALESCE(SUM(ppm), 0) AS BIGINT) AS score,
+           CAST((1000 * COUNT(*) FILTER (WHERE ppm IS NULL)) // COUNT(*)
+                AS BIGINT) AS oov_milli
+    FROM val_scored
+    GROUP BY doc_id
+    """,
+)
+def t31_heldout_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = md5_prefix_long(F.col("doc_id").cast("string")) % 100
+    flat = (
+        docs.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(array(split(text, ' ')),"
+                    " toks -> transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1,"
+                    "             concat_ws(' ', toks[i], toks[i+1]) AS g))))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "bucket", "b.w1", "b.g")
+    )
+    train = flat.filter(F.col("bucket") < 80)
+    bg_counts = train.groupBy("g").agg(F.count("*").alias("c_bg"))
+    u_counts = train.groupBy("w1").agg(F.count("*").alias("c_u"))
+    val = flat.filter((F.col("bucket") >= 80) & (F.col("bucket") < 90))
+    scored = (
+        val.join(bg_counts, "g", "left")
+        .join(u_counts, "w1", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c_bg").isNotNull() & F.col("c_u").isNotNull(),
+                F.expr("(c_bg * 1000000) div c_u"),
+            ).alias("ppm"),
+        )
+    )
+    is_oov = F.col("ppm").isNull()
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.count(F.when(is_oov, 1)).alias("oov_bigrams"),
+        F.coalesce(F.sum("ppm"), F.lit(0)).cast("long").alias("score"),
+        F.expr(
+            "CAST((1000 * count(CASE WHEN ppm IS NULL THEN 1 END))"
+            " div count(*) AS BIGINT)"
+        ).alias("oov_milli"),
+    )

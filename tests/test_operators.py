@@ -1724,3 +1724,43 @@ def test_weighted_simhash_matches_reference_impl(spark, registry):
         for r in queries["d27_weighted_simhash"](spark, SF_SMOKE).collect()
     }
     assert got == truth and truth
+
+
+def test_heldout_lm_eval_matches_reference_impl(spark, registry):
+    """t31: recompute every val doc's held-out score in pure Python —
+    counts from the train split ONLY (t08 md5 buckets), OOV bigrams
+    scored as 0 and counted — and compare exactly. Also asserts the
+    split discipline: every output doc is in the val bucket range."""
+    import hashlib
+
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import _docs
+
+    def bucket(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+
+    docs = {r.doc_id: r.text.split(" ") for r in _docs(spark, SF_SMOKE).collect()}
+    bg, u = {}, {}
+    for d, toks in docs.items():
+        if len(toks) < 2 or bucket(d) >= 80:
+            continue
+        for i in range(len(toks) - 1):
+            g = f"{toks[i]} {toks[i+1]}"
+            bg[g] = bg.get(g, 0) + 1
+            u[toks[i]] = u.get(toks[i], 0) + 1
+    rows = queries["t31_heldout_lm_eval"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 80 <= bucket(r.doc_id) < 90  # val split only
+        toks = docs[r.doc_id]
+        score = oov = 0
+        for i in range(len(toks) - 1):
+            g = f"{toks[i]} {toks[i+1]}"
+            if g in bg and toks[i] in u:
+                score += (bg[g] * 1_000_000) // u[toks[i]]
+            else:
+                oov += 1
+        assert r.n_bigrams == len(toks) - 1
+        assert r.oov_bigrams == oov
+        assert r.score == score
+        assert r.oov_milli == (1000 * oov) // (len(toks) - 1)
