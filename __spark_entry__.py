@@ -165,8 +165,8 @@ _R4_WINDOW = [
 # ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) any queries
 # registered after _R5_WINDOW froze plus any whose plan/oracle changes
 # in round 6, then fill to 50 oldest-green-first: the r2 greens not in
-# _R5_WINDOW (from "d10_decontaminate" onward in _R2_GREEN order —
-# d10/x01/x03/e07/e08/e09/m02/m04/q25 lost their slots to round-5
+# _R5_WINDOW (the whole list in _R2_GREEN order —
+# d09-q25's early entries lost their fill slots to round-5
 # registrations), then
 # _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW.
 _R5_WINDOW = [
@@ -187,7 +187,7 @@ _R5_WINDOW = [
     "m16_jpeg_ahash_stability",
     "s13_graph_beam_search", "t30_perplexity_buckets",
     "g03_degree_assortativity", "d27_weighted_simhash",
-    "t31_heldout_lm_eval",
+    "t31_heldout_lm_eval", "d28_cluster_quality_audit",
     # (c) oldest-green-first fill: 18 r1 greens without a row since r1
     "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
     "q14_rollup", "q15_cube", "q16_grouping_sets", "q17_window_rank",
@@ -196,7 +196,6 @@ _R5_WINDOW = [
     "q24_string_functions", "q26_datetime_functions",
     "q27_date_diff_interval", "q28_case_cast", "q29_distinct",
     # (c) then r2 greens in _R2_GREEN order
-    "d09_dedup_clusters",
 ]
 
 

@@ -409,3 +409,139 @@ def p05_model_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("classifier_score") <= 0, "drop_classifier")
         .otherwise("select"),
     )
+
+
+# --------------------------------------------------------------------------
+# d28: cluster-quality audit — cross-validates the two independent
+# lexical similarity spaces the stack maintains: d09's clusters come
+# from SIMHASH fingerprints, so for each multi-doc cluster this
+# measures how strongly MINHASH-verified Jaccard (the d02 kernel)
+# agrees: intra-cluster pair density and mean Jaccard. Low density or
+# low mean Jaccard flags clusters glued together by fingerprint
+# collisions rather than real overlap — the audit a curation run
+# consults before dropping every non-canonical member. (The inverse
+# check — MinHash pairs CROSSING cluster boundaries — is d13's
+# cross-source shape and falls out of the same join.)
+#
+# Scale: two doc_id-keyed label joins over the verified pair list +
+# one |clusters|-row aggregate; both inputs are shared artifacts (cc
+# labels materialized, d02's banding-bounded pairs).
+# --------------------------------------------------------------------------
+def _d28_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD
+    from .hashing import (
+        MINHASH_PARAMS,
+        N_BANDS,
+        ROWS_PER_BAND,
+        md5_prefix_long_sql,
+        minhash_value_sql,
+    )
+    from .dedup import _SHINGLES_SQL
+
+    h = md5_prefix_long_sql("sh")
+    mh_exprs = ",\n           ".join(
+        f"MIN({minhash_value_sql('h', a, b)}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_rows = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        cols = " || '-' || ".join(
+            f"CAST(mh{j} AS VARCHAR)" for j in range(lo, lo + ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band_id, {cols} AS band_key FROM mh_sigs"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_rows)
+    # The MinHash chain carries mh_ prefixes: the recursive CC chain
+    # already owns the names sigs/pairs/hashed.
+    return f"""
+    WITH RECURSIVE {_cc_ctes()},
+    labels AS (
+      SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM labels GROUP BY cluster_id HAVING COUNT(*) >= 2
+    ),
+    mh_sh AS ({_SHINGLES_SQL}),
+    mh_exploded AS (SELECT doc_id, unnest(shingles) AS sh FROM mh_sh),
+    mh_hashed AS (SELECT doc_id, {h} AS h FROM mh_exploded),
+    mh_sigs AS (
+      SELECT doc_id, {mh_exprs}
+      FROM mh_hashed GROUP BY doc_id
+    ),
+    mh_bands AS (
+      {bands_sql}
+    ),
+    mh_cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM mh_bands b1 JOIN mh_bands b2
+        ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+       AND b1.doc_id < b2.doc_id
+    ),
+    mh_verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS j
+      FROM mh_cand c JOIN mh_sh a ON c.doc_a = a.doc_id
+                     JOIN mh_sh b ON c.doc_b = b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    intra AS (
+      SELECT la.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_intra_pairs,
+             ROUND(AVG(v.j), 6) AS mean_intra_jaccard
+      FROM mh_verified v
+      JOIN labels la ON la.doc_id = v.doc_a
+      JOIN labels lb ON lb.doc_id = v.doc_b
+      WHERE la.cluster_id = lb.cluster_id
+      GROUP BY la.cluster_id
+    )
+    SELECT s.cluster_id, s.n_docs,
+           COALESCE(i.n_intra_pairs, 0) AS n_intra_pairs,
+           (1000 * 2 * COALESCE(i.n_intra_pairs, 0))
+             // (s.n_docs * (s.n_docs - 1)) AS density_milli,
+           i.mean_intra_jaccard
+    FROM sizes s LEFT JOIN intra i ON i.cluster_id = s.cluster_id
+    """
+
+
+@register("d28_cluster_quality_audit", oracle=_d28_oracle())
+def d28_cluster_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _cc_clusters, d02_dedup_minhash_lsh
+
+    labels = _cc_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    pairs = d02_dedup_minhash_lsh(spark, sf_dir)
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+    intra = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_intra_pairs"),
+            dround(F.avg("jaccard"), 6).alias("mean_intra_jaccard"),
+        )
+    )
+    return sizes.join(intra, "cluster_id", "left").select(
+        "cluster_id",
+        "n_docs",
+        F.coalesce("n_intra_pairs", F.lit(0)).alias("n_intra_pairs"),
+        F.expr(
+            "(1000 * 2 * coalesce(n_intra_pairs, 0))"
+            " div (n_docs * (n_docs - 1))"
+        ).alias("density_milli"),
+        "mean_intra_jaccard",
+    )

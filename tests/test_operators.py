@@ -1764,3 +1764,41 @@ def test_heldout_lm_eval_matches_reference_impl(spark, registry):
         assert r.oov_bigrams == oov
         assert r.score == score
         assert r.oov_milli == (1000 * oov) // (len(toks) - 1)
+
+
+def test_cluster_quality_audit_consistency(spark, registry):
+    """d28: per-cluster accounting must be internally consistent with
+    the cluster labels (d09) and the verified pair list (d02) computed
+    independently: intra-pair counts match a Python recount, density
+    is bounded by the complete graph, and Jaccard means only exist
+    where pairs do."""
+    queries, _ = registry
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in queries["d09_dedup_clusters"](spark, SF_SMOKE).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in queries["d02_dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    ]
+    intra: dict[int, list[float]] = {}
+    for a, b, j in pairs:
+        if labels.get(a) is not None and labels.get(a) == labels.get(b):
+            intra.setdefault(labels[a], []).append(j)
+    rows = queries["d28_cluster_quality_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r.cluster_id)
+        assert r.n_docs >= 2
+        expect = intra.get(r.cluster_id, [])
+        assert r.n_intra_pairs == len(expect)
+        assert r.n_intra_pairs <= r.n_docs * (r.n_docs - 1) // 2
+        assert r.density_milli == (2000 * r.n_intra_pairs) // (
+            r.n_docs * (r.n_docs - 1)
+        )
+        if expect:
+            assert abs(r.mean_intra_jaccard - sum(expect) / len(expect)) < 1e-5
+        else:
+            assert r.mean_intra_jaccard is None
+    assert set(intra) <= seen  # every cluster with intra pairs reported
