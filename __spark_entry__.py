@@ -162,9 +162,10 @@ _R4_WINDOW = [
 # (c) fill to 50 oldest-green-first: the 18 r1 greens with no driver
 #     row since round 1 (q11-q29 block), then _R2_GREEN order.
 #
-# ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) any queries
-# registered after _R5_WINDOW froze plus any whose plan/oracle changes
-# in round 6, then fill to 50 oldest-green-first: the r2 greens not in
+# ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) the queries
+# registered after _R5_WINDOW froze (locally hash-green at
+# sf0.001/0.01, no driver row yet: e23_hourly_seasonality onward in
+# registration order) plus any whose plan/oracle changes in round 6, then fill to 50 oldest-green-first: the r2 greens not in
 # _R5_WINDOW (the whole list in _R2_GREEN order —
 # d09-q25's early entries lost their fill slots to round-5
 # registrations), then

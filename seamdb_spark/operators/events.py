@@ -2206,3 +2206,72 @@ def e22_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, base_conv_ppm long, removed_conv_ppm long,"
         " removal_effect_ppm long, attribution_milli long",
     )
+
+
+# --------------------------------------------------------------------------
+# e23: hour-of-day seasonality profile — the normalization table every
+# threshold-based monitor needs before it can call a count anomalous
+# (e14 flags deviations from a flat hourly mean; real traffic has a
+# daily shape, and dividing it out first is what separates "3am is
+# always quiet" from "3am broke"). Per (event_type, hour-of-day):
+# total events, days observed, events-per-day, and the seasonality
+# index — that hour's per-day rate relative to the type's all-hours
+# rate, in integer milli ((1000 * hour_rate_ppd) div overall_rate_ppd
+# over exact counts, so both engines agree bit-for-bit).
+#
+# Scale: one groupBy over (type, hour-of-day) — 24 x |types| rows with
+# map-side combine — joined to a |types|-row broadcast of overall
+# rates. Nothing beyond the scan.
+# --------------------------------------------------------------------------
+@register(
+    "e23_hourly_seasonality",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(ts AS DATE) AS day
+      FROM events
+    ),
+    per_hod AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM base GROUP BY event_type, hod
+    ),
+    overall AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS tot_events,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS tot_days
+      FROM base GROUP BY event_type
+    )
+    SELECT p.event_type, p.hod, p.n_events, p.n_days,
+           (1000 * p.n_events) // p.n_days AS rate_milli_per_day,
+           (1000 * (p.n_events * o.tot_days * 24))
+             // (p.n_days * o.tot_events) AS seasonality_milli
+    FROM per_hod p JOIN overall o USING (event_type)
+    """,
+)
+def e23_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.to_date("ts").alias("day"),
+    )
+    per_hod = ev.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    overall = ev.groupBy("event_type").agg(
+        F.count("*").alias("tot_events"),
+        F.countDistinct("day").alias("tot_days"),
+    )
+    return per_hod.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "hod",
+        "n_events",
+        "n_days",
+        F.expr("(1000 * n_events) div n_days").alias("rate_milli_per_day"),
+        F.expr(
+            "(1000 * (n_events * tot_days * 24)) div (n_days * tot_events)"
+        ).alias("seasonality_milli"),
+    )
