@@ -2023,3 +2023,106 @@ def m16_jpeg_ahash_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(stability, schema=_M16_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m17: frame-delta motion profile — the video-analogue feature over
+# the m05 byte-frame shape: treat the payload as a sequence of
+# non-overlapping WINDOW_BYTES frames and measure adjacent-frame
+# change (sum of per-byte absolute differences — the L1 frame delta
+# real frame-sampling pipelines use to pick high-motion keyframes and
+# to drop static spans). Per doc: frame count, total/max motion, and
+# the peak frame pair (argmax delta, smallest index on ties). The
+# oracle replays the byte arithmetic with ascii(substr(...)) — the
+# payload is the ASCII utf-8 of `text`, so character positions are
+# byte positions.
+#
+# Scale: row-local Arrow-batched mapInPandas over the payload (numpy
+# int16 diffs), zero shuffle — the m05/m06 shape; frame width is the
+# batch-memory knob.
+# --------------------------------------------------------------------------
+_M17_SCHEMA = (
+    "doc_id long, n_frames long, n_deltas long, total_motion long,"
+    " max_motion long, peak_pair long"
+)
+
+
+@register(
+    "m17_frame_motion_profile",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, text AS payload, octet_length(CAST(text AS BLOB)) AS n
+      FROM documents
+    ),
+    framed AS (
+      SELECT doc_id, payload, n,
+             CAST(CEIL(n / {WINDOW_BYTES}.0) AS BIGINT) AS n_frames
+      FROM sized
+    ),
+    deltas AS (
+      SELECT f.doc_id, t.k,
+             CAST(SUM(ABS(
+               ascii(substr(f.payload, CAST(t.k * {WINDOW_BYTES} + s.j AS INT), 1))
+               - ascii(substr(f.payload,
+                              CAST((t.k + 1) * {WINDOW_BYTES} + s.j AS INT), 1))
+             )) AS BIGINT) AS delta
+      FROM framed f,
+           UNNEST(generate_series(0, CAST(f.n_frames - 2 AS BIGINT))) t(k),
+           UNNEST(generate_series(1, {WINDOW_BYTES})) s(j)
+      WHERE f.n_frames >= 2 AND (t.k + 1) * {WINDOW_BYTES} + s.j <= f.n
+      GROUP BY f.doc_id, t.k
+    ),
+    peak AS (
+      SELECT d.doc_id, CAST(MIN(d.k) AS BIGINT) AS peak_pair
+      FROM deltas d
+      JOIN (SELECT doc_id, MAX(delta) AS mx FROM deltas GROUP BY doc_id) m
+        ON m.doc_id = d.doc_id AND d.delta = m.mx
+      GROUP BY d.doc_id
+    )
+    SELECT f.doc_id, f.n_frames,
+           COALESCE(a.n_deltas, 0) AS n_deltas,
+           COALESCE(a.total_motion, 0) AS total_motion,
+           a.max_motion,
+           p.peak_pair
+    FROM framed f
+    LEFT JOIN (SELECT doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_deltas,
+                      CAST(SUM(delta) AS BIGINT) AS total_motion,
+                      CAST(MAX(delta) AS BIGINT) AS max_motion
+               FROM deltas GROUP BY doc_id) a ON a.doc_id = f.doc_id
+    LEFT JOIN peak p ON p.doc_id = f.doc_id
+    """,
+)
+def m17_frame_motion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = _with_payload(spark, sf_dir)
+
+    def motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_frames": [], "n_deltas": [],
+                "total_motion": [], "max_motion": [], "peak_pair": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                n_frames = -(-n // WINDOW_BYTES)
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                deltas = []
+                for k in range(n_frames - 1):
+                    a = arr[k * WINDOW_BYTES : (k + 1) * WINDOW_BYTES]
+                    b = arr[(k + 1) * WINDOW_BYTES : (k + 2) * WINDOW_BYTES]
+                    m = min(len(a), len(b))
+                    deltas.append(int(np.abs(a[:m] - b[:m]).sum()))
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_deltas"].append(len(deltas))
+                out["total_motion"].append(sum(deltas))
+                out["max_motion"].append(max(deltas) if deltas else None)
+                out["peak_pair"].append(
+                    deltas.index(max(deltas)) if deltas else None
+                )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(motion, schema=_M17_SCHEMA)
