@@ -409,10 +409,17 @@ def _qd2(a: str | Column, b: str | Column) -> Column:
 
 
 def _centroid_rows(quant: DataFrame) -> list[tuple[int, list[int]]]:
-    """Deterministic Lloyd iterations over fixed-point vectors. Seeds =
-    the IVF_K vectors with the smallest md5-derived key (stable across
-    runs/partitionings). The centroid table (K x 64 int64) is the only
-    thing that ever reaches the driver."""
+    """Deterministic Lloyd iterations over fixed-point vectors —
+    the FINAL centroid table (see _centroid_history for all rounds)."""
+    return _centroid_history(quant)[-1]
+
+
+def _centroid_history(quant: DataFrame) -> list[list[tuple[int, list[int]]]]:
+    """[seeds, c1, ..., c_IVF_ITERS] — every Lloyd round's centroid
+    table. Seeds = the IVF_K vectors with the smallest md5-derived key
+    (stable across runs/partitionings). Each table is K x 64 int64 —
+    the only thing that ever reaches the driver. s03 consumes the last
+    round; s17's drift monitor consumes the whole history."""
     seeds = (
         quant.select("vec_id", "q", md5_prefix_long(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h", "vec_id")
@@ -420,6 +427,7 @@ def _centroid_rows(quant: DataFrame) -> list[tuple[int, list[int]]]:
         .collect()
     )
     centroids = [(i, [int(x) for x in r.q]) for i, r in enumerate(seeds)]
+    history = [centroids]
     spark = quant.sparkSession
     for _ in range(IVF_ITERS):
         cdf = F.broadcast(
@@ -452,7 +460,8 @@ def _centroid_rows(quant: DataFrame) -> list[tuple[int, list[int]]]:
             .collect()
         )
         centroids = sorted((r.cid, [int(x) for x in r.cvec]) for r in means)
-    return centroids
+        history.append(centroids)
+    return history
 
 
 _QD2_SQL = (
@@ -461,14 +470,10 @@ _QD2_SQL = (
 )
 
 
-def _s03_oracle() -> str:
-    from .hashing import md5_prefix_long_sql
-
-    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
-
-    def assign(vecs: str, cents: str, extra: str = "") -> str:
-        """One Lloyd assignment: nearest centroid per vector (ties → cid)."""
-        return f"""
+def _lloyd_assign_sql(vecs: str, cents: str, extra: str = "") -> str:
+    """One Lloyd assignment: nearest centroid per vector (ties → cid).
+    Shared by the s03 oracle and the s17 drift-monitor oracle."""
+    return f"""
       SELECT vec_id, q, cid FROM (
         SELECT v.vec_id, v.q, c.cid,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -477,9 +482,10 @@ def _s03_oracle() -> str:
       ) WHERE rk = 1
     """
 
-    def means(assigned: str) -> str:
-        """Element-wise integer mean per cluster (sum // count, exact)."""
-        return f"""
+
+def _lloyd_means_sql(assigned: str) -> str:
+    """Element-wise integer mean per cluster (sum // count, exact)."""
+    return f"""
       SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
         SELECT cid, pos, CAST(SUM(val) AS BIGINT) // COUNT(*) AS cv FROM (
           SELECT a.cid, t.pos, a.q[t.pos] AS val
@@ -487,6 +493,14 @@ def _s03_oracle() -> str:
         ) GROUP BY cid, pos
       ) GROUP BY cid
     """
+
+
+def _s03_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+    assign = _lloyd_assign_sql
+    means = _lloyd_means_sql
 
     return f"""
     WITH quant AS (
@@ -2644,4 +2658,118 @@ def s16_hnsw_layered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("neighbor_id"),
         dround(F.col("qcos"), 6).alias("cosine"),
         "rk",
+    )
+
+
+# --------------------------------------------------------------------------
+# s17: IVF reassignment (centroid-drift) monitor — the index-health
+# dashboard an ANN deployment reads before trusting cell-pruned
+# search: per Lloyd round transition, how many vectors each cell
+# keeps. Stable cells mean the coarse quantizer has converged and
+# nprobe pruning is trustworthy; high churn means more iterations (or
+# a re-train on drifted data) before relying on the cell routing.
+# Per cell: sizes under every round's assignment (seeds → c1 → c2)
+# and the stay counts across consecutive rounds, plus integer churn
+# = 1000 * (size_r2 − stayed_into_final) div size_r2. Everything
+# derives from the SAME deterministic Lloyd history s03 runs
+# (_centroid_history — shared, so the monitor audits the real index,
+# not a re-derivation).
+#
+# Scale: three broadcast centroid tables (K x 64 int64 driver state,
+# the s03 argument) × one corpus pass each for assignment, then
+# vec_id-keyed joins and a K-row aggregate. No new shuffle shape.
+# --------------------------------------------------------------------------
+def _s17_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+    assign = _lloyd_assign_sql
+    means = _lloyd_means_sql
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT cid, q AS cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {IVF_K}
+    ),
+    a1 AS ({assign('quant', 'seeds')}),
+    c1 AS ({means('a1')}),
+    a2 AS ({assign('quant', 'c1')}),
+    c2 AS ({means('a2')}),
+    af AS ({assign('quant', 'c2')}),
+    joined AS (
+      SELECT a1.vec_id, a1.cid AS cid1, a2.cid AS cid2, af.cid AS cidf
+      FROM a1 JOIN a2 USING (vec_id) JOIN af USING (vec_id)
+    ),
+    cells AS (SELECT DISTINCT cid FROM seeds)
+    SELECT c.cid,
+           CAST(COALESCE(SUM(CASE WHEN j.cid1 = c.cid THEN 1 END), 0) AS BIGINT)
+             AS n_round1,
+           CAST(COALESCE(SUM(CASE WHEN j.cid2 = c.cid THEN 1 END), 0) AS BIGINT)
+             AS n_round2,
+           CAST(COALESCE(SUM(CASE WHEN j.cidf = c.cid THEN 1 END), 0) AS BIGINT)
+             AS n_final,
+           CAST(COALESCE(SUM(CASE WHEN j.cid1 = c.cid AND j.cid2 = c.cid
+                             THEN 1 END), 0) AS BIGINT) AS stay_12,
+           CAST(COALESCE(SUM(CASE WHEN j.cid2 = c.cid AND j.cidf = c.cid
+                             THEN 1 END), 0) AS BIGINT) AS stay_2f,
+           CAST((1000 * (COALESCE(SUM(CASE WHEN j.cid2 = c.cid THEN 1 END), 0)
+                 - COALESCE(SUM(CASE WHEN j.cid2 = c.cid AND j.cidf = c.cid
+                                THEN 1 END), 0)))
+                // GREATEST(COALESCE(SUM(CASE WHEN j.cid2 = c.cid THEN 1 END),
+                                     0), 1) AS BIGINT) AS churn_milli
+    FROM cells c LEFT JOIN joined j ON TRUE
+    GROUP BY c.cid
+    """
+
+
+@register("s17_ivf_drift_monitor", oracle=_s17_oracle())
+def s17_ivf_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quant = _quant_corpus(spark, sf_dir)
+    history = materialized_value(
+        spark, sf_dir, "lloyd_history", lambda: _centroid_history(quant)
+    )
+
+    def assigned(cents: list, name: str) -> DataFrame:
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cid int, cvec array<bigint>")
+        )
+        return (
+            quant.crossJoin(cdf)
+            .withColumn("d2", _qd2("q", "cvec"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias(name))
+        )
+
+    seeds, c1, c2 = history[0], history[1], history[2]
+    joined = (
+        assigned(seeds, "cid1")
+        .join(assigned(c1, "cid2"), "vec_id")
+        .join(assigned(c2, "cidf"), "vec_id")
+    )
+    cells = spark.createDataFrame([(c,) for c, _ in seeds], "cid int")
+    per = joined.crossJoin(F.broadcast(cells)).groupBy("cid").agg(
+        F.count(F.when(F.col("cid1") == F.col("cid"), 1)).alias("n_round1"),
+        F.count(F.when(F.col("cid2") == F.col("cid"), 1)).alias("n_round2"),
+        F.count(F.when(F.col("cidf") == F.col("cid"), 1)).alias("n_final"),
+        F.count(
+            F.when((F.col("cid1") == F.col("cid")) & (F.col("cid2") == F.col("cid")), 1)
+        ).alias("stay_12"),
+        F.count(
+            F.when((F.col("cid2") == F.col("cid")) & (F.col("cidf") == F.col("cid")), 1)
+        ).alias("stay_2f"),
+    )
+    return per.select(
+        "cid", "n_round1", "n_round2", "n_final", "stay_12", "stay_2f",
+        F.expr(
+            "CAST((1000 * (n_round2 - stay_2f)) div greatest(n_round2, 1)"
+            " AS BIGINT)"
+        ).alias("churn_milli"),
     )
