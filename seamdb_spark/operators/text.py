@@ -2214,3 +2214,99 @@ def t31_heldout_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("oov_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# t32: cross-source vocabulary divergence — the drift matrix a corpus
+# monitor computes between ingestion sources (and, run over time
+# slices, between snapshots): total-variation distance between the
+# per-source unigram distributions, in exact integer ppm
+# (sum_t |p_a(t) − p_b(t)| with p in ppm; the /2 halving is floor
+# division, documented — both engines identical). High TV between two
+# sources that should cover the same domain flags a scraper change or
+# contamination; near-zero TV across "different" sources flags
+# duplicated feeds (the d13 signal from the distribution side).
+#
+# Scale: the unigram distribution table is |sources| x vocab
+# (map-side combined); the pair matrix is |sources|² — a handful of
+# full-outer joins on the token key, each vocab-sized. Sources, not
+# the corpus, bound the pair count.
+# --------------------------------------------------------------------------
+@register(
+    "t32_source_vocab_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source
+    ),
+    dist AS (
+      SELECT c.source, c.tok, (c.c * 1000000) // t.n AS ppm
+      FROM counts c JOIN totals t USING (source)
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM totals a JOIN totals b ON a.source < b.source
+    ),
+    ta AS (
+      SELECT p.src_a, p.src_b, d.tok, d.ppm AS p_a
+      FROM pairs p JOIN dist d ON d.source = p.src_a
+    ),
+    tb AS (
+      SELECT p.src_a, p.src_b, d.tok, d.ppm AS p_b
+      FROM pairs p JOIN dist d ON d.source = p.src_b
+    ),
+    unioned AS (
+      SELECT COALESCE(ta.src_a, tb.src_a) AS src_a,
+             COALESCE(ta.src_b, tb.src_b) AS src_b,
+             COALESCE(ta.p_a, 0) AS p_a, COALESCE(tb.p_b, 0) AS p_b,
+             CASE WHEN ta.tok IS NOT NULL AND tb.tok IS NOT NULL THEN 1 END
+               AS shared
+      FROM ta FULL OUTER JOIN tb
+        ON ta.src_a = tb.src_a AND ta.src_b = tb.src_b AND ta.tok = tb.tok
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_union,
+           CAST(COUNT(shared) AS BIGINT) AS n_tokens_shared,
+           CAST(SUM(ABS(p_a - p_b)) // 2 AS BIGINT) AS tv_ppm
+    FROM unioned
+    GROUP BY src_a, src_b
+    """,
+)
+def t32_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    dist = counts.join(F.broadcast(totals), "source").select(
+        "source", "tok", F.expr("(c * 1000000) div n").alias("ppm")
+    )
+    pairs = (
+        totals.select(F.col("source").alias("src_a"))
+        .crossJoin(totals.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    ta = pairs.join(
+        dist.select(F.col("source").alias("src_a"), "tok", F.col("ppm").alias("p_a")),
+        "src_a",
+    )
+    tb = pairs.join(
+        dist.select(F.col("source").alias("src_b"), "tok", F.col("ppm").alias("p_b")),
+        "src_b",
+    )
+    unioned = ta.join(tb, ["src_a", "src_b", "tok"], "full_outer").select(
+        "src_a", "src_b",
+        F.coalesce("p_a", F.lit(0)).alias("p_a"),
+        F.coalesce("p_b", F.lit(0)).alias("p_b"),
+        (F.col("p_a").isNotNull() & F.col("p_b").isNotNull()).alias("shared"),
+    )
+    return unioned.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_tokens_union"),
+        F.count(F.when(F.col("shared"), 1)).alias("n_tokens_shared"),
+        F.expr("CAST(sum(abs(p_a - p_b)) div 2 AS BIGINT)").alias("tv_ppm"),
+    )
