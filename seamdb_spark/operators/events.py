@@ -2275,3 +2275,104 @@ def e23_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * (n_events * tot_days * 24)) div (n_days * tot_events)"
         ).alias("seasonality_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# e24: first-touch vs last-touch attribution comparison — the
+# position-bias audit run before standardizing on either rule: per
+# channel, how many purchases each model credits it with, and the
+# share shift between the two. Channels that win under first-touch
+# are discovery surfaces; channels that win under last-touch are
+# closers — a large gap is the signal that a single-touch model will
+# misprice one of them (the comparison that motivates e22's removal-
+# effect model). Counts are integers (no float revenue sums — the
+# exact-aggregation discipline); the same preceding-rows window
+# derives both touches in one pass.
+#
+# Scale: e10's single (user_id, ts) shuffle for the window, then a
+# |channels|-row aggregate joined to its own 1-row total.
+# --------------------------------------------------------------------------
+@register(
+    "e24_attribution_comparison",
+    oracle="""
+    WITH stream AS (
+      SELECT event_type,
+             COALESCE(LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER w, 'organic') AS last_ch,
+             COALESCE(FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER w, 'organic') AS first_ch
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (SELECT last_ch, first_ch FROM stream
+                  WHERE event_type = 'purchase'),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM purchases),
+    channels AS (
+      SELECT last_ch AS channel FROM purchases
+      UNION SELECT first_ch FROM purchases
+    ),
+    f AS (SELECT first_ch AS channel, CAST(COUNT(*) AS BIGINT) AS c
+          FROM purchases GROUP BY first_ch),
+    l AS (SELECT last_ch AS channel, CAST(COUNT(*) AS BIGINT) AS c
+          FROM purchases GROUP BY last_ch)
+    SELECT ch.channel,
+           COALESCE(f.c, 0) AS conv_first_touch,
+           COALESCE(l.c, 0) AS conv_last_touch,
+           COALESCE(f.c, 0) - COALESCE(l.c, 0) AS delta,
+           (1000 * (COALESCE(f.c, 0) - COALESCE(l.c, 0))) // t.n
+             AS share_shift_milli
+    FROM channels ch
+    LEFT JOIN f ON f.channel = ch.channel
+    LEFT JOIN l ON l.channel = ch.channel
+    CROSS JOIN tot t
+    """,
+)
+def e24_attribution_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touch = F.when(is_touch, F.col("event_type"))
+    purchases = (
+        ev.select(
+            "event_type",
+            F.coalesce(
+                F.last(touch, ignorenulls=True).over(w), F.lit("organic")
+            ).alias("last_ch"),
+            F.coalesce(
+                F.first(touch, ignorenulls=True).over(w), F.lit("organic")
+            ).alias("first_ch"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("last_ch", "first_ch")
+    )
+    # One pass over the purchase table: explode each purchase into its
+    # two credited (model, channel) rows, then pivot by count.
+    credited = purchases.select(
+        F.explode(
+            F.expr(
+                "array(struct('first' AS model, first_ch AS channel),"
+                " struct('last' AS model, last_ch AS channel))"
+            )
+        ).alias("e")
+    ).select("e.model", "e.channel")
+    per = credited.groupBy("channel").agg(
+        F.count(F.when(F.col("model") == "first", 1)).alias("conv_first_touch"),
+        F.count(F.when(F.col("model") == "last", 1)).alias("conv_last_touch"),
+    )
+    tot = purchases.agg(F.count("*").alias("n"))
+    return per.join(F.broadcast(tot)).select(
+        "channel",
+        "conv_first_touch",
+        "conv_last_touch",
+        (F.col("conv_first_touch") - F.col("conv_last_touch")).alias("delta"),
+        F.expr(
+            "(1000 * (conv_first_touch - conv_last_touch)) div n"
+        ).alias("share_shift_milli"),
+    )
