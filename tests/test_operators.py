@@ -410,6 +410,12 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "n_exact",
         # p05: t28 temperature weights — |sources| rows at any SF
         "temp",
+        # g03: 1-row edge count + 1-row moment sums
+        "edge_count", "sums",
+        # e23: per-event-type overall rates — |types| rows
+        "overall",
+        # s17: IVF_K-row cell-id spine (driver-local list)
+        "cells",
         # dedup_index: the per-refresh ingest batch — bounded by batch
         # size (operator input), not the corpus
         "new_doc_ids",
