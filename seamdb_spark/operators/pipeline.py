@@ -545,3 +545,135 @@ def d28_cluster_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("density_milli"),
         "mean_intra_jaccard",
     )
+
+
+# --------------------------------------------------------------------------
+# p06: corpus report card — the one-row executive summary a curation
+# run publishes with each snapshot: corpus size, exact-duplicate rate
+# (d01: copies beyond each content-hash keeper), lexical near-dup
+# rate (d09: non-canonical members of simhash components),
+# contamination rate (d10's drop verdicts), quality-floor failure
+# rate (t02 score below QUALITY_MIN), and source concentration (share
+# of the largest source). Every rate is an exact integer milli over
+# exact counts, so the whole card hash-matches; the oracle composes
+# the content-hash, recursive-CC, decontamination, and quality chains
+# in one statement (the p03/p04 composition discipline).
+#
+# Scale: each input is a documented bounded plan; the card itself is
+# five 1-row aggregates joined together — O(1) beyond its stages.
+# --------------------------------------------------------------------------
+def _p06_oracle() -> str:
+    from .dedup import DECONTAM_MIN_SHINGLES, EVAL_SET_MOD, _SHINGLES_SQL
+
+    return f"""
+    WITH RECURSIVE {_cc_ctes()},
+    labels AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    exact_extra AS (
+      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_exact_dups FROM (
+        SELECT COUNT(*) AS c FROM documents
+        GROUP BY md5(lower(trim(text))) HAVING COUNT(*) > 1
+      )
+    ),
+    lex_extra AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN doc_id <> cluster_id THEN 1 END), 0)
+                  AS BIGINT) AS n_lex_dups
+      FROM labels
+    ),
+    sh2 AS ({_SHINGLES_SQL}),
+    exploded2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    eval_univ AS (
+      SELECT DISTINCT s FROM exploded2 WHERE doc_id % {EVAL_SET_MOD} = 0
+    ),
+    contam AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated FROM (
+        SELECT e.doc_id FROM exploded2 e JOIN eval_univ u ON e.s = u.s
+        WHERE e.doc_id % {EVAL_SET_MOD} <> 0
+        GROUP BY e.doc_id
+        HAVING COUNT(*) >= {DECONTAM_MIN_SHINGLES}
+      )
+    ),
+    lowq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_low_quality
+      FROM ({QUALITY_SQL}) WHERE quality_score < {QUALITY_MIN}
+    ),
+    srcs AS (
+      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(MAX(c) AS BIGINT) AS top_source_docs
+      FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY source)
+    )
+    SELECT t.n AS n_docs,
+           e.n_exact_dups, (1000 * e.n_exact_dups) // t.n AS exact_dup_milli,
+           l.n_lex_dups, (1000 * l.n_lex_dups) // t.n AS lexical_dup_milli,
+           c.n_contaminated, (1000 * c.n_contaminated) // t.n
+             AS contaminated_milli,
+           q.n_low_quality, (1000 * q.n_low_quality) // t.n
+             AS low_quality_milli,
+           s.n_sources, (1000 * s.top_source_docs) // t.n
+             AS top_source_milli
+    FROM n_tot t, exact_extra e, lex_extra l, contam c, lowq q, srcs s
+    """
+
+
+@register("p06_corpus_report_card", oracle=_p06_oracle())
+def p06_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from .dedup import (
+        d01_dedup_exact,
+        d10_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tot = docs.agg(F.count("*").alias("n"))
+    exact_extra = d01_dedup_exact(spark, sf_dir).agg(
+        F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0))
+        .cast("long")
+        .alias("n_exact_dups")
+    )
+    lex_extra = _cc_clusters(spark, sf_dir).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") != F.col("cluster_id"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_lex_dups")
+    )
+    contam = (
+        d10_decontaminate(spark, sf_dir)
+        .filter(F.col("drop_doc") == 1)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    lowq = (
+        t02_quality_score(spark, sf_dir)
+        .filter(F.col("quality_score") < QUALITY_MIN)
+        .agg(F.count("*").alias("n_low_quality"))
+    )
+    srcs = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.max("c").alias("top_source_docs"),
+        )
+    )
+    card = (
+        n_tot.join(F.broadcast(exact_extra))
+        .join(F.broadcast(lex_extra))
+        .join(F.broadcast(contam))
+        .join(F.broadcast(lowq))
+        .join(F.broadcast(srcs))
+    )  # all 1-row
+    return card.select(
+        F.col("n").alias("n_docs"),
+        "n_exact_dups",
+        F.expr("(1000 * n_exact_dups) div n").alias("exact_dup_milli"),
+        "n_lex_dups",
+        F.expr("(1000 * n_lex_dups) div n").alias("lexical_dup_milli"),
+        "n_contaminated",
+        F.expr("(1000 * n_contaminated) div n").alias("contaminated_milli"),
+        "n_low_quality",
+        F.expr("(1000 * n_low_quality) div n").alias("low_quality_milli"),
+        "n_sources",
+        F.expr("(1000 * top_source_docs) div n").alias("top_source_milli"),
+    )
