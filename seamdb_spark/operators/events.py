@@ -2376,3 +2376,88 @@ def e24_attribution_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * (conv_first_touch - conv_last_touch)) div n"
         ).alias("share_shift_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# e25: user-concentration profile — the inequality ("whale") analysis
+# every engagement dashboard carries: how concentrated activity is
+# across users. Per-user event counts feed an exact integer Gini
+# coefficient (the rank formula G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+# over counts sorted ascending with a deterministic tiebreak —
+# numerator and denominator are exact int64, emitted in milli) plus
+# the share of events held by the top 1% and top 10% of users
+# (ceil-sized buckets). Ranks come from the distributed
+# range-partition rank (ranks.global_rank — the q55/t30 machinery),
+# never a single-partition window.
+#
+# Scale: one user-keyed count, then the range-partition rank over the
+# per-user table (orders smaller than events) and two bounded
+# aggregates. The per-user table is the only shuffled input.
+# --------------------------------------------------------------------------
+@register(
+    "e25_user_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rk
+      FROM per_user
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(c) AS BIGINT) AS n_events
+          FROM per_user),
+    gini AS (
+      SELECT CAST(SUM(rk * c) AS BIGINT) AS s1 FROM ranked
+    ),
+    top1 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS c1 FROM ranked, n
+      WHERE rk > n.n_users - CAST(CEIL(n.n_users / 100.0) AS BIGINT)
+    ),
+    top10 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS c10 FROM ranked, n
+      WHERE rk > n.n_users - CAST(CEIL(n.n_users / 10.0) AS BIGINT)
+    )
+    SELECT n.n_users, n.n_events,
+           (1000 * (2 * g.s1 - (n.n_users + 1) * n.n_events))
+             // (n.n_users * n.n_events) AS gini_milli,
+           (1000 * t1.c1) // n.n_events AS top1pct_share_milli,
+           (1000 * t10.c10) // n.n_events AS top10pct_share_milli
+    FROM n, gini g, top1 t1, top10 t10
+    """,
+)
+def e25_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ranks import global_rank
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked, n_users = global_rank(
+        per_user, [F.col("c").asc(), F.col("user_id").asc()], "rk"
+    )
+    totals = ranked.agg(
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("rk") * F.col("c")).alias("s1"),
+    )
+    k1 = -(-n_users // 100)  # ceil
+    k10 = -(-n_users // 10)
+    tops = ranked.agg(
+        F.sum(F.when(F.col("rk") > n_users - k1, F.col("c"))).alias("c1"),
+        F.sum(F.when(F.col("rk") > n_users - k10, F.col("c"))).alias("c10"),
+    )
+    return (
+        totals.join(F.broadcast(tops))  # 1-row x 1-row
+        .select(
+            F.lit(n_users).cast("long").alias("n_users"),
+            "n_events",
+            F.expr(
+                f"(1000 * (2 * s1 - ({n_users} + 1) * n_events))"
+                f" div ({n_users} * n_events)"
+            ).alias("gini_milli"),
+            F.expr("(1000 * c1) div n_events").alias("top1pct_share_milli"),
+            F.expr("(1000 * c10) div n_events").alias("top10pct_share_milli"),
+        )
+    )
