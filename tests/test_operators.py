@@ -416,6 +416,10 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "overall",
         # s17: IVF_K-row cell-id spine (driver-local list)
         "cells",
+        # e25: 1-row top-share aggregate
+        "tops",
+        # p06: five 1-row summary aggregates
+        "exact_extra", "lex_extra", "contam", "lowq", "srcs",
         # dedup_index: the per-refresh ingest batch — bounded by batch
         # size (operator input), not the corpus
         "new_doc_ids",
