@@ -2773,3 +2773,88 @@ def s17_ivf_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("churn_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# s18: embedding QA / norm-outlier screen — the sanity gate an
+# embedding pipeline runs before indexing a batch: degenerate vectors
+# (collapsed near-zero norms from a failed forward pass, or exploded
+# norms from numeric issues) poison both cosine similarity (division
+# amplifies noise) and IVF training (outliers drag centroids). Per
+# vector: the exact int64 quantized squared norm, its deviation from
+# the corpus median (the robust center — mean would be dragged by the
+# very outliers being screened), and the flag at the standard
+# median +/- fraction band. Median and band bounds are exact integers
+# (DuckDB's quantile_disc == Spark's percentile on int64 with
+# discrete interpolation via sort-rank... computed here via the exact
+# distributed rank to avoid engine interpolation differences).
+#
+# Scale: the quantized corpus is a shared artifact; the median comes
+# from the range-partition global rank over the norms table (one
+# column!), and the screen itself is a row-local comparison against
+# two broadcast scalars.
+# --------------------------------------------------------------------------
+S18_BAND_MILLI = 300  # flag norms outside median ± 30%
+
+
+@register(
+    "s18_embedding_norm_screen",
+    oracle=f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+      FROM quant
+    ),
+    ranked AS (
+      SELECT vec_id, n2,
+             ROW_NUMBER() OVER (ORDER BY n2, vec_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM norms
+    ),
+    med AS (
+      SELECT n2 AS median_n2 FROM ranked WHERE rk = (n + 1) // 2
+    )
+    SELECT r.vec_id, r.n2,
+           m.median_n2,
+           (1000 * r.n2) // m.median_n2 AS ratio_milli,
+           ((1000 * r.n2) // m.median_n2 < 1000 - {S18_BAND_MILLI}
+            OR (1000 * r.n2) // m.median_n2 > 1000 + {S18_BAND_MILLI})
+             AS is_outlier
+    FROM ranked r CROSS JOIN med m
+    """,
+)
+def s18_embedding_norm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ranks import global_rank
+
+    quant = _quant_corpus(spark, sf_dir)
+    norms = quant.select(
+        "vec_id", _isum(F.transform("q", lambda v: v * v)).alias("n2")
+    )
+    ranked, n = global_rank(
+        norms, [F.col("n2").asc(), F.col("vec_id").asc()], "rk"
+    )
+    med = (
+        ranked.filter(F.col("rk") == (n + 1) // 2)
+        .select(F.col("n2").alias("median_n2"))
+    )  # exactly 1 row — the discrete lower median
+    ratio = F.expr("(1000 * n2) div median_n2")
+    return (
+        ranked.select("vec_id", "n2")
+        .join(F.broadcast(med))
+        .select(
+            "vec_id",
+            "n2",
+            "median_n2",
+            ratio.alias("ratio_milli"),
+            (
+                (ratio < 1000 - S18_BAND_MILLI)
+                | (ratio > 1000 + S18_BAND_MILLI)
+            ).alias("is_outlier"),
+        )
+    )

@@ -2310,3 +2310,66 @@ def t32_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("shared"), 1)).alias("n_tokens_shared"),
         F.expr("CAST(sum(abs(p_a - p_b)) div 2 AS BIGINT)").alias("tv_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# t33: lexical diversity profile — the per-document vocabulary-health
+# signals (type-token ratio, hapax fraction, mean word length) that
+# complement t02's surface heuristics and t11's repetition signals:
+# low TTR with low hapax share marks template/boilerplate text even
+# when t11's adjacent-repeat counters miss it (shuffled repetition),
+# and mean word length separates prose from code/ID dumps. All ratios
+# are integer milli over exact counts (TTR = 1000 * distinct_tokens
+# div tokens; hapax = tokens occurring exactly once in the DOC).
+#
+# Scale: one explode + a (doc_id, tok) count + a doc_id rollup — the
+# word-count shape, map-side combined, one shuffle on the doc-token
+# key and one on doc_id.
+# --------------------------------------------------------------------------
+@register(
+    "t33_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    per_tok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(length(tok)) AS BIGINT) AS chars
+      FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST((1000 * COUNT(*)) // SUM(c) AS BIGINT) AS ttr_milli,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           CAST((1000 * COUNT(*) FILTER (WHERE c = 1)) // SUM(c) AS BIGINT)
+             AS hapax_milli,
+           CAST((1000 * SUM(chars)) // SUM(c) AS BIGINT)
+             AS mean_word_len_milli
+    FROM per_tok
+    GROUP BY doc_id
+    """,
+)
+def t33_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.length("tok")).alias("chars"),
+        )
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.expr("CAST((1000 * count(*)) div sum(c) AS BIGINT)").alias("ttr_milli"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+        F.expr(
+            "CAST((1000 * count(CASE WHEN c = 1 THEN 1 END)) div sum(c)"
+            " AS BIGINT)"
+        ).alias("hapax_milli"),
+        F.expr("CAST((1000 * sum(chars)) div sum(c) AS BIGINT)").alias(
+            "mean_word_len_milli"
+        ),
+    )
