@@ -2126,3 +2126,80 @@ def m17_frame_motion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(motion, schema=_M17_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m18: audio peak-normalization gain — the loudness-normalization step
+# a speech corpus runs before feature extraction (align every clip's
+# peak to a fixed target so energy features are comparable across
+# recordings): parse the real WAV (m07 machinery), find the int16
+# peak, and compute the integer gain that brings it to the target
+# (floor milli — the normalized peak can only land AT or UNDER target,
+# so the gain can never clip by construction). Silent clips (peak 0)
+# get NULL gain — flagged, not divided by. The oracle replays the
+# peak from the 16-byte digest cycle (n >= 32 always covers it).
+#
+# Scale: row-local Arrow-batched parse + max — the m07 shape, zero
+# shuffle.
+# --------------------------------------------------------------------------
+_M18_SCHEMA = (
+    "doc_id long, n_samples long, peak long, headroom_milli long,"
+    " gain_milli long, normalized_peak long"
+)
+M18_TARGET_PEAK = 29490  # ~0.9 full scale (-0.9 dBFS)
+
+
+@register(
+    "m18_wav_peak_normalize",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             32 + {_md5_byte_sql(3).replace('md5(text)', 'hx')} % 3 * 16 AS n
+      FROM h
+    ),
+    p AS (
+      SELECT d.doc_id, n,
+             CAST(MAX(ABS(({_BYTE_I_SQL} - 128) * 256)) AS BIGINT) AS peak
+      FROM d, (SELECT unnest(range(0, 16)) AS i)
+      GROUP BY d.doc_id, n
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           peak,
+           (1000 * peak) // 32768 AS headroom_milli,
+           CASE WHEN peak > 0
+                THEN ({M18_TARGET_PEAK} * 1000) // peak END AS gain_milli,
+           CASE WHEN peak > 0
+                THEN (peak * (({M18_TARGET_PEAK} * 1000) // peak)) // 1000
+                END AS normalized_peak
+    FROM p
+    """,
+)
+def m18_wav_peak_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_samples": [], "peak": [],
+                "headroom_milli": [], "gain_milli": [], "normalized_peak": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                n = 32 + digest[3] % 3 * 16
+                samples = [(digest[k % 16] - 128) * 256 for k in range(n)]
+                vals = wav_samples(build_wav(samples, _WAV_RATE))  # real parse
+                peak = max((abs(v) for v in vals), default=0)
+                gain = (M18_TARGET_PEAK * 1000) // peak if peak > 0 else None
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(vals))
+                out["peak"].append(peak)
+                out["headroom_milli"].append((1000 * peak) // 32768)
+                out["gain_milli"].append(gain)
+                out["normalized_peak"].append(
+                    (peak * gain) // 1000 if gain is not None else None
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(normalize, schema=_M18_SCHEMA)
