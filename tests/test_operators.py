@@ -420,6 +420,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "tops",
         # p06: five 1-row summary aggregates
         "exact_extra", "lex_extra", "contam", "lowq", "srcs",
+        # s18: 1-row discrete-median norm
+        "med",
         # dedup_index: the per-refresh ingest batch — bounded by batch
         # size (operator input), not the corpus
         "new_doc_ids",
