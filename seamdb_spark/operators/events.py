@@ -2461,3 +2461,96 @@ def e25_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * c10) div n_events").alias("top10pct_share_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e26: transition predictability — the summary layer over e11's
+# first-order transition matrix: per previous event type, how
+# concentrated the next-step distribution is. Reported as the exact
+# integer Gini-Simpson diversity (1 − Σp², in ppm: 1e6 −
+# (1e6·Σc²) div (Σc)² over exact counts — no log()-based entropy, the
+# all-integer determinism discipline) plus the modal next step and
+# its share. Low diversity = scripted flows (good funnel, or a bot);
+# high diversity = exploratory behavior — the signal session-path
+# miners read before trusting Markov attribution (e22).
+#
+# Scale: e11's single (user_id, ts) window shuffle, then an
+# ~|types|²-row count with map-side partials and a |types|-row
+# rollup.
+# --------------------------------------------------------------------------
+@register(
+    "e26_transition_predictability",
+    oracle="""
+    WITH stream AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS prev_type, next_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM stream WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    modal AS (
+      SELECT prev_type, next_type AS modal_next, c AS modal_c,
+             ROW_NUMBER() OVER (PARTITION BY prev_type
+                                ORDER BY c DESC, next_type) AS rk
+      FROM pairs
+    )
+    SELECT p.prev_type,
+           CAST(SUM(p.c) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_next_types,
+           CAST(1000000 - (1000000 * SUM(p.c * p.c)) // (SUM(p.c) * SUM(p.c))
+                AS BIGINT) AS diversity_ppm,
+           ANY_VALUE(m.modal_next) AS modal_next,
+           CAST((1000 * ANY_VALUE(m.modal_c)) // SUM(p.c) AS BIGINT)
+             AS modal_share_milli
+    FROM pairs p
+    JOIN (SELECT * FROM modal WHERE rk = 1) m USING (prev_type)
+    GROUP BY p.prev_type
+    """,
+)
+def e26_transition_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("c"))
+    )
+    w_modal = W.partitionBy("prev_type").orderBy(
+        F.col("c").desc(), F.col("next_type")
+    )
+    modal = (
+        pairs.withColumn("rk", F.row_number().over(w_modal))
+        .filter(F.col("rk") == 1)
+        .select(
+            "prev_type",
+            F.col("next_type").alias("modal_next"),
+            F.col("c").alias("modal_c"),
+        )
+    )
+    per = pairs.groupBy("prev_type").agg(
+        F.sum("c").alias("n_transitions"),
+        F.count("*").alias("n_next_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    return per.join(F.broadcast(modal), "prev_type").select(
+        "prev_type",
+        "n_transitions",
+        "n_next_types",
+        F.expr(
+            "CAST(1000000 - (1000000 * sum_c2)"
+            " div (n_transitions * n_transitions) AS BIGINT)"
+        ).alias("diversity_ppm"),
+        "modal_next",
+        F.expr("CAST((1000 * modal_c) div n_transitions AS BIGINT)").alias(
+            "modal_share_milli"
+        ),
+    )
