@@ -422,6 +422,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "exact_extra", "lex_extra", "contam", "lowq", "srcs",
         # s18: 1-row discrete-median norm
         "med",
+        # e26: per-prev-type modal next step — |types| rows
+        "modal",
         # dedup_index: the per-refresh ingest batch — bounded by batch
         # size (operator input), not the corpus
         "new_doc_ids",
