@@ -2554,3 +2554,119 @@ def e26_transition_predictability(spark: SparkSession, sf_dir: str) -> DataFrame
             "modal_share_milli"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# e27: cross-correlation of hourly activity between event types — the
+# coupled-traffic audit behind alert routing and capacity modeling:
+# per unordered type pair, the Pearson correlation of their hourly
+# count series over the densified hour grid (hours where ANY event
+# fired, zero-filled per type, so a type that goes quiet counts as
+# signal, not as a missing row).
+#
+# Determinism: the five sufficient sums (Sx, Sy, Sxy, Sxx, Syy) are
+# exact BIGINTs; r = num / sqrt(dx * dy) is then three IEEE-754
+# correctly-rounded ops (double multiply, sqrt, divide) on exactly
+# representable inputs (< 2^53), so Spark and DuckDB produce the same
+# bits; dround(6) only stabilizes the rendering.
+#
+# Scale: one (type, hour) groupBy off the scan (map-side combined);
+# the dense grid is |hours| x |types| (time-range-bounded, ~10^4 rows
+# even at 100 TB — corpus size raises counts, not grid size), the pair
+# self-join and the final agg are grid-sized. The only full-data pass
+# is the first groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "e27_type_cross_correlation",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    spine AS (SELECT DISTINCT hour FROM counts),
+    types AS (SELECT DISTINCT event_type FROM counts),
+    dense AS (
+      SELECT t.event_type, s.hour, COALESCE(c.c, 0) AS c
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN counts c
+        ON c.event_type = t.event_type AND c.hour = s.hour
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(a.c) AS BIGINT) AS sx,
+             CAST(SUM(b.c) AS BIGINT) AS sy,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+             CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+             CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+      FROM dense a JOIN dense b
+        ON a.hour = b.hour AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_hours, sx AS total_a, sy AS total_b,
+           ROUND(CAST(n_hours * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_hours * syy - sy * sy AS DOUBLE)), 6)
+             AS corr_r
+    FROM pairs
+    """,
+)
+def e27_type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("c"))
+        # grid-sized (|hours| x |types|); both the spine/types derivation
+        # and the pair join read it — materialize once.
+        .localCheckpoint()
+    )
+    spine = counts.select("hour").distinct()
+    types = counts.select("event_type").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "hour"], "left")
+        .select("event_type", "hour", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"), "hour", F.col("c").alias("ca")
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hour").alias("hour_b"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("hour") == F.col("hour_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    num = (F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.col("sx").alias("total_a"),
+        F.col("sy").alias("total_b"),
+        dround(num / F.sqrt(dx * dy), 6).alias("corr_r"),
+    )

@@ -2203,3 +2203,106 @@ def m18_wav_peak_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(normalize, schema=_M18_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m19: clipping-run detection over REAL WAV decode — the recording-
+# quality gate an audio-curation pipeline runs alongside m13's silence
+# segmentation: samples at or beyond the clip threshold mark limiter /
+# ADC saturation, and LONG consecutive runs (square-wave plateaus)
+# mark unusable audio, while isolated peaks are fine. Per clip:
+# sample count, clipped-sample count and per-mille, run count, and the
+# longest run (gaps-and-islands over sample indexes).
+#
+# Oracle pattern (m13 lineage): the payload is synthesized from the
+# doc's md5 digest, REALLY encoded by build_wav and re-parsed by
+# wav_samples; DuckDB replays the identical samples from the digest
+# bytes and runs the same islands grouping in SQL — a parser bug
+# (chunk walk, sample width, sign handling) breaks the match.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle, one output
+# row per clip; threshold math is integer.
+# --------------------------------------------------------------------------
+M19_CLIP_ABS = 31000
+_M19_SCHEMA = (
+    "doc_id long, n_samples long, n_clipped long, clipped_milli long,"
+    " n_runs long, longest_run long"
+)
+
+
+def _m19_oracle() -> str:
+    sample = f"({_byte_at('(t.k % 16)')} - 128) * 256"
+    return f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx, 32 + {_byte_at('3')} % 3 * 16 AS n FROM h
+    ),
+    samples AS (
+      SELECT doc_id, t.k AS k, {sample} AS s
+      FROM d, unnest(range(0, n)) t(k)
+    ),
+    clipped AS (
+      SELECT doc_id, k FROM samples WHERE abs(s) >= {M19_CLIP_ABS}
+    ),
+    grp AS (
+      SELECT doc_id, k,
+             k - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) AS g
+      FROM clipped
+    ),
+    runs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM grp GROUP BY doc_id, g
+    ),
+    per_doc_runs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(MAX(run_len) AS BIGINT) AS longest_run
+      FROM runs GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(COUNT(*) FILTER (WHERE abs(s) >= {M19_CLIP_ABS})
+                  AS BIGINT) AS n_clipped
+      FROM samples GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_samples, p.n_clipped,
+           (1000 * p.n_clipped) // p.n_samples AS clipped_milli,
+           COALESCE(r.n_runs, 0) AS n_runs,
+           COALESCE(r.longest_run, 0) AS longest_run
+    FROM per_doc p LEFT JOIN per_doc_runs r ON r.doc_id = p.doc_id
+    """
+
+
+@register("m19_clipping_runs", oracle=_m19_oracle())
+def m19_clipping_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def clipping_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_samples": [], "n_clipped": [],
+                "clipped_milli": [], "n_runs": [], "longest_run": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                n = 32 + digest[3] % 3 * 16
+                synth = [(digest[k % 16] - 128) * 256 for k in range(n)]
+                samples = wav_samples(build_wav(synth, _WAV_RATE))  # real parse
+                clipped = [abs(s) >= M19_CLIP_ABS for s in samples]
+                runs = []
+                cur = 0
+                for flag in clipped + [False]:
+                    if flag:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["n_clipped"].append(sum(clipped))
+                out["clipped_milli"].append(1000 * sum(clipped) // len(samples))
+                out["n_runs"].append(len(runs))
+                out["longest_run"].append(max(runs) if runs else 0)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(clipping_runs, schema=_M19_SCHEMA)

@@ -2385,3 +2385,69 @@ def q61_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("end_mnum") % 12 + 1).cast("long").alias("end_month"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q62: monotone order-value streaks — per customer, the longest run of
+# consecutive orders (date order, orderkey tie-break) whose total price
+# strictly INCREASES, plus how many such runs of length >= 2 exist.
+# The value-direction variant of q61's calendar gaps-and-islands: the
+# island key comes from a lag comparison, not from row-number
+# arithmetic, which is the pattern behind trend detection ("customers
+# ramping up spend") on any ordered fact stream. Price values are only
+# COMPARED (never aggregated), so doubles stay deterministic.
+#
+# Scale: both window passes (lag flag + running island sum) share the
+# o_custkey partitioning — Spark plans ONE shuffle on o_custkey and
+# runs the two windows back to back in the same stage; the island
+# aggregation reuses the same clustering.
+# --------------------------------------------------------------------------
+@register(
+    "q62_monotone_value_streaks",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CASE WHEN o_totalprice >
+                       LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey)
+                  THEN 0 ELSE 1 END AS brk
+      FROM orders
+    ),
+    isl AS (
+      SELECT o_custkey,
+             SUM(brk) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM seq
+    ),
+    runs AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY o_custkey, grp
+    )
+    SELECT o_custkey,
+           CAST(SUM(run_len) AS BIGINT) AS n_orders,
+           CAST(MAX(run_len) AS BIGINT) AS longest_up_run,
+           CAST(COUNT(*) FILTER (WHERE run_len >= 2) AS BIGINT) AS n_up_runs
+    FROM runs GROUP BY o_custkey
+    """,
+)
+def q62_monotone_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.withColumn(
+        "brk",
+        F.when(
+            F.col("o_totalprice") > F.lag("o_totalprice").over(w), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    isl = flagged.withColumn(
+        "grp", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    runs = isl.groupBy("o_custkey", "grp").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("o_custkey").agg(
+        F.sum("run_len").alias("n_orders"),
+        F.max("run_len").alias("longest_up_run"),
+        F.count(F.when(F.col("run_len") >= 2, 1)).alias("n_up_runs"),
+    )

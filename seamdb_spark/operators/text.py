@@ -2373,3 +2373,274 @@ def t33_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_word_len_milli"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# t34: language-ID confusion audit — grades t03's marker-word predictor
+# against the fixture's ground-truth `lang` column, the acceptance
+# check a curation pipeline runs before trusting a language filter to
+# route 100 TB of text: the full confusion matrix plus per-cell shares
+# of the labeled row (recall on the diagonal) and of the predicted
+# column (precision on the diagonal), all in integer milli over exact
+# counts so both engines agree bit-for-bit.
+#
+# Scale: t03 is row-local scoring; the matrix is one groupBy to
+# |langs|² rows, then two broadcast joins against |langs|-row totals.
+# Nothing after the scan exceeds the label-vocabulary size.
+# --------------------------------------------------------------------------
+def _t34_oracle() -> str:
+    return f"""
+    WITH p AS ({_lang_oracle()}),
+    cells AS (
+      SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY labeled_lang, pred_lang
+    ),
+    lab AS (
+      SELECT labeled_lang, CAST(SUM(n_docs) AS BIGINT) AS labeled_total
+      FROM cells GROUP BY labeled_lang
+    ),
+    pr AS (
+      SELECT pred_lang, CAST(SUM(n_docs) AS BIGINT) AS pred_total
+      FROM cells GROUP BY pred_lang
+    )
+    SELECT c.labeled_lang, c.pred_lang, c.n_docs,
+           l.labeled_total, pr.pred_total,
+           (1000 * c.n_docs) // l.labeled_total AS share_of_labeled_milli,
+           (1000 * c.n_docs) // pr.pred_total AS share_of_pred_milli,
+           CAST(c.labeled_lang = c.pred_lang AS BIGINT) AS is_diagonal
+    FROM cells c
+    JOIN lab l USING (labeled_lang)
+    JOIN pr USING (pred_lang)
+    """
+
+
+@register("t34_langid_confusion", oracle=_t34_oracle())
+def t34_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = t03_lang_id(spark, sf_dir)
+    cells = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    lab = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("labeled_total")
+    )
+    pr = cells.groupBy("pred_lang").agg(F.sum("n_docs").alias("pred_total"))
+    return (
+        cells.join(F.broadcast(lab), "labeled_lang")
+        .join(F.broadcast(pr), "pred_lang")
+        .select(
+            "labeled_lang",
+            "pred_lang",
+            "n_docs",
+            "labeled_total",
+            "pred_total",
+            F.expr("(1000 * n_docs) div labeled_total").alias(
+                "share_of_labeled_milli"
+            ),
+            F.expr("(1000 * n_docs) div pred_total").alias(
+                "share_of_pred_milli"
+            ),
+            (F.col("labeled_lang") == F.col("pred_lang"))
+            .cast("long")
+            .alias("is_diagonal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# t35: code-vs-prose profile — the surface signals real curation
+# pipelines use to route source code away from the prose corpus before
+# language-ID or quality scoring (both of which misfire on code):
+# symbol / digit / uppercase densities, longest token (identifiers and
+# URLs run long; prose words don't), and a rule verdict over those
+# integer signals. All row-local regexp counts in milli over exact
+# character counts — no tokenizer, no floats.
+#
+# Scale: pure row-local projection off the scan; whole-stage codegen,
+# zero shuffle.
+# --------------------------------------------------------------------------
+T35_SYM_MILLI = 30
+T35_DIGIT_MILLI = 300
+T35_MAX_TOKEN = 40
+
+
+@register(
+    "t35_code_prose_profile",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+               AS n_sym,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+             CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+             CAST(list_max(list_transform(string_split(text, ' '),
+                                          t -> length(t))) AS BIGINT)
+               AS max_token_len
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           (1000 * n_sym) // n_chars AS sym_milli,
+           (1000 * n_digit) // n_chars AS digit_milli,
+           (1000 * n_upper) // n_chars AS upper_milli,
+           max_token_len,
+           CASE WHEN (1000 * n_sym) // n_chars > {T35_SYM_MILLI}
+                  OR (1000 * n_digit) // n_chars > {T35_DIGIT_MILLI}
+                  OR max_token_len >= {T35_MAX_TOKEN}
+                THEN 'code' ELSE 'prose' END AS verdict
+    FROM feats
+    """,
+)
+def t35_code_prose_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9 ]")).cast("long").alias("n_sym"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("long").alias("n_digit"),
+        F.regexp_count(F.col("text"), F.lit("[A-Z]")).cast("long").alias("n_upper"),
+        F.expr("CAST(array_max(transform(split(text, ' '), t -> length(t))) AS BIGINT)")
+        .alias("max_token_len"),
+    )
+    sym_milli = F.expr("(1000 * n_sym) div n_chars")
+    digit_milli = F.expr("(1000 * n_digit) div n_chars")
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        sym_milli.alias("sym_milli"),
+        digit_milli.alias("digit_milli"),
+        F.expr("(1000 * n_upper) div n_chars").alias("upper_milli"),
+        "max_token_len",
+        F.when(
+            (sym_milli > T35_SYM_MILLI)
+            | (digit_milli > T35_DIGIT_MILLI)
+            | (F.col("max_token_len") >= T35_MAX_TOKEN),
+            F.lit("code"),
+        )
+        .otherwise(F.lit("prose"))
+        .alias("verdict"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x12: deterministic uniform per-group sample — k docs per source,
+# chosen by md5-hash rank of the doc id. The unweighted companion to
+# t21's importance sampler and the primitive behind every "eyeball 100
+# docs per shard" QA loop: reproducible across runs and engines (no
+# RNG state), stable under corpus append ONLY for surviving members
+# (hash order is global, so inserts can displace boundary rows — the
+# documented trade vs a true reservoir, which cannot be both
+# distributed and insertion-stable either).
+#
+# Scale: Spark plans rank-limited windows as WindowGroupLimit —
+# each partition keeps a k-row heap per group BEFORE the shuffle, so
+# the exchange moves O(k x |groups| x partitions) rows, not the corpus;
+# the md5 rank key is computed in codegen.
+# --------------------------------------------------------------------------
+X12_K = 7
+
+
+def _x12_oracle() -> str:
+    hk = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {hk}, doc_id) AS sample_rank
+      FROM documents
+    )
+    SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+    FROM ranked WHERE sample_rank <= {X12_K}
+    """
+
+
+@register("x12_uniform_group_sample", oracle=_x12_oracle())
+def x12_uniform_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("source", "doc_id")
+    hk = md5_prefix_long(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= X12_K)
+        .select("source", "sample_rank", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# t36: Zipf doubling-ratio audit — checks how closely the corpus term
+# distribution follows a power law WITHOUT floating-point regression:
+# under Zipf with exponent s, f(r)/f(2r) = 2^s, so the integer ratio
+# f(r)*1000 div f(2r) over the top ranks is a distribution fingerprint
+# (natural text ~ 2000 milli; uniform/synthetic vocab ~ 1000 milli;
+# template spam spikes). Good-Turing/Heaps work (t24) consumes the
+# same counts; this emits the rank-halving view a corpus-drift monitor
+# can threshold on.
+#
+# Scale: the vocabulary count is the t24 level-1 aggregate; the top-128
+# extraction is a TakeOrderedAndProject (per-partition heap + driver
+# merge of 128 rows, never a global sort), and everything after runs
+# on that fixed 128-row frame. Rank comes from a predecessor-count
+# self-join on the bounded frame, NOT a global window — keeps the
+# repo's zero-WindowExec-warning discipline absolute even though a
+# 128-row window would be harmless.
+# --------------------------------------------------------------------------
+T36_TOP = 128
+
+
+@register(
+    "t36_zipf_doubling_ratio",
+    oracle=f"""
+    WITH counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    top AS (
+      SELECT token, freq FROM counts
+      ORDER BY freq DESC, token LIMIT {T36_TOP}
+    ),
+    ranked AS (
+      SELECT a.token, a.freq,
+             1 + COUNT(b.token) AS r
+      FROM top a LEFT JOIN top b
+        ON b.freq > a.freq OR (b.freq = a.freq AND b.token < a.token)
+      GROUP BY a.token, a.freq
+    )
+    SELECT a.r AS rank, a.token, a.freq,
+           b.freq AS freq_2r,
+           (1000 * a.freq) // b.freq AS doubling_ratio_milli
+    FROM ranked a JOIN ranked b ON b.r = 2 * a.r
+    """,
+)
+def t36_zipf_doubling_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(T36_TOP)
+    # 128-row frame is read three times (predecessor join both sides +
+    # the 2r lookup) — pin it once.
+    top = top.localCheckpoint()
+    pred = top.select(F.col("token").alias("tb"), F.col("freq").alias("fb"))
+    ranked = (
+        top.join(
+            pred,
+            (F.col("fb") > F.col("freq"))
+            | ((F.col("fb") == F.col("freq")) & (F.col("tb") < F.col("token"))),
+            "left",
+        )
+        .groupBy("token", "freq")
+        .agg((F.lit(1) + F.count("tb")).alias("r"))
+    )
+    a = ranked.select(
+        F.col("r").alias("rank"), "token", "freq"
+    )
+    b = ranked.select((F.col("r")).alias("rb"), F.col("freq").alias("freq_2r"))
+    return a.join(b, F.col("rb") == 2 * F.col("rank")).select(
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        "freq",
+        "freq_2r",
+        F.expr("(1000 * freq) div freq_2r").alias("doubling_ratio_milli"),
+    )

@@ -1478,6 +1478,15 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "m15_jpeg_roundtrip": 0,
         "m16_jpeg_ahash_stability": 0,
         "s16_hnsw_layered_search": 8,
+        # round-5 second batch (post-checkpoint counts; e27/t36's extra
+        # exchanges all run on bounded grid/top-128 frames)
+        "q62_monotone_value_streaks": 1,
+        "x12_uniform_group_sample": 1,
+        "t35_code_prose_profile": 0,
+        "m19_clipping_runs": 0,
+        "t34_langid_confusion": 7,
+        "e27_type_cross_correlation": 9,
+        "t36_zipf_doubling_ratio": 5,
     }
     over = []
     for name, budget in budgets.items():
@@ -1816,3 +1825,163 @@ def test_cluster_quality_audit_consistency(spark, registry):
         else:
             assert r.mean_intra_jaccard is None
     assert set(intra) <= seen  # every cluster with intra pairs reported
+
+
+def test_langid_confusion_consistent_with_t03(spark, registry):
+    """t34 × t03 cross-check: cells must sum to the per-label doc
+    counts of t03's own output, shares must be the integer milli of the
+    joined totals, and diagonal flags must match the cell labels."""
+    queries, _ = registry
+    preds = queries["t03_lang_id"](spark, SF_SMOKE).collect()
+    cells = {}
+    for r in preds:
+        cells[(r.labeled_lang, r.pred_lang)] = (
+            cells.get((r.labeled_lang, r.pred_lang), 0) + 1
+        )
+    rows = queries["t34_langid_confusion"](spark, SF_SMOKE).collect()
+    assert {(r.labeled_lang, r.pred_lang) for r in rows} == set(cells)
+    lab_tot = {}
+    pred_tot = {}
+    for (lab, pred), n in cells.items():
+        lab_tot[lab] = lab_tot.get(lab, 0) + n
+        pred_tot[pred] = pred_tot.get(pred, 0) + n
+    for r in rows:
+        assert r.n_docs == cells[(r.labeled_lang, r.pred_lang)]
+        assert r.labeled_total == lab_tot[r.labeled_lang]
+        assert r.pred_total == pred_tot[r.pred_lang]
+        assert r.share_of_labeled_milli == 1000 * r.n_docs // r.labeled_total
+        assert r.share_of_pred_milli == 1000 * r.n_docs // r.pred_total
+        assert r.is_diagonal == int(r.labeled_lang == r.pred_lang)
+
+
+def test_monotone_streaks_replay(spark, registry):
+    """q62: recompute each customer's longest strictly-increasing
+    order-value run in pure Python and compare every column."""
+    queries, _ = registry
+    from seamdb_spark.operators.relational import _t
+
+    orders = _t(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    ).collect()
+    seqs = {}
+    for r in sorted(orders, key=lambda r: (r.o_custkey, r.o_orderdate, r.o_orderkey)):
+        seqs.setdefault(r.o_custkey, []).append(r.o_totalprice)
+    rows = {
+        r.o_custkey: r
+        for r in queries["q62_monotone_value_streaks"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(seqs)
+    for cust, vals in seqs.items():
+        runs, cur = [], 1
+        for a, b in zip(vals, vals[1:]):
+            if b > a:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        r = rows[cust]
+        assert r.n_orders == len(vals)
+        assert r.longest_up_run == max(runs)
+        assert r.n_up_runs == sum(1 for x in runs if x >= 2)
+
+
+def test_cross_correlation_replay(spark, registry):
+    """e27: replay the Pearson correlations from the raw events in
+    pure Python (zero-filled hour grid, exact integer sums) and
+    compare to 6 decimals; r must lie in [-1, 1]."""
+    import math
+    from collections import Counter
+
+    queries, _ = registry
+    from seamdb_spark.operators.events import _events
+
+    ev = _events(spark, SF_SMOKE).select("event_type", "ts").collect()
+    counts = Counter(
+        (r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))
+        for r in ev
+    )
+    hours = sorted({h for _, h in counts})
+    types = sorted({t for t, _ in counts})
+    series = {
+        t: [counts.get((t, h), 0) for h in hours] for t in types
+    }
+    rows = queries["e27_type_cross_correlation"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        assert -1.0 <= r.corr_r <= 1.0
+        xs, ys = series[r.type_a], series[r.type_b]
+        n = len(hours)
+        assert r.n_hours == n
+        assert r.total_a == sum(xs) and r.total_b == sum(ys)
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        dx = n * sum(x * x for x in xs) - sum(xs) ** 2
+        dy = n * sum(y * y for y in ys) - sum(ys) ** 2
+        assert abs(r.corr_r - num / math.sqrt(dx * dy)) < 5e-6
+
+
+def test_uniform_group_sample_is_deterministic_subset(spark, registry):
+    """x12: exactly min(k, group size) docs per source, ranks dense
+    from 1, members stable across two runs (no RNG state)."""
+    queries, _ = registry
+    from seamdb_spark.operators.text import X12_K, _docs
+    from pyspark.sql import functions as F
+
+    sizes = {
+        r.source: r.n
+        for r in _docs(spark, SF_SMOKE).groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    run1 = queries["x12_uniform_group_sample"](spark, SF_SMOKE).collect()
+    run2 = queries["x12_uniform_group_sample"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    by_src = {}
+    for r in run1:
+        by_src.setdefault(r.source, []).append(r.sample_rank)
+    assert set(by_src) == set(sizes)
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, min(X12_K, sizes[src]) + 1))
+
+
+def test_clipping_runs_consistent_with_wav_decode(spark, registry):
+    """m19 × m07 cross-check: sample counts must match the decoded
+    clip lengths; run accounting must be internally consistent."""
+    queries, _ = registry
+    m07 = {r.doc_id: r for r in queries["m07_wav_decode"](spark, SF_SMOKE).collect()}
+    rows = queries["m19_clipping_runs"](spark, SF_SMOKE).collect()
+    assert rows and {r.doc_id for r in rows} == set(m07)
+    for r in rows:
+        assert r.n_samples == m07[r.doc_id].n_samples
+        assert 0 <= r.n_clipped <= r.n_samples
+        assert r.clipped_milli == 1000 * r.n_clipped // r.n_samples
+        assert (r.n_runs == 0) == (r.n_clipped == 0)
+        if r.n_runs:
+            assert r.longest_run * r.n_runs >= r.n_clipped >= r.longest_run
+        else:
+            assert r.longest_run == 0
+
+
+def test_zipf_doubling_ratio_consistent_with_spectrum(spark, registry):
+    """t36: every reported rank must satisfy 2*rank <= 128, ratios must
+    be >= 1000 (frequencies non-increasing in rank), and the rank-1
+    frequency must equal the corpus max token frequency."""
+    queries, _ = registry
+    from seamdb_spark.operators.text import _docs
+    from pyspark.sql import functions as F
+
+    rows = queries["t36_zipf_doubling_ratio"](spark, SF_SMOKE).collect()
+    assert rows
+    max_freq = (
+        _docs(spark, SF_SMOKE)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    by_rank = {r.rank: r for r in rows}
+    assert by_rank[1].freq == max_freq
+    for r in rows:
+        assert 2 * r.rank <= 128
+        assert r.freq >= r.freq_2r
+        assert r.doubling_ratio_milli == 1000 * r.freq // r.freq_2r
+        assert r.doubling_ratio_milli >= 1000
