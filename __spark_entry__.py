@@ -156,19 +156,21 @@ _R4_WINDOW = [
 # (a) slots 1-19: the queries registered after _R4_WINDOW froze (all
 #     19 locally hash-green, no driver row yet) — driver-green 182/182
 #     becomes true when these land;
-# (b) next: queries whose PLAN changed in round 5 (d20's CDC boundary
-#     clamp; d22's memoized term pipeline) and queries registered in
-#     round 5 itself — inserted here as they land;
-# (c) fill to 50 oldest-green-first: the 18 r1 greens with no driver
-#     row since round 1 (q11-q29 block), then _R2_GREEN order.
+# (b) slots 20-32: registered in round 5, or plan changed in round 5
+#     (s13: the memoized symmetrized-edge list; d20/d21/d22 are
+#     already in (a));
+# (c) slots 33-50: the REST of round 5's registrations — also without
+#     any driver row ever. Never-checked queries outrank regression
+#     re-checks of r1 greens (the round-4 verdict's own ranking:
+#     "rowless" is residual #1, "stale regression evidence" #2), so
+#     the 18 r1 re-green slots moved to the round-6 fill tier.
 #
-# ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) the queries
+# ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) any queries
 # registered after _R5_WINDOW froze (locally hash-green at
-# sf0.001/0.01, no driver row yet: e23_hourly_seasonality onward in
-# registration order) plus any whose plan/oracle changes in round 6, then fill to 50 oldest-green-first: the r2 greens not in
-# _R5_WINDOW (the whole list in _R2_GREEN order —
-# d09-q25's early entries lost their fill slots to round-5
-# registrations), then
+# sf0.001/0.01, no driver row yet) plus any whose plan/oracle changes
+# in round 6, then fill to 50 oldest-green-first: the 18 r1 greens
+# with no driver row since round 1 (the q11-q29 block, displaced here
+# in round 5), then the r2 greens in _R2_GREEN order, then
 # _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW.
 _R5_WINDOW = [
     # (a) rowless after r4 freeze — locally hash-green only
@@ -180,8 +182,7 @@ _R5_WINDOW = [
     "e19_interarrival_profile", "e20_cooccurrence_lift", "e21_sax_motifs",
     "e22_markov_attribution", "q61_order_streaks", "p04_selection_pipeline",
     "s14_ann_recall_audit", "s15_mmr_diversified_topk",
-    # (b) registered in round 5, or plan changed in round 5 (s13: the
-    #     memoized symmetrized-edge list; d20/d21/d22 are already in (a))
+    # (b) registered in round 5, or plan changed in round 5
     "s16_hnsw_layered_search", "t29_hashed_classifier_score",
     "d25_paragraph_neardup", "p05_model_curation_report",
     "d26_containment_neardup", "m15_jpeg_roundtrip",
@@ -189,14 +190,17 @@ _R5_WINDOW = [
     "s13_graph_beam_search", "t30_perplexity_buckets",
     "g03_degree_assortativity", "d27_weighted_simhash",
     "t31_heldout_lm_eval", "d28_cluster_quality_audit",
-    # (c) oldest-green-first fill: 18 r1 greens without a row since r1
-    "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
-    "q14_rollup", "q15_cube", "q16_grouping_sets", "q17_window_rank",
-    "q18_window_running", "q19_window_range_frame", "q20_set_operations",
-    "q21_scalar_subquery", "q22_correlated_subquery", "q23_cte_max_revenue",
-    "q24_string_functions", "q26_datetime_functions",
-    "q27_date_diff_interval", "q28_case_cast", "q29_distinct",
-    # (c) then r2 greens in _R2_GREEN order
+    # (c) round-5 late batch + second batch — no driver row ever
+    "e23_hourly_seasonality", "m17_frame_motion_profile",
+    "s17_ivf_drift_monitor", "t32_source_vocab_divergence",
+    "e24_attribution_comparison", "p06_corpus_report_card",
+    "e25_user_concentration", "t33_lexical_diversity",
+    "s18_embedding_norm_screen", "m18_wav_peak_normalize",
+    "e26_transition_predictability",
+    "t34_langid_confusion", "q62_monotone_value_streaks",
+    "e27_type_cross_correlation", "t35_code_prose_profile",
+    "x12_uniform_group_sample", "m19_clipping_runs",
+    "t36_zipf_doubling_ratio",
 ]
 
 
