@@ -2670,3 +2670,136 @@ def e27_type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").alias("total_b"),
         dround(num / F.sqrt(dx * dy), 6).alias("corr_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# e28: session concurrency profile — how many gap-based sessions (e02's
+# 30-minute definition) are active simultaneously, the load metric
+# capacity planning and rate-limit sizing read. Classic sweep-line:
+# each session contributes +1 at its start and -1 one microsecond
+# after its inclusive end; the running sum of per-instant net deltas
+# IS the concurrency curve. Reported per hour: the peak concurrency
+# and the start/end volumes.
+#
+# The prefix sum is DISTRIBUTED, not a global window: per-instant
+# deltas cumulate within their hour under a PARTITIONED window
+# (hour-partitioned, so no single-partition WindowExec), hour totals
+# form a calendar-bounded table whose prefix offsets come from a
+# predecessor self-join (the t36 rank pattern), and absolute
+# concurrency = hour offset + within-hour cumsum. This two-level
+# prefix-sum is exactly how a 100 TB sweep-line has to run: the only
+# corpus-sized shuffles are the session derivation (e02's one
+# user-key shuffle) and the per-instant aggregation; everything
+# global happens on the |hours|-sized ladder.
+#
+# Hours with no session boundary carry no row (concurrency there is
+# flat and equals the previous hour's closing value) — documented
+# contract, keeps the output endpoint-driven.
+# --------------------------------------------------------------------------
+@register(
+    "e28_session_concurrency",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+             ts
+      FROM ordered
+    ),
+    intervals AS (
+      SELECT MIN(ts) AS s, MAX(ts) + INTERVAL 1 MICROSECOND AS e
+      FROM sess GROUP BY user_id, sid
+    ),
+    pts AS (
+      SELECT t, CAST(SUM(d) AS BIGINT) AS d,
+             CAST(COUNT(*) FILTER (WHERE d = 1) AS BIGINT) AS nps,
+             CAST(COUNT(*) FILTER (WHERE d = -1) AS BIGINT) AS nne
+      FROM (
+        SELECT s AS t, 1 AS d FROM intervals
+        UNION ALL
+        SELECT e AS t, -1 AS d FROM intervals
+      ) GROUP BY t
+    ),
+    curve AS (
+      SELECT t, nps, nne,
+             CAST(SUM(d) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS conc
+      FROM pts
+    )
+    SELECT date_trunc('hour', t) AS hour,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           CAST(SUM(nps) AS BIGINT) AS n_starts,
+           CAST(SUM(nne) AS BIGINT) AS n_ends
+    FROM curve GROUP BY date_trunc('hour', t)
+    """,
+)
+def e28_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = SESSION_GAP_MINUTES * 60
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > gap_s
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    intervals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("e"),
+    )
+    endpoints = intervals.select(
+        F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(intervals.select(F.col("e").alias("t"), F.lit(-1).alias("d")))
+    pts = (
+        endpoints.groupBy("t")
+        .agg(
+            F.sum("d").alias("d"),
+            F.count(F.when(F.col("d") == 1, 1)).alias("nps"),
+            F.count(F.when(F.col("d") == -1, 1)).alias("nne"),
+        )
+        .withColumn("hour", F.date_trunc("hour", F.col("t")))
+        # endpoint-level table (2 rows per session, pre-aggregated per
+        # instant) feeds the within-hour window, the hour ladder, AND
+        # the final join — materialize once.
+        .localCheckpoint()
+    )
+    win = W.partitionBy("hour").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    within = pts.withColumn("cum", F.sum("d").over(win))
+    ladder = pts.groupBy("hour").agg(
+        F.sum("d").alias("h_d"),
+        F.sum("nps").alias("n_starts"),
+        F.sum("nne").alias("n_ends"),
+    )
+    lb = ladder.select(F.col("hour").alias("hb"), F.col("h_d").alias("h_d_b"))
+    offsets = (
+        ladder.join(lb, F.col("hb") < F.col("hour"), "left")
+        .groupBy("hour", "n_starts", "n_ends")
+        .agg(F.coalesce(F.sum("h_d_b"), F.lit(0)).alias("offset"))
+    )
+    return (
+        within.join(F.broadcast(offsets), "hour")
+        .groupBy("hour", "n_starts", "n_ends")
+        .agg(F.max(F.col("cum") + F.col("offset")).alias("max_concurrent"))
+        .select("hour", "max_concurrent", "n_starts", "n_ends")
+    )

@@ -2644,3 +2644,82 @@ def t36_zipf_doubling_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq_2r",
         F.expr("(1000 * freq) div freq_2r").alias("doubling_ratio_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# t37: OOV-rate audit of the held-out splits against the TRAIN-split
+# vocabulary — the tokenizer/vocab-health check run before trusting
+# any held-out metric (t31's LM eval starts from the same discipline):
+# a validation doc whose tokens are mostly absent from training data
+# measures distribution shift, not model quality. Per val/test doc:
+# token count, OOV token count, distinct OOV types, and OOV ppm, with
+# the split derived by t08's row-local hash-mod bucketing so the
+# train/eval boundary is identical across engines and runs.
+#
+# Scale: the vocabulary is a distinct over train tokens (Heaps-law
+# sublinear, but NOT assumed broadcastable at 100 TB) — the membership
+# probe is a token-key shuffle equi-join of the exploded eval tokens
+# against it, then a per-doc aggregate. Two shuffles over eval-side
+# tokens (20% of the corpus), one over train tokens.
+# --------------------------------------------------------------------------
+def _t37_oracle() -> str:
+    bucket = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH splits AS (
+      SELECT doc_id, text,
+             CASE WHEN {bucket} % 100 < 80 THEN 'train'
+                  WHEN {bucket} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM splits WHERE split = 'train'
+    ),
+    ev AS (
+      SELECT doc_id, split, unnest(string_split(text, ' ')) AS tok
+      FROM splits WHERE split <> 'train'
+    )
+    SELECT e.doc_id, e.split,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT e.tok) FILTER (WHERE v.tok IS NULL)
+                AS BIGINT) AS n_oov_types,
+           (1000000 * COUNT(*) FILTER (WHERE v.tok IS NULL)) // COUNT(*)
+             AS oov_ppm
+    FROM ev e LEFT JOIN vocab v ON v.tok = e.tok
+    GROUP BY e.doc_id, e.split
+    """
+
+
+@register("t37_oov_rate_audit", oracle=_t37_oracle())
+def t37_oov_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = md5_prefix_long(F.col("doc_id").cast("string")) % 100
+    splits = docs.select(
+        "doc_id",
+        "text",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    vocab = (
+        splits.filter(F.col("split") == "train")
+        .select(F.explode(F.split("text", " ")).alias("vtok"))
+        .distinct()
+    )
+    ev = splits.filter(F.col("split") != "train").select(
+        "doc_id", "split", F.explode(F.split("text", " ")).alias("tok")
+    )
+    probed = ev.join(vocab, ev.tok == vocab.vtok, "left")
+    return probed.groupBy("doc_id", "split").agg(
+        F.count("*").alias("n_tokens"),
+        F.count(F.when(F.col("vtok").isNull(), 1)).alias("n_oov"),
+        F.countDistinct(F.when(F.col("vtok").isNull(), F.col("tok"))).alias(
+            "n_oov_types"
+        ),
+        F.expr(
+            "(1000000 * count(CASE WHEN vtok IS NULL THEN 1 END)) div count(*)"
+        ).alias("oov_ppm"),
+    )

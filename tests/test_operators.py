@@ -1487,6 +1487,8 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "t34_langid_confusion": 7,
         "e27_type_cross_correlation": 9,
         "t36_zipf_doubling_ratio": 5,
+        "t37_oov_rate_audit": 4,
+        "e28_session_concurrency": 5,
     }
     over = []
     for name, budget in budgets.items():
@@ -1985,3 +1987,71 @@ def test_zipf_doubling_ratio_consistent_with_spectrum(spark, registry):
         assert r.freq >= r.freq_2r
         assert r.doubling_ratio_milli == 1000 * r.freq // r.freq_2r
         assert r.doubling_ratio_milli >= 1000
+
+
+def test_oov_rate_audit_replay(spark, registry):
+    """t37: replay the OOV accounting in pure Python from the raw docs
+    and the t08 split; train docs must never appear in the output."""
+    queries, _ = registry
+    from seamdb_spark.operators.text import _docs
+
+    splits = {
+        r.doc_id: r.split
+        for r in queries["t08_train_split"](spark, SF_SMOKE).collect()
+    }
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in _docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+    }
+    vocab = set()
+    for d, toks in docs.items():
+        if splits[d] == "train":
+            vocab.update(toks)
+    rows = {r.doc_id: r for r in queries["t37_oov_rate_audit"](spark, SF_SMOKE).collect()}
+    expect_ids = {d for d, s in splits.items() if s != "train"}
+    assert set(rows) == expect_ids
+    for d, r in rows.items():
+        toks = docs[d]
+        oov = [t for t in toks if t not in vocab]
+        assert r.split == splits[d]
+        assert r.n_tokens == len(toks)
+        assert r.n_oov == len(oov)
+        assert r.n_oov_types == len(set(oov))
+        assert r.oov_ppm == 1_000_000 * len(oov) // len(toks)
+
+
+def test_session_concurrency_replay(spark, registry):
+    """e28: rebuild the sweep-line in pure Python from e02's session
+    intervals and compare every hour's peak and start/end volumes."""
+    import datetime
+    from collections import defaultdict
+
+    queries, _ = registry
+    sessions = queries["e02_sessionization"](spark, SF_SMOKE).collect()
+    deltas = defaultdict(int)
+    starts = defaultdict(int)
+    ends = defaultdict(int)
+    us = datetime.timedelta(microseconds=1)
+    for s in sessions:
+        deltas[s.session_start] += 1
+        deltas[s.session_end + us] -= 1
+        starts[s.session_start] += 1
+        ends[s.session_end + us] += 1
+    conc = 0
+    peak = {}
+    n_start_h = defaultdict(int)
+    n_end_h = defaultdict(int)
+    for t in sorted(deltas):
+        conc += deltas[t]
+        h = t.replace(minute=0, second=0, microsecond=0)
+        peak[h] = max(peak.get(h, conc), conc)
+        n_start_h[h] += starts[t]
+        n_end_h[h] += ends[t]
+    rows = {r.hour: r for r in queries["e28_session_concurrency"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(peak)
+    for h, r in rows.items():
+        assert r.max_concurrent == peak[h], h
+        assert r.n_starts == n_start_h[h]
+        assert r.n_ends == n_end_h[h]
+    # global sanity: concurrency returns to zero after the last endpoint
+    assert conc == 0
