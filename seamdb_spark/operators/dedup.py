@@ -2897,3 +2897,140 @@ def d27_weighted_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# d29: dedup threshold-sensitivity curve — before committing a Jaccard
+# threshold corpus-wide, look at the DISTRIBUTION of verified
+# similarities over the LSH candidates: per 0.1-wide jaccard bucket,
+# how many candidate pairs land there and how many pairs would survive
+# a threshold set at that bucket's floor. Reading the knee off this
+# table is how the d02 threshold (and the banding b/r behind it) gets
+# tuned on a sample instead of guessed — the dedup-side companion of
+# s19's nprobe sweep.
+#
+# All integer: j_milli = (1000*|A∩B|) div |A∪B| over exact shingle
+# sets; the cumulative column comes from a successor self-join on the
+# <= 11-row bucket table, not a window.
+#
+# Scale: candidates are the d02 banding equi-join output (never
+# all-pairs); the verify join is the same shingle-set lookup d02 pays;
+# everything after is an 11-row aggregate.
+# --------------------------------------------------------------------------
+def _d29_oracle() -> str:
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    verified AS (
+      SELECT (1000 * len(list_intersect(a.shingles, b.shingles)))
+             // (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) AS j_milli
+      FROM cand c JOIN sh a ON c.doc_a = a.doc_id
+                  JOIN sh b ON c.doc_b = b.doc_id
+    ),
+    buckets AS (
+      SELECT j_milli // 100 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM verified GROUP BY j_milli // 100
+    )
+    SELECT b1.bucket, CAST(b1.bucket * 100 AS BIGINT) AS j_lo_milli,
+           b1.n_pairs,
+           CAST(SUM(b2.n_pairs) AS BIGINT) AS n_pairs_at_or_above
+    FROM buckets b1 JOIN buckets b2 ON b2.bucket >= b1.bucket
+    GROUP BY b1.bucket, b1.n_pairs
+    """
+
+
+@register("d29_threshold_sensitivity", oracle=_d29_oracle())
+def d29_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # integer milli via div (truncating, matches DuckDB //)
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.expr(
+                "(1000 * size(array_intersect(sh_a, sh_b))) div "
+                "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+            ).alias("j_milli")
+        )
+    )
+    bk = verified.groupBy(F.expr("j_milli div 100").alias("bucket")).agg(
+        F.count("*").alias("n_pairs")
+    )
+    b2 = bk.select(F.col("bucket").alias("b2"), F.col("n_pairs").alias("np2"))
+    return (
+        bk.join(F.broadcast(b2), F.col("b2") >= F.col("bucket"))
+        .groupBy("bucket", "n_pairs")
+        .agg(F.sum("np2").alias("n_pairs_at_or_above"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 100).cast("long").alias("j_lo_milli"),
+            "n_pairs",
+            "n_pairs_at_or_above",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# g04: component-size distribution of the near-dup graph — the scale
+# histogram behind dedup cost accounting: per component size k, how
+# many components, how many docs they hold, and the docs' share of the
+# clustered population in integer milli, plus the largest component's
+# size as a skew flag (one mega-component usually means boilerplate
+# stitched unrelated docs together — the signal to TIGHTEN the d03
+# threshold before trusting d11's keeper selection). Consumes the
+# session-materialized d09 labels, so the graph work is shared, and
+# reduces to a size histogram — the frequency-of-frequencies shape
+# (t24) applied to cluster labels.
+#
+# Scale: components are dedup output (orders smaller than the corpus);
+# two vocabulary-sized groupBys and one |sizes|-row total broadcast.
+# --------------------------------------------------------------------------
+def _g04_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_ctes()},
+    labels AS (
+      SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id
+    ),
+    comp AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS k
+      FROM labels GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_components,
+             CAST(k * COUNT(*) AS BIGINT) AS n_docs
+      FROM comp GROUP BY k
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(MAX(k) AS BIGINT) AS max_k
+      FROM hist
+    )
+    SELECT h.k AS component_size, h.n_components, h.n_docs,
+           (1000 * h.n_docs) // t.total_docs AS doc_share_milli,
+           t.max_k AS largest_component
+    FROM hist h CROSS JOIN tot t
+    """
+
+
+@register("g04_component_size_distribution", oracle=_g04_oracle())
+def g04_component_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _cc_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    comp = labels.groupBy("cluster_id").agg(F.count("*").alias("k"))
+    hist = comp.groupBy("k").agg(
+        F.count("*").alias("n_components"),
+        (F.col("k") * F.count("*")).cast("long").alias("n_docs"),
+    )
+    tot = hist.agg(
+        F.sum("n_docs").alias("total_docs"), F.max("k").alias("max_k")
+    )
+    return hist.join(F.broadcast(tot)).select(
+        F.col("k").alias("component_size"),
+        "n_components",
+        "n_docs",
+        F.expr("(1000 * n_docs) div total_docs").alias("doc_share_milli"),
+        F.col("max_k").alias("largest_component"),
+    )

@@ -2858,3 +2858,207 @@ def s18_embedding_norm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_outlier"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# s19: IVF probe-recall tuning curve — the parameter sweep an index
+# operator runs BEFORE committing an nprobe setting to a production
+# corpus: one row per candidate nprobe value with its pair-level
+# recall against the exact top-k (s01), so the recall-vs-scan-cost
+# knee is read off a table instead of guessed. s14 audits the SHIPPED
+# configuration; this sweeps the alternatives (FAISS's nprobe
+# benchmark loop, in-engine and hash-checked).
+#
+# Scale: the quantized corpus, Lloyd centroids, and cell assignment
+# are computed ONCE (session-materialized + checkpointed) and shared
+# by all sweep points; each nprobe value then adds only its own
+# candidate equi-join + per-probe top-k window, with candidate volume
+# growing linearly in nprobe (nprobe/K of the corpus per probe). The
+# exact baseline is the one O(probes x corpus) pass s01 already pays.
+# --------------------------------------------------------------------------
+S19_NPROBES = (1, 2, 4, 6, 8)
+
+
+def _s19_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+    from .registry import ORACLE_SQL
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+    exact = ORACLE_SQL["s01_ann_bruteforce_topk"]
+    dot = _ISUM_SQL.format(
+        l="list_transform(list_zip(pn.q, nn.q), p -> p[1] * p[2])"
+    )
+    per_p = []
+    selects = []
+    for p in S19_NPROBES:
+        per_p.append(f"""cand{p} AS (
+      SELECT DISTINCT pr.probe_id, a.vec_id
+      FROM norms a JOIN pranks pr ON a.cid = pr.cid AND pr.crk <= {p}
+      WHERE a.vec_id <> pr.probe_id
+    ),
+    ranked{p} AS (
+      SELECT probe_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM (
+        SELECT c.probe_id, c.vec_id AS neighbor_id,
+               ROUND(CAST({dot} AS DOUBLE)
+                     / (sqrt(CAST(pn.nq AS DOUBLE)) * sqrt(CAST(nn.nq AS DOUBLE))), 6)
+                 AS cosine
+        FROM cand{p} c
+        JOIN norms nn ON nn.vec_id = c.vec_id
+        JOIN norms pn ON pn.vec_id = c.probe_id
+      )
+    ),
+    res{p} AS (
+      SELECT CAST({p} AS BIGINT) AS nprobe,
+             CAST(COUNT(*) AS BIGINT) AS n_found,
+             CAST(COUNT(e.probe_id) AS BIGINT) AS n_hit
+      FROM ranked{p} r
+      LEFT JOIN exact_pairs e
+        ON e.probe_id = r.probe_id AND e.neighbor_id = r.neighbor_id
+      WHERE r.rk <= {TOP_K}
+    )""")
+        selects.append(f"SELECT * FROM res{p}")
+    joined = ",\n    ".join(per_p)
+    unioned = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT cid, q AS cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {IVF_K}
+    ),
+    a1 AS ({_lloyd_assign_sql('quant', 'seeds')}),
+    c1 AS ({_lloyd_means_sql('a1')}),
+    a2 AS ({_lloyd_assign_sql('quant', 'c1')}),
+    c2 AS ({_lloyd_means_sql('a2')}),
+    cells AS ({_lloyd_assign_sql('quant', 'c2')}),
+    norms AS (
+      SELECT vec_id, q, cid,
+             {_ISUM_SQL.format(l='list_transform(q, v -> v * v)')} AS nq
+      FROM cells
+    ),
+    exact_pairs AS (
+      SELECT probe_id, neighbor_id FROM ({exact})
+    ),
+    n_exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM exact_pairs),
+    pranks AS (
+      SELECT probe_id, cid, crk FROM (
+        SELECT v.vec_id AS probe_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_QD2_SQL.format(a='v.q', b='c.cvec')}, c.cid) AS crk
+        FROM quant v CROSS JOIN c2 c WHERE v.vec_id < {N_PROBES}
+      ) WHERE crk <= {max(S19_NPROBES)}
+    ),
+    {joined}
+    SELECT r.nprobe, r.n_found, r.n_hit, x.n AS n_exact,
+           (1000 * r.n_hit) // x.n AS recall_milli
+    FROM (
+      {unioned}
+    ) r CROSS JOIN n_exact x
+    """
+
+
+@register("s19_ivf_probe_recall_curve", oracle=_s19_oracle())
+def s19_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quant = _quant_corpus(spark, sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
+    cdf = F.broadcast(
+        spark.createDataFrame(centroids, "cid int, cvec array<bigint>")
+    )
+    # Cell assignment + norms shared by every sweep point — session-
+    # materialized so the five candidate joins read one artifact.
+    def _build_cells():
+        cells = (
+            quant.crossJoin(cdf)
+            .withColumn("d2", _qd2("q", "cvec"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid")).alias("m"),
+                F.first("q").alias("q"),
+            )
+            .select("vec_id", F.col("m.cid").alias("cid"), "q")
+        )
+        return cells.withColumn("nq", _isum(F.transform("q", lambda v: v * v)))
+
+    with_norm = materialized_df(spark, sf_dir, "s19_cells_norm", _build_cells)
+    pranks = (
+        quant.filter(F.col("vec_id") < N_PROBES)
+        .crossJoin(cdf)
+        .withColumn("d2", _qd2("q", "cvec"))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+            ),
+        )
+        .filter(F.col("crk") <= max(S19_NPROBES))
+        .select(F.col("vec_id").alias("probe_id"), "cid", "crk")
+        # probes x max(nprobe) rows, consumed once per sweep point —
+        # pin it so the sweep doesn't re-derive the centroid ranking.
+        .localCheckpoint()
+    )
+    probe_vecs = with_norm.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("nq").alias("pn"),
+    )
+    # N_PROBES x TOP_K rows; without the checkpoint every sweep point
+    # re-runs the full brute-force baseline.
+    exact = (
+        s01_ann_bruteforce_topk(spark, sf_dir)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+        .localCheckpoint()
+    )
+    n_exact = exact.agg(F.count("*").alias("n"))
+    results = None
+    for p in S19_NPROBES:
+        probes = pranks.filter(F.col("crk") <= p).select("probe_id", "cid")
+        cand = (
+            with_norm.join(F.broadcast(probes), "cid")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .dropDuplicates(["probe_id", "vec_id"])
+        )
+        scored = cand.join(F.broadcast(probe_vecs), "probe_id").select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dround(
+                _isum(F.zip_with("pq", "q", lambda x, y: x * y)).cast("double")
+                / (
+                    F.sqrt(F.col("pn").cast("double"))
+                    * F.sqrt(F.col("nq").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        w = W.partitionBy("probe_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        topk = scored.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= TOP_K
+        )
+        row = (
+            topk.join(exact, ["probe_id", "neighbor_id"], "left")
+            .agg(
+                F.count("*").alias("n_found"),
+                F.count("hit").alias("n_hit"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("nprobe"), "n_found", "n_hit"
+            )
+        )
+        results = row if results is None else results.unionAll(row)
+    return results.join(F.broadcast(n_exact)).select(
+        "nprobe",
+        "n_found",
+        "n_hit",
+        F.col("n").alias("n_exact"),
+        F.expr("(1000 * n_hit) div n").alias("recall_milli"),
+    )

@@ -1489,6 +1489,11 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "t36_zipf_doubling_ratio": 5,
         "t37_oov_rate_audit": 4,
         "e28_session_concurrency": 5,
+        # 5-point nprobe sweep over checkpointed shared inputs: ~7
+        # probe-bounded exchanges per sweep point
+        "s19_ivf_probe_recall_curve": 37,
+        "d29_threshold_sensitivity": 19,
+        "g04_component_size_distribution": 6,
     }
     over = []
     for name, budget in budgets.items():
@@ -2055,3 +2060,76 @@ def test_session_concurrency_replay(spark, registry):
         assert r.n_ends == n_end_h[h]
     # global sanity: concurrency returns to zero after the last endpoint
     assert conc == 0
+
+
+def test_probe_recall_curve_monotone_and_consistent(spark, registry):
+    """s19: recall must be non-decreasing in nprobe, found-pair counts
+    non-decreasing, and the nprobe=6 row must agree with s14's ivf row
+    (identical configuration, shared machinery)."""
+    queries, _ = registry
+    rows = sorted(
+        queries["s19_ivf_probe_recall_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.nprobe,
+    )
+    from seamdb_spark.operators.similarity import S19_NPROBES
+
+    assert [r.nprobe for r in rows] == list(S19_NPROBES)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_hit >= a.n_hit
+        assert b.n_found >= a.n_found
+        assert b.recall_milli >= a.recall_milli
+    for r in rows:
+        assert 0 <= r.n_hit <= min(r.n_found, r.n_exact)
+        assert r.recall_milli == 1000 * r.n_hit // r.n_exact
+    s14 = {r.method: r for r in queries["s14_ann_recall_audit"](spark, SF_SMOKE).collect()}
+    r6 = next(r for r in rows if r.nprobe == 6)
+    assert r6.n_hit == s14["ivf"].n_hit
+    assert r6.recall_milli == s14["ivf"].recall_milli
+
+
+def test_threshold_sensitivity_accounts_all_candidates(spark, registry):
+    """d29 × d02 cross-check: bucket counts must sum to the full LSH
+    candidate count, the cumulative column must telescope, and the
+    survivors at the production threshold must equal d02's output."""
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _lsh_candidate_pairs,
+    )
+
+    n_cand = _lsh_candidate_pairs(spark, SF_SMOKE).count()
+    rows = sorted(
+        queries["d29_threshold_sensitivity"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_pairs for r in rows) == n_cand
+    # telescoping: at_or_above(b) = n_pairs(b) + at_or_above(next)
+    for a, b in zip(rows, rows[1:]):
+        # buckets may be sparse; cumulative must still be consistent
+        assert a.n_pairs_at_or_above >= a.n_pairs
+        assert a.n_pairs_at_or_above >= b.n_pairs_at_or_above
+    assert rows[-1].n_pairs_at_or_above == rows[-1].n_pairs
+    thresh_bucket = int(JACCARD_THRESHOLD * 10)
+    survivors = sum(r.n_pairs for r in rows if r.bucket >= thresh_bucket)
+    n_d02 = queries["d02_dedup_minhash_lsh"](spark, SF_SMOKE).count()
+    assert survivors == n_d02
+
+
+def test_component_size_distribution_replays_d09(spark, registry):
+    """g04 × d09 cross-check: replay the size histogram from the
+    cluster labels and compare every column."""
+    from collections import Counter
+
+    queries, _ = registry
+    labels = queries["d09_dedup_clusters"](spark, SF_SMOKE).collect()
+    sizes = Counter(Counter(r.cluster_id for r in labels).values())
+    total = sum(k * n for k, n in sizes.items())
+    rows = {r.component_size: r for r in queries[
+        "g04_component_size_distribution"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(sizes)
+    max_k = max(sizes)
+    for k, r in rows.items():
+        assert r.n_components == sizes[k]
+        assert r.n_docs == k * sizes[k]
+        assert r.doc_share_milli == 1000 * r.n_docs // total
+        assert r.largest_component == max_k
