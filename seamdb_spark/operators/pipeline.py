@@ -677,3 +677,163 @@ def p06_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         F.expr("(1000 * top_source_docs) div n").alias("top_source_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# p07: stage-attrition funnel — the SEQUENTIAL survival accounting of
+# the full curation chain (p06 reports each defect rate independently;
+# this applies the stages in pipeline order and reports what each one
+# actually removes from what reaches it, which is what capacity
+# planning and "why did the corpus shrink 40%" postmortems need):
+#   1 rules     — t20's hard rule gate
+#   2 quality   — t02 score >= QUALITY_MIN
+#   3 exact     — keep only each content-hash group's min-doc_id keeper
+#   4 near_dup  — keep component canonicals / unclustered (d09 labels)
+#   5 decontam  — drop d10's eval-contaminated docs
+# Per stage: docs in, docs out, dropped, and drop rate in milli OF THE
+# DOCS THAT REACHED IT (marginal, not marginal-of-total) — all exact
+# integers.
+#
+# Scale: one per-doc flag row built from doc_id-keyed joins of the
+# stages' own (documented, bounded) outputs; the funnel itself is ONE
+# aggregate computing six conditional counts, reshaped to five rows by
+# a literal stack. Nothing new is corpus-sized.
+# --------------------------------------------------------------------------
+def _p07_oracle() -> str:
+    from .dedup import DECONTAM_MIN_SHINGLES, EVAL_SET_MOD, _SHINGLES_SQL
+    from .registry import ORACLE_SQL
+
+    rules = ORACLE_SQL["t20_rule_filter"]
+    return f"""
+    WITH RECURSIVE {_cc_ctes()},
+    labels AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    rules AS (SELECT doc_id, keep FROM ({rules})),
+    quality AS ({QUALITY_SQL}),
+    keeper AS (
+      SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keeper_id
+      FROM documents GROUP BY md5(lower(trim(text)))
+    ),
+    sh2 AS ({_SHINGLES_SQL}),
+    exploded2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    eval_univ AS (
+      SELECT DISTINCT s FROM exploded2 WHERE doc_id % {EVAL_SET_MOD} = 0
+    ),
+    contam AS (
+      SELECT e.doc_id FROM exploded2 e JOIN eval_univ u ON e.s = u.s
+      WHERE e.doc_id % {EVAL_SET_MOD} <> 0
+      GROUP BY e.doc_id
+      HAVING COUNT(*) >= {DECONTAM_MIN_SHINGLES}
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             r.keep = 1 AS f1,
+             q.quality_score >= {QUALITY_MIN} AS f2,
+             k.keeper_id = d.doc_id AS f3,
+             l.cluster_id IS NULL OR l.cluster_id = d.doc_id AS f4,
+             c.doc_id IS NULL AS f5
+      FROM documents d
+      JOIN rules r ON r.doc_id = d.doc_id
+      JOIN quality q ON q.doc_id = d.doc_id
+      JOIN keeper k ON k.h = md5(lower(trim(d.text)))
+      LEFT JOIN labels l ON l.doc_id = d.doc_id
+      LEFT JOIN contam c ON c.doc_id = d.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (WHERE f1) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (WHERE f1 AND f2) AS BIGINT) AS n2,
+             CAST(COUNT(*) FILTER (WHERE f1 AND f2 AND f3) AS BIGINT) AS n3,
+             CAST(COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4)
+                  AS BIGINT) AS n4,
+             CAST(COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5)
+                  AS BIGINT) AS n5
+      FROM flags
+    )
+    SELECT stage, stage_name, n_in, n_out,
+           n_in - n_out AS n_dropped,
+           (1000 * (n_in - n_out)) // n_in AS drop_milli
+    FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'rules' AS stage_name,
+             n0 AS n_in, n1 AS n_out FROM agg
+      UNION ALL SELECT 2, 'quality', n1, n2 FROM agg
+      UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM agg
+      UNION ALL SELECT 4, 'near_dedup', n3, n4 FROM agg
+      UNION ALL SELECT 5, 'decontam', n4, n5 FROM agg
+    )
+    """
+
+
+@register("p07_attrition_funnel", oracle=_p07_oracle())
+def p07_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from .dedup import d10_decontaminate
+    from .text import t20_rule_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rules = t20_rule_filter(spark, sf_dir).select("doc_id", "keep")
+    quality = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    keeper = (
+        docs.groupBy(h.alias("h")).agg(F.min("doc_id").alias("keeper_id"))
+    )
+    labels = _cc_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    contam = (
+        d10_decontaminate(spark, sf_dir)
+        .filter(F.col("drop_doc") == 1)
+        .select("doc_id", F.lit(1).alias("contaminated"))
+    )
+    flags = (
+        docs.join(rules, "doc_id")
+        .join(quality, "doc_id")
+        .withColumn("h", h)
+        .join(keeper, "h")
+        .join(labels, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            (F.col("keep") == 1).alias("f1"),
+            (F.col("quality_score") >= QUALITY_MIN).alias("f2"),
+            (F.col("keeper_id") == F.col("doc_id")).alias("f3"),
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("doc_id"))
+            ).alias("f4"),
+            F.col("contaminated").isNull().alias("f5"),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.count(F.when(F.col("f1"), 1)).alias("n1"),
+        F.count(F.when(F.col("f1") & F.col("f2"), 1)).alias("n2"),
+        F.count(F.when(F.col("f1") & F.col("f2") & F.col("f3"), 1)).alias("n3"),
+        F.count(
+            F.when(F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"), 1)
+        ).alias("n4"),
+        F.count(
+            F.when(
+                F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")
+                & F.col("f5"),
+                1,
+            )
+        ).alias("n5"),
+    )
+    staged = agg.select(
+        F.expr(
+            "stack(5,"
+            " CAST(1 AS BIGINT), 'rules', n0, n1,"
+            " CAST(2 AS BIGINT), 'quality', n1, n2,"
+            " CAST(3 AS BIGINT), 'exact_dedup', n2, n3,"
+            " CAST(4 AS BIGINT), 'near_dedup', n3, n4,"
+            " CAST(5 AS BIGINT), 'decontam', n4, n5)"
+            " AS (stage, stage_name, n_in, n_out)"
+        )
+    )
+    return staged.select(
+        "stage",
+        "stage_name",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.expr("(1000 * (n_in - n_out)) div n_in").alias("drop_milli"),
+    )

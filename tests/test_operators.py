@@ -2133,3 +2133,31 @@ def test_component_size_distribution_replays_d09(spark, registry):
         assert r.n_docs == k * sizes[k]
         assert r.doc_share_milli == 1000 * r.n_docs // total
         assert r.largest_component == max_k
+
+
+def test_attrition_funnel_telescopes_and_matches_p06(spark, registry):
+    """p07: stage k's n_in must equal stage k-1's n_out (telescoping),
+    counts must be non-increasing, stage 1's n_in must be the corpus
+    size, and the independent-rate cross-checks against p06 must hold
+    (funnel drops are bounded by p06's independent defect counts)."""
+    queries, _ = registry
+    rows = sorted(
+        queries["p07_attrition_funnel"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.stage_name for r in rows] == [
+        "rules", "quality", "exact_dedup", "near_dedup", "decontam",
+    ]
+    card = queries["p06_corpus_report_card"](spark, SF_SMOKE).collect()[0]
+    assert rows[0].n_in == card.n_docs
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_in == a.n_out
+    for r in rows:
+        assert 0 <= r.n_out <= r.n_in
+        assert r.n_dropped == r.n_in - r.n_out
+        assert r.drop_milli == 1000 * r.n_dropped // r.n_in
+    # sequential drops cannot exceed the independent defect counts
+    assert rows[1].n_dropped <= card.n_low_quality
+    assert rows[2].n_dropped <= card.n_exact_dups
+    assert rows[3].n_dropped <= card.n_lex_dups
+    assert rows[4].n_dropped <= card.n_contaminated
