@@ -658,3 +658,79 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drop_doc"),
         )
     )
+
+
+def group_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of x12_uniform_group_sample via
+    applyInPandasWithState: per-source state keeps the K smallest
+    (md5-rank, doc_id) pairs seen so far, so an ingestion pipeline
+    maintains a LIVE deterministic QA sample that converges to exactly
+    the batch x12 membership once the feed is drained (same hash, same
+    tie-break — batch-equality is asserted in tests).
+
+    State: 2·K int64s per source — bounded regardless of feed size.
+    Each micro-batch folds in one pass over its rows (no sort needed:
+    a K-sized insertion against the current worst member). Update mode
+    emits the sample after every batch; downstream readers take the
+    last update per source.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.text import X12_K
+
+    docs = stream_documents(spark, sf_dir).select("source", "doc_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("sample_rank", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hks", T.ArrayType(T.LongType())),
+            T.StructField("ids", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _hk(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hks, ids = state.get
+            members = sorted(zip(hks, ids))
+        else:
+            members = []
+        for pdf in pdfs:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                cand = (_hk(doc_id), doc_id)
+                if len(members) < X12_K:
+                    members.append(cand)
+                    members.sort()
+                elif cand < members[-1]:
+                    members[-1] = cand
+                    members.sort()
+        state.update(([h for h, _ in members], [i for _, i in members]))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(members),
+                "sample_rank": pd.array(
+                    range(1, len(members) + 1), dtype="Int64"
+                ),
+                "doc_id": pd.array([i for _, i in members], dtype="Int64"),
+            }
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

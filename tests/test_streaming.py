@@ -318,3 +318,33 @@ def test_decontaminate_stream_matches_batch_d15(spark):
         ).collect()
     }
     assert got == want and want
+
+
+def test_group_sample_stream_matches_batch_x12(spark):
+    """Streaming per-source sample: after draining the feed, the last
+    update per source must equal x12's batch membership exactly
+    (same hash order, same ranks)."""
+    from seamdb_spark.operators import QUERIES
+    from seamdb_spark.streaming.events import (
+        group_sample_stream,
+        run_stream_to_memory,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = run_stream_to_memory(
+        group_sample_stream(spark, SF_SMOKE), "group_sample_q", "update"
+    ).collect()
+    # update-mode emits one full snapshot per (source, batch); the memory
+    # sink appends in batch order, so the TRAILING rows per source are
+    # the final snapshot
+    emitted = {}
+    for r in rows:
+        emitted.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    batch = {}
+    for r in QUERIES["x12_uniform_group_sample"](spark, SF_SMOKE).collect():
+        batch.setdefault(r.source, set()).add((r.sample_rank, r.doc_id))
+    assert set(emitted) == set(batch)
+    for src, pairs in emitted.items():
+        k = len(batch[src])
+        final = set(pairs[-k:])  # the last full snapshot
+        assert final == batch[src], src
