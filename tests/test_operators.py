@@ -427,6 +427,15 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         # dedup_index: the per-refresh ingest batch — bounded by batch
         # size (operator input), not the corpus
         "new_doc_ids",
+        # t34: per-language labeled/predicted totals — |langs| rows
+        "lab", "pr",
+        # e27: distinct event types — |types| rows
+        "types",
+        # e28: hour-ladder offsets — calendar-bounded (|hours| rows),
+        # corpus growth raises counts, not ladder length
+        "offsets",
+        # d29: similarity histogram buckets — <= 11 rows (milli div 100)
+        "b2",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
