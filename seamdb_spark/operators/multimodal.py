@@ -2306,3 +2306,117 @@ def m19_clipping_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(clipping_runs, schema=_M19_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m20: image near-dup pairs — perceptual dedup over REAL BMP decode,
+# closing the dedup x multimodal composition: m09's 16-bit average
+# hash, candidate generation by 4-nibble multi-index blocking (the d03
+# machinery applied to image hashes), Hamming verify <= M20_MAX_HAMMING.
+# Pigeonhole soundness: 4 nibble chunks and <= 3 differing bits leave
+# at least one chunk untouched, so blocking is COMPLETE for the
+# threshold of 2 — no candidate is missed. m16 established single-image
+# hash stability under re-encoding; this emits the cross-image pairs a
+# curation run actually deletes.
+#
+# Oracle: m09's analytic hash replay (digest-cycle grayscale, exact
+# integer threshold), then an all-pairs bit_count filter — the oracle
+# may brute-force (d03 precedent: completeness proven by pigeonhole +
+# the blocking replayed engine-side).
+#
+# Scale: decode + hash is row-local; blocking explodes 4 rows per
+# image and equi-joins on (chunk, nibble) — candidates only, never
+# all-pairs; the 16-bit key space caps any bucket's size at the
+# corpus's true duplicate density.
+# --------------------------------------------------------------------------
+M20_MAX_HAMMING = 2
+_M20_CHUNKS = 4
+
+
+def _m20_oracle() -> str:
+    b = [_byte_at(f"((3 * t.p + {c}) % 16)") for c in range(3)]
+    return f"""
+    WITH hh AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             8 + {_byte_at("1")} % 8 AS w,
+             8 + {_byte_at("2")} % 8 AS h
+      FROM hh
+    ),
+    g AS (
+      SELECT doc_id, w, h, (t.p % w) AS x, (t.p // w) AS y,
+             ({b[0]} + {b[1]} + {b[2]}) // 3 AS gray
+      FROM d, unnest(range(0, w * h)) t(p)
+    ),
+    cells AS (
+      SELECT doc_id, w, h,
+             (x * {_AHASH_GRID}) // w AS ci, (y * {_AHASH_GRID}) // h AS cj,
+             SUM(gray) AS cell_sum, COUNT(*) AS cell_cnt
+      FROM g GROUP BY doc_id, w, h, ci, cj
+    ),
+    tot AS (SELECT doc_id, SUM(gray) AS total_sum, COUNT(*) AS npix
+            FROM g GROUP BY doc_id),
+    hashes AS (
+      SELECT c.doc_id,
+             SUM(CASE WHEN c.cell_sum * t.npix >= t.total_sum * c.cell_cnt
+                      THEN (CAST(1 AS BIGINT) << (({_AHASH_GRID}) * c.cj + c.ci))
+                      ELSE 0 END) AS ahash
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT h1.doc_id AS doc_a, h2.doc_id AS doc_b,
+           CAST(bit_count(xor(h1.ahash, h2.ahash)) AS BIGINT) AS hamming
+    FROM hashes h1 JOIN hashes h2 ON h1.doc_id < h2.doc_id
+    WHERE bit_count(xor(h1.ahash, h2.ahash)) <= {M20_MAX_HAMMING}
+    """
+
+
+@register("m20_image_neardup_pairs", oracle=_m20_oracle())
+def m20_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "ahash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                w, h = 8 + digest[1] % 8, 8 + digest[2] % 8
+                pixels = bytes(digest[i % 16] for i in range(w * h * 3))
+                _, _, ah = ahash_bmp(build_bmp(w, h, pixels))  # real parse
+                out["doc_id"].append(doc_id)
+                out["ahash"].append(ah)
+            yield pd.DataFrame(out)
+
+    hashes = docs.mapInPandas(
+        hash_images, schema="doc_id long, ahash long"
+    ).localCheckpoint()  # decode once; blocking + verify read it twice
+    # 4-nibble multi-index blocking (d03 shape): candidates share at
+    # least one (chunk, nibble); repartition so AQE cannot collapse the
+    # small bucket join to one thread.
+    chunks_exprs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.expr(f"(ahash >> {4 * c}) & 15").alias("nib"),
+        )
+        for c in range(_M20_CHUNKS)
+    ]
+    keys = hashes.select(
+        "doc_id", "ahash", F.explode(F.array(*chunks_exprs)).alias("k")
+    ).select("doc_id", "ahash", "k.chunk", "k.nib")
+    k1 = keys.select(
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ah_a"),
+        "chunk", "nib",
+    )
+    k2 = keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("ah_b"),
+        "chunk", "nib",
+    )
+    hamming = F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b")))
+    return (
+        k1.join(k2, ["chunk", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= M20_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

@@ -2170,3 +2170,29 @@ def test_attrition_funnel_telescopes_and_matches_p06(spark, registry):
     assert rows[2].n_dropped <= card.n_exact_dups
     assert rows[3].n_dropped <= card.n_lex_dups
     assert rows[4].n_dropped <= card.n_contaminated
+
+
+def test_image_neardup_blocking_is_complete(spark, registry):
+    """m20: the nibble-blocked pairs must equal a brute-force Hamming
+    scan over m09's hashes (pigeonhole completeness for threshold 2),
+    and every pair with equal hashes must belong to the same m09
+    group."""
+    queries, _ = registry
+    from seamdb_spark.operators.multimodal import M20_MAX_HAMMING
+
+    hashes = {
+        r.doc_id: r.ahash
+        for r in queries["m09_image_ahash"](spark, SF_SMOKE).collect()
+    }
+    ids = sorted(hashes)
+    brute = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= M20_MAX_HAMMING
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in queries["m20_image_neardup_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert got == brute
