@@ -2803,3 +2803,103 @@ def e28_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.col("cum") + F.col("offset")).alias("max_concurrent"))
         .select("hour", "max_concurrent", "n_starts", "n_ends")
     )
+
+
+# --------------------------------------------------------------------------
+# e29: discrete conversion survival curve — the Kaplan-Meier-style
+# day-offset table growth analytics reads: for each day offset k since
+# a user's first event, how many users were observable for at least k
+# days (the at-risk denominator — right-censoring by the corpus end,
+# the part naive "converted within k days" queries get wrong), how
+# many had converted by k, and the honest cumulative conversion ppm.
+#
+# All exact integers: offsets are floor-day differences; the censoring
+# horizon is measured against the corpus max timestamp; the k-spine is
+# the fixed 0..E29_MAX_DAYS grid.
+#
+# Scale: one user-keyed aggregate (first event, first purchase), a
+# 1-row corpus-end broadcast, then a |users| x (E29_MAX_DAYS+1)
+# explode aggregated by k with map-side combine — the only
+# corpus-sized pass is the first groupBy off the scan.
+# --------------------------------------------------------------------------
+E29_MAX_DAYS = 7
+
+
+@register(
+    "e29_conversion_survival",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) AS first_seen,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+      FROM events GROUP BY user_id
+    ),
+    corpus AS (SELECT MAX(ts) AS end_ts FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(DATE_DIFF('second', first_seen, end_ts) // 86400
+                  AS BIGINT) AS horizon_d,
+             CASE WHEN first_buy IS NOT NULL
+                  THEN CAST(DATE_DIFF('second', first_seen, first_buy) // 86400
+                       AS BIGINT) END AS conv_d
+      FROM per_user CROSS JOIN corpus
+    )
+    SELECT t.k,
+           CAST(COUNT(*) FILTER (WHERE u.horizon_d >= t.k) AS BIGINT)
+             AS n_at_risk,
+           CAST(COUNT(*) FILTER (WHERE u.horizon_d >= t.k
+                                   AND u.conv_d <= t.k) AS BIGINT)
+             AS n_converted_by_k,
+           (1000000 * COUNT(*) FILTER (WHERE u.horizon_d >= t.k
+                                         AND u.conv_d <= t.k))
+             // COUNT(*) FILTER (WHERE u.horizon_d >= t.k) AS conv_ppm
+    FROM u CROSS JOIN (SELECT unnest(range(0, {E29_MAX_DAYS + 1})) AS k) t
+    GROUP BY t.k
+    """,
+)
+def e29_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    corpus = ev.agg(F.max("ts").alias("end_ts"))
+    u = per_user.join(F.broadcast(corpus)).select(
+        "user_id",
+        F.expr(
+            "CAST((unix_timestamp(end_ts) - unix_timestamp(first_seen))"
+            " div 86400 AS BIGINT)"
+        ).alias("horizon_d"),
+        F.expr(
+            "CASE WHEN first_buy IS NOT NULL THEN"
+            " CAST((unix_timestamp(first_buy) - unix_timestamp(first_seen))"
+            " div 86400 AS BIGINT) END"
+        ).alias("conv_d"),
+    )
+    spine = F.explode(F.sequence(F.lit(0), F.lit(E29_MAX_DAYS))).alias("k")
+    return (
+        u.select("horizon_d", "conv_d", spine)
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("horizon_d") >= F.col("k"), 1)).alias(
+                "n_at_risk"
+            ),
+            F.count(
+                F.when(
+                    (F.col("horizon_d") >= F.col("k"))
+                    & (F.col("conv_d") <= F.col("k")),
+                    1,
+                )
+            ).alias("n_converted_by_k"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_at_risk",
+            "n_converted_by_k",
+            F.expr("(1000000 * n_converted_by_k) div n_at_risk").alias(
+                "conv_ppm"
+            ),
+        )
+    )

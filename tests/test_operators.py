@@ -2196,3 +2196,46 @@ def test_image_neardup_blocking_is_complete(spark, registry):
         for r in queries["m20_image_neardup_pairs"](spark, SF_SMOKE).collect()
     }
     assert got == brute
+
+
+def test_conversion_survival_replay(spark, registry):
+    """e29: replay the censored survival table in pure Python from the
+    raw events and compare every cell; curves must be monotone in the
+    right directions (at-risk non-increasing, conversions
+    non-decreasing in k)."""
+    queries, _ = registry
+    from seamdb_spark.operators.events import _events, E29_MAX_DAYS
+
+    ev = _events(spark, SF_SMOKE).select("user_id", "event_type", "ts").collect()
+    first_seen, first_buy = {}, {}
+    end_ts = max(r.ts for r in ev)
+    for r in ev:
+        if r.user_id not in first_seen or r.ts < first_seen[r.user_id]:
+            first_seen[r.user_id] = r.ts
+        if r.event_type == "purchase" and (
+            r.user_id not in first_buy or r.ts < first_buy[r.user_id]
+        ):
+            first_buy[r.user_id] = r.ts
+    rows = {r.k: r for r in queries["e29_conversion_survival"](spark, SF_SMOKE).collect()}
+    assert sorted(rows) == list(range(E29_MAX_DAYS + 1))
+    prev = None
+    for k in range(E29_MAX_DAYS + 1):
+        at_risk = sum(
+            1
+            for uid, fs in first_seen.items()
+            if int((end_ts - fs).total_seconds()) // 86400 >= k
+        )
+        conv = sum(
+            1
+            for uid, fs in first_seen.items()
+            if int((end_ts - fs).total_seconds()) // 86400 >= k
+            and uid in first_buy
+            and int((first_buy[uid] - fs).total_seconds()) // 86400 <= k
+        )
+        r = rows[k]
+        assert r.n_at_risk == at_risk
+        assert r.n_converted_by_k == conv
+        assert r.conv_ppm == 1_000_000 * conv // at_risk
+        if prev is not None:
+            assert r.n_at_risk <= prev.n_at_risk
+        prev = r
