@@ -2903,3 +2903,136 @@ def e29_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e31: seasonality-adjusted anomaly flags — e14 z-scores hours against
+# a trailing window of RAW counts, which fires every morning when
+# traffic climbs out of the nightly trough; this is the fixed version
+# its own comment (and e23's) promises: de-seasonalize each hour by
+# the type's hour-of-day index first, then flag hours whose adjusted
+# volume is >= 2x or <= 0.5x the type's adjusted mean. "3am is always
+# quiet" stops alerting; "3am broke" still does.
+#
+# Fully integer: adj = (1000000*n) div max(seasonality_milli, 1) —
+# the extra three digits keep single-event hours from flooring to
+# zero and mass-flagging sparse series;
+# mean_adj = sum div count per type; deviation_milli = (1000*adj) div
+# max(mean_adj, 1); thresholds are exact integer comparisons — no
+# stddev, no float fold-order anywhere.
+#
+# Scale: the (type, hour) rollup collapses the corpus; the seasonality
+# table is 24 x |types|, the per-type means |types| rows — both
+# broadcast. Nothing past the first groupBy is corpus-sized.
+# --------------------------------------------------------------------------
+E31_HIGH_MILLI = 2000
+E31_LOW_MILLI = 500
+
+
+@register(
+    "e31_adjusted_anomalies",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(ts AS DATE) AS day
+      FROM events
+    ),
+    per_hod AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM base GROUP BY event_type, hod
+    ),
+    overall AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS tot_events,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS tot_days
+      FROM base GROUP BY event_type
+    ),
+    season AS (
+      SELECT p.event_type, p.hod,
+             (1000 * (p.n_events * o.tot_days * 24))
+               // (p.n_days * o.tot_events) AS seasonality_milli
+      FROM per_hod p JOIN overall o USING (event_type)
+    ),
+    adjusted AS (
+      SELECT h.event_type, h.hour, h.hod, h.n, s.seasonality_milli,
+             (1000000 * h.n) // GREATEST(s.seasonality_milli, 1) AS adj
+      FROM hourly h JOIN season s
+        ON s.event_type = h.event_type AND s.hod = h.hod
+    ),
+    means AS (
+      SELECT event_type,
+             CAST(SUM(adj) AS BIGINT) // COUNT(*) AS mean_adj
+      FROM adjusted GROUP BY event_type
+    )
+    SELECT a.event_type, a.hour, a.hod, a.n, a.seasonality_milli,
+           a.adj, m.mean_adj,
+           (1000 * a.adj) // GREATEST(m.mean_adj, 1) AS deviation_milli,
+           CAST((1000 * a.adj) // GREATEST(m.mean_adj, 1) >= {E31_HIGH_MILLI}
+                OR (1000 * a.adj) // GREATEST(m.mean_adj, 1) <= {E31_LOW_MILLI}
+                AS BIGINT) AS is_anomaly
+    FROM adjusted a JOIN means m USING (event_type)
+    """,
+)
+def e31_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .groupBy("event_type", "hour", "hod")
+        .agg(F.count("*").alias("n"))
+    )
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.to_date("ts").alias("day"),
+    )
+    per_hod = base.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    overall = base.groupBy("event_type").agg(
+        F.count("*").alias("tot_events"),
+        F.countDistinct("day").alias("tot_days"),
+    )
+    season = per_hod.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "hod",
+        F.expr(
+            "(1000 * (n_events * tot_days * 24)) div (n_days * tot_events)"
+        ).alias("seasonality_milli"),
+    )
+    adjusted = hourly.join(
+        F.broadcast(season), ["event_type", "hod"]
+    ).withColumn(
+        "adj", F.expr("(1000000 * n) div greatest(seasonality_milli, 1)")
+    )
+    means = adjusted.groupBy("event_type").agg(
+        F.expr("CAST(sum(adj) AS BIGINT) div count(*)").alias("mean_adj")
+    )
+    dev = "(1000 * adj) div greatest(mean_adj, 1)"
+    return adjusted.join(F.broadcast(means), "event_type").select(
+        "event_type",
+        "hour",
+        "hod",
+        "n",
+        "seasonality_milli",
+        "adj",
+        "mean_adj",
+        F.expr(dev).alias("deviation_milli"),
+        F.expr(
+            f"CAST({dev} >= {E31_HIGH_MILLI} OR {dev} <= {E31_LOW_MILLI}"
+            " AS BIGINT)"
+        ).alias("is_anomaly"),
+    )

@@ -2239,3 +2239,30 @@ def test_conversion_survival_replay(spark, registry):
         if prev is not None:
             assert r.n_at_risk <= prev.n_at_risk
         prev = r
+
+
+def test_adjusted_anomalies_consistent_with_e23(spark, registry):
+    """e31 × e23 cross-check: seasonality indexes must match e23's
+    table; adjusted counts and flags must replay from the raw columns."""
+    queries, _ = registry
+    from seamdb_spark.operators.events import E31_HIGH_MILLI, E31_LOW_MILLI
+
+    season = {
+        (r.event_type, r.hod): r.seasonality_milli
+        for r in queries["e23_hourly_seasonality"](spark, SF_SMOKE).collect()
+    }
+    rows = queries["e31_adjusted_anomalies"](spark, SF_SMOKE).collect()
+    assert rows
+    flagged = 0
+    for r in rows:
+        assert r.seasonality_milli == season[(r.event_type, r.hod)]
+        assert r.adj == 1_000_000 * r.n // max(r.seasonality_milli, 1)
+        assert r.deviation_milli == 1000 * r.adj // max(r.mean_adj, 1)
+        expect = int(
+            r.deviation_milli >= E31_HIGH_MILLI
+            or r.deviation_milli <= E31_LOW_MILLI
+        )
+        assert r.is_anomaly == expect
+        flagged += r.is_anomaly
+    # the de-seasonalized flag rate should be a small minority of hours
+    assert flagged < len(rows) / 2
