@@ -2723,3 +2723,111 @@ def t37_oov_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * count(CASE WHEN vtok IS NULL THEN 1 END)) div count(*)"
         ).alias("oov_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# t38: Kneser-Ney smoothed bigram LM scoring — the standard smoothing
+# for n-gram LMs (Kneser & Ney 1995; Chen & Goodman 1999's preferred
+# variant) over t16's raw conditional ppm: absolute discount D = 3/4
+# on the bigram count, with the discounted mass re-distributed through
+# the CONTINUATION probability (how many distinct contexts a word
+# follows — "Francisco" is frequent but only ever follows "San", so
+# its continuation probability is tiny). Documents scoring low under
+# KN but acceptable under t16 are exactly the templated text raw
+# conditionals overrate.
+#
+# All integer, exact in both engines by computing in quarter-counts:
+#   term1  = (1e6 * max(4*c12 - 3, 0)) div (4*c1)
+#   backoff= (3e6 * n1p(w1) * ncont(w2)) div (4 * c1 * ntot_types)
+#   kn_ppm = term1 + backoff
+# (n1p = distinct successors of w1; ncont = distinct predecessors of
+# w2; ntot_types = distinct bigram types. Products stay < 2^62 for any
+# Heaps-law vocabulary.)
+#
+# Scale: identical shuffle profile to t16 — bigram-stream counts
+# (vocabulary-sized, map-side combined), count-table joins back to the
+# occurrence stream keyed on w1/g/w2, one doc-level aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "t38_kneser_ney_score",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> struct_pack(
+                     w1 := string_split(text, ' ')[i],
+                     w2 := string_split(text, ' ')[i+1]))) AS b
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    s AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM occ),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM s GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1,
+             CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1p
+      FROM s GROUP BY w1
+    ),
+    ncont AS (
+      SELECT w2, CAST(COUNT(DISTINCT w1) AS BIGINT) AS ncont FROM s GROUP BY w2
+    ),
+    ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM c12),
+    scored AS (
+      SELECT o.doc_id,
+             (1000000 * GREATEST(4 * b.c12 - 3, 0)) // (4 * u.c1)
+             + (3000000 * u.n1p * n.ncont) // (4 * u.c1 * t.ntot) AS kn_ppm
+      FROM s o
+      JOIN c12 b ON b.w1 = o.w1 AND b.w2 = o.w2
+      JOIN c1 u ON u.w1 = o.w1
+      JOIN ncont n ON n.w2 = o.w2
+      CROSS JOIN ntot t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(kn_ppm) // COUNT(*) AS BIGINT) AS mean_kn_ppm,
+           CAST(MIN(kn_ppm) AS BIGINT) AS min_kn_ppm
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t38_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    s = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    " i -> struct(split(text, ' ')[i] AS w1,"
+                    "             split(text, ' ')[i+1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = s.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = s.groupBy("w1").agg(
+        F.count("*").alias("c1"), F.countDistinct("w2").alias("n1p")
+    )
+    ncont = s.groupBy("w2").agg(F.countDistinct("w1").alias("ncont"))
+    ntot = c12.agg(F.count("*").alias("ntot"))
+    scored = (
+        s.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(ncont, "w2")
+        .join(F.broadcast(ntot))
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 * greatest(4 * c12 - 3, 0)) div (4 * c1)"
+                " + (3000000 * n1p * ncont) div (4 * c1 * ntot)"
+            ).alias("kn_ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("CAST(sum(kn_ppm) div count(*) AS BIGINT)").alias("mean_kn_ppm"),
+        F.min("kn_ppm").alias("min_kn_ppm"),
+    )

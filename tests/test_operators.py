@@ -2266,3 +2266,48 @@ def test_adjusted_anomalies_consistent_with_e23(spark, registry):
         flagged += r.is_anomaly
     # the de-seasonalized flag rate should be a small minority of hours
     assert flagged < len(rows) / 2
+
+
+def test_kneser_ney_replay_and_mass_bound(spark, registry):
+    """t38: replay the KN ppm for a sample of docs in pure Python from
+    the raw corpus and compare exactly; for every observed context w1
+    the model's total probability mass over observed successors must
+    not exceed 1 (discounting never inflates)."""
+    queries, _ = registry
+    from seamdb_spark.operators.text import _docs
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in _docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+    }
+    from collections import Counter, defaultdict
+
+    c12, c1 = Counter(), Counter()
+    succ, pred = defaultdict(set), defaultdict(set)
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+            succ[a].add(b)
+            pred[b].add(a)
+    ntot = len(c12)
+
+    def kn(a, b):
+        t1 = (1_000_000 * max(4 * c12[(a, b)] - 3, 0)) // (4 * c1[a])
+        t2 = (3_000_000 * len(succ[a]) * len(pred[b])) // (4 * c1[a] * ntot)
+        return t1 + t2
+
+    rows = {r.doc_id: r for r in queries["t38_kneser_ney_score"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(docs)
+    for doc_id in list(docs)[:25]:
+        toks = docs[doc_id]
+        scores = [kn(a, b) for a, b in zip(toks, toks[1:])]
+        r = rows[doc_id]
+        assert r.n_bigrams == len(scores)
+        assert r.mean_kn_ppm == sum(scores) // len(scores)
+        assert r.min_kn_ppm == min(scores)
+    # probability-mass sanity per context (sample): sum over OBSERVED
+    # successors <= 1e6 + |succ| (integer-floor slack)
+    for a in list(succ)[:20]:
+        mass = sum(kn(a, b) for b in succ[a])
+        assert mass <= 1_000_000 + len(succ[a])
