@@ -3036,3 +3036,106 @@ def e31_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# e30: CUSUM change-point detection over daily volumes — the classic
+# sequential drift detector (Page 1954) per event type: accumulate
+# deviations from the type's baseline daily rate and flag when the
+# accumulated drift exceeds a threshold; unlike e31's per-hour outlier
+# flags, CUSUM catches SUSTAINED small shifts (a 20% volume drop that
+# never trips a 2x ratio test).
+#
+# The textbook recursion S_t = max(0, S_{t-1} + x_t) is not a window
+# function, but its closed form IS: with P_t the prefix sum of
+# x_i = dev_i - slack, S_t = P_t - min_{j<=t} P_j — one running sum +
+# one 0-clamped running min (the clamp stands in for the empty-prefix
+# P_0 = 0) over the same type-partitioned day order (both
+# directions share the partitioning; four windows, one shuffle). All
+# integer: deviations in milli of the type's integer mean daily count.
+#
+# Scale: the day rollup collapses the corpus; everything after runs on
+# the |types| x |days| calendar-bounded table.
+# --------------------------------------------------------------------------
+E30_SLACK_MILLI = 250
+E30_THRESHOLD_MILLI = 2000
+
+
+@register(
+    "e30_cusum_changepoints",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    means AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) // COUNT(*) AS mean_n
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n,
+             (1000 * d.n) // GREATEST(m.mean_n, 1) - 1000 AS dev_milli
+      FROM daily d JOIN means m USING (event_type)
+    ),
+    pfx AS (
+      SELECT event_type, day, n, dev_milli,
+             SUM(dev_milli - {E30_SLACK_MILLI}) OVER w AS p_hi,
+             SUM(-dev_milli - {E30_SLACK_MILLI}) OVER w AS p_lo
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, n, dev_milli,
+           CAST(p_hi - LEAST(MIN(p_hi) OVER w2, 0) AS BIGINT) AS s_hi,
+           CAST(p_lo - LEAST(MIN(p_lo) OVER w2, 0) AS BIGINT) AS s_lo,
+           CAST(p_hi - LEAST(MIN(p_hi) OVER w2, 0) > {E30_THRESHOLD_MILLI}
+                OR p_lo - LEAST(MIN(p_lo) OVER w2, 0) > {E30_THRESHOLD_MILLI}
+                AS BIGINT) AS is_change
+    FROM pfx
+    WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def e30_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.select(
+        "event_type", F.to_date("ts").alias("day")
+    ).groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    means = daily.groupBy("event_type").agg(
+        F.expr("CAST(sum(n) AS BIGINT) div count(*)").alias("mean_n")
+    )
+    dev = daily.join(F.broadcast(means), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("(1000 * n) div greatest(mean_n, 1) - 1000").alias("dev_milli"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pfx = dev.select(
+        "event_type",
+        "day",
+        "n",
+        "dev_milli",
+        F.sum(F.col("dev_milli") - E30_SLACK_MILLI).over(w).alias("p_hi"),
+        F.sum(-F.col("dev_milli") - E30_SLACK_MILLI).over(w).alias("p_lo"),
+    )
+    # the min must include the VIRTUAL empty prefix P_0 = 0 (else the
+    # first rows can never accumulate) — clamp the running min at 0
+    s_hi = (F.col("p_hi") - F.least(F.min("p_hi").over(w), F.lit(0))).cast("long")
+    s_lo = (F.col("p_lo") - F.least(F.min("p_lo").over(w), F.lit(0))).cast("long")
+    return pfx.select(
+        "event_type",
+        "day",
+        "n",
+        "dev_milli",
+        s_hi.alias("s_hi"),
+        s_lo.alias("s_lo"),
+        (
+            (s_hi > E30_THRESHOLD_MILLI) | (s_lo > E30_THRESHOLD_MILLI)
+        ).cast("long").alias("is_change"),
+    )

@@ -2311,3 +2311,31 @@ def test_kneser_ney_replay_and_mass_bound(spark, registry):
     for a in list(succ)[:20]:
         mass = sum(kn(a, b) for b in succ[a])
         assert mass <= 1_000_000 + len(succ[a])
+
+
+def test_cusum_matches_textbook_recursion(spark, registry):
+    """e30: the windowed closed form (prefix minus running min) must
+    equal the textbook recursion S_t = max(0, S_{t-1} + x_t) replayed
+    in pure Python per type, cell for cell."""
+    queries, _ = registry
+    from seamdb_spark.operators.events import (
+        E30_SLACK_MILLI,
+        E30_THRESHOLD_MILLI,
+    )
+
+    rows = queries["e30_cusum_changepoints"](spark, SF_SMOKE).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.day)
+        s_hi = s_lo = 0
+        for r in series:
+            s_hi = max(0, s_hi + r.dev_milli - E30_SLACK_MILLI)
+            s_lo = max(0, s_lo - r.dev_milli - E30_SLACK_MILLI)
+            assert r.s_hi == s_hi, (r.event_type, r.day)
+            assert r.s_lo == s_lo
+            assert r.is_change == int(
+                s_hi > E30_THRESHOLD_MILLI or s_lo > E30_THRESHOLD_MILLI
+            )
