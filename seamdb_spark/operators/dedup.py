@@ -3034,3 +3034,144 @@ def g04_component_size_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr("(1000 * n_docs) div total_docs").alias("doc_share_milli"),
         F.col("max_k").alias("largest_component"),
     )
+
+
+# --------------------------------------------------------------------------
+# g05: bounded-round 2-core peeling of the near-dup graph — the
+# density filter between g04's size histogram and g02's triangles: the
+# 2-core (every node has >= 2 neighbors inside the core) strips the
+# PENDANT attachments (single partial copies hanging off a hub) and
+# leaves the genuinely interlocked duplicate mass; removed_at records
+# the peel round, which orders nodes by how peripheral they are.
+#
+# Peeling is the standard iterative formulation: each round removes
+# every node whose current degree < 2, then recomputes degrees. Rounds
+# are UNROLLED to a fixed G05_ROUNDS in BOTH engines (the Lloyd/g01
+# unrolled-iteration discipline: bit-identical work either side); a
+# pytest asserts the last round removes nothing on the fixture, i.e.
+# the bounded peel HAS converged to the true 2-core. At scale, each
+# round is two semi-joins + one count per side — O(E) per round,
+# O(log n) rounds suffice in practice (peel depth of near-dup graphs
+# is tiny; the test pins it).
+# --------------------------------------------------------------------------
+G05_ROUNDS = 6
+
+
+def _g05_oracle() -> str:
+    ctes = [f"""e0 AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    full_deg AS MATERIALIZED (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg_start
+      FROM e0 GROUP BY src
+    )"""]
+    # alive{r} tracks survivors explicitly: a node whose degree drops to
+    # ZERO simply vanishes from the edge list, so "removed = degree<2
+    # rows" would silently never mark it (caught by the replay test).
+    ctes.append("alive0 AS (SELECT id FROM full_deg)")
+    for r in range(1, G05_ROUNDS + 1):
+        # AS MATERIALIZED: every alive{r}/e{r} is referenced 3x by the
+        # next round; without the hint DuckDB may inline the chain and
+        # re-evaluate the whole upstream pipeline 3^rounds times.
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT src AS id, COUNT(*) AS d FROM e{r - 1} GROUP BY src
+    ),
+    alive{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE d >= 2),
+    rm{r} AS (
+      SELECT id FROM alive{r - 1}
+      WHERE id NOT IN (SELECT id FROM alive{r})
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      WHERE e.src IN (SELECT id FROM alive{r})
+        AND e.dst IN (SELECT id FROM alive{r})
+    )""")
+    removed = "\n      UNION ALL\n      ".join(
+        f"SELECT id, {r} AS removed_at FROM rm{r}" for r in range(1, G05_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_simhash_sig_sql().strip()},
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    {",".join(ctes)},
+    removed AS (
+      SELECT id, CAST(MIN(removed_at) AS BIGINT) AS removed_at FROM (
+      {removed}
+      ) GROUP BY id
+    ),
+    final_deg AS (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg_end
+      FROM e{G05_ROUNDS} GROUP BY src
+    )
+    SELECT f.id AS doc_id, f.deg_start,
+           COALESCE(r.removed_at, 0) AS removed_at,
+           COALESCE(d.deg_end, 0) AS deg_end,
+           CAST(r.id IS NULL AS BIGINT) AS in_core
+    FROM full_deg f
+    LEFT JOIN removed r ON r.id = f.id
+    LEFT JOIN final_deg d ON d.id = f.id
+    """
+
+
+@register("g05_kcore_peel", oracle=_g05_oracle())
+def g05_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()  # graph-sized; every peel round reads it
+    )
+    full_deg = edges.groupBy("src").agg(F.count("*").alias("deg_start")).select(
+        F.col("src").alias("id"), "deg_start"
+    )
+    removed = None
+    cur = edges
+    # alive tracked explicitly: a node whose degree drops to ZERO
+    # vanishes from the edge list, so "removed = degree<2 rows" would
+    # silently never mark it (caught by the replay test).
+    alive = full_deg.select("id")
+    for r in range(1, G05_ROUNDS + 1):
+        survivors = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= 2)
+            .select(F.col("src").alias("id"))
+            # read 4x per round (rm, both edge semi-joins, next alive)
+            .localCheckpoint()
+        )
+        rm = alive.join(survivors, "id", "left_anti").select(
+            F.col("id").alias("rid")
+        )
+        tagged = rm.withColumn("removed_at", F.lit(r).cast("long"))
+        removed = tagged if removed is None else removed.unionAll(tagged)
+        cur = (
+            cur.join(survivors, cur.src == survivors.id, "left_semi")
+            .join(survivors, cur.dst == survivors.id, "left_semi")
+            # cut lineage per round (d09 discipline) — round r+1 must
+            # not replan rounds 1..r
+            .localCheckpoint()
+        )
+        alive = survivors
+    removed_first = removed.groupBy("rid").agg(
+        F.min("removed_at").alias("removed_at")
+    )
+    final_deg = cur.groupBy("src").agg(F.count("*").alias("deg_end")).select(
+        F.col("src").alias("id"), "deg_end"
+    )
+    return (
+        full_deg.join(removed_first, full_deg.id == removed_first.rid, "left")
+        .join(final_deg, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "deg_start",
+            F.coalesce("removed_at", F.lit(0)).cast("long").alias("removed_at"),
+            F.coalesce("deg_end", F.lit(0)).alias("deg_end"),
+            F.col("rid").isNull().cast("long").alias("in_core"),
+        )
+    )

@@ -2339,3 +2339,44 @@ def test_cusum_matches_textbook_recursion(spark, registry):
             assert r.is_change == int(
                 s_hi > E30_THRESHOLD_MILLI or s_lo > E30_THRESHOLD_MILLI
             )
+
+
+def test_kcore_peel_converges_and_replays(spark, registry):
+    """g05: replay the peel in pure Python from the simhash pairs; the
+    bounded G05_ROUNDS must CONVERGE on the fixture (one extra round
+    removes nothing — the output is the true 2-core), and every node's
+    removal round / final degree must match."""
+    queries, _ = registry
+    from seamdb_spark.operators.dedup import G05_ROUNDS, _simhash_pairs
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _simhash_pairs(spark, SF_SMOKE).select("doc_a", "doc_b").collect()
+    ]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg_start = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    removed_at = {}
+    for r in range(1, G05_ROUNDS + 2):  # one EXTRA round to prove convergence
+        doomed = {
+            v
+            for v in alive
+            if sum(1 for n in adj[v] if n in alive) < 2
+        }
+        if r <= G05_ROUNDS:
+            for v in doomed:
+                removed_at[v] = r
+            alive -= doomed
+        else:
+            assert not doomed, "bounded peel did not converge on fixture"
+    rows = {r.doc_id: r for r in queries["g05_kcore_peel"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(adj)
+    for v, r in rows.items():
+        assert r.deg_start == deg_start[v]
+        assert r.removed_at == removed_at.get(v, 0)
+        assert r.in_core == int(v in alive)
+        expect_deg = sum(1 for n in adj[v] if n in alive) if v in alive else 0
+        assert r.deg_end == expect_deg
