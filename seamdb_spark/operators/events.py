@@ -3139,3 +3139,127 @@ def e30_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s_hi > E30_THRESHOLD_MILLI) | (s_lo > E30_THRESHOLD_MILLI)
         ).cast("long").alias("is_change"),
     )
+
+
+# --------------------------------------------------------------------------
+# e32: bot/automation screening — the traffic-hygiene gate run before
+# any behavioral corpus is trusted for training: per user, exact
+# integer signals for the three classic automation tells and a rule
+# verdict. (1) METRONOME: relative dispersion of inter-arrival gaps,
+# disp_milli = 1000·(n·Σg² − (Σg)²) div (Σg)² — near-zero only for
+# fixed-interval schedulers (humans are bursty; cf. e19's burstiness).
+# (2) NIGHT-HEAVY: share of events in the 00:00-05:59 trough.
+# (3) SINGLE-PURPOSE: type diversity ≤ 2 despite high volume. Flags
+# combine with volume/rate guards so sparse users never trip.
+#
+# Scale: one (user_id, ts) window shuffle for the gaps (e02's
+# partitioning), one user-keyed aggregate; everything is exact int64
+# (the n·Σg² product stays < 2^63 for second-resolution gaps over any
+# plausible per-user event count).
+# --------------------------------------------------------------------------
+E32_DISP_MAX_MILLI = 50
+E32_NIGHT_MIN_MILLI = 400
+E32_MIN_EVENTS = 20
+E32_RATE_MIN_MILLI = 5000  # >= 5 events/day
+
+
+@register(
+    "e32_bot_screening",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(ts AS DATE) AS day,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+               AS gap_s
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             CAST(COALESCE(SUM(gap_s), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(gap_s * gap_s), 0) AS BIGINT) AS s2,
+             CAST(COUNT(*) FILTER (WHERE hod < 6) AS BIGINT) AS n_night,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM seq GROUP BY user_id
+    ),
+    sig AS (
+      SELECT user_id, n_events, n_gaps, n_types,
+             (1000 * GREATEST(n_gaps * s2 - s1 * s1, 0))
+               // GREATEST(s1 * s1, 1) AS disp_milli,
+             (1000 * n_night) // n_events AS night_milli,
+             (1000 * n_events) // n_days AS rate_per_day_milli
+      FROM agg
+    )
+    SELECT user_id, n_events, n_gaps, n_types, disp_milli, night_milli,
+           rate_per_day_milli,
+           CAST(n_events >= {E32_MIN_EVENTS}
+                AND (disp_milli <= {E32_DISP_MAX_MILLI}
+                     OR (night_milli >= {E32_NIGHT_MIN_MILLI}
+                         AND rate_per_day_milli >= {E32_RATE_MIN_MILLI})
+                     OR (n_types <= 2
+                         AND rate_per_day_milli >= {E32_RATE_MIN_MILLI}))
+                AS BIGINT) AS is_bot
+    FROM sig
+    """,
+)
+def e32_bot_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.to_date("ts").alias("day"),
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id))) div 1000000"
+        ).alias("gap_s"),
+    )
+    agg = seq.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("gap_s").alias("n_gaps"),
+        F.coalesce(F.sum("gap_s"), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum(F.col("gap_s") * F.col("gap_s")), F.lit(0)).alias("s2"),
+        F.count(F.when(F.col("hod") < 6, 1)).alias("n_night"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    sig = agg.select(
+        "user_id",
+        "n_events",
+        "n_gaps",
+        "n_types",
+        F.expr(
+            "(1000 * greatest(n_gaps * s2 - s1 * s1, 0))"
+            " div greatest(s1 * s1, 1)"
+        ).alias("disp_milli"),
+        F.expr("(1000 * n_night) div n_events").alias("night_milli"),
+        F.expr("(1000 * n_events) div n_days").alias("rate_per_day_milli"),
+    )
+    return sig.select(
+        "user_id",
+        "n_events",
+        "n_gaps",
+        "n_types",
+        "disp_milli",
+        "night_milli",
+        "rate_per_day_milli",
+        (
+            (F.col("n_events") >= E32_MIN_EVENTS)
+            & (
+                (F.col("disp_milli") <= E32_DISP_MAX_MILLI)
+                | (
+                    (F.col("night_milli") >= E32_NIGHT_MIN_MILLI)
+                    & (F.col("rate_per_day_milli") >= E32_RATE_MIN_MILLI)
+                )
+                | (
+                    (F.col("n_types") <= 2)
+                    & (F.col("rate_per_day_milli") >= E32_RATE_MIN_MILLI)
+                )
+            )
+        ).cast("long").alias("is_bot"),
+    )

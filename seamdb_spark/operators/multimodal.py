@@ -2420,3 +2420,89 @@ def m20_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# m21: image information screening — flags near-flat / low-information
+# images (solid fills, letterboxes, template frames) that image
+# curation drops before they waste training compute. Signal: the
+# Gini-Simpson CONCENTRATION of the 8-bucket grayscale histogram,
+# conc_ppm = (1e6 * Σ c_b²) div n², which needs no logarithm (the e26
+# diversity trick applied to pixels): a single-bucket image scores
+# 1e6, a uniform spread scores 125000. Also emits the bucket count and
+# modal-bucket share.
+#
+# Oracle pattern (m09 lineage): the BMP payload is synthesized from
+# the md5 digest, REALLY encoded and re-parsed on the Spark side;
+# DuckDB replays the grayscale stream analytically from digest bytes.
+#
+# Scale: row-local Arrow-batched decode, zero shuffle.
+# --------------------------------------------------------------------------
+M21_FLAT_PPM = 600_000
+_M21_SCHEMA = (
+    "doc_id long, n_pixels long, n_buckets long, modal_milli long,"
+    " conc_ppm long, is_flat long"
+)
+
+
+def _m21_oracle() -> str:
+    b = [_byte_at(f"((3 * t.p + {c}) % 16)") for c in range(3)]
+    return f"""
+    WITH hh AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    d AS (
+      SELECT doc_id, hx,
+             8 + {_byte_at("1")} % 8 AS w,
+             8 + {_byte_at("2")} % 8 AS h
+      FROM hh
+    ),
+    g AS (
+      SELECT doc_id, (({b[0]} + {b[1]} + {b[2]}) // 3) // 32 AS bucket
+      FROM d, unnest(range(0, w * h)) t(p)
+    ),
+    hist AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_pixels,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           (1000 * MAX(c)) // SUM(c) AS modal_milli,
+           (1000000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS conc_ppm,
+           CAST((1000000 * SUM(c * c)) // (SUM(c) * SUM(c))
+                >= {M21_FLAT_PPM} AS BIGINT) AS is_flat
+    FROM hist GROUP BY doc_id
+    """
+
+
+@register("m21_image_flatness", oracle=_m21_oracle())
+def m21_image_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def flatness(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_pixels": [], "n_buckets": [],
+                "modal_milli": [], "conc_ppm": [], "is_flat": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                w, h = 8 + digest[1] % 8, 8 + digest[2] % 8
+                pixels = bytes(digest[i % 16] for i in range(w * h * 3))
+                info = decode_bmp(build_bmp(w, h, pixels))  # real round-trip
+                px = bmp_pixels(build_bmp(w, h, pixels))
+                hist: dict[int, int] = {}
+                for p in range(info["width"] * info["height"]):
+                    gray = (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3
+                    hist[gray // 32] = hist.get(gray // 32, 0) + 1
+                n = sum(hist.values())
+                sq = sum(c * c for c in hist.values())
+                conc = 1_000_000 * sq // (n * n)
+                out["doc_id"].append(doc_id)
+                out["n_pixels"].append(n)
+                out["n_buckets"].append(len(hist))
+                out["modal_milli"].append(1000 * max(hist.values()) // n)
+                out["conc_ppm"].append(conc)
+                out["is_flat"].append(int(conc >= M21_FLAT_PPM))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(flatness, schema=_M21_SCHEMA)

@@ -3062,3 +3062,116 @@ def s19_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_exact"),
         F.expr("(1000 * n_hit) div n").alias("recall_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# s20: IVF cluster-purity audit — grades the coarse quantizer's cells
+# against the embeddings' ground-truth labels, the clustering-quality
+# check run before trusting cells as retrieval shards or diversity
+# strata: per cell, its size, the modal label (ties broken toward the
+# smaller label id) and that label's share in milli, plus the corpus
+# purity (size-weighted modal share) repeated per row for the
+# dashboard. Complements s17 (drift across Lloyd rounds) with an
+# EXTERNAL quality reference.
+#
+# Scale: the assignment is the shared materialized s19/s03 artifact;
+# everything else is (K x |labels|)-sized aggregation and a 1-row
+# broadcast total.
+# --------------------------------------------------------------------------
+def _s20_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT cid, q AS cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {IVF_K}
+    ),
+    a1 AS ({_lloyd_assign_sql('quant', 'seeds')}),
+    c1 AS ({_lloyd_means_sql('a1')}),
+    a2 AS ({_lloyd_assign_sql('quant', 'c1')}),
+    c2 AS ({_lloyd_means_sql('a2')}),
+    cells AS ({_lloyd_assign_sql('quant', 'c2')}),
+    labeled AS (
+      SELECT c.cid, e.label FROM cells c JOIN embeddings e USING (vec_id)
+    ),
+    cl AS (
+      SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM labeled GROUP BY cid, label
+    ),
+    modal AS (
+      SELECT cid, label AS top_label, n AS top_n FROM (
+        SELECT cid, label, n,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY n DESC, label) AS rk
+        FROM cl
+      ) WHERE rk = 1
+    ),
+    sizes AS (
+      SELECT cid, CAST(SUM(n) AS BIGINT) AS n_vecs FROM cl GROUP BY cid
+    ),
+    overall AS (
+      SELECT CAST(SUM(m.top_n) AS BIGINT) AS hits,
+             CAST(SUM(s.n_vecs) AS BIGINT) AS total
+      FROM modal m JOIN sizes s USING (cid)
+    )
+    SELECT CAST(s.cid AS BIGINT) AS cid, s.n_vecs,
+           CAST(m.top_label AS BIGINT) AS top_label, m.top_n,
+           (1000 * m.top_n) // s.n_vecs AS purity_milli,
+           (1000 * o.hits) // o.total AS corpus_purity_milli
+    FROM sizes s JOIN modal m USING (cid) CROSS JOIN overall o
+    """
+
+
+@register("s20_ivf_purity_audit", oracle=_s20_oracle())
+def s20_ivf_purity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "label")
+    quant = _quant_corpus(spark, sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
+    cdf = F.broadcast(
+        spark.createDataFrame(centroids, "cid int, cvec array<bigint>")
+    )
+    cells = (
+        quant.crossJoin(cdf)
+        .withColumn("d2", _qd2("q", "cvec"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    cl = (
+        cells.join(emb, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+        # K x |labels| rows, read by modal + sizes + overall
+        .localCheckpoint()
+    )
+    w = W.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label"))
+    modal = (
+        cl.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
+    )
+    sizes = cl.groupBy("cid").agg(F.sum("n").alias("n_vecs"))
+    overall = modal.join(sizes, "cid").agg(
+        F.sum("top_n").alias("hits"), F.sum("n_vecs").alias("total")
+    )
+    return (
+        sizes.join(modal, "cid")
+        .join(F.broadcast(overall))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_vecs",
+            F.col("top_label").cast("long").alias("top_label"),
+            "top_n",
+            F.expr("(1000 * top_n) div n_vecs").alias("purity_milli"),
+            F.expr("(1000 * hits) div total").alias("corpus_purity_milli"),
+        )
+    )

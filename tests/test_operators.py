@@ -2380,3 +2380,89 @@ def test_kcore_peel_converges_and_replays(spark, registry):
         assert r.in_core == int(v in alive)
         expect_deg = sum(1 for n in adj[v] if n in alive) if v in alive else 0
         assert r.deg_end == expect_deg
+
+
+def test_ivf_purity_consistent_with_labels(spark, registry):
+    """s20: replay purity from the engine's own cell assignment; the
+    size-weighted modal shares must reproduce corpus_purity_milli and
+    cells must partition the corpus."""
+    queries, _ = registry
+    rows = queries["s20_ivf_purity_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.n_vecs for r in rows)
+    hits = sum(r.top_n for r in rows)
+    from seamdb_spark.operators.similarity import _emb
+
+    n_emb = _emb(spark, SF_SMOKE).count()
+    assert total == n_emb
+    for r in rows:
+        assert 1 <= r.top_n <= r.n_vecs
+        assert r.purity_milli == 1000 * r.top_n // r.n_vecs
+        assert r.corpus_purity_milli == 1000 * hits // total
+
+
+def test_bot_screening_replay(spark, registry):
+    """e32: replay the dispersion/night/diversity signals for a sample
+    of users in pure Python and compare every column."""
+    queries, _ = registry
+    from seamdb_spark.operators.events import (
+        E32_DISP_MAX_MILLI,
+        E32_MIN_EVENTS,
+        E32_NIGHT_MIN_MILLI,
+        E32_RATE_MIN_MILLI,
+        _events,
+    )
+
+    ev = _events(spark, SF_SMOKE).select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    rows = {r.user_id: r for r in queries["e32_bot_screening"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_user)
+    for uid in list(by_user)[:25]:
+        es = sorted(by_user[uid], key=lambda r: (r.ts, r.event_id))
+        gaps = [
+            int((b.ts - a.ts).total_seconds() * 1_000_000) // 1_000_000
+            for a, b in zip(es, es[1:])
+        ]
+        s1, s2 = sum(gaps), sum(g * g for g in gaps)
+        n = len(es)
+        night = sum(1 for e in es if e.ts.hour < 6)
+        days = len({e.ts.date() for e in es})
+        r = rows[uid]
+        assert r.n_events == n and r.n_gaps == len(gaps)
+        disp = 1000 * max(len(gaps) * s2 - s1 * s1, 0) // max(s1 * s1, 1)
+        assert r.disp_milli == disp
+        assert r.night_milli == 1000 * night // n
+        assert r.rate_per_day_milli == 1000 * n // days
+        expect = int(
+            n >= E32_MIN_EVENTS
+            and (
+                disp <= E32_DISP_MAX_MILLI
+                or (r.night_milli >= E32_NIGHT_MIN_MILLI
+                    and r.rate_per_day_milli >= E32_RATE_MIN_MILLI)
+                or (r.n_types <= 2
+                    and r.rate_per_day_milli >= E32_RATE_MIN_MILLI)
+            )
+        )
+        assert r.is_bot == expect
+
+
+def test_image_flatness_consistent_with_decode(spark, registry):
+    """m21 × m09 cross-check (same digest-synth family): pixel counts
+    must match m09's decoded dims; concentration must lie in
+    [125000, 1e6] (8 buckets) and modal share must bound it."""
+    queries, _ = registry
+    m09 = {r.doc_id: r for r in queries["m09_image_ahash"](spark, SF_SMOKE).collect()}
+    rows = queries["m21_image_flatness"](spark, SF_SMOKE).collect()
+    assert rows and {r.doc_id for r in rows} == set(m09)
+    for r in rows:
+        assert r.n_pixels == m09[r.doc_id].width * m09[r.doc_id].height
+        assert 1 <= r.n_buckets <= 8
+        assert 125_000 <= r.conc_ppm <= 1_000_000
+        # modal share bounds concentration: conc <= modal_share (both
+        # as fractions of 1) since sum c^2 <= max_c * n
+        assert r.conc_ppm <= (r.modal_milli + 1) * 1000
+        assert r.is_flat == int(r.conc_ppm >= 600_000)
