@@ -436,6 +436,13 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "offsets",
         # d29: similarity histogram buckets — <= 11 rows (milli div 100)
         "b2",
+        # t38: 1-row bigram-type count
+        "ntot",
+        # e29: 1-row corpus-end timestamp
+        "corpus",
+        # e31: 24 x |types| seasonality index / |types|-row adjusted
+        # means; e30: |types|-row daily means
+        "season", "means",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
