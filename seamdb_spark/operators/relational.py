@@ -2451,3 +2451,117 @@ def q62_monotone_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("longest_up_run"),
         F.count(F.when(F.col("run_len") >= 2, 1)).alias("n_up_runs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q63: robust outlier statistics per group — the resistant-statistics
+# toolkit (median absolute deviation, Tukey fences) a data-quality
+# pass prefers over mean/stddev because a single corrupt value cannot
+# move the thresholds: per return flag, the price median, the MAD
+# (median of |x - median| — a TWO-PASS computation: the group median
+# joins back onto the rows before the second median), the quartiles,
+# and the count of rows beyond the 1.5·IQR fences.
+#
+# Float discipline (q57 precedent): medians/percentiles are identical
+# interpolations on identical inputs in both engines, surfaced through
+# dround(6); the fence COMPARISONS run on the raw doubles — fixture
+# values sit nowhere near a ulp of the fences (the oracle-hash gate
+# would catch it if a future fixture did).
+#
+# Scale: two grouped sorts (Spark plans percentile/median as a single
+# sort-based agg per group) + one broadcast of the |groups|-row fence
+# table back onto the scan for the outlier counts.
+# --------------------------------------------------------------------------
+@register(
+    "q63_robust_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             median(l_extendedprice) AS med,
+             quantile_cont(l_extendedprice, 0.25) AS p25,
+             quantile_cont(l_extendedprice, 0.75) AS p75
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+      SELECT l.l_returnflag,
+             median(abs(l.l_extendedprice - s.med)) AS mad
+      FROM lineitem l JOIN stats s USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    ),
+    fences AS (
+      SELECT l_returnflag, n, med, p25, p75,
+             p25 - 1.5 * (p75 - p25) AS lo,
+             p75 + 1.5 * (p75 - p25) AS hi
+      FROM stats
+    ),
+    outliers AS (
+      SELECT l.l_returnflag,
+             CAST(COUNT(*) FILTER (WHERE l.l_extendedprice < f.lo)
+                  AS BIGINT) AS n_low_outliers,
+             CAST(COUNT(*) FILTER (WHERE l.l_extendedprice > f.hi)
+                  AS BIGINT) AS n_high_outliers
+      FROM lineitem l JOIN fences f USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    )
+    SELECT f.l_returnflag, f.n,
+           ROUND(f.med, 6) AS med_price,
+           ROUND(m.mad, 6) AS mad_price,
+           ROUND(f.p25, 6) AS p25_price,
+           ROUND(f.p75, 6) AS p75_price,
+           o.n_low_outliers, o.n_high_outliers
+    FROM fences f
+    JOIN mad m USING (l_returnflag)
+    JOIN outliers o USING (l_returnflag)
+    """,
+)
+def q63_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.median("l_extendedprice").alias("med"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+    )
+    mad = (
+        li.join(F.broadcast(stats.select("l_returnflag", "med")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median(F.abs(F.col("l_extendedprice") - F.col("med"))).alias("mad")
+        )
+    )
+    fences = stats.select(
+        "l_returnflag",
+        "n",
+        "med",
+        "p25",
+        "p75",
+        (F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))).alias("lo"),
+        (F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).alias("hi"),
+    )
+    outliers = (
+        li.join(F.broadcast(fences.select("l_returnflag", "lo", "hi")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_extendedprice") < F.col("lo"), 1)).alias(
+                "n_low_outliers"
+            ),
+            F.count(F.when(F.col("l_extendedprice") > F.col("hi"), 1)).alias(
+                "n_high_outliers"
+            ),
+        )
+    )
+    return (
+        fences.join(mad, "l_returnflag")
+        .join(outliers, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            dround("med", 6).alias("med_price"),
+            dround("mad", 6).alias("mad_price"),
+            dround("p25", 6).alias("p25_price"),
+            dround("p75", 6).alias("p75_price"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )

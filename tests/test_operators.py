@@ -443,6 +443,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         # e31: 24 x |types| seasonality index / |types|-row adjusted
         # means; e30: |types|-row daily means
         "season", "means",
+        # q63: |return-flag|-row (3) median/fence tables
+        "stats", "fences",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
@@ -2473,3 +2475,47 @@ def test_image_flatness_consistent_with_decode(spark, registry):
         # as fractions of 1) since sum c^2 <= max_c * n
         assert r.conc_ppm <= (r.modal_milli + 1) * 1000
         assert r.is_flat == int(r.conc_ppm >= 600_000)
+
+
+def test_robust_outliers_replay(spark, registry):
+    """q63: replay the MAD / Tukey-fence table in pure Python from the
+    raw prices and compare every column (medians to 6 decimals,
+    counts exactly)."""
+    import statistics
+
+    queries, _ = registry
+    from seamdb_spark.operators.relational import _t
+
+    rows = {
+        r.l_returnflag: r
+        for r in queries["q63_robust_outliers"](spark, SF_SMOKE).collect()
+    }
+    prices = {}
+    for r in _t(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect():
+        prices.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    assert set(rows) == set(prices)
+
+    def q_cont(vals, q):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        if lo + 1 < len(vals):
+            return vals[lo] * (1 - frac) + vals[lo + 1] * frac
+        return vals[lo]
+
+    for flag, vals in prices.items():
+        r = rows[flag]
+        med = statistics.median(vals)
+        mad = statistics.median(abs(v - med) for v in vals)
+        p25, p75 = q_cont(vals, 0.25), q_cont(vals, 0.75)
+        lo, hi = p25 - 1.5 * (p75 - p25), p75 + 1.5 * (p75 - p25)
+        assert r.n == len(vals)
+        assert abs(r.med_price - med) < 1e-5
+        assert abs(r.mad_price - mad) < 1e-5
+        assert abs(r.p25_price - p25) < 1e-5
+        assert abs(r.p75_price - p75) < 1e-5
+        assert r.n_low_outliers == sum(1 for v in vals if v < lo)
+        assert r.n_high_outliers == sum(1 for v in vals if v > hi)
