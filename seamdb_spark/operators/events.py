@@ -3146,34 +3146,46 @@ def e30_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # any behavioral corpus is trusted for training: per user, exact
 # integer signals for the three classic automation tells and a rule
 # verdict. (1) METRONOME: relative dispersion of inter-arrival gaps,
-# disp_milli = 1000·(n·Σg² − (Σg)²) div (Σg)² — near-zero only for
-# fixed-interval schedulers (humans are bursty; cf. e19's burstiness).
+# disp_milli = 1000·(m2 − m1²) div m1² over the per-gap MEANS
+# m1 = Σg div n, m2 = Σg² div n — near-zero only for fixed-interval
+# schedulers (humans are bursty; cf. e19's burstiness). Gaps are
+# CAPPED at one week before squaring: a month-long absence carries no
+# metronome signal, and the cap bounds m2 ≤ 604800² so the arithmetic
+# can never overflow int64 REGARDLESS of per-user event count (the
+# raw 1000·(n·Σg²−(Σg)²) form overflows for a handful of year-long
+# gaps — DuckDB raises, Spark wraps, and the wrapped negative would
+# silently flag maximally-bursty users as metronomes).
 # (2) NIGHT-HEAVY: share of events in the 00:00-05:59 trough.
 # (3) SINGLE-PURPOSE: type diversity ≤ 2 despite high volume. Flags
 # combine with volume/rate guards so sparse users never trip.
 #
 # Scale: one (user_id, ts) window shuffle for the gaps (e02's
-# partitioning), one user-keyed aggregate; everything is exact int64
-# (the n·Σg² product stays < 2^63 for second-resolution gaps over any
-# plausible per-user event count).
+# partitioning), one user-keyed aggregate; all bounded int64.
 # --------------------------------------------------------------------------
 E32_DISP_MAX_MILLI = 50
 E32_NIGHT_MIN_MILLI = 400
 E32_MIN_EVENTS = 20
 E32_RATE_MIN_MILLI = 5000  # >= 5 events/day
+E32_GAP_CAP_S = 604_800  # cap gaps at one week before squaring
 
 
 @register(
     "e32_bot_screening",
     oracle=f"""
-    WITH seq AS (
-      SELECT user_id, ts, event_type,
+    WITH raw AS (
+      SELECT user_id, event_type,
              CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
              CAST(ts AS DATE) AS day,
              (epoch_us(ts) - epoch_us(LAG(ts) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
-               AS gap_s
+               AS g
       FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type, hod, day,
+             CASE WHEN g IS NULL THEN NULL
+                  ELSE LEAST(g, {E32_GAP_CAP_S}) END AS gap_s
+      FROM raw
     ),
     agg AS (
       SELECT user_id,
@@ -3188,8 +3200,11 @@ E32_RATE_MIN_MILLI = 5000  # >= 5 events/day
     ),
     sig AS (
       SELECT user_id, n_events, n_gaps, n_types,
-             (1000 * GREATEST(n_gaps * s2 - s1 * s1, 0))
-               // GREATEST(s1 * s1, 1) AS disp_milli,
+             (1000 * GREATEST(s2 // GREATEST(n_gaps, 1)
+                              - (s1 // GREATEST(n_gaps, 1))
+                                * (s1 // GREATEST(n_gaps, 1)), 0))
+               // GREATEST((s1 // GREATEST(n_gaps, 1))
+                           * (s1 // GREATEST(n_gaps, 1)), 1) AS disp_milli,
              (1000 * n_night) // n_events AS night_milli,
              (1000 * n_events) // n_days AS rate_per_day_milli
       FROM agg
@@ -3208,7 +3223,6 @@ E32_RATE_MIN_MILLI = 5000  # >= 5 events/day
 )
 def e32_bot_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
         "event_type",
@@ -3216,9 +3230,17 @@ def e32_bot_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.expr(
             "(unix_micros(ts) - unix_micros(lag(ts) OVER"
-            " (PARTITION BY user_id ORDER BY ts, event_id))) div 1000000"
-        ).alias("gap_s"),
-    )
+            " (PARTITION BY user_id ORDER BY ts, event_id)))"
+            " div 1000000"
+        ).alias("g"),
+    ).withColumn(
+        # null-PRESERVING cap: least() skips NULLs in both engines, so
+        # a bare least(g, cap) would turn every user's first event into
+        # a phantom week-long gap
+        "gap_s",
+        F.when(F.col("g").isNotNull(),
+               F.least(F.col("g"), F.lit(E32_GAP_CAP_S).cast("long"))),
+    ).drop("g")
     agg = seq.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.count("gap_s").alias("n_gaps"),
@@ -3234,8 +3256,10 @@ def e32_bot_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_gaps",
         "n_types",
         F.expr(
-            "(1000 * greatest(n_gaps * s2 - s1 * s1, 0))"
-            " div greatest(s1 * s1, 1)"
+            "(1000 * greatest(s2 div greatest(n_gaps, 1)"
+            " - (s1 div greatest(n_gaps, 1)) * (s1 div greatest(n_gaps, 1)),"
+            " 0)) div greatest((s1 div greatest(n_gaps, 1))"
+            " * (s1 div greatest(n_gaps, 1)), 1)"
         ).alias("disp_milli"),
         F.expr("(1000 * n_night) div n_events").alias("night_milli"),
         F.expr("(1000 * n_events) div n_days").alias("rate_per_day_milli"),

@@ -2488,8 +2488,9 @@ def m21_image_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 digest = hashlib.md5(text.encode("utf-8")).digest()
                 w, h = 8 + digest[1] % 8, 8 + digest[2] % 8
                 pixels = bytes(digest[i % 16] for i in range(w * h * 3))
-                info = decode_bmp(build_bmp(w, h, pixels))  # real round-trip
-                px = bmp_pixels(build_bmp(w, h, pixels))
+                bmp = build_bmp(w, h, pixels)
+                info = decode_bmp(bmp)  # real round-trip
+                px = bmp_pixels(bmp)
                 hist: dict[int, int] = {}
                 for p in range(info["width"] * info["height"]):
                     gray = (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3

@@ -2029,10 +2029,18 @@ def q57_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("m.neg_v")).alias("mode_qty"),
         )
     )
+    # single percentile buffer for both price quartiles (array form)
     quant = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
         dround(F.median("l_quantity"), 6).alias("median_qty"),
-        dround(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
-        dround(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.75D))"
+        ).alias("qp"),
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "median_qty",
+        dround(F.col("qp")[0], 6).alias("p25_price"),
+        dround(F.col("qp")[1], 6).alias("p75_price"),
     )
     return quant.join(modes, ["l_returnflag", "l_linestatus"]).select(
         "l_returnflag",
@@ -2517,11 +2525,20 @@ def q62_monotone_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q63_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # one percentile buffer per group (array form) instead of three
+    # independent exact-percentile aggregates each materializing the
+    # group's full value set
     stats = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.median("l_extendedprice").alias("med"),
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("q"),
+    ).select(
+        "l_returnflag",
+        "n",
+        F.col("q")[1].alias("med"),
+        F.col("q")[0].alias("p25"),
+        F.col("q")[2].alias("p75"),
     )
     mad = (
         li.join(F.broadcast(stats.select("l_returnflag", "med")), "l_returnflag")

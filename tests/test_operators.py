@@ -2433,7 +2433,8 @@ def test_bot_screening_replay(spark, registry):
     for uid in list(by_user)[:25]:
         es = sorted(by_user[uid], key=lambda r: (r.ts, r.event_id))
         gaps = [
-            int((b.ts - a.ts).total_seconds() * 1_000_000) // 1_000_000
+            min(int((b.ts - a.ts).total_seconds() * 1_000_000) // 1_000_000,
+                604_800)
             for a, b in zip(es, es[1:])
         ]
         s1, s2 = sum(gaps), sum(g * g for g in gaps)
@@ -2442,7 +2443,9 @@ def test_bot_screening_replay(spark, registry):
         days = len({e.ts.date() for e in es})
         r = rows[uid]
         assert r.n_events == n and r.n_gaps == len(gaps)
-        disp = 1000 * max(len(gaps) * s2 - s1 * s1, 0) // max(s1 * s1, 1)
+        ng = max(len(gaps), 1)
+        m1, m2 = s1 // ng, s2 // ng
+        disp = 1000 * max(m2 - m1 * m1, 0) // max(m1 * m1, 1)
         assert r.disp_milli == disp
         assert r.night_milli == 1000 * night // n
         assert r.rate_per_day_milli == 1000 * n // days
@@ -2474,7 +2477,8 @@ def test_image_flatness_consistent_with_decode(spark, registry):
         # modal share bounds concentration: conc <= modal_share (both
         # as fractions of 1) since sum c^2 <= max_c * n
         assert r.conc_ppm <= (r.modal_milli + 1) * 1000
-        assert r.is_flat == int(r.conc_ppm >= 600_000)
+        from seamdb_spark.operators.multimodal import M21_FLAT_PPM
+        assert r.is_flat == int(r.conc_ppm >= M21_FLAT_PPM)
 
 
 def test_robust_outliers_replay(spark, registry):
