@@ -2696,27 +2696,21 @@ def e27_type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flat and equals the previous hour's closing value) — documented
 # contract, keeps the output endpoint-driven.
 # --------------------------------------------------------------------------
+from .registry import ORACLE_SQL as _ORACLE_SQL_REG  # noqa: E402
+
+# single-sourced session definition: e28's oracle splices e02's
+# registered SQL (same gap rule, same tie-break) instead of carrying a
+# copy that must be kept byte-identical by hand
+_E02_SQL = _ORACLE_SQL_REG["e02_sessionization"]
+
+
 @register(
     "e28_session_concurrency",
     oracle=f"""
-    WITH ordered AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MINUTES} MINUTE
-                    OR LAG(ts) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-      SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
-             ts
-      FROM ordered
-    ),
-    intervals AS (
-      SELECT MIN(ts) AS s, MAX(ts) + INTERVAL 1 MICROSECOND AS e
-      FROM sess GROUP BY user_id, sid
+    WITH intervals AS (
+      SELECT session_start AS s,
+             session_end + INTERVAL 1 MICROSECOND AS e
+      FROM ({_E02_SQL})
     ),
     pts AS (
       SELECT t, CAST(SUM(d) AS BIGINT) AS d,
@@ -2743,30 +2737,12 @@ def e27_type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e28_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = SESSION_GAP_MINUTES * 60
-    marked = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > gap_s
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sess = marked.withColumn(
-        "sid", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
-    intervals = sess.groupBy("user_id", "sid").agg(
-        F.min("ts").alias("s"),
-        (F.max("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("e"),
+    # ONE session definition: the intervals come from e02's operator
+    # (same gap rule, same tie-break) rather than a re-derivation that
+    # would have to be kept byte-identical by hand.
+    intervals = e02_sessionization(spark, sf_dir).select(
+        F.col("session_start").alias("s"),
+        (F.col("session_end") + F.expr("INTERVAL 1 MICROSECOND")).alias("e"),
     )
     endpoints = intervals.select(
         F.col("s").alias("t"), F.lit(1).alias("d")
@@ -2928,6 +2904,11 @@ def e29_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 E31_HIGH_MILLI = 2000
 E31_LOW_MILLI = 500
 
+from .registry import ORACLE_SQL as _ORACLE_REG  # noqa: E402
+
+# single-sourced seasonality: e31's oracle splices e23's registered SQL
+_E23_SQL = _ORACLE_REG["e23_hourly_seasonality"]
+
 
 @register(
     "e31_adjusted_anomalies",
@@ -2938,29 +2919,9 @@ E31_LOW_MILLI = 500
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2, 3
     ),
-    base AS (
-      SELECT event_type,
-             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
-             CAST(ts AS DATE) AS day
-      FROM events
-    ),
-    per_hod AS (
-      SELECT event_type, hod,
-             CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
-      FROM base GROUP BY event_type, hod
-    ),
-    overall AS (
-      SELECT event_type,
-             CAST(COUNT(*) AS BIGINT) AS tot_events,
-             CAST(COUNT(DISTINCT day) AS BIGINT) AS tot_days
-      FROM base GROUP BY event_type
-    ),
     season AS (
-      SELECT p.event_type, p.hod,
-             (1000 * (p.n_events * o.tot_days * 24))
-               // (p.n_days * o.tot_events) AS seasonality_milli
-      FROM per_hod p JOIN overall o USING (event_type)
+      SELECT event_type, hod, seasonality_milli
+      FROM ({_E23_SQL})
     ),
     adjusted AS (
       SELECT h.event_type, h.hour, h.hod, h.n, s.seasonality_milli,
@@ -2993,25 +2954,11 @@ def e31_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour", "hod")
         .agg(F.count("*").alias("n"))
     )
-    base = ev.select(
-        "event_type",
-        F.hour("ts").cast("long").alias("hod"),
-        F.to_date("ts").alias("day"),
-    )
-    per_hod = base.groupBy("event_type", "hod").agg(
-        F.count("*").alias("n_events"),
-        F.countDistinct("day").alias("n_days"),
-    )
-    overall = base.groupBy("event_type").agg(
-        F.count("*").alias("tot_events"),
-        F.countDistinct("day").alias("tot_days"),
-    )
-    season = per_hod.join(F.broadcast(overall), "event_type").select(
-        "event_type",
-        "hod",
-        F.expr(
-            "(1000 * (n_events * tot_days * 24)) div (n_days * tot_events)"
-        ).alias("seasonality_milli"),
+    # ONE seasonality definition: the index table comes from e23's
+    # operator (test_adjusted_anomalies_consistent_with_e23 then checks
+    # composition, not two hand-synchronized copies).
+    season = e23_hourly_seasonality(spark, sf_dir).select(
+        "event_type", "hod", "seasonality_milli"
     )
     adjusted = hourly.join(
         F.broadcast(season), ["event_type", "hod"]

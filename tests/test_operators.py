@@ -1507,6 +1507,20 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "t36_zipf_doubling_ratio": 5,
         "t37_oov_rate_audit": 4,
         "e28_session_concurrency": 5,
+        "p07_attrition_funnel": 11,
+        "m20_image_neardup_pairs": 2,
+        "e29_conversion_survival": 4,
+        # e31 recomputes the bounded (type,hod)/(type) aggregates per
+        # consumer — all type-vocabulary-sized stages
+        "e31_adjusted_anomalies": 16,
+        "t38_kneser_ney_score": 8,
+        "e30_cusum_changepoints": 5,
+        # 6 peel rounds over checkpointed edge/survivor tables
+        "g05_kcore_peel": 14,
+        "s20_ivf_purity_audit": 6,
+        "e32_bot_screening": 3,
+        "m21_image_flatness": 0,
+        "q63_robust_outliers": 9,
         # 5-point nprobe sweep over checkpointed shared inputs: ~7
         # probe-bounded exchanges per sweep point
         "s19_ivf_probe_recall_curve": 37,
