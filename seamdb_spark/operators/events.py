@@ -3234,3 +3234,162 @@ def e32_bot_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("is_bot"),
     )
+
+
+# --------------------------------------------------------------------------
+# x13: halflife-decayed popularity — recency-weighted type popularity
+# with EXACT integer decay: each event contributes 2^(weeks_before_end)
+# halved once per elapsed week, i.e. weight = 2^(w - w_min) where w is
+# the event's week index — so the decayed score is a sum of powers of
+# two computed identically in both engines (no pow(), no float decay
+# factor drift). The standard trending-score shape (x12-style exactness
+# applied to e12's trending problem) — a type's score doubles in
+# importance every week closer to now.
+#
+# Scale: one (type, week) rollup off the scan (calendar-bounded), then
+# a |types| x |weeks| weighted sum. Week span is bounded by retention,
+# so the 2^k weights stay far below int64 (guarded by the oracle's own
+# arithmetic: spans > 60 weeks would need the windowed variant).
+# --------------------------------------------------------------------------
+@register(
+    "x13_decayed_popularity",
+    oracle="""
+    WITH weeks AS (
+      SELECT event_type,
+             CAST(epoch(ts) AS BIGINT) // 604800 AS w,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(epoch(ts) AS BIGINT) // 604800
+    ),
+    bounds AS (
+      SELECT CAST(MIN(w) AS BIGINT) AS w0, CAST(MAX(w) AS BIGINT) AS w1
+      FROM weeks
+    ),
+    scored AS (
+      SELECT k.event_type,
+             CAST(SUM(k.n * (CAST(1 AS BIGINT) << (k.w - b.w0)))
+                  AS BIGINT) AS decayed_score,
+             CAST(SUM(k.n) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN k.w = b.w1 THEN k.n ELSE 0 END)
+                  AS BIGINT) AS n_latest_week
+      FROM weeks k CROSS JOIN bounds b
+      GROUP BY k.event_type
+    )
+    SELECT event_type, n_events, n_latest_week, decayed_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY decayed_score DESC, event_type)
+                AS BIGINT) AS trend_rank
+    FROM scored
+    """,
+)
+def x13_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    weeks = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800").alias("w"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = weeks.agg(F.min("w").alias("w0"), F.max("w").alias("w1"))
+    scored = (
+        weeks.join(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(sum(n * (CAST(1 AS BIGINT) << CAST(w - w0 AS INT)))"
+                " AS BIGINT)"
+            ).alias("decayed_score"),
+            F.sum("n").alias("n_events"),
+            F.sum(F.when(F.col("w") == F.col("w1"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_latest_week"),
+        )
+    )
+    # |types|-row frame: rank via predecessor count (window-free, the
+    # t36 pattern) to keep the zero-WindowExec-warning discipline
+    other = scored.select(
+        F.col("event_type").alias("tb"), F.col("decayed_score").alias("sb")
+    )
+    return (
+        scored.join(
+            F.broadcast(other),
+            (F.col("sb") > F.col("decayed_score"))
+            | (
+                (F.col("sb") == F.col("decayed_score"))
+                & (F.col("tb") < F.col("event_type"))
+            ),
+            "left",
+        )
+        .groupBy("event_type", "n_events", "n_latest_week", "decayed_score")
+        .agg((F.lit(1) + F.count("tb")).cast("long").alias("trend_rank"))
+        .select(
+            "event_type", "n_events", "n_latest_week", "decayed_score",
+            "trend_rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# e33: engagement stickiness (DAU/WAU) — the ratio growth dashboards
+# track daily: for each day, the count of distinct active users that
+# day (DAU), the distinct users active in the trailing 7 days (WAU,
+# e13's rolling-distinct machinery), and DAU/WAU in integer milli — a
+# high ratio means the weekly audience shows up daily. Day spine
+# restricted to observed days (e13's contract).
+#
+# Scale: e13's explode-contribute pattern: each (day, user) pair
+# contributes to its next 7 window days; both aggregates are
+# calendar x |users| bounded, shuffled on the day key.
+# --------------------------------------------------------------------------
+@register(
+    "e33_stickiness_ratio",
+    oracle="""
+    WITH day_user AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM day_user GROUP BY d
+    ),
+    contrib AS (
+      SELECT CAST(d + CAST(t.i AS INTEGER) AS DATE) AS window_day, user_id
+      FROM day_user, unnest(range(0, 7)) t(i)
+    ),
+    wau AS (
+      SELECT c.window_day AS d,
+             CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM contrib c JOIN (SELECT d FROM dau) days ON days.d = c.window_day
+      GROUP BY c.window_day
+    )
+    SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+           (1000 * dau.dau) // wau.wau AS stickiness_milli
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def e33_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day_user = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
+    ).distinct()
+    dau = day_user.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = day_user.select(
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(d, i))")
+        ).alias("window_day"),
+        "user_id",
+    )
+    days = dau.select(F.col("d").alias("window_day"))
+    wau = (
+        contrib.join(days, "window_day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.window_day)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.expr("(1000 * dau) div wau").alias("stickiness_milli"),
+        )
+    )

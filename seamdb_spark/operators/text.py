@@ -2848,3 +2848,53 @@ def t38_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_kn_ppm"),
         F.min("kn_ppm").alias("min_kn_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# t39: k-anonymity audit over quasi-identifiers — the privacy-hygiene
+# check a corpus release runs before shipping metadata: per
+# (lang, source, length-bucket) equivalence class, how many documents
+# share the tuple, and the flag for classes below the k threshold
+# (small classes make their members re-identifiable from "anonymous"
+# metadata — Sweeney's k-anonymity, applied to the release manifest).
+# Also emits the per-class share of the corpus in ppm.
+#
+# Scale: one groupBy on the quasi-identifier tuple (map-side combined,
+# class count bounded by |langs| x |sources| x |buckets|) + a 1-row
+# total broadcast.
+# --------------------------------------------------------------------------
+T39_K = 5
+
+
+@register(
+    "t39_k_anonymity_audit",
+    oracle=f"""
+    WITH classes AS (
+      SELECT lang, source,
+             CAST(length(text) // 100 AS BIGINT) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM documents GROUP BY lang, source, length(text) // 100
+    ),
+    tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n FROM classes)
+    SELECT c.lang, c.source, c.len_bucket, c.class_size,
+           (1000000 * c.class_size) // t.n AS share_ppm,
+           CAST(c.class_size < {T39_K} AS BIGINT) AS below_k
+    FROM classes c CROSS JOIN tot t
+    """,
+)
+def t39_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        F.expr("CAST(length(text) div 100 AS BIGINT)").alias("len_bucket"),
+    ).agg(F.count("*").alias("class_size"))
+    tot = classes.agg(F.sum("class_size").alias("n"))
+    return classes.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "len_bucket",
+        "class_size",
+        F.expr("(1000000 * class_size) div n").alias("share_ppm"),
+        (F.col("class_size") < T39_K).cast("long").alias("below_k"),
+    )

@@ -445,6 +445,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "season", "means",
         # q63: |return-flag|-row (3) median/fence tables
         "stats", "fences",
+        # x13: |types|-row score frame for the predecessor-count rank
+        "other",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
@@ -2537,3 +2539,64 @@ def test_robust_outliers_replay(spark, registry):
         assert abs(r.p75_price - p75) < 1e-5
         assert r.n_low_outliers == sum(1 for v in vals if v < lo)
         assert r.n_high_outliers == sum(1 for v in vals if v > hi)
+
+
+def test_decayed_popularity_replay(spark, registry):
+    """x13: replay the power-of-two decay in pure Python and compare;
+    ranks must be a permutation ordered by (score desc, type)."""
+    queries, _ = registry
+    from seamdb_spark.operators.events import _events
+
+    ev = _events(spark, SF_SMOKE).select("event_type", "ts").collect()
+    from collections import Counter
+
+    weeks = Counter(
+        (r.event_type, int(r.ts.timestamp()) // 604800) for r in ev
+    )
+    w0 = min(w for _, w in weeks)
+    w1 = max(w for _, w in weeks)
+    scores, totals, latest = {}, {}, {}
+    for (t, w), n in weeks.items():
+        scores[t] = scores.get(t, 0) + n * (1 << (w - w0))
+        totals[t] = totals.get(t, 0) + n
+        if w == w1:
+            latest[t] = latest.get(t, 0) + n
+    rows = {r.event_type: r for r in queries["x13_decayed_popularity"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(scores)
+    for t, r in rows.items():
+        assert r.decayed_score == scores[t]
+        assert r.n_events == totals[t]
+        assert r.n_latest_week == latest.get(t, 0)
+    order = sorted(scores, key=lambda t: (-scores[t], t))
+    assert [rows[t].trend_rank for t in order] == list(range(1, len(order) + 1))
+
+
+def test_k_anonymity_partitions_corpus(spark, registry):
+    """t39: class sizes must sum to the corpus, shares to ~1e6 ppm,
+    and the below-k flag must match the threshold."""
+    queries, _ = registry
+    from seamdb_spark.operators.text import T39_K, _docs
+
+    n_docs = _docs(spark, SF_SMOKE).count()
+    rows = queries["t39_k_anonymity_audit"](spark, SF_SMOKE).collect()
+    assert sum(r.class_size for r in rows) == n_docs
+    assert len({(r.lang, r.source, r.len_bucket) for r in rows}) == len(rows)
+    for r in rows:
+        assert r.share_ppm == 1_000_000 * r.class_size // n_docs
+        assert r.below_k == int(r.class_size < T39_K)
+
+
+def test_stickiness_consistent_with_rolling_actives(spark, registry):
+    """e33 × e13 cross-check: WAU must equal e13's 7-day rolling
+    actives per day; DAU <= WAU; ratio replayed."""
+    queries, _ = registry
+    e13 = {
+        r.day: r.active_users_7d
+        for r in queries["e13_rolling_active_users"](spark, SF_SMOKE).collect()
+    }
+    rows = queries["e33_stickiness_ratio"](spark, SF_SMOKE).collect()
+    assert rows and {r.day for r in rows} == set(e13)
+    for r in rows:
+        assert r.wau == e13[r.day]
+        assert 1 <= r.dau <= r.wau
+        assert r.stickiness_milli == 1000 * r.dau // r.wau
