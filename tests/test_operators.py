@@ -1523,6 +1523,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "e32_bot_screening": 3,
         "m21_image_flatness": 0,
         "q63_robust_outliers": 9,
+        "x13_decayed_popularity": 9,
+        "t39_k_anonymity_audit": 4,
+        "e33_stickiness_ratio": 8,
         # 5-point nprobe sweep over checkpointed shared inputs: ~7
         # probe-bounded exchanges per sweep point
         "s19_ivf_probe_recall_curve": 37,
