@@ -2582,3 +2582,93 @@ def q63_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high_outliers",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q64: year-over-year price-distribution drift — the data-drift audit
+# (the integer-exact stand-in for a PSI check) run when a fact table
+# spans refreshes: bucket order totals into fixed price bands, compute
+# each year's band distribution in ppm, and report the total-variation
+# distance of each year against the PREVIOUS year — a TV spike means
+# the generating process changed and downstream models need
+# re-calibration. TV = Σ|p_a − p_b| / 2 over exact integer ppm shares
+# (the t32 vocabulary-divergence machinery applied to a numeric
+# histogram), so the whole audit hash-matches.
+#
+# Scale: one (year, band) groupBy off the scan (bands are fixed-width
+# → bounded table), a |years|-row total broadcast, and a
+# consecutive-year self-join on the bounded distribution table.
+# --------------------------------------------------------------------------
+Q64_BAND = 25_000
+
+
+@register(
+    "q64_yearly_price_drift",
+    oracle=f"""
+    WITH bands AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(floor(o_totalprice / {Q64_BAND}) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      GROUP BY year(o_orderdate), floor(o_totalprice / {Q64_BAND})
+    ),
+    totals AS (
+      SELECT yr, CAST(SUM(n) AS BIGINT) AS tot FROM bands GROUP BY yr
+    ),
+    dist AS (
+      SELECT b.yr, b.band, (1000000 * b.n) // t.tot AS ppm
+      FROM bands b JOIN totals t USING (yr)
+    ),
+    paired AS (
+      SELECT COALESCE(a.yr, b.yr + 1) AS yr,
+             COALESCE(a.ppm, 0) AS p_cur, COALESCE(b.ppm, 0) AS p_prev
+      FROM dist a FULL JOIN dist b
+        ON a.yr = b.yr + 1 AND a.band = b.band
+    ),
+    bounds AS (
+      SELECT CAST(MIN(yr) AS BIGINT) AS y0, CAST(MAX(yr) AS BIGINT) AS y1
+      FROM dist
+    )
+    SELECT p.yr, CAST(COUNT(*) AS BIGINT) AS n_bands,
+           CAST(SUM(ABS(p.p_cur - p.p_prev)) // 2 AS BIGINT) AS tv_ppm
+    FROM paired p CROSS JOIN bounds
+    WHERE p.yr > bounds.y0 AND p.yr <= bounds.y1
+    GROUP BY p.yr
+    """,
+)
+def q64_yearly_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    bands = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.floor(F.col("o_totalprice") / Q64_BAND).cast("long").alias("band"),
+    ).agg(F.count("*").alias("n"))
+    totals = bands.groupBy("yr").agg(F.sum("n").alias("tot"))
+    dist = bands.join(F.broadcast(totals), "yr").select(
+        "yr", "band", F.expr("(1000000 * n) div tot").alias("ppm")
+    ).localCheckpoint()  # bounded (|years| x |bands|); read twice
+    cur = dist.select(
+        F.col("yr").alias("yr"), "band", F.col("ppm").alias("p_cur")
+    )
+    prev = dist.select(
+        (F.col("yr") + 1).alias("yr"), "band", F.col("ppm").alias("p_prev")
+    )
+    bounds = dist.agg(F.min("yr").alias("y0"), F.max("yr").alias("y1"))
+    paired = (
+        cur.join(prev, ["yr", "band"], "full_outer")
+        .select(
+            "yr",
+            "band",
+            F.coalesce("p_cur", F.lit(0)).alias("p_cur"),
+            F.coalesce("p_prev", F.lit(0)).alias("p_prev"),
+        )
+        .join(F.broadcast(bounds))
+        # the prev-side shift manufactures a phantom year max+1 (all
+        # p_cur = 0) — the year bounds cut it and the base year
+        .filter((F.col("yr") > F.col("y0")) & (F.col("yr") <= F.col("y1")))
+    )
+    return paired.groupBy("yr").agg(
+        F.count("*").alias("n_bands"),
+        F.expr("CAST(sum(abs(p_cur - p_prev)) div 2 AS BIGINT)").alias(
+            "tv_ppm"
+        ),
+    )

@@ -3175,3 +3175,102 @@ def s20_ivf_purity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * hits) div total").alias("corpus_purity_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# s21: embedding label-separability audit — the Fisher-style check run
+# before trusting labels (or label-conditioned sampling) in embedding
+# space: per label, the mean squared distance of members to their own
+# label centroid (intra-class scatter) vs the squared distance to the
+# NEAREST other centroid (inter-class margin), and their ratio in
+# milli — ratios near or above 1000 mean the label structure is not
+# recoverable from the embeddings. All on the int64 fixed-point
+# vectors (exact elementwise integer means, exact squared distances —
+# the Lloyd arithmetic reused for ground-truth labels instead of
+# learned cells).
+#
+# Scale: one pass for the per-label sums (posexplode, map-side
+# combined, |labels| x 64 rows), one broadcast of the |labels|-row
+# centroid table back for member distances, K² centroid pairs.
+# --------------------------------------------------------------------------
+def _s21_oracle() -> str:
+    return f"""
+    WITH quant AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(cv ORDER BY pos) AS cvec FROM (
+        SELECT label, pos, CAST(SUM(val) AS BIGINT) // COUNT(*) AS cv FROM (
+          SELECT a.label, t.pos, a.q[t.pos] AS val
+          FROM quant a, range(1, 65) t(pos)
+        ) GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    intra AS (
+      SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM({_QD2_SQL.format(a='v.q', b='c.cvec')}) // COUNT(*)
+                  AS BIGINT) AS mean_intra_d2
+      FROM quant v JOIN cent c USING (label)
+      GROUP BY v.label
+    ),
+    inter AS (
+      SELECT a.label,
+             CAST(MIN({_QD2_SQL.format(a='a.cvec', b='b.cvec')})
+                  AS BIGINT) AS nearest_other_d2
+      FROM cent a JOIN cent b ON a.label <> b.label
+      GROUP BY a.label
+    )
+    SELECT CAST(i.label AS BIGINT) AS label, i.n_vecs, i.mean_intra_d2,
+           x.nearest_other_d2,
+           (1000 * i.mean_intra_d2) // GREATEST(x.nearest_other_d2, 1)
+             AS scatter_margin_milli
+    FROM intra i JOIN inter x USING (label)
+    """
+
+
+@register("s21_label_separability", oracle=_s21_oracle())
+def s21_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "label")
+    quant = _quant_corpus(spark, sf_dir).join(emb, "vec_id")
+    cent = (
+        quant.select("label", F.posexplode("q").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.expr("sum(val) div count(*)").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pm"))
+        .select("label", F.expr("transform(pm, x -> x.cv)").alias("cvec"))
+        # |labels|-row centroid table, read by intra AND inter
+        .localCheckpoint()
+    )
+    intra = (
+        quant.join(F.broadcast(cent), "label")
+        .withColumn("d2", _qd2("q", "cvec"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.expr("CAST(sum(d2) div count(*) AS BIGINT)").alias(
+                "mean_intra_d2"
+            ),
+        )
+    )
+    ca = cent.select(F.col("label").alias("la"), F.col("cvec").alias("va"))
+    cb = cent.select(F.col("label").alias("lb"), F.col("cvec").alias("vb"))
+    inter = (
+        ca.join(F.broadcast(cb), F.col("la") != F.col("lb"))
+        .withColumn("d2", _qd2("va", "vb"))
+        .groupBy("la")
+        .agg(F.min("d2").alias("nearest_other_d2"))
+        .select(F.col("la").alias("label"), "nearest_other_d2")
+    )
+    return intra.join(inter, "label").select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        "mean_intra_d2",
+        "nearest_other_d2",
+        F.expr(
+            "(1000 * mean_intra_d2) div greatest(nearest_other_d2, 1)"
+        ).alias("scatter_margin_milli"),
+    )

@@ -447,6 +447,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "stats", "fences",
         # x13: |types|-row score frame for the predecessor-count rank
         "other",
+        # s21: |labels|-row centroid table (both join sides)
+        "cent", "cb",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
@@ -1526,6 +1528,8 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
         "e33_stickiness_ratio": 8,
+        "s21_label_separability": 5,
+        "q64_yearly_price_drift": 5,
         # 5-point nprobe sweep over checkpointed shared inputs: ~7
         # probe-bounded exchanges per sweep point
         "s19_ivf_probe_recall_curve": 37,
@@ -2603,3 +2607,72 @@ def test_stickiness_consistent_with_rolling_actives(spark, registry):
         assert r.wau == e13[r.day]
         assert 1 <= r.dau <= r.wau
         assert r.stickiness_milli == 1000 * r.dau // r.wau
+
+
+def test_label_separability_replay(spark, registry):
+    """s21: replay centroids and scatter/margin in pure Python from
+    the quantized vectors and compare every column."""
+    queries, _ = registry
+    from seamdb_spark.operators.similarity import QUANT_SCALE, _emb
+    import math
+
+    emb = _emb(spark, SF_SMOKE).select("vec_id", "label", "embedding").collect()
+    by_label = {}
+    for r in emb:
+        q = [math.floor(float(x) * QUANT_SCALE) for x in r.embedding]
+        by_label.setdefault(r.label, []).append(q)
+    def tdiv(a, b):  # SQL div truncates toward zero; Python // floors
+        return a // b if a >= 0 else -((-a) // b)
+
+    cents = {}
+    for lab, vecs in by_label.items():
+        n = len(vecs)
+        cents[lab] = [tdiv(sum(v[i] for v in vecs), n) for i in range(64)]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    rows = {r.label: r for r in queries["s21_label_separability"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_label)
+    for lab, vecs in by_label.items():
+        r = rows[lab]
+        assert r.n_vecs == len(vecs)
+        intra = sum(d2(v, cents[lab]) for v in vecs) // len(vecs)
+        assert r.mean_intra_d2 == intra
+        nearest = min(d2(cents[lab], cents[o]) for o in cents if o != lab)
+        assert r.nearest_other_d2 == nearest
+        assert r.scatter_margin_milli == 1000 * intra // max(nearest, 1)
+
+
+def test_price_drift_replay(spark, registry):
+    """q64: replay the yearly TV distances in pure Python from the raw
+    order totals and compare every cell."""
+    import math
+    from collections import Counter
+
+    queries, _ = registry
+    from seamdb_spark.operators.relational import Q64_BAND, _t
+
+    orders = _t(spark, SF_SMOKE, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    counts = Counter(
+        (r.o_orderdate.year, math.floor(r.o_totalprice / Q64_BAND))
+        for r in orders
+    )
+    years = sorted({y for y, _ in counts})
+    dist = {}
+    for y in years:
+        tot = sum(n for (yy, _), n in counts.items() if yy == y)
+        dist[y] = {
+            b: 1_000_000 * n // tot for (yy, b), n in counts.items() if yy == y
+        }
+    rows = {r.yr: r for r in queries["q64_yearly_price_drift"](spark, SF_SMOKE).collect()}
+    assert sorted(rows) == years[1:]
+    for y in years[1:]:
+        pa, pb = dist[y], dist[y - 1]
+        bands = set(pa) | set(pb)
+        tv = sum(abs(pa.get(b, 0) - pb.get(b, 0)) for b in bands) // 2
+        r = rows[y]
+        assert r.n_bands == len(bands)
+        assert r.tv_ppm == tv
