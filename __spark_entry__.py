@@ -165,13 +165,24 @@ _R4_WINDOW = [
 #     "rowless" is residual #1, "stale regression evidence" #2), so
 #     the 18 r1 re-green slots moved to the round-6 fill tier.
 #
-# ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) any queries
-# registered after _R5_WINDOW froze (locally hash-green at
-# sf0.001/0.01, no driver row yet) plus any whose plan/oracle changes
-# in round 6, then fill to 50 oldest-green-first: the 18 r1 greens
-# with no driver row since round 1 (the q11-q29 block, displaced here
-# in round 5), then the r2 greens in _R2_GREEN order, then
-# _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW.
+# ROUND-6 PROCEDURE: after CORRECTNESS_r05 lands, pin (a) the 21
+# queries registered after _R5_WINDOW froze (all locally hash-green in
+# FULL 233/233 sweeps at sf0.001 AND sf0.01, and hash-green at sf0.1;
+# no driver row yet):
+#   t37_oov_rate_audit, e28_session_concurrency,
+#   s19_ivf_probe_recall_curve, d29_threshold_sensitivity,
+#   g04_component_size_distribution, p07_attrition_funnel,
+#   m20_image_neardup_pairs, e29_conversion_survival,
+#   e31_adjusted_anomalies, t38_kneser_ney_score,
+#   e30_cusum_changepoints, g05_kcore_peel, s20_ivf_purity_audit,
+#   e32_bot_screening, m21_image_flatness, q63_robust_outliers,
+#   x13_decayed_popularity, t39_k_anonymity_audit,
+#   e33_stickiness_ratio, s21_label_separability,
+#   q64_yearly_price_drift
+# plus (b) any whose plan/oracle changes in round 6, then fill to 50
+# oldest-green-first: the 18 r1 greens with no driver row since round
+# 1 (the q11-q29 block, displaced in round 5), then the r2 greens in
+# _R2_GREEN order, then _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW.
 _R5_WINDOW = [
     # (a) rowless after r4 freeze — locally hash-green only
     "d20_cdc_chunk_dedup", "d21_editdist_verified_neardup",
