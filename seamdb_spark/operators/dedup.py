@@ -36,14 +36,31 @@ from .hashing import (
     minhash_value,
     minhash_value_sql,
 )
-from .registry import register
+from .registry import register, register_candidates
 from .rounding import dround
 
 JACCARD_THRESHOLD = 0.3
 BIGRAM_JACCARD_THRESHOLD = 0.4
 SIMHASH_MAX_HAMMING = 2
 SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 8  # 8 × 4-bit nibbles; pigeonhole guarantees recall ≤ 7
+# Exclude-2-of-8 multi-index (the block-permuted-table construction of
+# Manku/Jain/Sarma, WWW 2007): split the 32-bit signature into 8
+# 4-bit chunks; for each of the C(8,2) = 28 chunk PAIRS build one
+# table keyed on the concatenation of the OTHER six chunks (a 24-bit
+# key). Completeness for hamming ≤ r = 2: the ≤ 2 differing bits lie
+# in at most 2 chunks, so the table excluding (a superset pair of)
+# those chunks keys both docs identically. Selectivity: simhash bits
+# of UNRELATED docs agree with per-bit probability q ≈ 0.7 (shared
+# vocabulary biases the majority votes — NOT the 0.5 a uniform-hash
+# model predicts), so a 24-bit key collides with ~q²⁴ and expected
+# enumeration is ~28·q²⁴·N²/2. Measured on the sf0.001 fixture:
+# 1,390 candidate rows (2.8·N) vs 228,314 (456.6·N) for the previous
+# 8×4-bit single-chunk geometry — 164× fewer; the r+1=3 wide-chunk
+# variant measured 7,237 (14.5·N) because 11-bit keys are too narrow
+# against biased bits. tests/test_operators.py's candidate-volume gate
+# pins this (CANDIDATE_STAGES in registry.py).
+_SIMHASH_N_CHUNKS = 8
+_SIMHASH_CHUNK_W = SIMHASH_BITS // _SIMHASH_N_CHUNKS
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,10 +183,12 @@ def _minhash_oracle() -> str:
     """
 
 
+@register_candidates("d02_dedup_minhash_lsh")
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct LSH candidate pairs ``(doc_a, doc_b)``, doc_a < doc_b —
-    the banding pipeline shared by d02 (Jaccard verify) and d21
-    (edit-distance verify)."""
+    the banding pipeline shared by d02 (Jaccard verify), d21
+    (edit-distance verify), d26 (containment verify) and d29 (threshold
+    sweep). One candidate-volume gate entry covers all four."""
     sh = _shingles_df(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     hashed = exploded.select("doc_id", md5_prefix_long(F.col("sh")).alias("h"))
@@ -371,6 +390,10 @@ def d03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_block_pairs(_d03_sigs(spark, sf_dir), "simhash")
+
+
+def _d03_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tok_hash = toks.select("doc_id", md5_prefix_long(F.col("tok")).alias("h"))
@@ -390,44 +413,70 @@ def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         simhash_expr = term if simhash_expr is None else simhash_expr + term
-    sigs = votes.select("doc_id", simhash_expr.alias("simhash"))
-    # Multi-index blocking: explode each signature into 8 nibble chunks;
-    # candidate pairs must share at least one (chunk_id, nibble) —
-    # guaranteed for hamming ≤ 6 by pigeonhole over 8 chunks.
-    chunks = spark.range(SIMHASH_CHUNKS).select(F.col("id").cast("int").alias("c"))
-    keyed = (
-        sigs.crossJoin(F.broadcast(chunks))
-        .select(
-            "doc_id",
-            "simhash",
-            "c",
-            F.expr("(shiftright(simhash, c * 4) & 15)").alias("nib"),
+    return votes.select("doc_id", simhash_expr.alias("simhash"))
+
+
+def _simhash_block_candidates(sigs: DataFrame, col: str) -> DataFrame:
+    """Exclude-2-of-8 multi-index blocking over a 32-bit signature column
+    (see the construction/selectivity note at _SIMHASH_N_CHUNKS).
+
+    Candidate pairs must share at least one exact (table_id, 24-bit
+    key); guaranteed for hamming ≤ 2 (SIMHASH_MAX_HAMMING) because some
+    excluded chunk-pair covers every differing bit.
+    """
+    from itertools import combinations
+
+    w, m = _SIMHASH_CHUNK_W, _SIMHASH_N_CHUNKS
+    table_exprs = []
+    for t, (i, j) in enumerate(combinations(range(m), 2)):
+        kept = [k for k in range(m) if k not in (i, j)]
+        key = " + ".join(
+            f"((shiftright({col}, {k * w}) & {(1 << w) - 1}) * {1 << (p * w)})"
+            for p, k in enumerate(kept)
         )
+        table_exprs.append(
+            F.struct(F.lit(t).alias("c"), F.expr(key).alias("ck"))
+        )
+    keyed = (
+        sigs.select(
+            "doc_id",
+            F.col(col).alias("simhash"),
+            F.explode(F.array(*table_exprs)).alias("k"),
+        )
+        .select("doc_id", "simhash", "k.c", "k.ck")
         # Explicit partition count on the blocking key: the keyed table is
-        # tiny (docs × 8 chunks) so AQE would coalesce the shuffle to ONE
+        # small (docs × 28 tables) so AQE would coalesce the shuffle to ONE
         # partition — and then the self-join's candidate-pair generation
         # (quadratic in bucket size, the real work) runs single-threaded.
-        # An explicit numPartitions survives AQE; 2× speedup at sf0.1.
-        .repartition(64, "c", "nib")
+        # An explicit numPartitions survives AQE.
+        .repartition(64, "c", "ck")
     )
     k1 = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "nib"
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "ck"
     )
     k2 = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "nib"
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "ck"
     )
+    return k1.join(k2, ["c", "ck"]).filter(F.col("doc_a") < F.col("doc_b"))
+
+
+def _simhash_block_pairs(sigs: DataFrame, col: str) -> DataFrame:
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     # Hamming-filter BEFORE the distinct: the filter runs inside the
     # join's codegen stage, so only surviving pairs (a tiny set) are
-    # shuffled for dedup — not every (chunk, nibble) collision.
+    # shuffled for dedup — not every (chunk, key) collision.
     return (
-        k1.join(k2, ["c", "nib"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _simhash_block_candidates(sigs, col)
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+@register_candidates("d03_dedup_simhash")
+def _d03_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_block_candidates(_d03_sigs(spark, sf_dir), "simhash")
 
 
 # --------------------------------------------------------------------------
@@ -2125,8 +2174,7 @@ def _d22_oracle() -> str:
     """
 
 
-@register("d22_cosine_tfidf_neardup", oracle=_d22_oracle())
-def d22_cosine_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _d22_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     terms = (
         docs.filter(F.size(F.split("text", " ")) >= 2)
@@ -2175,20 +2223,28 @@ def d22_cosine_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same blocks: the df/idf tables are derived once instead of
     # 4x per run. On a cluster the same role is played by a writeback
     # table (checkpoint() to object storage; SCALING.md ground rule).
-    weighted = _materialized(spark, sf_dir, "d22_weighted", _build_weighted)
-    norms = weighted.groupBy("doc_id").agg(
-        F.sum(F.col("idf") * F.col("idf")).alias("norm2")
-    )
+    return _materialized(spark, sf_dir, "d22_weighted", _build_weighted)
+
+
+@register_candidates("d22_cosine_tfidf_neardup")
+def _d22_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayardo-style rare-term (df-capped) postings self-join — the
+    candidate pairs the cosine verify then scores."""
+    weighted = _d22_weighted(spark, sf_dir)
     rare = weighted.filter(
         F.col("df") <= F.greatest(F.lit(2), F.expr("n div 50"))
     ).select("doc_id", "th")
     r1 = rare.select(F.col("doc_id").alias("doc_a"), "th")
     r2 = rare.select(F.col("doc_id").alias("doc_b"), "th")
-    cand = (
-        r1.join(r2, "th")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    return r1.join(r2, "th").filter(F.col("doc_a") < F.col("doc_b"))
+
+
+@register("d22_cosine_tfidf_neardup", oracle=_d22_oracle())
+def d22_cosine_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weighted = _d22_weighted(spark, sf_dir)
+    cand = _d22_candidates(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("idf") * F.col("idf")).alias("norm2")
     )
     wa = weighted.select(
         F.col("doc_id").alias("doc_a"), "th", F.col("idf").alias("idf_a")
@@ -2467,8 +2523,7 @@ def _d25_oracle() -> str:
     """
 
 
-@register("d25_paragraph_neardup", oracle=_d25_oracle())
-def d25_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _d25_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
@@ -2481,12 +2536,16 @@ def d25_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece = F.slice(
         F.col("t"), (F.col("chunk_id") * D25_CHUNK + 1).cast("int"), D25_CHUNK
     )
-    chunks = toks.select(
+    return toks.select(
         "doc_id",
         "t",
         "n",
         F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("chunk_id"),
     ).select("doc_id", "chunk_id", "n", piece.alias("ct"))
+
+
+def _d25_chunk_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _d25_chunks(spark, sf_dir)
 
     def _build_chunk_shingles() -> DataFrame:
         # Shingle positions are clamped inside the expression (the
@@ -2508,7 +2567,14 @@ def d25_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    csh = _materialized(spark, sf_dir, "d25_chunk_shingles", _build_chunk_shingles)
+    return _materialized(spark, sf_dir, "d25_chunk_shingles", _build_chunk_shingles)
+
+
+@register_candidates("d25_paragraph_neardup")
+def _d25_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk banding equi-join (d02's kernel over paragraph chunks):
+    candidate (doc, chunk) pairs the Jaccard verify then scores."""
+    csh = _d25_chunk_shingles(spark, sf_dir)
     hashed = csh.select(
         "doc_id", "chunk_id", F.explode("shingles").alias("sh")
     ).select("doc_id", "chunk_id", md5_prefix_long(F.col("sh")).alias("h"))
@@ -2539,20 +2605,23 @@ def d25_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
-    cand = (
-        b1.join(
-            b2,
-            (F.col("b1.band_id") == F.col("b2.band_id"))
-            & (F.col("b1.band_key") == F.col("b2.band_key"))
-            # cross-doc only: paragraph contamination means ANOTHER doc
-            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
-        )
-        .select(
-            F.col("b1.doc_id").alias("da"), F.col("b1.chunk_id").alias("ca"),
-            F.col("b2.doc_id").alias("db"), F.col("b2.chunk_id").alias("cb"),
-        )
-        .distinct()
+    return b1.join(
+        b2,
+        (F.col("b1.band_id") == F.col("b2.band_id"))
+        & (F.col("b1.band_key") == F.col("b2.band_key"))
+        # cross-doc only: paragraph contamination means ANOTHER doc
+        & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+    ).select(
+        F.col("b1.doc_id").alias("da"), F.col("b1.chunk_id").alias("ca"),
+        F.col("b2.doc_id").alias("db"), F.col("b2.chunk_id").alias("cb"),
     )
+
+
+@register("d25_paragraph_neardup", oracle=_d25_oracle())
+def d25_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _d25_chunks(spark, sf_dir)
+    csh = _d25_chunk_shingles(spark, sf_dir)
+    cand = _d25_candidates(spark, sf_dir).distinct()
     a = csh.select(
         F.col("doc_id").alias("da"), F.col("chunk_id").alias("ca"),
         F.col("shingles").alias("sh_a"),
@@ -2846,6 +2915,17 @@ def _d27_oracle() -> str:
 
 @register("d27_weighted_simhash", oracle=_d27_oracle())
 def d27_weighted_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same 3-wide-chunk multi-index as d03 (blocking is output-invariant;
+    # only the candidate-enumeration volume changes).
+    return _simhash_block_pairs(_d27_sigs(spark, sf_dir), "simhash")
+
+
+@register_candidates("d27_weighted_simhash")
+def _d27_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_block_candidates(_d27_sigs(spark, sf_dir), "simhash")
+
+
+def _d27_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     th = toks.select("doc_id", md5_prefix_long(F.col("tok")).alias("h"))
@@ -2871,32 +2951,7 @@ def d27_weighted_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         simhash_expr = term if simhash_expr is None else simhash_expr + term
-    sigs = votes.select("doc_id", simhash_expr.alias("simhash"))
-    chunks = spark.range(SIMHASH_CHUNKS).select(F.col("id").cast("int").alias("c"))
-    keyed = (
-        sigs.crossJoin(F.broadcast(chunks))
-        .select(
-            "doc_id", "simhash", "c",
-            F.expr("(shiftright(simhash, c * 4) & 15)").alias("nib"),
-        )
-        # Same AQE-coalesce guard as d03's blocking self-join.
-        .repartition(64, "c", "nib")
-    )
-    k1 = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "nib"
-    )
-    k2 = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "nib"
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        k1.join(k2, ["c", "nib"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
-        .distinct()
-    )
+    return votes.select("doc_id", simhash_expr.alias("simhash"))
 
 
 # --------------------------------------------------------------------------

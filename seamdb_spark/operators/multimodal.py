@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .registry import register
+from .registry import register, register_candidates
 
 DECODE_SCHEMA = "doc_id long, n_bytes long, checksum string, content_type string"
 FEATURE_SCHEMA = (
@@ -1249,14 +1249,14 @@ _AHASH_GRID = 4
 _AHASH_SCHEMA = "doc_id long, width long, height long, ahash long"
 
 
-def ahash_bmp(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, 16-bit average-hash) of a 24-bit BMP payload —
+def ahash_bmp(payload: bytes, grid: int = _AHASH_GRID) -> tuple[int, int, int]:
+    """(width, height, grid²-bit average-hash) of a 24-bit BMP payload —
     the generic pixel kernel (ahash_rgb, defined with m16) over the
     real BMP parse; gray = (c0+c1+c2)//3 is channel-order-agnostic, so
     BGR pixel order hashes identically to RGB."""
     info = decode_bmp(payload)
     w, h = info["width"], info["height"]
-    return w, h, ahash_rgb(w, h, bmp_pixels(payload))
+    return w, h, ahash_rgb(w, h, bmp_pixels(payload), grid)
 
 
 def _m09_oracle() -> str:
@@ -1941,28 +1941,31 @@ _M16_SCHEMA = "doc_id long, ahash long, jpeg_stable boolean"
 M16_HAMMING_BOUND = 1
 
 
-def ahash_rgb(width: int, height: int, rgb: bytes) -> int:
-    """16-bit average-hash of raw interleaved 3-byte pixels (the m09
+def ahash_rgb(width: int, height: int, rgb: bytes, grid: int = _AHASH_GRID) -> int:
+    """grid²-bit average-hash of raw interleaved 3-byte pixels (the m09
     kernel generalized off BMP payloads; gray = (c0+c1+c2)//3 is
-    channel-order-agnostic, so BGR and RGB inputs hash identically)."""
+    channel-order-agnostic, so BGR and RGB inputs hash identically).
+    grid=4 (default) → 16 bits; grid=8 (m20) → 64 bits, wrapped to
+    SIGNED int64 so the value round-trips through a Spark long column
+    (bit 63 set ⇒ negative, matching the oracle's HUGEINT→BIGINT cast)."""
     grays = [
         (rgb[3 * p] + rgb[3 * p + 1] + rgb[3 * p + 2]) // 3
         for p in range(width * height)
     ]
-    cell_sum = [[0] * _AHASH_GRID for _ in range(_AHASH_GRID)]
-    cell_cnt = [[0] * _AHASH_GRID for _ in range(_AHASH_GRID)]
+    cell_sum = [[0] * grid for _ in range(grid)]
+    cell_cnt = [[0] * grid for _ in range(grid)]
     for p, g in enumerate(grays):
         x, y = p % width, p // width
-        ci, cj = x * _AHASH_GRID // width, y * _AHASH_GRID // height
+        ci, cj = x * grid // width, y * grid // height
         cell_sum[cj][ci] += g
         cell_cnt[cj][ci] += 1
     total, npix = sum(grays), width * height
     out = 0
-    for cj in range(_AHASH_GRID):
-        for ci in range(_AHASH_GRID):
+    for cj in range(grid):
+        for ci in range(grid):
             if cell_sum[cj][ci] * npix >= total * cell_cnt[cj][ci]:
-                out |= 1 << (_AHASH_GRID * cj + ci)
-    return out
+                out |= 1 << (grid * cj + ci)
+    return out - (1 << 64) if out >= (1 << 63) else out
 
 
 @register(
@@ -2310,27 +2313,34 @@ def m19_clipping_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # m20: image near-dup pairs — perceptual dedup over REAL BMP decode,
-# closing the dedup x multimodal composition: m09's 16-bit average
-# hash, candidate generation by 4-nibble multi-index blocking (the d03
-# machinery applied to image hashes), Hamming verify <= M20_MAX_HAMMING.
-# Pigeonhole soundness: 4 nibble chunks and <= 3 differing bits leave
-# at least one chunk untouched, so blocking is COMPLETE for the
-# threshold of 2 — no candidate is missed. m16 established single-image
-# hash stability under re-encoding; this emits the cross-image pairs a
-# curation run actually deletes.
+# closing the dedup x multimodal composition: m09's 64-bit average
+# hash, candidate generation by wide-chunk multi-index blocking (the
+# d03 machinery applied to image hashes), Hamming verify
+# <= M20_MAX_HAMMING. Pigeonhole soundness: exactly r+1 = 3 chunks for
+# hamming <= r = 2 — the 2 differing bits touch at most 2 chunks, so
+# candidates always share >= 1 exact chunk; blocking is COMPLETE.
+# Chunk widths 22/21/21 cover the FULL 64-bit aHash, so a RANDOM pair
+# shares a given chunk with p <= 2^-21 — expected candidate
+# enumeration ~3·2^-21·N²/2, vs the previous 4×4-bit-nibble geometry
+# (only 16 of 64 bits, share probability 1-(15/16)^4 ≈ 23%) whose
+# enumeration was Θ(N²) with a large constant. m16 established
+# single-image hash stability under re-encoding; this emits the
+# cross-image pairs a curation run actually deletes.
 #
 # Oracle: m09's analytic hash replay (digest-cycle grayscale, exact
 # integer threshold), then an all-pairs bit_count filter — the oracle
 # may brute-force (d03 precedent: completeness proven by pigeonhole +
 # the blocking replayed engine-side).
 #
-# Scale: decode + hash is row-local; blocking explodes 4 rows per
-# image and equi-joins on (chunk, nibble) — candidates only, never
-# all-pairs; the 16-bit key space caps any bucket's size at the
-# corpus's true duplicate density.
+# Scale: decode + hash is row-local; blocking explodes 3 rows per
+# image and equi-joins on (chunk, key) — candidates only, never
+# all-pairs; near-identical images collide only within true duplicate
+# clusters. A hot identical-chunk bucket (skew) would fall back to the
+# permuted-table construction of Manku/Jain/Sarma (WWW 2007).
 # --------------------------------------------------------------------------
 M20_MAX_HAMMING = 2
-_M20_CHUNKS = 4
+_M20_GRID = 8  # 8×8 cells → 64-bit hash (m09's 4×4/16-bit is too coarse to block on)
+_M20_CHUNK_BOUNDS = [(0, 22), (22, 21), (43, 21)]  # (start_bit, width) over 64 bits
 
 
 def _m20_oracle() -> str:
@@ -2350,19 +2360,28 @@ def _m20_oracle() -> str:
     ),
     cells AS (
       SELECT doc_id, w, h,
-             (x * {_AHASH_GRID}) // w AS ci, (y * {_AHASH_GRID}) // h AS cj,
+             (x * {_M20_GRID}) // w AS ci, (y * {_M20_GRID}) // h AS cj,
              SUM(gray) AS cell_sum, COUNT(*) AS cell_cnt
       FROM g GROUP BY doc_id, w, h, ci, cj
     ),
     tot AS (SELECT doc_id, SUM(gray) AS total_sum, COUNT(*) AS npix
             FROM g GROUP BY doc_id),
-    hashes AS (
+    hsum AS (
+      -- HUGEINT accumulation: bit 63 would overflow a BIGINT shift in
+      -- DuckDB; the signed-wrap cast below reproduces Spark's long.
       SELECT c.doc_id,
              SUM(CASE WHEN c.cell_sum * t.npix >= t.total_sum * c.cell_cnt
-                      THEN (CAST(1 AS BIGINT) << (({_AHASH_GRID}) * c.cj + c.ci))
-                      ELSE 0 END) AS ahash
+                      THEN (CAST(1 AS HUGEINT) << (({_M20_GRID}) * c.cj + c.ci))
+                      ELSE 0 END) AS uh
       FROM cells c JOIN tot t USING (doc_id)
       GROUP BY c.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(CASE WHEN uh >= 9223372036854775808
+                       THEN uh - 18446744073709551616 ELSE uh END
+                  AS BIGINT) AS ahash
+      FROM hsum
     )
     SELECT h1.doc_id AS doc_a, h2.doc_id AS doc_b,
            CAST(bit_count(xor(h1.ahash, h2.ahash)) AS BIGINT) AS hamming
@@ -2371,8 +2390,7 @@ def _m20_oracle() -> str:
     """
 
 
-@register("m20_image_neardup_pairs", oracle=_m20_oracle())
-def m20_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _m20_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2382,39 +2400,58 @@ def m20_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 digest = hashlib.md5(text.encode("utf-8")).digest()
                 w, h = 8 + digest[1] % 8, 8 + digest[2] % 8
                 pixels = bytes(digest[i % 16] for i in range(w * h * 3))
-                _, _, ah = ahash_bmp(build_bmp(w, h, pixels))  # real parse
+                # real parse; 8×8 grid → 64-bit signed hash
+                _, _, ah = ahash_bmp(build_bmp(w, h, pixels), _M20_GRID)
                 out["doc_id"].append(doc_id)
                 out["ahash"].append(ah)
             yield pd.DataFrame(out)
 
-    hashes = docs.mapInPandas(
+    return docs.mapInPandas(
         hash_images, schema="doc_id long, ahash long"
     ).localCheckpoint()  # decode once; blocking + verify read it twice
-    # 4-nibble multi-index blocking (d03 shape): candidates share at
-    # least one (chunk, nibble); repartition so AQE cannot collapse the
-    # small bucket join to one thread.
+
+
+def _m20_block_candidates(hashes: DataFrame) -> DataFrame:
+    # 3-wide-chunk multi-index blocking (d03 shape): candidates share at
+    # least one exact (chunk, key); masking after the arithmetic shift
+    # keeps only the chunk's own bits, so a sign-extending shiftright on
+    # a bit-63-set aHash is still exact. Repartition so AQE cannot
+    # collapse the small bucket join to one thread.
     chunks_exprs = [
         F.struct(
             F.lit(c).alias("chunk"),
-            F.expr(f"(ahash >> {4 * c}) & 15").alias("nib"),
+            F.expr(f"shiftright(ahash, {start}) & {(1 << width) - 1}").alias("ck"),
         )
-        for c in range(_M20_CHUNKS)
+        for c, (start, width) in enumerate(_M20_CHUNK_BOUNDS)
     ]
-    keys = hashes.select(
-        "doc_id", "ahash", F.explode(F.array(*chunks_exprs)).alias("k")
-    ).select("doc_id", "ahash", "k.chunk", "k.nib")
+    keys = (
+        hashes.select(
+            "doc_id", "ahash", F.explode(F.array(*chunks_exprs)).alias("k")
+        )
+        .select("doc_id", "ahash", "k.chunk", "k.ck")
+        .repartition(64, "chunk", "ck")
+    )
     k1 = keys.select(
         F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ah_a"),
-        "chunk", "nib",
+        "chunk", "ck",
     )
     k2 = keys.select(
         F.col("doc_id").alias("doc_b"), F.col("ahash").alias("ah_b"),
-        "chunk", "nib",
+        "chunk", "ck",
     )
+    return k1.join(k2, ["chunk", "ck"]).filter(F.col("doc_a") < F.col("doc_b"))
+
+
+@register_candidates("m20_image_neardup_pairs")
+def _m20_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _m20_block_candidates(_m20_hashes(spark, sf_dir))
+
+
+@register("m20_image_neardup_pairs", oracle=_m20_oracle())
+def m20_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b")))
     return (
-        k1.join(k2, ["chunk", "nib"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _m20_block_candidates(_m20_hashes(spark, sf_dir))
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= M20_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")

@@ -17,6 +17,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+# Candidate-stage builders for blocking operators: each returns the
+# DataFrame of candidate pairs ENUMERATED by the blocking join, BEFORE
+# the verify filter. The candidate-volume gate in tests counts these
+# rows on the smoke fixture and pins a k·N budget — the Exchange-count
+# gate cannot see an enumeration blow-up (a quadratic candidate set
+# hides inside one codegen join stage); this registry makes it visible.
+CANDIDATE_STAGES: dict[str, QueryFn] = {}
+
+
+def register_candidates(name: str) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in CANDIDATE_STAGES:
+            raise ValueError(f"duplicate candidate stage: {name}")
+        CANDIDATE_STAGES[name] = fn
+        return fn
+
+    return deco
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:

@@ -1458,6 +1458,49 @@ def test_temperature_sampling_flattens_mixture(spark, registry):
             assert r.boost_milli <= 1000
 
 
+def test_candidate_volume_regression_gate(spark, registry):
+    """Enumeration-volume gate: for each blocking operator, count the
+    candidate pairs its blocking join ENUMERATES (before the verify
+    filter) on the smoke fixture and pin a k·N budget. This is the half
+    of the 100×-scale discipline the Exchange-count gate cannot see: a
+    quadratic candidate set hides inside ONE codegen join stage, so the
+    plan shape looks identical while the work is Θ(N²). Each budget's k
+    documents the operator's N-scaling argument — if candidates grow
+    like k·N, doubling the corpus doubles the work; if an edit makes
+    them grow like N², the count blows through the budget at fixture
+    scale already (the old 8×4-bit nibble simhash blocking enumerated
+    456·N here — 164× today's geometry — and would have failed this
+    gate instantly). Budgets are ~2× the measured sf0.001 counts:
+      d02  35 rows (0.07N): 16-band minhash banding, near-unique keys
+      d03  1390 rows (2.8N): exclude-2-of-8 tables, 24-bit keys vs
+           q≈0.7-biased bits (see _SIMHASH_N_CHUNKS note)
+      d22  18 rows (0.04N): df-capped rare-term postings
+      d25  257 rows (0.51N): d02's banding over paragraph chunks
+      d27  1700 rows (3.4N): d03's geometry over idf-weighted simhash
+      m20  18 rows (0.04N): 3×~21-bit chunks over the 64-bit aHash
+    d21/d26/d29 share d02's candidate stage, so one entry covers them."""
+    from seamdb_spark.operators.registry import CANDIDATE_STAGES
+
+    budgets_k = {
+        "d02_dedup_minhash_lsh": 0.2,
+        "d03_dedup_simhash": 6.0,
+        "d22_cosine_tfidf_neardup": 0.2,
+        "d25_paragraph_neardup": 1.2,
+        "d27_weighted_simhash": 7.0,
+        "m20_image_neardup_pairs": 0.2,
+    }
+    assert set(budgets_k) == set(CANDIDATE_STAGES), (
+        "every registered candidate stage needs a budget (and vice versa)"
+    )
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    over = []
+    for name, k in budgets_k.items():
+        c = CANDIDATE_STAGES[name](spark, SF_SMOKE).count()
+        if c > k * n_docs:
+            over.append(f"{name}: {c} candidates > {k}·N = {k * n_docs:.0f}")
+    assert not over, "; ".join(over)
+
+
 def test_shuffle_budget_regression_gate(spark, registry):
     """Plan-shape regression gate: each listed query's physical plan
     must not plan MORE Exchange (shuffle) nodes than its recorded
@@ -1512,7 +1555,10 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "t37_oov_rate_audit": 4,
         "e28_session_concurrency": 5,
         "p07_attrition_funnel": 11,
-        "m20_image_neardup_pairs": 2,
+        # round 6: +2 — the wide-chunk blocking now repartitions on
+        # (chunk, key) like d03, the AQE-coalesce guard that keeps the
+        # bucket self-join parallel (both join sides read the exchange)
+        "m20_image_neardup_pairs": 4,
         "e29_conversion_survival": 4,
         # e31 recomputes the bounded (type,hod)/(type) aggregates per
         # consumer — all type-vocabulary-sized stages
@@ -2205,23 +2251,23 @@ def test_attrition_funnel_telescopes_and_matches_p06(spark, registry):
 
 
 def test_image_neardup_blocking_is_complete(spark, registry):
-    """m20: the nibble-blocked pairs must equal a brute-force Hamming
-    scan over m09's hashes (pigeonhole completeness for threshold 2),
-    and every pair with equal hashes must belong to the same m09
-    group."""
+    """m20: the wide-chunk-blocked pairs must equal a brute-force
+    Hamming scan over m20's own 64-bit hashes (pigeonhole completeness
+    for threshold 2: the ≤ 2 differing bits touch at most 2 of the 3
+    chunks, so ≥ 1 chunk matches exactly)."""
     queries, _ = registry
-    from seamdb_spark.operators.multimodal import M20_MAX_HAMMING
+    from seamdb_spark.operators.multimodal import M20_MAX_HAMMING, _m20_hashes
 
     hashes = {
-        r.doc_id: r.ahash
-        for r in queries["m09_image_ahash"](spark, SF_SMOKE).collect()
+        r.doc_id: r.ahash for r in _m20_hashes(spark, SF_SMOKE).collect()
     }
     ids = sorted(hashes)
     brute = {
-        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        (a, b): bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
         for i, a in enumerate(ids)
         for b in ids[i + 1:]
-        if bin(hashes[a] ^ hashes[b]).count("1") <= M20_MAX_HAMMING
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        <= M20_MAX_HAMMING
     }
     got = {
         (r.doc_a, r.doc_b): r.hamming
