@@ -215,9 +215,58 @@ _R5_WINDOW = [
 ]
 
 
+# Round-6 window, built per the ROUND-6 PROCEDURE above:
+# (a) slots 1-21: the 21 queries registered after _R5_WINDOW froze
+#     (all locally hash-green at sf0.001/sf0.01; no driver row yet);
+# (b) slots 22-25: plan changed in round 6 — the Hamming-blocking
+#     rework (d03/d27 moved to exclude-2-of-8 block-permuted tables;
+#     m20, already in (a), moved to a 64-bit hash with wide chunks)
+#     plus d22/d25 whose candidate stages were factored out for the
+#     new candidate-volume gate (outputs unchanged, re-verify anyway);
+# (c) slots 26-43: the 18 r1 greens with no driver row since round 1
+#     (the q11-q29 block displaced in rounds 4-5) — clears the entire
+#     r1-stale backlog;
+# (d) slots 44-50: the head of _R2_GREEN (oldest r2 regression cover).
+#
+# ROUND-7 PROCEDURE: after CORRECTNESS_r06 lands, pin (a) any queries
+# registered after _R6_WINDOW froze and (b) any whose plan/oracle
+# changes in round 7, then fill to 50 oldest-green-first: the
+# remaining _R2_GREEN entries from d10_decontaminate onward (43 not
+# yet re-checked since round 2), then _R3_WINDOW, then _R4_WINDOW,
+# then _R5_WINDOW, then _R6_WINDOW.
+_R6_WINDOW = [
+    # (a) rowless after r5 freeze — locally hash-green only
+    "t37_oov_rate_audit", "e28_session_concurrency",
+    "s19_ivf_probe_recall_curve", "d29_threshold_sensitivity",
+    "g04_component_size_distribution", "p07_attrition_funnel",
+    "m20_image_neardup_pairs", "e29_conversion_survival",
+    "e31_adjusted_anomalies", "t38_kneser_ney_score",
+    "e30_cusum_changepoints", "g05_kcore_peel", "s20_ivf_purity_audit",
+    "e32_bot_screening", "m21_image_flatness", "q63_robust_outliers",
+    "x13_decayed_popularity", "t39_k_anonymity_audit",
+    "e33_stickiness_ratio", "s21_label_separability",
+    "q64_yearly_price_drift",
+    # (b) plan changed in round 6 (blocking rework / candidate-stage
+    # factoring; m20 is already pinned in (a))
+    "d03_dedup_simhash", "d27_weighted_simhash",
+    "d22_cosine_tfidf_neardup", "d25_paragraph_neardup",
+    # (c) r1 greens with no driver row since round 1
+    "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
+    "q14_rollup", "q15_cube", "q16_grouping_sets", "q17_window_rank",
+    "q18_window_running", "q19_window_range_frame", "q20_set_operations",
+    "q21_scalar_subquery", "q22_correlated_subquery", "q23_cte_max_revenue",
+    "q24_string_functions", "q26_datetime_functions",
+    "q27_date_diff_interval", "q28_case_cast", "q29_distinct",
+    # (d) oldest r2 greens, _R2_GREEN order
+    "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
+    "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
+    "e09_conversion_lag",
+]
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R5_WINDOW if n in names]
+    window = [n for n in _R6_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 
