@@ -222,7 +222,9 @@ _R5_WINDOW = [
 #     rework (d03/d27 moved to exclude-2-of-8 block-permuted tables;
 #     m20, already in (a), moved to a 64-bit hash with wide chunks)
 #     plus d22/d25 whose candidate stages were factored out for the
-#     new candidate-volume gate (outputs unchanged, re-verify anyway);
+#     new candidate-volume gate (outputs unchanged, re-verify anyway)
+#     and s16, whose linear n/16 entry scan became a fixed 64-node
+#     hash sample + walk-restricted layer 2 (output changed);
 # (c) slots 26-43: the 18 r1 greens with no driver row since round 1
 #     (the q11-q29 block displaced in rounds 4-5) — clears the entire
 #     r1-stale backlog;
@@ -250,6 +252,7 @@ _R6_WINDOW = [
     # factoring; m20 is already pinned in (a))
     "d03_dedup_simhash", "d27_weighted_simhash",
     "d22_cosine_tfidf_neardup", "d25_paragraph_neardup",
+    "s16_hnsw_layered_search",
     # (c) r1 greens with no driver row since round 1
     "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
     "q14_rollup", "q15_cube", "q16_grouping_sets", "q17_window_rank",
@@ -260,7 +263,6 @@ _R6_WINDOW = [
     # (d) oldest r2 greens, _R2_GREEN order
     "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
     "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
-    "e09_conversion_lag",
 ]
 
 

@@ -2452,30 +2452,42 @@ def s15_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus — node v is on layer 1 iff md5(v) % 4 == 0 and on layer 2 iff
 # md5(v) % 16 == 0 (so L2 ⊂ L1 ⊂ L0 by construction, the geometric
 # level assignment of the paper made deterministic/replayable):
-#   layer 2 (~n/16): scored exhaustively per probe — the coarse-entry
-#     role the top layer plays in HNSW (and the coarse quantizer plays
-#     in IVF); top S16_ENTRIES seed the next layer;
-#   layer 1 (~n/4): greedy beam walk over the s09 graph RESTRICTED to
-#     layer-1 members (both endpoints), S16_L1_HOPS hops, beam
-#     S16_L1_BEAM; top S16_ENTRIES seed layer 0;
+#   entry sample (FIXED size S16_L2_SAMPLE, n-decoupled): the
+#     S16_L2_SAMPLE nodes smallest by (md5, id) order — scored
+#     exhaustively per probe. Real HNSW's top layer holds O(1) nodes
+#     regardless of corpus size; a %-based top layer would instead
+#     grow linearly with n and degenerate into a cheaper brute force
+#     (the round-5 finding this replaces), so the entry set is a
+#     fixed-cardinality hash sample: top-k by hash is one map-side
+#     scan + a k-row reduce, and the per-probe scoring work is
+#     probes × S16_L2_SAMPLE — constant in n;
+#   layer 2 (~n/16): greedy beam walk RESTRICTED to layer-2 members
+#     (md5(v) % 16 == 0, both endpoints, 2-hop closure edges),
+#     S16_L2_HOPS hops, beam S16_L2_BEAM; top S16_ENTRIES seed L1;
+#   layer 1 (~n/4): same walk over layer-1 members (md5(v) % 4 == 0),
+#     S16_L1_HOPS hops, beam S16_L1_BEAM; top S16_ENTRIES seed L0;
 #   layer 0: the s13 walk (S13_HOPS hops, beam S13_BEAM) over the full
 #     symmetrized s09 graph, from DESCENT-FOUND entries.
 # Reuses the memoized s09 graph and quantized corpus; determinism as
 # s13 (int64-quantized cosines, id tie-breaks, fixed hop counts), so
 # the oracle unrolls the whole descent as CTE stages.
 #
-# Scale: the layer-2 exhaustive stage is probes x n/16 — the modulus
-# is the knob that grows with the corpus (like IVF centroid count) to
-# keep the coarse layer bounded; everything below is O(probes x beam x
-# degree) per hop, never corpus-quadratic. Entry-point sensitivity is
-# gone: a probe far from every fixed S13 entry still descends into its
-# own neighborhood.
+# Scale: every per-probe stage is bounded independently of n — entry
+# scoring is probes × S16_L2_SAMPLE, each walk is O(probes × beam ×
+# degree) per hop, never corpus-linear. The corpus-linear costs that
+# remain (hash-sampling the entry set, building the closure edge
+# tables) are one-time index-build passes, not per-query work.
+# Entry-point sensitivity is gone: a probe far from every fixed S13
+# entry still descends into its own neighborhood.
 # --------------------------------------------------------------------------
 S16_L1_MOD = 4
 S16_L2_MOD = 16
+S16_L2_SAMPLE = 64  # fixed top-entry set size — does NOT grow with n
 S16_ENTRIES = 4
 S16_L1_HOPS = 2
 S16_L1_BEAM = 8
+S16_L2_HOPS = 2
+S16_L2_BEAM = 8
 # Layer-0 ef: wider than s13's fixed-entry beam (24) — descent enters
 # exactly one coarse neighborhood, so the layer-0 walk needs more
 # in-flight candidates to match 4 spread entries' coverage; 32
@@ -2524,6 +2536,7 @@ def _s16_oracle() -> str:
         return stages, prev
 
     lh = lambda e: md5_prefix_long_sql(f"CAST({e} AS VARCHAR)")  # noqa: E731
+    s2, _ = walk_stages(2, S16_L2_HOPS, S16_L2_BEAM, "l2edges", "entry2")
     s1, last1 = walk_stages(1, S16_L1_HOPS, S16_L1_BEAM, "l1edges", "entry1")
     s0, _ = walk_stages(0, S13_HOPS, S16_L0_BEAM, "sknn", "entry0")
     return f"""
@@ -2550,18 +2563,32 @@ def _s16_oracle() -> str:
       WHERE a.src <> b.dst
         AND {lh('a.src')} % {S16_L1_MOD} = 0 AND {lh('b.dst')} % {S16_L1_MOD} = 0
     ),
+    l2edges AS MATERIALIZED (
+      SELECT DISTINCT a.src, b.dst
+      FROM sknn a JOIN sknn b ON a.dst = b.src
+      WHERE a.src <> b.dst
+        AND {lh('a.src')} % {S16_L2_MOD} = 0 AND {lh('b.dst')} % {S16_L2_MOD} = 0
+    ),
+    l2sample AS MATERIALIZED (
+      -- fixed-size entry set: top S16_L2_SAMPLE nodes by (md5, id)
+      SELECT vec_id FROM mquant
+      ORDER BY {lh('vec_id')}, vec_id LIMIT {S16_L2_SAMPLE}
+    ),
     scoredl2 AS (
       SELECT probe_id, node, qcos,
              ROW_NUMBER() OVER (PARTITION BY probe_id
                                 ORDER BY qcos DESC, node) AS rk
       FROM (
         SELECT p.probe_id, nq.vec_id AS node, {probe_cos} AS qcos
-        FROM probes p, mquant nq
-        WHERE {lh('nq.vec_id')} % {S16_L2_MOD} = 0
-          AND nq.vec_id <> p.probe_id
+        FROM probes p, mquant nq JOIN l2sample ls ON ls.vec_id = nq.vec_id
+        WHERE nq.vec_id <> p.probe_id
       )
     ),
-    entry1 AS (SELECT probe_id, node FROM scoredl2 WHERE rk <= {S16_ENTRIES}),
+    entry2 AS (SELECT probe_id, node FROM scoredl2 WHERE rk <= {S16_ENTRIES}),
+    {", ".join(s2)},
+    entry1 AS (
+      SELECT probe_id, node FROM scoredw2_{S16_L2_HOPS} WHERE rk <= {S16_ENTRIES}
+    ),
     {", ".join(s1)},
     entry0 AS (
       SELECT probe_id, node FROM scoredw1_{S16_L1_HOPS} WHERE rk <= {S16_ENTRIES}
@@ -2616,37 +2643,62 @@ def s16_hnsw_layered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         return scored
 
-    # Layer 2: exhaustive coarse entry (probes x n/16, broadcast probes)
-    l2 = nodes.filter(layer_hash % S16_L2_MOD == 0)
-    scored2 = (
-        l2.crossJoin(F.broadcast(probes))
+    # Fixed-size coarse entry: the S16_L2_SAMPLE nodes smallest by
+    # (md5, id). orderBy().limit() plans as TakeOrderedAndProject — a
+    # distributed map-side top-k + k-row reduce, never a global sort —
+    # so the entry stage's per-probe cost is constant in n (the
+    # round-5 n/16 exhaustive scan grew linearly with the corpus).
+    l2sample = (
+        quant.select(
+            F.col("vec_id").alias("node"),
+            md5_prefix_long(F.col("vec_id").cast("string")).alias("lh"),
+        )
+        .orderBy("lh", "node")
+        .limit(S16_L2_SAMPLE)
+        .select("node")
+    )
+    scored_entry = (
+        nodes.join(l2sample, "node")
+        .crossJoin(F.broadcast(probes))
         .filter(F.col("node") != F.col("probe_id"))
         .withColumn("qcos", qcos)
         .withColumn("rk", F.row_number().over(w_probe))
     )
-    entry1 = scored2.filter(F.col("rk") <= S16_ENTRIES).select(
+    entry2 = scored_entry.filter(F.col("rk") <= S16_ENTRIES).select(
         "probe_id", "node"
     ).localCheckpoint()
-    # Layer 1: walk the member-restricted subgraph
+    # Member sets for the restricted layer walks
     l1_members = nodes.filter(layer_hash % S16_L1_MOD == 0).select("node")
+    l2_members = nodes.filter(layer_hash % S16_L2_MOD == 0).select("node")
 
     # 2-hop closure through any layer-0 node (see oracle note): the
     # member-restricted 1-hop subgraph is near-empty at K=3.
     # Materialized: the walk re-reads it every hop.
-    def _build_l1_edges() -> DataFrame:
+    def _closure_edges(members: DataFrame) -> DataFrame:
         mid = edges.select(F.col("src").alias("mid"), F.col("dst"))
         return (
             edges.select("src", F.col("dst").alias("mid"))
             .join(mid, "mid")
             .filter(F.col("src") != F.col("dst"))
             .select("src", "dst")
-            .join(l1_members.withColumnRenamed("node", "src"), "src")
-            .join(l1_members.withColumnRenamed("node", "dst"), "dst")
+            .join(members.withColumnRenamed("node", "src"), "src")
+            .join(members.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
             .distinct()
         )
 
-    edges1 = materialized_df(spark, sf_dir, "s16_l1_edges", _build_l1_edges)
+    edges1 = materialized_df(
+        spark, sf_dir, "s16_l1_edges", lambda: _closure_edges(l1_members)
+    )
+    edges2 = materialized_df(
+        spark, sf_dir, "s16_l2_edges", lambda: _closure_edges(l2_members)
+    )
+    # Layer 2: walk the sparsest member subgraph from the fixed sample
+    scored2 = walk(entry2, edges2, S16_L2_HOPS, S16_L2_BEAM)
+    entry1 = scored2.filter(F.col("rk") <= S16_ENTRIES).select(
+        "probe_id", "node"
+    ).localCheckpoint()
+    # Layer 1: walk the member-restricted subgraph
     scored1 = walk(entry1, edges1, S16_L1_HOPS, S16_L1_BEAM)
     entry0 = scored1.filter(F.col("rk") <= S16_ENTRIES).select(
         "probe_id", "node"
