@@ -2694,7 +2694,15 @@ def e27_type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Hours with no session boundary carry no row (concurrency there is
 # flat and equals the previous hour's closing value) — documented
-# contract, keeps the output endpoint-driven.
+# contract, keeps the output endpoint-driven. Same contract nuance for
+# max_concurrent: it is the max of the curve AT ENDPOINT INSTANTS
+# inside the hour, not the hour-open carried-in level — an hour entered
+# at high concurrency whose only endpoints are session ends reports the
+# level after its first end (entering − 1), not the opening value. Both
+# engines, the replay test, and any consumer share this endpoint-driven
+# definition; seeding each hour with its opening level would be the
+# alternative contract (one extra row per hour on the ladder join), not
+# a bug fix.
 # --------------------------------------------------------------------------
 from .registry import ORACLE_SQL as _ORACLE_SQL_REG  # noqa: E402
 
@@ -3247,9 +3255,14 @@ def e32_bot_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
 # importance every week closer to now.
 #
 # Scale: one (type, week) rollup off the scan (calendar-bounded), then
-# a |types| x |weeks| weighted sum. Week span is bounded by retention,
-# so the 2^k weights stay far below int64 (guarded by the oracle's own
-# arithmetic: spans > 60 weeks would need the windowed variant).
+# a |types| x |weeks| weighted sum. The shift is CLAMPED identically in
+# both engines: weight = 2^max(w - max(w0, w1-60), 0), so weeks more
+# than 60 before the latest collapse to weight 1 instead of overflowing
+# int64 (Spark shifts mod 64 silently, DuckDB raises — without the
+# clamp a >62-week corpus would diverge or wrap negative). At a 2^-60
+# relative weight those weeks are numerically irrelevant anyway, so the
+# clamp changes nothing observable for any span ≤ 60 (the fixture) and
+# degrades gracefully beyond.
 # --------------------------------------------------------------------------
 @register(
     "x13_decayed_popularity",
@@ -3266,7 +3279,8 @@ def e32_bot_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT k.event_type,
-             CAST(SUM(k.n * (CAST(1 AS BIGINT) << (k.w - b.w0)))
+             CAST(SUM(k.n * (CAST(1 AS BIGINT)
+                  << GREATEST(k.w - GREATEST(b.w0, b.w1 - 60), 0)))
                   AS BIGINT) AS decayed_score,
              CAST(SUM(k.n) AS BIGINT) AS n_events,
              CAST(SUM(CASE WHEN k.w = b.w1 THEN k.n ELSE 0 END)
@@ -3296,7 +3310,8 @@ def x13_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.expr(
-                "CAST(sum(n * (CAST(1 AS BIGINT) << CAST(w - w0 AS INT)))"
+                "CAST(sum(n * (CAST(1 AS BIGINT) << CAST("
+                "greatest(w - greatest(w0, w1 - 60), 0) AS INT)))"
                 " AS BIGINT)"
             ).alias("decayed_score"),
             F.sum("n").alias("n_events"),

@@ -2736,13 +2736,24 @@ def t37_oov_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KN but acceptable under t16 are exactly the templated text raw
 # conditionals overrate.
 #
-# All integer, exact in both engines by computing in quarter-counts:
-#   term1  = (1e6 * max(4*c12 - 3, 0)) div (4*c1)
-#   backoff= (3e6 * n1p(w1) * ncont(w2)) div (4 * c1 * ntot_types)
-#   kn_ppm = term1 + backoff
+# All integer, identical in both engines, with every intermediate
+# product bounded WITHOUT vocabulary assumptions (the old one-shot
+# backoff product 3e6·n1p·ncont overflows int64 once n1p·ncont
+# reaches ~3e12 — i.e. ~1.75M distinct successor AND predecessor
+# types, reachable at corpus scale; DuckDB would raise but Spark
+# wraps silently into negative scores):
+#   term1     = (250000 * max(4*c12 - 3, 0)) div c1
+#               (≡ (1e6·max(4c12-3,0)) div (4c1) exactly — same floor)
+#   pcont_ppm = (1e6 * ncont(w2)) div ntot_types   — ncont ≤ ntot, so
+#               the product needs ncont < 9.2e12: any vocabulary fits
+#   backoff   = (3 * n1p(w1) * pcont_ppm) div (4 * c1)
+#               — bounded by 3e6·n1p, safe for n1p < 3e12
+#   kn_ppm    = term1 + backoff
+# Flooring pcont first costs ≤ 1 ppm vs the one-shot quotient (the
+# λ = 3·n1p/(4·c1) factor is ≤ 3/4); both engines share the exact
+# formula, so parity is still bit-exact.
 # (n1p = distinct successors of w1; ncont = distinct predecessors of
-# w2; ntot_types = distinct bigram types. Products stay < 2^62 for any
-# Heaps-law vocabulary.)
+# w2; ntot_types = distinct bigram types.)
 #
 # Scale: identical shuffle profile to t16 — bigram-stream counts
 # (vocabulary-sized, map-side combined), count-table joins back to the
@@ -2775,8 +2786,9 @@ def t37_oov_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM c12),
     scored AS (
       SELECT o.doc_id,
-             (1000000 * GREATEST(4 * b.c12 - 3, 0)) // (4 * u.c1)
-             + (3000000 * u.n1p * n.ncont) // (4 * u.c1 * t.ntot) AS kn_ppm
+             (250000 * GREATEST(4 * b.c12 - 3, 0)) // u.c1
+             + (3 * u.n1p * ((1000000 * n.ncont) // t.ntot))
+               // (4 * u.c1) AS kn_ppm
       FROM s o
       JOIN c12 b ON b.w1 = o.w1 AND b.w2 = o.w2
       JOIN c1 u ON u.w1 = o.w1
@@ -2836,8 +2848,8 @@ def t38_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "c",
             F.expr(
-                "(1000000 * greatest(4 * c12 - 3, 0)) div (4 * c1)"
-                " + (3000000 * n1p * ncont) div (4 * c1 * ntot)"
+                "(250000 * greatest(4 * c12 - 3, 0)) div c1"
+                " + (3 * n1p * ((1000000 * ncont) div ntot)) div (4 * c1)"
             ).alias("kn_ppm"),
         )
     )
