@@ -66,6 +66,12 @@ def main() -> None:
     # RETIME_ABOVE once and record the MIN — the standard min-of-k
     # noise guard, bounded to ~the heavy tail's cost.
     RETIME_ABOVE = 3.0
+    # Queries whose top-level result IS a session-memoized artifact
+    # (materialize.py): their second run reads the localCheckpoint in
+    # ~0.1s instead of re-deriving, so min-of-2 would record the memo
+    # read, not the query. Record the first (materializing) run — the
+    # honest cost every downstream consumer of the artifact amortizes.
+    no_retime = {"d03_dedup_simhash"}
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         if name in skip:
@@ -73,7 +79,7 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).count()
         t = round(time.time() - t0, 3)
-        if t > RETIME_ABOVE:
+        if t > RETIME_ABOVE and name not in no_retime:
             t0 = time.time()
             fn(spark, sf_dir).count()
             t = min(t, round(time.time() - t0, 3))

@@ -2,11 +2,12 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. BMP, WAV, and baseline JPEG decode is REAL (pure-Python
-byte-layout parsers ``decode_bmp``/``decode_wav`` and a pure-Python +
-numpy baseline-JFIF codec ``build_jpeg``/``decode_jpeg``, driven
-through the oracle gate by m06/m07/m15); formats that still need codec
-libraries absent from this container (PNG/MP4, subsampled or
-progressive JPEG) remain a clearly-marked deterministic stub. The
+byte-layout parsers ``decode_bmp``/``decode_wav``, a pure-Python +
+numpy baseline-JFIF codec ``build_jpeg``/``decode_jpeg``, and a
+stdlib-zlib PNG codec ``build_png``/``decode_png``, driven through the
+oracle gate by m06/m07/m15/m22); formats that still need codec
+libraries absent from this container (MP4, subsampled or progressive
+JPEG) remain a clearly-marked deterministic stub. The
 Spark-side plumbing is real throughout: binary column synthesis,
 Arrow-batched ``mapInPandas`` with an explicit output schema, and
 partition-preserving flow (no driver collect).
@@ -51,10 +52,11 @@ FEATURE_SCHEMA = (
 # /sample statistics. m06/m07 drive them through the DuckDB gate on
 # synthesized-but-genuine files; tests/test_operators.py checks them on
 # handcrafted fixtures byte-for-byte. Baseline JPEG also decodes for
-# real (the T.81 codec further down, m15/m16). Formats that genuinely
-# need codec libraries (PNG/MP4/..., and subsampled or progressive
-# JPEG) still raise NotImplementedError / ValueError — that is the
-# documented container boundary, no longer the default path.
+# real (the T.81 codec further down, m15/m16), as does truecolor PNG
+# (stdlib zlib carries the DEFLATE/CRC32 primitives, m22). Formats that
+# genuinely need codec libraries (MP4, subsampled or progressive JPEG)
+# still raise NotImplementedError / ValueError — that is the documented
+# container boundary, no longer the default path.
 # --------------------------------------------------------------------------
 def decode_bmp(payload: bytes) -> dict:
     """Parse an uncompressed 24-bit BMP: dimensions + pixel-sum stats.
@@ -296,6 +298,163 @@ class _JpegBitReader:
         for _ in range(nbits):
             v = (v << 1) | self.read_bit()
         return v
+
+
+# --------------------------------------------------------------------------
+# PNG codec (pure Python + stdlib zlib — the DEFLATE/CRC32 primitives
+# PNG needs are in the standard library, so unlike MP4 the format
+# requires no external codec). Encoder cycles the filter type per row
+# (None/Sub/Up/Average/Paeth) so a round-trip exercises every unfilter
+# path; decoder validates chunk CRCs, concatenates multi-chunk IDAT,
+# inflates, and unfilters. 8-bit RGB (color type 2) only — the
+# fixture/synthesis path; palette/alpha/interlace raise ValueError.
+# --------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def build_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw RGB bytes (len == width*height*3, row-major) as an
+    8-bit truecolor PNG. Filter type cycles row % 5 so every filter
+    (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) appears; IDAT is
+    split into two chunks to exercise the decoder's stream concat."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    stride = width * 3
+    filtered = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = rgb[y * stride:(y + 1) * stride]
+        f = y % 5
+        filtered.append(f)
+        if f == 0:
+            filtered += row
+        elif f == 1:
+            filtered += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:
+            filtered += bytes(
+                (row[i] - prior[i]) & 0xFF for i in range(stride)
+            )
+        elif f == 3:
+            filtered += bytes(
+                (row[i] - (((row[i - 3] if i >= 3 else 0) + prior[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            filtered += bytes(
+                (row[i] - _paeth(
+                    row[i - 3] if i >= 3 else 0,
+                    prior[i],
+                    prior[i - 3] if i >= 3 else 0,
+                )) & 0xFF
+                for i in range(stride)
+            )
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    comp = zlib.compress(bytes(filtered), 6)
+    half = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit truecolor PNG: CRC-checked chunk walk, IDAT
+    inflate, per-row unfilter (all five filter types). Returns kind,
+    dimensions, raw RGB pixels, and the per-row filter types seen."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos < len(payload):
+        (clen,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + clen:pos + 12 + clen]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctyp, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctyp, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("inflated length != height*(stride+1)")
+    out = bytearray()
+    prior = bytes(stride)
+    filters = []
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        filters.append(f)
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        rec = bytearray(stride)
+        for i in range(stride):
+            left = rec[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] + left
+            elif f == 2:
+                v = line[i] + up
+            elif f == 3:
+                v = line[i] + ((left + up) >> 1)
+            elif f == 4:
+                v = line[i] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"unknown PNG filter {f}")
+            rec[i] = v & 0xFF
+        out += rec
+        prior = bytes(rec)
+    return {
+        "kind": "png",
+        "width": width,
+        "height": height,
+        "pixels": bytes(out),
+        "filters": filters,
+    }
 
 
 def _jpeg_category(v):
@@ -577,10 +736,11 @@ def decode_jpeg(payload: bytes) -> dict:
 def decode_media(payload: bytes) -> dict:
     """Decode a media payload by sniffing magic bytes.
 
-    BMP, WAV, and baseline JPEG decode for real (pure-Python parsers
-    above). Remaining formats require codec libraries absent from this
-    container and raise NotImplementedError — callers with synthetic
-    payloads use :func:`fake_decode` for the deterministic oracle path.
+    BMP, WAV, baseline JPEG, and truecolor PNG decode for real
+    (pure-Python parsers above). Remaining formats require codec
+    libraries absent from this container and raise NotImplementedError
+    — callers with synthetic payloads use :func:`fake_decode` for the
+    deterministic oracle path.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -588,10 +748,13 @@ def decode_media(payload: bytes) -> dict:
         return decode_wav(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only BMP/WAV/baseline-JPEG decode natively; other formats "
-        "(PNG/MP4/...) require codec libraries (PIL/ffmpeg) not "
-        "installed — use fake_decode for the deterministic test path"
+        "only BMP/WAV/baseline-JPEG/PNG decode natively; other formats "
+        "(MP4/..., subsampled or progressive JPEG) require codec "
+        "libraries (PIL/ffmpeg) not installed — use fake_decode for "
+        "the deterministic test path"
     )
 
 
@@ -2544,3 +2707,83 @@ def m21_image_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(flatness, schema=_M21_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m22: REAL PNG round-trip through the DuckDB gate — m15's pattern for
+# the lossless codec: each sampled doc synthesizes the SAME
+# deterministic 16x16 RGB ramp m15/m16 use (closed-form pixel sum),
+# encodes it with build_png (8-bit truecolor, per-row filter type
+# cycling None/Sub/Up/Average/Paeth, two-chunk IDAT), decodes the bytes
+# back with the general decode_media magic sniffing, and emits what the
+# DECODER read: dimensions, the exact pixel sum of the DECODED image
+# (lossless ⇒ equals the ramp's closed form — no tolerance bool
+# needed, unlike JPEG's), the count of distinct filter types the
+# decoder unapplied (16 rows cycling % 5 ⇒ exactly 5), and a
+# compression bool (filtered ramps deflate far below raw size). A bug
+# in chunk framing, CRC computation, IDAT concat, inflate length
+# accounting, or ANY of the five unfilters breaks the pixel sum, the
+# filter count, or the dims — as a hash mismatch.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle; the
+# deterministic 1-in-8 doc sample (offset +1, disjoint from m15's)
+# bounds the pure-Python filter-loop cost. The decode kernel is the
+# production path for a real PNG column; swap the sample for the
+# column at deployment.
+# --------------------------------------------------------------------------
+_M22_SCHEMA = (
+    "doc_id long, width long, height long, decoded_pixel_sum long,"
+    " n_filter_kinds long, compressed_smaller boolean"
+)
+M22_SAMPLE_MOD = 8
+
+
+@register(
+    "m22_png_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(256 * (doc_id % 64 + (doc_id * 7) % 64 + (doc_id * 13) % 64)
+                + 27 * 1920 AS BIGINT) AS decoded_pixel_sum,
+           CAST(5 AS BIGINT) AS n_filter_kinds,
+           TRUE AS compressed_smaller
+    FROM documents
+    WHERE doc_id % {M22_SAMPLE_MOD} = 1
+    """,
+)
+def m22_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M22_SAMPLE_MOD == 1)
+        .select("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "decoded_pixel_sum": [], "n_filter_kinds": [],
+                "compressed_smaller": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = _ramp_rgb(d).tobytes()
+                payload = build_png(16, 16, raw)
+                info = decode_media(payload)  # magic-sniffed real decode
+                b = np.frombuffer(info["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                out["doc_id"].append(d)
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["decoded_pixel_sum"].append(int(b.sum()))
+                out["n_filter_kinds"].append(len(set(info["filters"])))
+                out["compressed_smaller"].append(
+                    info["kind"] == "png" and len(payload) < len(raw)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=_M22_SCHEMA)

@@ -1570,6 +1570,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "s20_ivf_purity_audit": 6,
         "e32_bot_screening": 3,
         "m21_image_flatness": 0,
+        "m22_png_roundtrip": 0,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,

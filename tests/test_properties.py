@@ -272,3 +272,68 @@ def test_jpeg_decoder_rejects_unsupported_variants():
         decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc2", 1))  # SOF2
     with pytest.raises(ValueError):
         decode_jpeg(payload[: len(payload) // 2])  # truncated scan
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_bitexact(w, h, seed):
+    """PNG is lossless: decode(build(x)) == x byte-for-byte for ANY
+    pixel content and dimensions, the encoder's per-row filter cycle
+    reaches the decoder intact, and encoding is deterministic."""
+    import random
+
+    from seamdb_spark.operators.multimodal import (
+        build_png,
+        decode_media,
+        decode_png,
+    )
+
+    rng = random.Random(seed)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    payload = build_png(w, h, rgb)
+    out = decode_media(payload)  # magic sniff routes to decode_png
+    assert out["kind"] == "png"
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["pixels"] == rgb
+    assert out["filters"] == [y % 5 for y in range(h)]
+    assert build_png(w, h, rgb) == payload
+    assert decode_png(payload)["pixels"] == rgb
+
+
+def test_png_decoder_boundary_is_explicit():
+    """Corrupt chunk CRCs, unsupported color modes, truncated IDAT,
+    and non-PNG signatures raise (never a wrong answer)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from seamdb_spark.operators.multimodal import build_png, decode_png
+
+    payload = build_png(5, 4, bytes(range(60)))
+    # flip one byte inside the first IDAT chunk's data -> CRC mismatch
+    idat_at = payload.index(b"IDAT") + 4
+    corrupted = (
+        payload[:idat_at] + bytes([payload[idat_at] ^ 0xFF])
+        + payload[idat_at + 1:]
+    )
+    with pytest.raises(ValueError):
+        decode_png(corrupted)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks at all
+    with pytest.raises(ValueError):
+        decode_png(b"BM" + payload[2:])  # wrong signature
+    # grayscale IHDR (color type 0) is outside the supported subset;
+    # rebuild the chunk with a VALID crc so the mode check triggers
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 0)
+    bad_mode = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad_mode + payload[8 + 25:])
