@@ -2910,3 +2910,114 @@ def t39_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * class_size) div n").alias("share_ppm"),
         (F.col("class_size") < T39_K).cast("long").alias("below_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# t40: iterative BPE merge-rule TRAINING — the real tokenizer-training
+# loop (Sennrich et al. 2016), not t25's one-shot approximation: after
+# each merge the corpus is re-tokenized and pair counts RECOUNTED, so
+# rule k's frequency table reflects rules 1..k-1 (merged symbols can
+# themselves pair up — the "+"-joined left/right symbols in later rows
+# show it). Per round: count adjacent pairs on the CURRENT
+# tokenization, pick the arg-max pair (count desc, then pair text — the
+# t23 tie-break), splice it corpus-wide, repeat. Corpus state uses
+# t25's double-space encoding, where splicing is one literal
+# replace(' w1  w2 ', ' w1+w2 ') — greedy left-to-right non-overlapping
+# in BOTH engines, and the double spacing means adjacent merge sites
+# share no characters, so "a b a b" merges both sites in one pass while
+# the overlapping "a a a" chain merges only the leftmost (exactly
+# greedy BPE).
+#
+# Output: the learned merge table (rank, left symbol, right symbol,
+# the pair's frequency AT ITS TRAINING ROUND) — the artifact a
+# tokenizer ships.
+#
+# Scale: each round is ONE corpus scan into a vocabulary-sized pair
+# aggregate (map-side combined) + a 1-row argmax broadcast back into
+# the next round's expression — K rounds ⇒ K scans, the canonical
+# distributed BPE-training shape. Driver state is one (w1, w2, count)
+# row per round (the bounded-collect discipline). The oracle unrolls
+# the identical K rounds as CTE stages.
+# --------------------------------------------------------------------------
+T40_MERGES = 6
+
+
+def _t40_oracle() -> str:
+    rounds = []
+    prev_s = "s0"
+    picks = []
+    for k in range(1, T40_MERGES + 1):
+        rounds.append(f"""t{k} AS (
+      SELECT doc_id, string_split(trim(s), '  ') AS l FROM {prev_s}
+    ),
+    p{k} AS (
+      SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_zip(l, l[2:])) AS p FROM t{k})
+      WHERE p[2] IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r{k} AS (SELECT w1, w2, c FROM p{k} ORDER BY c DESC, w1, w2 LIMIT 1),
+    s{k} AS (
+      SELECT doc_id,
+             replace(s, (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM r{k}),
+                        (SELECT ' ' || w1 || '{_T25_SEP}' || w2 || ' ' FROM r{k}))
+               AS s
+      FROM {prev_s}
+    )""")
+        picks.append(
+            f"SELECT CAST({k} AS BIGINT) AS merge_rank, w1 AS left_sym,"
+            f" w2 AS right_sym, c AS pair_freq FROM r{k}"
+        )
+        prev_s = f"s{k}"
+    return f"""
+    WITH s0 AS (
+      SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s
+      FROM documents
+    ),
+    {", ".join(rounds)}
+    {" UNION ALL ".join(picks)}
+    """
+
+
+@register("t40_bpe_train", oracle=_t40_oracle())
+def t40_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    s = F.concat(
+        F.lit(" "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    corpus = docs.select("doc_id", s.alias("s"))
+    rules = []
+    for k in range(1, T40_MERGES + 1):
+        toks = corpus.select(F.split(F.trim("s"), "  ").alias("l")).filter(
+            F.size("l") >= 2
+        )
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1),"
+                    " i -> struct(l[i - 1] AS w1, l[i] AS w2))"
+                )
+            ).alias("p")
+        ).select("p.w1", "p.w2")
+        top = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "w1", "w2")
+            .limit(1)
+            .collect()  # 1-row driver state per round: the argmax pair
+        )[0]
+        rules.append((k, top["w1"], top["w2"], top["c"]))
+        corpus = corpus.select(
+            "doc_id",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top['w1']}  {top['w2']} "),
+                F.lit(f" {top['w1']}{_T25_SEP}{top['w2']} "),
+            ).alias("s"),
+        # lineage cut per round: each round's count job re-reads the
+        # checkpointed previous state instead of re-running every prior
+        # replace over the raw corpus (the d09 iteration discipline)
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "merge_rank long, left_sym string, right_sym string, pair_freq long"
+    )

@@ -1571,6 +1571,10 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "e32_bot_screening": 3,
         "m21_image_flatness": 0,
         "m22_png_roundtrip": 0,
+        # t40's returned DF is the collected rule table (LocalRelation);
+        # the K training rounds run their own jobs at build time — one
+        # map-side-combined pair agg + a TakeOrdered per round
+        "t40_bpe_train": 0,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
@@ -2723,3 +2727,55 @@ def test_price_drift_replay(spark, registry):
         r = rows[y]
         assert r.n_bands == len(bands)
         assert r.tv_ppm == tv
+
+
+def test_bpe_train_matches_pure_python_replay(spark, registry):
+    """t40: replay the full iterative BPE training loop in pure Python
+    (greedy left-to-right merges, count-desc/pair-asc argmax) on the
+    collected smoke corpus and compare every learned rule. Also pins
+    the iterative invariants: round-1 equals t23's top pair, and picked
+    frequencies never increase across rounds (a merge can only shrink
+    or inherit existing pair counts)."""
+    queries, _ = registry
+    from seamdb_spark.operators.text import T40_MERGES, _T25_SEP
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    corpus = [t.split(" ") for t in texts]
+    expected = []
+    for k in range(1, T40_MERGES + 1):
+        counts: dict[tuple, int] = {}
+        for toks in corpus:
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        (w1, w2), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((k, w1, w2, c))
+        merged_corpus = []
+        for toks in corpus:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == w1 and toks[i + 1] == w2:
+                    out.append(w1 + _T25_SEP + w2)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            merged_corpus.append(out)
+        corpus = merged_corpus
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_freq)
+        for r in queries["t40_bpe_train"](spark, SF_SMOKE)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+    freqs = [g[3] for g in got]
+    assert freqs == sorted(freqs, reverse=True)
+    top23 = queries["t23_bpe_pair_stats"](spark, SF_SMOKE).first()
+    assert (got[0][1], got[0][2]) == (top23.w1, top23.w2)
