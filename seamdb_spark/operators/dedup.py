@@ -3230,3 +3230,92 @@ def g05_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rid").isNull().cast("long").alias("in_core"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# g06: label-propagation communities over the near-dup graph (Raghavan
+# et al. 2007) — the cheap community detector curation runs when d09's
+# connected components are too coarse (a single bridge pair fuses two
+# big duplicate families into one component; LPA lets the two dense
+# sides keep distinct labels). Synchronous variant, made deterministic:
+# every node starts as its own label; each round every node adopts the
+# most frequent label among its NEIGHBORS, ties broken by smallest
+# label; G06_ROUNDS fixed rounds so the oracle can unroll the exact
+# same rounds as CTE stages (the g01 fixed-point discipline — no
+# convergence test, no randomness, bit-exact in both engines).
+#
+# Scale: per round one src-keyed join of labels onto the edge list and
+# one (node, label) count — the standard data-parallel LPA round;
+# labels are localCheckpoint'd per round (cluster: checkpoint()). The
+# per-node argmax window partitions on node id, never a global window.
+# --------------------------------------------------------------------------
+G06_ROUNDS = 4
+
+
+def _g06_oracle() -> str:
+    ctes = ["""nodes AS (SELECT DISTINCT src AS id FROM edges),
+    l0 AS (SELECT id, id AS lbl FROM nodes)"""]
+    for i in range(1, G06_ROUNDS + 1):
+        ctes.append(f"""l{i} AS (
+      SELECT id, lbl FROM (
+        SELECT e.src AS id, r.lbl AS lbl,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                                  ORDER BY COUNT(*) DESC, r.lbl) AS rk
+        FROM edges e JOIN l{i - 1} r ON r.id = e.dst
+        GROUP BY e.src, r.lbl
+      ) WHERE rk = 1
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {_simhash_sig_sql().strip()},
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    {joined},
+    sizes AS (
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+      FROM l{G06_ROUNDS} GROUP BY lbl
+    )
+    SELECT l.id AS doc_id, CAST(l.lbl AS BIGINT) AS community,
+           s.community_size
+    FROM l{G06_ROUNDS} l JOIN sizes s ON s.lbl = l.lbl
+    """
+
+
+@register("g06_label_propagation", oracle=_g06_oracle())
+def g06_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()  # read twice per round across G06_ROUNDS rounds
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    w_node = W.partitionBy("id").orderBy(F.desc("cnt"), "lbl")
+    for _ in range(G06_ROUNDS):
+        labels = (
+            edges.join(labels.select(F.col("id").alias("dst"), "lbl"), "dst")
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rk", F.row_number().over(w_node))
+            .filter(F.col("rk") == 1)
+            .select("id", "lbl")
+            .localCheckpoint()  # lineage cut per round (g01 discipline)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )

@@ -1575,6 +1575,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # the K training rounds run their own jobs at build time — one
         # map-side-combined pair agg + a TakeOrdered per round
         "t40_bpe_train": 0,
+        # g06's rounds end in localCheckpoints; the returned plan is
+        # the final size join over the checkpointed label table
+        "g06_label_propagation": 2,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
@@ -2779,3 +2782,31 @@ def test_bpe_train_matches_pure_python_replay(spark, registry):
     assert freqs == sorted(freqs, reverse=True)
     top23 = queries["t23_bpe_pair_stats"](spark, SF_SMOKE).first()
     assert (got[0][1], got[0][2]) == (top23.w1, top23.w2)
+
+
+def test_label_propagation_consistent_with_components(spark, registry):
+    """g06: LPA labels can only flow along edges, so every community
+    must be contained in exactly one d09 connected component (never
+    more communities merged than the component allows), community
+    count >= component count over the same node set, and community
+    sizes must tally the label table."""
+    queries, _ = registry
+    comm = {
+        r.doc_id: (r.community, r.community_size)
+        for r in queries["g06_label_propagation"](spark, SF_SMOKE).collect()
+    }
+    comp = {
+        r.doc_id: r.cluster_id
+        for r in queries["d09_dedup_clusters"](spark, SF_SMOKE).collect()
+        if r.doc_id in comm
+    }
+    assert set(comp) == set(comm)
+    comp_of_comm: dict = {}
+    for doc, (lbl, _) in comm.items():
+        comp_of_comm.setdefault(lbl, set()).add(comp[doc])
+    assert all(len(s) == 1 for s in comp_of_comm.values())
+    assert len(comp_of_comm) >= len(set(comp.values()))
+    from collections import Counter
+
+    tally = Counter(lbl for lbl, _ in comm.values())
+    assert all(size == tally[lbl] for lbl, size in comm.values())
