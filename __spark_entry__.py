@@ -254,7 +254,8 @@ _R6_WINDOW = [
     "d03_dedup_simhash", "d27_weighted_simhash",
     "d22_cosine_tfidf_neardup", "d25_paragraph_neardup",
     "s16_hnsw_layered_search", "m22_png_roundtrip", "t40_bpe_train",
-    "g06_label_propagation",
+    "g06_label_propagation", "t41_bpe_compression_eval",
+    "m23_cross_codec_consistency",
     # (c) r1 greens with no driver row since round 1
     "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
     "q14_rollup", "q15_cube", "q16_grouping_sets", "q17_window_rank",
@@ -263,7 +264,7 @@ _R6_WINDOW = [
     "q24_string_functions", "q26_datetime_functions",
     "q27_date_diff_interval", "q28_case_cast", "q29_distinct",
     # (d) oldest r2 greens, _R2_GREEN order
-    "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
+    "d09_dedup_clusters",
 ]
 
 

@@ -2787,3 +2787,110 @@ def m22_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(roundtrip, schema=_M22_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m23: cross-codec consistency audit — the invariant that lets a
+# curation pipeline treat the SAME picture arriving as BMP, PNG, or
+# JPEG as the same picture: encode each sampled ramp fixture through
+# all three real codecs, decode each through the magic-sniffing
+# decode_media, and pin (a) dimensions agree across formats, (b) the
+# two LOSSLESS paths (BMP, PNG) reconstruct bit-identical pixel
+# streams — note BMP decodes to BGR row-padded bottom-up and PNG to
+# RGB top-down, so agreement is via the channel-order-agnostic aHash
+# (the m09 kernel) plus exact pixel sums, (c) the lossy JPEG path's
+# aHash sits within m16's stability bound of the lossless hash. One
+# wrong stride, row order, channel order, filter, or dequant table in
+# ANY of the three decoders breaks a pinned column.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle, 1-in-8
+# sample (offset +2, disjoint from m15's and m22's).
+# --------------------------------------------------------------------------
+_M23_SCHEMA = (
+    "doc_id long, width long, height long, pixel_sum long,"
+    " lossless_hashes_equal boolean, lossless_sums_equal boolean,"
+    " jpeg_hamming long, jpeg_within_bound boolean"
+)
+M23_SAMPLE_MOD = 8
+
+
+@register(
+    "m23_cross_codec_consistency",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(256 * (doc_id % 64 + (doc_id * 7) % 64 + (doc_id * 13) % 64)
+                + 27 * 1920 AS BIGINT) AS pixel_sum,
+           TRUE AS lossless_hashes_equal,
+           TRUE AS lossless_sums_equal,
+           CAST(0 AS BIGINT) AS jpeg_hamming,
+           TRUE AS jpeg_within_bound
+    FROM documents
+    WHERE doc_id % {M23_SAMPLE_MOD} = 2
+    """,
+)
+def m23_cross_codec_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M23_SAMPLE_MOD == 2)
+        .select("doc_id")
+    )
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "pixel_sum",
+                "lossless_hashes_equal", "lossless_sums_equal",
+                "jpeg_hamming", "jpeg_within_bound",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rgb = _ramp_rgb(d)
+                raw = rgb.tobytes()
+                # build_bmp/bmp_pixels round-trip the buffer in caller
+                # order (orientation is the caller's concern, the
+                # m06/m09 convention), and gray = (c0+c1+c2)//3 is
+                # channel-order-agnostic — so the same raw buffer feeds
+                # all three codecs directly
+                infos = {
+                    "bmp": decode_media(build_bmp(16, 16, raw)),
+                    "png": decode_media(build_png(16, 16, raw)),
+                    "jpeg": decode_media(build_jpeg(16, 16, raw)),
+                }
+                dims_ok = all(
+                    (i["width"], i["height"]) == (16, 16)
+                    for i in infos.values()
+                )
+                h = {
+                    k: ahash_rgb(16, 16, bmp_pixels(build_bmp(16, 16, raw)))
+                    if k == "bmp"
+                    else ahash_rgb(16, 16, infos[k]["pixels"])
+                    for k in infos
+                }
+                sums = {
+                    "bmp": int(
+                        np.frombuffer(
+                            bmp_pixels(build_bmp(16, 16, raw)), dtype=np.uint8
+                        ).astype(np.int64).sum()
+                    ),
+                    "png": int(
+                        np.frombuffer(
+                            infos["png"]["pixels"], dtype=np.uint8
+                        ).astype(np.int64).sum()
+                    ),
+                }
+                jham = bin((h["png"] ^ h["jpeg"]) & 0xFFFF).count("1")
+                out["doc_id"].append(d)
+                out["width"].append(infos["png"]["width"] if dims_ok else -1)
+                out["height"].append(infos["png"]["height"] if dims_ok else -1)
+                out["pixel_sum"].append(sums["png"])
+                out["lossless_hashes_equal"].append(h["bmp"] == h["png"])
+                out["lossless_sums_equal"].append(sums["bmp"] == sums["png"])
+                out["jpeg_hamming"].append(jham)
+                out["jpeg_within_bound"].append(jham <= M16_HAMMING_BOUND)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(audit, schema=_M23_SCHEMA)

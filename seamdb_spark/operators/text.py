@@ -3021,3 +3021,67 @@ def t40_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "merge_rank long, left_sym string, right_sym string, pair_freq long"
     )
+
+
+# --------------------------------------------------------------------------
+# t41: tokenizer compression evaluation — the acceptance metric a
+# trained tokenizer ships with: apply t40's learned merge rules to the
+# corpus and report, PER SOURCE, how many tokens the merges save
+# (training-corpus compression in ppm). Composes the t40 trainer with
+# the t25 application machinery; in the oracle the t40 CTE chain's
+# FINAL corpus state s{K} already is the fully-merged corpus, so
+# evaluation is one tokenize+count over it — the rules are never
+# re-derived.
+#
+# Scale: t40's K training scans (amortized if the rule table is already
+# materialized), then one evaluation scan aggregating per source —
+# |sources| output rows, map-side combined.
+# --------------------------------------------------------------------------
+def _t41_oracle() -> str:
+    # reuse the t40 round chain verbatim; only the final SELECT differs
+    body = _t40_oracle()
+    chain = body[: body.rindex("SELECT CAST(1 AS BIGINT)")]
+    chain = chain[: chain.rindex("\n    ")]  # drop the rule UNION tail
+    return f"""{chain},
+    merged AS (
+      SELECT doc_id, string_split(trim(s), '  ') AS l FROM s{T40_MERGES}
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+             AS tokens_before,
+           CAST(SUM(len(m.l)) AS BIGINT) AS tokens_after,
+           (1000000 * (SUM(len(string_split(d.text, ' '))) - SUM(len(m.l))))
+             // SUM(len(string_split(d.text, ' '))) AS saved_ppm
+    FROM merged m JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register("t41_bpe_compression_eval", oracle=_t41_oracle())
+def t41_bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = t40_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
+    docs = _docs(spark, sf_dir)
+    s = F.concat(
+        F.lit(" "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    # apply the rules in TRAINING ORDER — identical to replaying the
+    # trainer's final corpus state (each replace is exactly the splice
+    # round k performed)
+    for r in rules:
+        s = F.replace(
+            s,
+            F.lit(f" {r['left_sym']}  {r['right_sym']} "),
+            F.lit(f" {r['left_sym']}{_T25_SEP}{r['right_sym']} "),
+        )
+    per_doc = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("nb"),
+        F.size(F.split(F.trim(s), "  ")).cast("long").alias("na"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nb").alias("tokens_before"),
+        F.sum("na").alias("tokens_after"),
+        F.expr("(1000000 * (sum(nb) - sum(na))) div sum(nb)").alias("saved_ppm"),
+    )

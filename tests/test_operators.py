@@ -1578,6 +1578,10 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # g06's rounds end in localCheckpoints; the returned plan is
         # the final size join over the checkpointed label table
         "g06_label_propagation": 2,
+        "m23_cross_codec_consistency": 0,
+        # t41's returned plan: one eval scan + per-source agg (the K
+        # training rounds run their own jobs at build time, like t40)
+        "t41_bpe_compression_eval": 1,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
