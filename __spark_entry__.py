@@ -221,8 +221,10 @@ _R5_WINDOW = [
 # (b) slots 22-25: plan changed in round 6 — the Hamming-blocking
 #     rework (d03/d27 moved to exclude-2-of-8 block-permuted tables;
 #     m20, already in (a), moved to a 64-bit hash with wide chunks)
-#     plus d22/d25 whose candidate stages were factored out for the
-#     new candidate-volume gate (outputs unchanged, re-verify anyway)
+#     plus d22 whose candidate stage was factored out for the new
+#     candidate-volume gate (outputs unchanged, re-verify anyway; d25's
+#     identical factoring stays in the round-7 fill tier — the window
+#     ran out of slots and its plan is bit-identical)
 #     and s16, whose linear n/16 entry scan became a fixed 64-node
 #     hash sample + walk-restricted layer 2 (output changed);
 # (c) slots 26-43: the 18 r1 greens with no driver row since round 1
@@ -252,10 +254,11 @@ _R6_WINDOW = [
     # factoring; m20 is already pinned in (a)), plus queries REGISTERED
     # in round 6 (never driver-checked)
     "d03_dedup_simhash", "d27_weighted_simhash",
-    "d22_cosine_tfidf_neardup", "d25_paragraph_neardup",
+    "d22_cosine_tfidf_neardup",
     "s16_hnsw_layered_search", "m22_png_roundtrip", "t40_bpe_train",
     "g06_label_propagation", "t41_bpe_compression_eval",
-    "m23_cross_codec_consistency",
+    "m23_cross_codec_consistency", "g07_modularity_audit",
+    "x14_log2_histogram_quantiles",
     # (c) r1 greens with no driver row since round 1
     "q11_theta_band_join", "q12_having_distinct", "q13_stats_aggregates",
     "q14_rollup", "q15_cube", "q16_grouping_sets", "q17_window_rank",
@@ -263,8 +266,6 @@ _R6_WINDOW = [
     "q21_scalar_subquery", "q22_correlated_subquery", "q23_cte_max_revenue",
     "q24_string_functions", "q26_datetime_functions",
     "q27_date_diff_interval", "q28_case_cast", "q29_distinct",
-    # (d) oldest r2 greens, _R2_GREEN order
-    "d09_dedup_clusters",
 ]
 
 

@@ -3319,3 +3319,115 @@ def g06_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         "community_size",
     )
+
+
+# --------------------------------------------------------------------------
+# g07: community-quality (modularity) audit — grades g06's label
+# assignment the way Newman-Girvan modularity grades any partition:
+#   Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+# (e_c = intra-community edges, d_c = total degree of the community's
+# nodes, m = total undirected edges). Computed EXACTLY in integers on
+# the common denominator 4m²: Q_micro = 10^6 · Σ_c (4·m·e_c − d_c²)
+# div (4m²), so partial-agg order cannot move a bit. Emits the
+# per-community terms (size, intra-edges, degree sum, contribution)
+# plus the corpus-level Q in every row — the audit a curation run
+# reads before trusting LPA communities over plain components.
+#
+# Scale: one label join onto the pair list (intra-edge count), one
+# degree aggregate joined to labels — both |E|-sized with map-side
+# combine; the modularity reduction is |communities|-sized. No new
+# shuffle shape beyond g06's own.
+# --------------------------------------------------------------------------
+def _g07_oracle() -> str:
+    g06 = _g06_oracle()
+    # reuse g06's CTE chain up to (but not including) its final SELECT
+    chain = g06[: g06.rindex("SELECT l.id AS doc_id")]
+    chain = chain[: chain.rindex("\n    ")]
+    return f"""{chain},
+    labels AS (SELECT id, lbl FROM l{G06_ROUNDS}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+    intra AS (
+      SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM pairs p
+      JOIN labels la ON la.id = p.doc_a
+      JOIN labels lb ON lb.id = p.doc_b
+      WHERE la.lbl = lb.lbl
+      GROUP BY la.lbl
+    ),
+    degs AS (
+      SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS d_c,
+             CAST(COUNT(DISTINCT e.src) AS BIGINT) AS n_nodes
+      FROM edges e JOIN labels la ON la.id = e.src
+      GROUP BY la.lbl
+    ),
+    terms AS (
+      SELECT d.lbl, d.n_nodes, COALESCE(i.e_c, 0) AS e_c, d.d_c,
+             4 * m.m * COALESCE(i.e_c, 0) - d.d_c * d.d_c AS num
+      FROM degs d LEFT JOIN intra i ON i.lbl = d.lbl CROSS JOIN m
+    )
+    SELECT t.lbl AS community, t.n_nodes, t.e_c AS intra_edges,
+           t.d_c AS degree_sum,
+           (1000000 * t.num) // (4 * m.m * m.m) AS contribution_micro,
+           (SELECT (1000000 * SUM(num)) // (4 * m2.m * m2.m)
+            FROM terms, m AS m2 GROUP BY m2.m) AS modularity_micro
+    FROM terms t CROSS JOIN m
+    """
+
+
+@register("g07_modularity_audit", oracle=_g07_oracle())
+def g07_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir)
+    labels = g06_label_propagation(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("community").alias("lbl")
+    ).localCheckpoint()  # read by the intra join (twice) + degree join
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    m = pairs.agg(F.count("*").alias("m"))
+    la = labels.select(F.col("id").alias("doc_a"), F.col("lbl").alias("lbl_a"))
+    lb = labels.select(F.col("id").alias("doc_b"), F.col("lbl").alias("lbl_b"))
+    intra = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("lbl_a") == F.col("lbl_b"))
+        .groupBy(F.col("lbl_a").alias("lbl"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    degs = (
+        edges.join(labels.select(F.col("id").alias("src"), "lbl"), "src")
+        .groupBy("lbl")
+        .agg(
+            F.count("*").alias("d_c"),
+            F.count_distinct("src").alias("n_nodes"),
+        )
+    )
+    terms = (
+        degs.join(intra, "lbl", "left")
+        .join(F.broadcast(m))
+        .select(
+            "lbl",
+            "n_nodes",
+            F.coalesce("e_c", F.lit(0)).alias("e_c"),
+            "d_c",
+            "m",
+            (
+                4 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("num"),
+        )
+    )
+    q = terms.join(F.broadcast(m.select(F.col("m").alias("m2")))).agg(
+        F.expr("(1000000 * sum(num)) div (4 * any_value(m2) * any_value(m2))")
+        .alias("modularity_micro")
+    )
+    return (
+        terms.join(F.broadcast(q))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_nodes",
+            F.col("e_c").alias("intra_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.expr("(1000000 * num) div (4 * m * m)").alias("contribution_micro"),
+            "modularity_micro",
+        )
+    )

@@ -3408,3 +3408,186 @@ def e33_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * dau) div wau").alias("stickiness_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x14: power-of-two histogram quantile sketch — the mergeable-quantile
+# pattern the q57/q63 SCALING note promises for high-cardinality group
+# keys: instead of buffering each group's value multiset (Spark's
+# exact percentile), bucket every value into its power-of-two band
+# (2^k <= v < 2^(k+1)) and keep one (group, k) count — a pure monoid
+# (cell-wise addition, the x06/x07 sketch discipline) whose state is
+# ≤ 41 longs per group FOREVER, with a guaranteed 2× relative error
+# bound on any quantile. Bucketing is an exact broadcast range-join
+# against the 41-row bound table (no log(), no float boundaries), so
+# both engines bucket identically.
+#
+# Per source over document token counts: the p50/p95 bucket bounds
+# read off the cumulative histogram (positions ceil(n/2), ceil(.95n)),
+# plus INDEPENDENT audit bools recomputed from the raw values
+# (count(v < lo) < pos AND count(v <= hi) >= pos) — counting only,
+# no percentile function, so a bucket-assignment or cumulative bug
+# breaks a pinned-TRUE column rather than hiding in the estimate.
+#
+# Scale: one scan → (source, k) counts with map-side combine; the
+# cumulative pick and the audit both run on the |sources|×41 frame
+# (the audit's raw recount is sample-scale validation — production
+# keeps only the histogram).
+# --------------------------------------------------------------------------
+X14_BUCKETS = 41
+
+
+@register(
+    "x14_log2_histogram_quantiles",
+    oracle=f"""
+    WITH vals AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      FROM documents
+    ),
+    bounds AS (
+      SELECT CAST(t.k AS BIGINT) AS k,
+             CAST(CAST(1 AS BIGINT) << t.k AS BIGINT) AS lo,
+             CAST((CAST(1 AS BIGINT) << (t.k + 1)) - 1 AS BIGINT) AS hi
+      FROM (SELECT unnest(range(0, {X14_BUCKETS})) AS k) t
+    ),
+    hist AS (
+      SELECT v.source, b.k, b.lo, b.hi, CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals v JOIN bounds b ON v.v >= b.lo AND v.v <= b.hi
+      GROUP BY v.source, b.k, b.lo, b.hi
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist
+            GROUP BY source),
+    cum AS (
+      SELECT h.source, h.k, h.lo, h.hi,
+             CAST(SUM(h2.c) AS BIGINT) AS cum_c
+      FROM hist h JOIN hist h2
+        ON h2.source = h.source AND h2.k <= h.k
+      GROUP BY h.source, h.k, h.lo, h.hi
+    ),
+    p50 AS (
+      SELECT c.source, MIN(c.k) AS k50 FROM cum c JOIN tot t USING (source)
+      WHERE c.cum_c >= (t.n + 1) // 2 GROUP BY c.source
+    ),
+    p95 AS (
+      SELECT c.source, MIN(c.k) AS k95 FROM cum c JOIN tot t USING (source)
+      WHERE c.cum_c >= (95 * t.n + 99) // 100 GROUP BY c.source
+    ),
+    picked AS (
+      SELECT t.source, t.n, p50.k50, p95.k95
+      FROM tot t JOIN p50 USING (source) JOIN p95 USING (source)
+    )
+    SELECT p.source, p.n AS n_docs,
+           p.k50 AS p50_bucket,
+           CAST(CAST(1 AS BIGINT) << p.k50 AS BIGINT) AS p50_lo,
+           CAST((CAST(1 AS BIGINT) << (p.k50 + 1)) - 1 AS BIGINT) AS p50_hi,
+           p.k95 AS p95_bucket,
+           CAST(CAST(1 AS BIGINT) << p.k95 AS BIGINT) AS p95_lo,
+           CAST((CAST(1 AS BIGINT) << (p.k95 + 1)) - 1 AS BIGINT) AS p95_hi,
+           (SELECT COUNT(*) FROM vals v
+            WHERE v.source = p.source
+              AND v.v < (CAST(1 AS BIGINT) << p.k50)) < (p.n + 1) // 2
+           AND
+           (SELECT COUNT(*) FROM vals v
+            WHERE v.source = p.source
+              AND v.v <= (CAST(1 AS BIGINT) << (p.k50 + 1)) - 1)
+             >= (p.n + 1) // 2 AS p50_bound_ok,
+           (SELECT COUNT(*) FROM vals v
+            WHERE v.source = p.source
+              AND v.v < (CAST(1 AS BIGINT) << p.k95)) < (95 * p.n + 99) // 100
+           AND
+           (SELECT COUNT(*) FROM vals v
+            WHERE v.source = p.source
+              AND v.v <= (CAST(1 AS BIGINT) << (p.k95 + 1)) - 1)
+             >= (95 * p.n + 99) // 100 AS p95_bound_ok
+    FROM picked p
+    """,
+)
+def x14_log2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("v")
+    ).localCheckpoint()  # one scan feeds the histogram AND the raw audit
+    bounds = spark.range(X14_BUCKETS).select(
+        F.col("id").cast("long").alias("k"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(id AS INT)) AS BIGINT)")
+        .alias("lo"),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(id + 1 AS INT)) - 1"
+            " AS BIGINT)"
+        ).alias("hi"),
+    )
+    hist = (
+        vals.join(
+            F.broadcast(bounds),
+            (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+        )
+        .groupBy("source", "k", "lo", "hi")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # |sources|×41 frame, read by cum + totals
+    )
+    tot = hist.groupBy("source").agg(F.sum("c").alias("n"))
+    h2 = hist.select(
+        F.col("source").alias("source"), F.col("k").alias("k2"),
+        F.col("c").alias("c2"),
+    )
+    cum = (
+        hist.join(h2, "source")
+        .filter(F.col("k2") <= F.col("k"))
+        .groupBy("source", "k")
+        .agg(F.sum("c2").alias("cum_c"))
+    )
+    wt = cum.join(F.broadcast(tot), "source")
+    p50 = (
+        wt.filter(F.col("cum_c") >= F.expr("(n + 1) div 2"))
+        .groupBy("source")
+        .agg(F.min("k").alias("k50"))
+    )
+    p95 = (
+        wt.filter(F.col("cum_c") >= F.expr("(95 * n + 99) div 100"))
+        .groupBy("source")
+        .agg(F.min("k").alias("k95"))
+    )
+    picked = (
+        tot.join(p50, "source").join(p95, "source")
+        .select(
+            "source", "n", "k50", "k95",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k50 AS INT))").alias("lo50"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k50 + 1 AS INT)) - 1")
+            .alias("hi50"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k95 AS INT))").alias("lo95"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k95 + 1 AS INT)) - 1")
+            .alias("hi95"),
+        )
+    )
+    # independent audit: recount raw values against the picked bounds
+    audit = (
+        vals.join(F.broadcast(picked), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("v") < F.col("lo50"), 1)).alias("below50"),
+            F.count(F.when(F.col("v") <= F.col("hi50"), 1)).alias("upto50"),
+            F.count(F.when(F.col("v") < F.col("lo95"), 1)).alias("below95"),
+            F.count(F.when(F.col("v") <= F.col("hi95"), 1)).alias("upto95"),
+        )
+    )
+    return (
+        picked.join(audit, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("k50").alias("p50_bucket"),
+            F.col("lo50").alias("p50_lo"),
+            F.col("hi50").alias("p50_hi"),
+            F.col("k95").alias("p95_bucket"),
+            F.col("lo95").alias("p95_lo"),
+            F.col("hi95").alias("p95_hi"),
+            (
+                (F.col("below50") < F.expr("(n + 1) div 2"))
+                & (F.col("upto50") >= F.expr("(n + 1) div 2"))
+            ).alias("p50_bound_ok"),
+            (
+                (F.col("below95") < F.expr("(95 * n + 99) div 100"))
+                & (F.col("upto95") >= F.expr("(95 * n + 99) div 100"))
+            ).alias("p95_bound_ok"),
+        )
+    )

@@ -1582,6 +1582,11 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # t41's returned plan: one eval scan + per-source agg (the K
         # training rounds run their own jobs at build time, like t40)
         "t41_bpe_compression_eval": 1,
+        # g07/x14 run every post-scan stage on bounded frames
+        # (|communities| / |sources|x41 rows); the counts include the
+        # broadcast exchanges of those small tables
+        "g07_modularity_audit": 24,
+        "x14_log2_histogram_quantiles": 21,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
@@ -2814,3 +2819,52 @@ def test_label_propagation_consistent_with_components(spark, registry):
 
     tally = Counter(lbl for lbl, _ in comm.values())
     assert all(size == tally[lbl] for lbl, size in comm.values())
+
+
+def test_log2_quantile_sketch_brackets_exact_quantiles(spark, registry):
+    """x14: the picked power-of-two band must bracket the EXACT p50/p95
+    computed in Python from the raw per-source values (the 2x
+    relative-error guarantee), and the audit bools are pinned TRUE."""
+    queries, _ = registry
+    import math
+
+    vals: dict = {}
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    ):
+        vals.setdefault(r.source, []).append(len(r.text.split(" ")))
+    rows = queries["x14_log2_histogram_quantiles"](spark, SF_SMOKE).collect()
+    assert {r.source for r in rows} == set(vals)
+    for r in rows:
+        v = sorted(vals[r.source])
+        assert r.n_docs == len(v)
+        exact50 = v[(len(v) + 1) // 2 - 1]
+        exact95 = v[math.ceil(0.95 * len(v)) - 1]
+        assert r.p50_lo <= exact50 <= r.p50_hi
+        assert r.p95_lo <= exact95 <= r.p95_hi
+        assert r.p50_hi < 2 * r.p50_lo and r.p95_hi < 2 * r.p95_lo
+        assert r.p50_bound_ok and r.p95_bound_ok
+
+
+def test_modularity_audit_terms_are_consistent(spark, registry):
+    """g07: per-community contributions must sum to the corpus
+    modularity up to one unit of truncation per term (both engines
+    truncate integer division toward zero, so NEGATIVE contributions
+    round up while the corpus total rounds once), node/edge tallies
+    must match g06's communities, and Q must sit in [-0.5, 1]."""
+    queries, _ = registry
+    rows = queries["g07_modularity_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    q = rows[0].modularity_micro
+    assert all(r.modularity_micro == q for r in rows)
+    assert -500_000 <= q <= 1_000_000
+    s = sum(r.contribution_micro for r in rows)
+    assert abs(q - s) <= len(rows) + 1  # one truncation unit per term
+    comm_sizes = {
+        r.community: r.community_size
+        for r in queries["g06_label_propagation"](spark, SF_SMOKE).collect()
+    }
+    assert {r.community: r.n_nodes for r in rows} == comm_sizes
+    assert sum(r.intra_edges for r in rows) <= sum(r.degree_sum for r in rows) // 2
