@@ -734,3 +734,40 @@ def group_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def log2_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of x14's power-of-two histogram: the
+    (source, bucket) count grid is a pure monoid (cell-wise addition),
+    so the SAME broadcast range-join + aggregate runs incrementally —
+    each micro-batch's partial counts merge through the aggregate's own
+    combine step, and the quantile read-off happens at query time over
+    the ≤ 41-longs-per-source state. This is the streaming shape of
+    the q63 SCALING note's percentile answer: exact percentile needs
+    the full multiset, the log2 histogram needs a fixed grid forever.
+
+    Run to completion over the finite fixture, the grid equals x14's
+    batch histogram cell-for-cell (tested)."""
+    from ..operators.events import X14_BUCKETS
+
+    docs = stream_documents(spark, sf_dir)
+    vals = docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("v")
+    )
+    bounds = spark.range(X14_BUCKETS).select(
+        F.col("id").cast("long").alias("k"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(id AS INT)) AS BIGINT)")
+        .alias("lo"),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(id + 1 AS INT)) - 1"
+            " AS BIGINT)"
+        ).alias("hi"),
+    )
+    return (
+        vals.join(
+            F.broadcast(bounds),
+            (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+        )
+        .groupBy("source", "k")
+        .agg(F.count("*").alias("c"))
+    )

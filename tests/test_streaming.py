@@ -348,3 +348,28 @@ def test_group_sample_stream_matches_batch_x12(spark):
         k = len(batch[src])
         final = set(pairs[-k:])  # the last full snapshot
         assert final == batch[src], src
+
+
+def test_log2_histogram_stream_matches_batch_x14(spark):
+    from seamdb_spark.streaming.events import log2_histogram_stream
+
+    out = st.run_stream_to_memory(
+        log2_histogram_stream(spark, SF_SMOKE), "x14_test", "complete"
+    )
+    got = {(r.source, r.k): r.c for r in out.collect()}
+    # batch grid: the same bucket pipeline over the batch table
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("v")
+    )
+    bounds = spark.range(41).select(
+        F.col("id").cast("long").alias("k"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(id AS INT)) AS BIGINT)").alias("lo"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(id + 1 AS INT)) - 1 AS BIGINT)").alias("hi"),
+    )
+    batch = (
+        docs.join(F.broadcast(bounds), (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+        .groupBy("source", "k")
+        .count()
+    )
+    want = {(r.source, r.k): r["count"] for r in batch.collect()}
+    assert got == want and len(got) > 0
