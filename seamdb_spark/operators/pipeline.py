@@ -837,3 +837,98 @@ def p07_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
         F.expr("(1000 * (n_in - n_out)) div n_in").alias("drop_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# p08: tokenizer-readiness report card — the per-source go/no-go table
+# a team reads before training a tokenizer on a corpus slice, composing
+# the round-6 additions end-to-end: t41's BPE compression savings
+# (does the source's text actually compress under the learned merges?),
+# x14's length-distribution bands (is the p95 document length inside
+# the packing budget?), and the g06 near-dup community count relative
+# to doc count (is the slice mostly unique?). Verdict is a pinned
+# integer rule: ready ⇔ saved_ppm ≥ P08_MIN_SAVED_PPM AND p95_hi ≤
+# P08_MAX_P95_TOKENS AND communities·1000 ≥ P08_MIN_UNIQUE_MILLI·docs.
+#
+# Oracle: the three constituent oracles splice in as CTEs (the p01/p05
+# composition discipline — reuse registered SQL, never re-derive).
+#
+# Scale: all three inputs are per-source/bounded frames already argued
+# scale-safe; the report is a |sources|-row join.
+# --------------------------------------------------------------------------
+P08_MIN_SAVED_PPM = 10_000       # merges must save >= 1% of tokens
+P08_MAX_P95_TOKENS = 4096        # p95 doc length within packing budget
+P08_MIN_UNIQUE_MILLI = 900       # >= 0.9 communities per near-dup doc
+
+
+def _p08_oracle() -> str:
+    from .registry import ORACLE_SQL as _or
+
+    t41 = _or["t41_bpe_compression_eval"]
+    x14 = _or["x14_log2_histogram_quantiles"]
+    g06 = _or["g06_label_propagation"]
+    return f"""
+    WITH comp AS ({t41}),
+    lens AS ({x14}),
+    comm AS ({g06}),
+    dup_profile AS (
+      SELECT d.source,
+             CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS neardup_docs,
+             CAST(COUNT(DISTINCT c.community) AS BIGINT) AS communities
+      FROM comm c JOIN documents d ON d.doc_id = c.doc_id
+      GROUP BY d.source
+    )
+    SELECT c.source, c.n_docs, c.tokens_before, c.saved_ppm,
+           l.p95_hi AS p95_len_hi,
+           COALESCE(dp.neardup_docs, 0) AS neardup_docs,
+           COALESCE(dp.communities, 0) AS communities,
+           CAST(c.saved_ppm >= {P08_MIN_SAVED_PPM}
+                AND l.p95_hi <= {P08_MAX_P95_TOKENS}
+                AND COALESCE(dp.communities, 0) * 1000
+                    >= {P08_MIN_UNIQUE_MILLI} * COALESCE(dp.neardup_docs, 0)
+                AS BIGINT) AS tokenizer_ready
+    FROM comp c
+    JOIN lens l ON l.source = c.source
+    LEFT JOIN dup_profile dp ON dp.source = c.source
+    """
+
+
+@register("p08_tokenizer_readiness", oracle=_p08_oracle())
+def p08_tokenizer_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from .dedup import g06_label_propagation
+    from .events import x14_log2_histogram_quantiles
+    from .text import t41_bpe_compression_eval
+
+    comp = t41_bpe_compression_eval(spark, sf_dir)
+    lens = x14_log2_histogram_quantiles(spark, sf_dir).select(
+        "source", F.col("p95_hi").alias("p95_len_hi")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    dup_profile = (
+        g06_label_propagation(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("neardup_docs"),
+            F.count_distinct("community").alias("communities"),
+        )
+    )
+    ready = (
+        (F.col("saved_ppm") >= P08_MIN_SAVED_PPM)
+        & (F.col("p95_len_hi") <= P08_MAX_P95_TOKENS)
+        & (
+            F.coalesce("communities", F.lit(0)) * 1000
+            >= P08_MIN_UNIQUE_MILLI * F.coalesce("neardup_docs", F.lit(0))
+        )
+    )
+    return (
+        comp.join(lens, "source")
+        .join(F.broadcast(dup_profile), "source", "left")
+        .select(
+            "source", "n_docs", "tokens_before", "saved_ppm", "p95_len_hi",
+            F.coalesce("neardup_docs", F.lit(0)).alias("neardup_docs"),
+            F.coalesce("communities", F.lit(0)).alias("communities"),
+            ready.cast("long").alias("tokenizer_ready"),
+        )
+    )

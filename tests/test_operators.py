@@ -1587,6 +1587,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # broadcast exchanges of those small tables
         "g07_modularity_audit": 24,
         "x14_log2_histogram_quantiles": 21,
+        # p08 composes t41 + x14 + g06: the x14 bounded frames re-plan
+        # inside the composition; g06 labels read their checkpoints
+        "p08_tokenizer_readiness": 30,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
