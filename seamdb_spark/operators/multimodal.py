@@ -394,8 +394,12 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("not a PNG signature")
     pos, width, height, idat = 8, None, None, bytearray()
     while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (clen,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk body")
         data = payload[pos + 8:pos + 8 + clen]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + clen:pos + 12 + clen]

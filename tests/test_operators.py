@@ -153,16 +153,19 @@ def test_media_features_deterministic(spark, registry):
 
 
 def test_decode_media_unsupported_formats_are_explicit():
-    # Codec-needing formats (here: a PNG magic) remain an explicit
-    # NotImplementedError boundary; BMP/WAV/JPEG take the real-parser
-    # paths (a JPEG SOI now routes to decode_jpeg, so a malformed one
-    # is a ValueError — a real parse failure, not a missing codec).
+    # Codec-needing formats (here: an MP4 ftyp box) remain an explicit
+    # NotImplementedError boundary; BMP/WAV/JPEG/PNG take the
+    # real-parser paths (a JPEG SOI routes to decode_jpeg and a PNG
+    # signature to decode_png, so malformed payloads are ValueError —
+    # a real parse failure, not a missing codec).
     from seamdb_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n\x1a\n not decodable without codecs")
+        decode_media(b"\x00\x00\x00\x18ftypmp42 not decodable without codecs")
     with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0 malformed jpeg payload")
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n\x1a\n malformed png payload")
 
 
 def test_bmp_decode_handcrafted():
@@ -422,6 +425,12 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "exact_extra", "lex_extra", "contam", "lowq", "srcs",
         # s18: 1-row discrete-median norm
         "med",
+        # g07: 1-row edge count + 1-row corpus modularity aggregate
+        "m", "q",
+        # x14: |sources|-row quantile pick table
+        "picked",
+        # p08: |sources|-row dup profile
+        "dup_profile",
         # e26: per-prev-type modal next step — |types| rows
         "modal",
         # dedup_index: the per-refresh ingest batch — bounded by batch
