@@ -2981,6 +2981,20 @@ def _t40_oracle() -> str:
 
 @register("t40_bpe_train", oracle=_t40_oracle())
 def t40_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The learned rule table is O(K) driver state and feeds t41/p08 —
+    # train once per (session, sf_dir) (the materialize.py discipline;
+    # deterministic, so reuse cannot change any result).
+    from .materialize import materialized_value
+
+    rules = materialized_value(
+        spark, sf_dir, "t40_rules", lambda: _t40_train_rules(spark, sf_dir)
+    )
+    return spark.createDataFrame(
+        rules, "merge_rank long, left_sym string, right_sym string, pair_freq long"
+    )
+
+
+def _t40_train_rules(spark: SparkSession, sf_dir: str) -> list[tuple]:
     docs = _docs(spark, sf_dir)
     s = F.concat(
         F.lit(" "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
@@ -3018,9 +3032,7 @@ def t40_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpointed previous state instead of re-running every prior
         # replace over the raw corpus (the d09 iteration discipline)
         ).localCheckpoint()
-    return spark.createDataFrame(
-        rules, "merge_rank long, left_sym string, right_sym string, pair_freq long"
-    )
+    return rules
 
 
 # --------------------------------------------------------------------------
