@@ -1093,14 +1093,15 @@ def _qnorm(emb: DataFrame) -> DataFrame:
     )
 
 
-def _s08_oracle() -> str:
+def _pq_chain_sql() -> str:
+    """Shared PQ CTE prefix (quant → seeds → codebook → per-vec
+    subvector blocks) — spliced by both s08's search oracle and s22's
+    distortion audit so the codebook derivation exists once."""
     from .hashing import md5_prefix_long_sql
 
     seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
-    d2 = _QD2_SQL.format(a="c.sub", b="k.cw")
     norm = _NORM_SQL.format(a="embedding")
-    return f"""
-    WITH quant AS (
+    return f"""quant AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) / {norm} * {QUANT_SCALE})
@@ -1122,7 +1123,13 @@ def _s08_oracle() -> str:
       SELECT vec_id, t.b,
              list_slice(q, t.b * {PQ_SUB} + 1, t.b * {PQ_SUB} + {PQ_SUB}) AS sub
       FROM quant, range(0, {PQ_BLOCKS}) t(b)
-    ),
+    )"""
+
+
+def _s08_oracle() -> str:
+    d2 = _QD2_SQL.format(a="c.sub", b="k.cw")
+    return f"""
+    WITH {_pq_chain_sql()},
     codes AS (
       SELECT vec_id, b, cid AS code FROM (
         SELECT c.vec_id, c.b, k.cid,
@@ -3325,4 +3332,111 @@ def s21_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(1000 * mean_intra_d2) div greatest(nearest_other_d2, 1)"
         ).alias("scatter_margin_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# s22: PQ distortion audit — the codebook-health table an IVFADC
+# deployment reads next to s17 (cell drift) and s20 (cell purity):
+# per PQ block, the exact int64 quantization error of every vector's
+# subvector against its ASSIGNED codeword (the same argmin the encoder
+# uses — the min(struct) carries the winning distance, so the audit is
+# free at assignment time), codebook utilization (distinct codewords
+# actually used, of PQ_K), and the share of vectors whose error
+# exceeds 2× the block mean (data-relative flag: d2·n > 2·Σd2 — no
+# magic constants, exact integers). A block with low utilization or a
+# fat high-error tail needs more codewords or a re-train before its
+# ADC distances can be trusted.
+#
+# Oracle: splices the SAME _pq_chain_sql prefix s08 searches through,
+# so the audited codebook IS the search codebook.
+#
+# Scale: one corpus pass for assignment (broadcast PQ_K×PQ_BLOCKS
+# codebook), then a PQ_BLOCKS-row aggregate and one recount join
+# against the 8-row stats broadcast.
+# --------------------------------------------------------------------------
+def _s22_oracle() -> str:
+    d2 = _QD2_SQL.format(a="c.sub", b="k.cw")
+    return f"""
+    WITH {_pq_chain_sql()},
+    errs AS (
+      SELECT vec_id, b, cid, d2 FROM (
+        SELECT c.vec_id, c.b, k.cid, {d2} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.b
+                                  ORDER BY {d2}, k.cid) AS rk
+        FROM cblk c JOIN cb k ON k.b = c.b
+      ) WHERE rk = 1
+    ),
+    per AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(d2) AS BIGINT) AS sum_d2,
+             CAST(MAX(d2) AS BIGINT) AS max_d2,
+             CAST(COUNT(DISTINCT cid) AS BIGINT) AS codes_used
+      FROM errs GROUP BY b
+    )
+    SELECT p.b, p.n_vecs,
+           p.sum_d2 // p.n_vecs AS avg_d2,
+           p.max_d2, p.codes_used,
+           (1000 * p.codes_used) // {PQ_K} AS util_milli,
+           CAST((SELECT COUNT(*) FROM errs e
+                 WHERE e.b = p.b AND e.d2 * p.n_vecs > 2 * p.sum_d2)
+                AS BIGINT) AS n_high,
+           (1000000 * (SELECT COUNT(*) FROM errs e
+                       WHERE e.b = p.b AND e.d2 * p.n_vecs > 2 * p.sum_d2))
+             // p.n_vecs AS high_ppm
+    FROM per p
+    """
+
+
+@register("s22_pq_distortion_audit", oracle=_s22_oracle())
+def s22_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quant = _qnorm_corpus(spark, sf_dir)
+    cb_rows = _pq_codebook_rows(spark, sf_dir)
+    cb = F.broadcast(
+        spark.createDataFrame(cb_rows, "b int, cid int, cw array<bigint>")
+    )
+    blocks_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.slice("q", b * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            for b in range(PQ_BLOCKS)
+        ]
+    )
+    cblk = quant.select("vec_id", F.explode(blocks_arr).alias("bk")).select(
+        "vec_id", "bk.b", "bk.sub"
+    )
+    errs = (
+        cblk.join(cb, "b")
+        .withColumn("d2", _qd2("sub", "cw"))
+        .groupBy("vec_id", "b")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "b", F.col("m.d2").alias("d2"), F.col("m.cid").alias("cid"))
+        .localCheckpoint()  # read by the stats agg AND the tail recount
+    )
+    per = errs.groupBy("b").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("d2").alias("sum_d2"),
+        F.max("d2").alias("max_d2"),
+        F.count_distinct("cid").alias("codes_used"),
+    )
+    high = (
+        errs.join(F.broadcast(per.select("b", "n_vecs", "sum_d2")), "b")
+        .filter(F.col("d2") * F.col("n_vecs") > 2 * F.col("sum_d2"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n_high"))
+    )
+    return (
+        per.join(high, "b", "left")
+        .select(
+            "b",
+            "n_vecs",
+            F.expr("sum_d2 div n_vecs").alias("avg_d2"),
+            "max_d2",
+            "codes_used",
+            F.expr(f"(1000 * codes_used) div {PQ_K}").alias("util_milli"),
+            F.coalesce("n_high", F.lit(0)).alias("n_high"),
+            F.expr("(1000000 * coalesce(n_high, 0)) div n_vecs").alias("high_ppm"),
+        )
     )

@@ -1599,6 +1599,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # p08 composes t41 + x14 + g06: the x14 bounded frames re-plan
         # inside the composition; g06 labels read their checkpoints
         "p08_tokenizer_readiness": 30,
+        "s22_pq_distortion_audit": 5,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
