@@ -3591,3 +3591,129 @@ def x14_log2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p95_bound_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e34: periodicity detection via lag autocorrelation — does a type's
+# hourly traffic repeat on a daily (lag 24) or weekly (lag 168) cycle?
+# The signal behind e23's hour-of-day seasonal index: the index
+# ASSUMES a daily cycle; this measures it. Per (type, lag): Pearson
+# correlation of the zero-filled hourly series against itself shifted
+# by the lag, over the CONTIGUOUS min..max hour grid (epoch-hour
+# sequence, not just observed hours — holes must align as zeros or
+# every lag pair slips).
+#
+# Determinism: e27's discipline — five exact BIGINT sufficient sums,
+# then three correctly-rounded IEEE-754 ops; degenerate (zero
+# variance) segments are filtered identically in both engines before
+# the division.
+#
+# Scale: one (type, hour) groupBy off the scan; the dense grid is
+# |types| × |hours| (calendar-bounded), the lag self-join and final
+# aggregate are grid-sized.
+# --------------------------------------------------------------------------
+E34_LAGS = (24, 168)
+
+
+@register(
+    "e34_periodicity_autocorrelation",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+    spine AS (
+      SELECT unnest(range(b.h0, b.h1 + 1)) AS h FROM bounds b
+    ),
+    types AS (SELECT DISTINCT event_type FROM counts),
+    dense AS (
+      SELECT t.event_type, s.h, COALESCE(c.c, 0) AS c
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = s.h
+    ),
+    lagged AS (
+      SELECT a.event_type, l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a.c) AS BIGINT) AS sx,
+             CAST(SUM(b.c) AS BIGINT) AS sy,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+             CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+             CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+      FROM (SELECT unnest([{", ".join(str(lag) for lag in E34_LAGS)}]) AS lag) l
+      JOIN dense a ON TRUE
+      JOIN dense b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+      GROUP BY a.event_type, l.lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag_hours, n_pairs,
+           ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+             AS autocorr_r
+    FROM lagged
+    WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+    """,
+)
+def e34_periodicity_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    types = counts.select("event_type").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint()  # grid read by both sides of each lag join
+    )
+    lags = spark.createDataFrame(
+        [(lag,) for lag in E34_LAGS], "lag long"
+    )
+    a = dense.crossJoin(F.broadcast(lags))
+    b = dense.select(
+        "event_type", F.col("h").alias("hb"), F.col("c").alias("cb")
+    )
+    lagged = (
+        a.join(b, (b.event_type == a.event_type) & (F.col("hb") == F.col("h") + F.col("lag")))
+        .drop(b.event_type)
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("c").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("c") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("c") * F.col("c")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    dx = (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        lagged.filter(
+            (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("lag").alias("lag_hours"),
+            "n_pairs",
+            dround(num / F.sqrt(dx * dy), 6).alias("autocorr_r"),
+        )
+    )

@@ -1600,6 +1600,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # inside the composition; g06 labels read their checkpoints
         "p08_tokenizer_readiness": 30,
         "s22_pq_distortion_audit": 5,
+        "e34_periodicity_autocorrelation": 3,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
