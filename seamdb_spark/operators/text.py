@@ -3097,3 +3097,85 @@ def t41_bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na").alias("tokens_after"),
         F.expr("(1000000 * (sum(nb) - sum(na))) div sum(nb)").alias("saved_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# t42: mixture-independence (chi-square) audit — is language
+# distribution independent of source? A skewed cell (one source
+# carrying all of one language) means per-source sampling silently
+# reweights languages and vice versa — the check a mixture designer
+# (t15 domain weights, t28 temperature) runs before treating the two
+# axes as separable. Exact integers on the common denominator
+# n·r·c: each cell's Pearson term (o − rc/n)²/(rc/n) is computed as
+# contribution_milli = (1000·(o·n − r·c)²) div (n·r·c) — no floats,
+# order-independent, identical in both engines; the corpus statistic
+# is the sum of the per-cell terms (up to one truncation unit each,
+# same discipline as g07). Also emits each cell's expected count in
+# milli and the signed direction flag.
+#
+# Scale: one (lang, source) contingency groupBy (map-side combined,
+# |langs|×|sources| cells) + two marginal aggregates broadcast back.
+# PRECONDITION (int64): the cross term o·n caps the corpus at n ≈ 3e9
+# docs — inherent to ANY exact-integer chi-square, since (o−E)² is
+# squared counts. Past that, run the audit on a deterministic t08-style
+# sample (a chi-square on 3e9 rows is saturated anyway — at that n the
+# test rejects independence for trivially tiny effect sizes, so the
+# sample IS the statistically honest input).
+# --------------------------------------------------------------------------
+@register(
+    "t42_mixture_independence_audit",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    rows_m AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells
+               GROUP BY lang),
+    cols_m AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells
+               GROUP BY source),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT ce.lang, ce.source, ce.o, r.r, co.c, n.n,
+             (1000 * r.r * co.c) // n.n AS expected_milli,
+             (1000 * (ce.o * n.n - r.r * co.c) * (ce.o * n.n - r.r * co.c))
+               // (n.n * r.r * co.c) AS contribution_milli,
+             CAST(ce.o * n.n > r.r * co.c AS BIGINT) AS over_represented
+      FROM cells ce
+      JOIN rows_m r USING (lang)
+      JOIN cols_m co USING (source)
+      CROSS JOIN n
+    )
+    SELECT lang, source, o AS observed, expected_milli,
+           contribution_milli, over_represented,
+           (SELECT CAST(SUM(contribution_milli) AS BIGINT) FROM terms)
+             AS chi2_milli
+    FROM terms
+    """,
+)
+def t42_mixture_independence_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    cells = cells.localCheckpoint()  # |langs|×|sources| frame, 4 readers
+    rows_m = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rows_m), "lang")
+        .join(F.broadcast(cols_m), "source")
+        .join(F.broadcast(n))
+        .select(
+            "lang", "source", "o", "r", "c", "n",
+            F.expr("(1000 * r * c) div n").alias("expected_milli"),
+            F.expr(
+                "(1000 * (o * n - r * c) * (o * n - r * c)) div (n * r * c)"
+            ).alias("contribution_milli"),
+            F.expr("CAST(o * n > r * c AS BIGINT)").alias("over_represented"),
+        )
+    )
+    chi2 = terms.agg(F.sum("contribution_milli").alias("chi2_milli"))
+    return terms.join(F.broadcast(chi2)).select(
+        "lang", "source", F.col("o").alias("observed"), "expected_milli",
+        "contribution_milli", "over_represented", "chi2_milli",
+    )

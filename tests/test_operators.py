@@ -431,6 +431,12 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "picked",
         # p08: |sources|-row dup profile
         "dup_profile",
+        # t42: |langs|/|sources|-row marginals, 1-row total and chi2
+        "rows_m", "cols_m", "n", "chi2",
+        # e34: len(E34_LAGS)-row lag table (driver-local list)
+        "lags",
+        # s22: PQ_BLOCKS-row per-block stats
+        "per",
         # e26: per-prev-type modal next step — |types| rows
         "modal",
         # dedup_index: the per-refresh ingest batch — bounded by batch
@@ -1601,6 +1607,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "p08_tokenizer_readiness": 30,
         "s22_pq_distortion_audit": 5,
         "e34_periodicity_autocorrelation": 3,
+        # t42's marginal/total broadcasts re-plan off the checkpointed
+        # |langs|×|sources| cells frame
+        "t42_mixture_independence_audit": 14,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
