@@ -3717,3 +3717,72 @@ def e34_periodicity_autocorrelation(
             dround(num / F.sqrt(dx * dy), 6).alias("autocorr_r"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e35: anomaly-incident merging — the step between e14's per-hour
+# flags and a pageable alert: consecutive anomalous hours of one type
+# collapse into a single INCIDENT (gaps-and-islands on the hour index:
+# island id = hour_index − row_number per type over anomalous hours
+# only), reported with start/end, duration, peak hour-count and peak
+# |z| (in milli, from e14's rounded z — exact given the pinned
+# rounding), so a 6-hour outage pages once, not six times.
+#
+# Oracle: splices e14's registered SQL (the e28-over-e02 discipline —
+# one anomaly definition, never a hand-kept copy).
+#
+# Scale: e14's single (type, hour) rollup + per-type windows (hour-
+# grid-sized), then islands arithmetic and a per-incident aggregate on
+# the (tiny) anomalous subset.
+# --------------------------------------------------------------------------
+def _e35_oracle() -> str:
+    from .registry import ORACLE_SQL as _osql
+
+    e14 = _osql["e14_hourly_anomalies"]
+    return f"""
+    WITH flags AS ({e14}),
+    anom AS (
+      SELECT event_type, CAST(hour AS TIMESTAMP) AS hour, n,
+             CAST(ROUND(ABS(z) * 1000) AS BIGINT) AS absz_milli
+      FROM flags WHERE is_anomaly = 1
+    ),
+    isl AS (
+      SELECT event_type, hour, n, absz_milli,
+             CAST(epoch(hour) AS BIGINT) // 3600
+               - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+               AS g
+      FROM anom
+    )
+    SELECT event_type,
+           CAST(MIN(hour) AS VARCHAR) AS incident_start,
+           CAST(MAX(hour) AS VARCHAR) AS incident_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(MAX(n) AS BIGINT) AS peak_count,
+           CAST(MAX(absz_milli) AS BIGINT) AS peak_absz_milli
+    FROM isl
+    GROUP BY event_type, g
+    """
+
+
+@register("e35_anomaly_incidents", oracle=_e35_oracle())
+def e35_anomaly_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = e14_hourly_anomalies(spark, sf_dir)
+    anom = flags.filter(F.col("is_anomaly") == 1).select(
+        "event_type",
+        F.col("hour").cast("timestamp").alias("hour"),
+        "n",
+        F.round(F.abs(F.col("z")) * 1000).cast("long").alias("absz_milli"),
+    )
+    w = W.partitionBy("event_type").orderBy("hour")
+    isl = anom.withColumn(
+        "g",
+        F.expr("CAST(unix_timestamp(hour) AS BIGINT) div 3600")
+        - F.row_number().over(w),
+    )
+    return isl.groupBy("event_type", "g").agg(
+        F.min("hour").cast("string").alias("incident_start"),
+        F.max("hour").cast("string").alias("incident_end"),
+        F.count("*").alias("n_hours"),
+        F.max("n").alias("peak_count"),
+        F.max("absz_milli").alias("peak_absz_milli"),
+    ).drop("g")

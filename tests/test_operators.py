@@ -1610,6 +1610,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # t42's marginal/total broadcasts re-plan off the checkpointed
         # |langs|×|sources| cells frame
         "t42_mixture_independence_audit": 14,
+        "e35_anomaly_incidents": 2,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
