@@ -2672,3 +2672,38 @@ def q64_yearly_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tv_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q65: PostgreSQL DISTINCT ON — the pg-dialect idiom the reference's
+# users actually type for "first row per key" (the reference speaks
+# the Postgres dialect end-to-end; DataFusion executes DISTINCT ON
+# since v33). Semantics: one row per DISTINCT ON key, chosen by the
+# ORDER BY's remaining columns — deterministic here because the full
+# ORDER BY (nation, balance DESC, custkey) totally orders every
+# group. Spark has no DISTINCT ON; the engine expresses it as the
+# row_number-over-window plan Catalyst already optimizes to a
+# WindowGroupLimit (the q30 pattern) — same result set, scale-safe.
+#
+# Scale: one hash window per nation partition — no global sort; the
+# oracle's DISTINCT ON compiles to the same per-group argmax.
+# --------------------------------------------------------------------------
+@register(
+    "q65_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (c_nationkey)
+           c_nationkey, c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+    """,
+)
+def q65_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+    )

@@ -337,3 +337,38 @@ def test_png_decoder_boundary_is_explicit():
     )
     with pytest.raises(ValueError):
         decode_png(bad_mode + payload[8 + 25:])
+
+
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 32) - 1),
+    flips=st.lists(
+        st.integers(min_value=0, max_value=31), min_size=0, max_size=2
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_exclude2of8_blocking_is_pigeonhole_complete(sig, flips):
+    """For ANY 32-bit signature and ANY <=2 bit flips, the exclude-2-of-8
+    table construction must key the two signatures identically in at
+    least one table (the d03/d27 completeness invariant, checked in
+    pure arithmetic against the same key formula the operators build
+    in SQL)."""
+    from itertools import combinations
+
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+
+    def keys(v):
+        out = {}
+        for t, (i, j) in enumerate(combinations(range(8), 2)):
+            kept = [k for k in range(8) if k not in (i, j)]
+            out[t] = sum(
+                ((v >> (k * 4)) & 15) << (p * 4) for p, k in enumerate(kept)
+            )
+        return out
+
+    ka, kb = keys(sig), keys(other)
+    shared = [t for t in ka if ka[t] == kb[t]]
+    assert shared, f"hamming {bin(sig ^ other).count('1')} pair missed"
+    if sig == other:
+        assert len(shared) == 28
