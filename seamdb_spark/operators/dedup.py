@@ -3431,3 +3431,119 @@ def g07_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "modularity_micro",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d31: near-dup pair EXPLANATIONS — the audit row a human reviews when
+# a merge decision is challenged: for every d02-verified pair, WHICH
+# shared shingles drove the match, ranked rarest-first (document
+# frequency ascending — a shared rare shingle is evidence, a shared
+# stopword run is noise). Emits the overlap accounting (n_shared /
+# n_union), the rarest shared shingle with its df, and a top-3
+# preview. Ranking key is the single sortable string
+# lpad(df)·'|'·shingle so both engines order byte-identically (no
+# struct-comparison semantics in play).
+#
+# Scale: pairs come from the banding pipeline (never all-pairs); the
+# shared-shingle explode is bounded by verified-pair overlap sizes,
+# the df table is vocabulary-sized with map-side combine.
+# --------------------------------------------------------------------------
+def _d31_oracle() -> str:
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    verified AS (
+      SELECT c.doc_a, c.doc_b, a.shingles AS sh_a, b.shingles AS sh_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_shared,
+             len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS n_union
+      FROM cand c JOIN sh a ON c.doc_a = a.doc_id
+                  JOIN sh b ON c.doc_b = b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    df AS (
+      SELECT g AS shingle, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)
+      GROUP BY g
+    ),
+    shared AS (
+      SELECT v.doc_a, v.doc_b, v.n_shared, v.n_union,
+             lpad(CAST(d.df AS VARCHAR), 12, '0') || '|' || t.g AS key
+      FROM verified v, unnest(list_intersect(v.sh_a, v.sh_b)) t(g)
+      JOIN df d ON d.shingle = t.g
+    ),
+    ranked AS (
+      SELECT doc_a, doc_b, n_shared, n_union,
+             list_sort(list(key)) AS keys
+      FROM shared GROUP BY doc_a, doc_b, n_shared, n_union
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_union AS BIGINT) AS n_union,
+           substr(keys[1], 14) AS rarest_shingle,
+           CAST(CAST(substr(keys[1], 1, 12) AS BIGINT) AS BIGINT)
+             AS rarest_df,
+           array_to_string(
+             list_transform(list_slice(keys, 1, 3), k -> substr(k, 14)),
+             ',') AS top3_preview
+    FROM ranked
+    """
+
+
+@register("d31_neardup_explanations", oracle=_d31_oracle())
+def d31_neardup_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.array_intersect(F.col("sh_a"), F.col("sh_b"))
+    n_shared = F.size(inter)
+    n_union = F.size("sh_a") + F.size("sh_b") - n_shared
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("shared", inter)
+        .withColumn("n_shared", n_shared)
+        .withColumn("n_union", n_union)
+        .filter(
+            F.col("n_shared").cast("double") / F.col("n_union")
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b", "n_shared", "n_union", "shared")
+    )
+    df_tab = (
+        sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+    )
+    shared = (
+        verified.select(
+            "doc_a", "doc_b", "n_shared", "n_union",
+            F.explode("shared").alias("shingle"),
+        )
+        .join(df_tab, "shingle")
+        .select(
+            "doc_a", "doc_b", "n_shared", "n_union",
+            F.concat(
+                F.lpad(F.col("df").cast("string"), 12, "0"),
+                F.lit("|"),
+                F.col("shingle"),
+            ).alias("key"),
+        )
+    )
+    ranked = shared.groupBy("doc_a", "doc_b", "n_shared", "n_union").agg(
+        F.sort_array(F.collect_list("key")).alias("keys")
+    )
+    return ranked.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.expr("substr(keys[0], 14)").alias("rarest_shingle"),
+        F.expr("CAST(substr(keys[0], 1, 12) AS BIGINT)").alias("rarest_df"),
+        F.expr(
+            "array_join(transform(slice(keys, 1, 3), k -> substr(k, 14)), ',')"
+        ).alias("top3_preview"),
+    )

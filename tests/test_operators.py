@@ -1612,6 +1612,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "t42_mixture_independence_audit": 14,
         "e35_anomaly_incidents": 2,
         "q65_distinct_on": 1,
+        "d31_neardup_explanations": 10,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
