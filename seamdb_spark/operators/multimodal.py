@@ -2898,3 +2898,113 @@ def m23_cross_codec_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(audit, schema=_M23_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m24: perceptual-hash invariance audit — pins the EXACT invariances
+# that make aHash usable as a dedup key on re-processed images, each a
+# mathematical identity of the mean-threshold construction (not an
+# empirical tolerance):
+#   brightness: gray+Δ (no clamp) shifts every cell mean and the
+#     global mean equally ⇒ identical hash, bit for bit;
+#   channel permutation: gray = (c0+c1+c2)//3 is symmetric in the
+#     channels, so BGR↔RGB (or any channel shuffle) ⇒ identical hash —
+#     the invariant that makes BMP's BGR order and PNG's RGB order
+#     hash-compatible (the m23 equality relies on it);
+#   vertical flip: row reversal permutes cells cj → G-1-cj ⇒ the hash
+#     is exactly the predicted bit permutation of the original.
+# Runs on the m15 ramp fixtures (max gray 198, so Δ=40 stays
+# clamp-free). A decoder/hasher change that breaks any identity flips
+# a pinned-TRUE column.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle, 1-in-8
+# sample (offset +3, disjoint from m15/m22/m23).
+# --------------------------------------------------------------------------
+_M24_SCHEMA = (
+    "doc_id long, ahash long, brightness_invariant boolean,"
+    " channel_invariant boolean, flip_permutes boolean"
+)
+M24_SAMPLE_MOD = 8
+
+
+@register(
+    "m24_ahash_invariance",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(0 AS BIGINT) + (
+             -- analytic 16-bit aHash of the ramp (m16's closed form):
+             -- cell (ci,cj) mean = d-part + linear(x̄,ȳ); with the ramp
+             -- planes the comparison reduces to fixed geometry, so the
+             -- hash is the same for every doc: bits where
+             -- 6*xc + 3*yc >= mean of (6x+3y) over 16x16 ... pinned by
+             -- replay below
+             SELECT CAST(SUM(CASE WHEN cs * 256 >= ts * cc
+                                  THEN (CAST(1 AS BIGINT) << (4 * cj + ci))
+                                  ELSE 0 END) AS BIGINT)
+             FROM (
+               SELECT (x * 4) // 16 AS ci, (y * 4) // 16 AS cj,
+                      SUM((d.d1 + 6 * x + 3 * y + d.d2 + 4 * x + 5 * y
+                           + d.d3 + 2 * x + 7 * y) // 3) AS cs,
+                      COUNT(*) AS cc
+               FROM (SELECT doc_id % 64 AS d1, (doc_id * 7) % 64 AS d2,
+                            (doc_id * 13) % 64 AS d3) d,
+                    (SELECT a.x, b.y
+                     FROM unnest(range(0, 16)) a(x),
+                          unnest(range(0, 16)) b(y)) g
+               GROUP BY 1, 2
+             ) cells,
+             (
+               SELECT SUM((d.d1 + 6 * x + 3 * y + d.d2 + 4 * x + 5 * y
+                           + d.d3 + 2 * x + 7 * y) // 3) AS ts
+               FROM (SELECT doc_id % 64 AS d1, (doc_id * 7) % 64 AS d2,
+                            (doc_id * 13) % 64 AS d3) d,
+                    (SELECT a.x, b.y
+                     FROM unnest(range(0, 16)) a(x),
+                          unnest(range(0, 16)) b(y)) g
+             ) tot
+           ) AS ahash,
+           TRUE AS brightness_invariant,
+           TRUE AS channel_invariant,
+           TRUE AS flip_permutes
+    FROM documents
+    WHERE doc_id % {M24_SAMPLE_MOD} = 3
+    """,
+)
+def m24_ahash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M24_SAMPLE_MOD == 3)
+        .select("doc_id")
+    )
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "ahash", "brightness_invariant",
+                "channel_invariant", "flip_permutes",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rgb = _ramp_rgb(d)  # uint8, max 198
+                base = ahash_rgb(16, 16, rgb.tobytes())
+                bright = ahash_rgb(
+                    16, 16, (rgb.astype(np.int64) + 40).astype(np.uint8)
+                    .tobytes()
+                )
+                permuted = ahash_rgb(16, 16, rgb[:, :, ::-1].tobytes())
+                flipped = ahash_rgb(16, 16, rgb[::-1, :, :].tobytes())
+                pred = 0
+                for cj in range(4):
+                    for ci in range(4):
+                        if base >> (4 * cj + ci) & 1:
+                            pred |= 1 << (4 * (3 - cj) + ci)
+                out["doc_id"].append(d)
+                out["ahash"].append(base)
+                out["brightness_invariant"].append(bright == base)
+                out["channel_invariant"].append(permuted == base)
+                out["flip_permutes"].append(flipped == pred)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(audit, schema=_M24_SCHEMA)
