@@ -3786,3 +3786,67 @@ def e35_anomaly_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("peak_count"),
         F.max("absz_milli").alias("peak_absz_milli"),
     ).drop("g")
+
+
+# --------------------------------------------------------------------------
+# x15: frequency-cap sampling — the per-entity contribution cap a
+# training-data pipeline applies so hyperactive users (bots, test
+# accounts — e32's screen finds them, this neutralizes them) cannot
+# dominate the event corpus: each user keeps only their FIRST
+# X15_CAP events in (ts, event_type) order (deterministic total order
+# per user), everything later is dropped. Reported per type so the
+# mixture impact is visible: events in, events kept, keep ratio ppm,
+# and how many distinct users hit the cap for that type.
+#
+# Scale: one (user_id) window over the scan — the same single-shuffle
+# shape as e02's sessionization — then a |types|-row aggregate.
+# --------------------------------------------------------------------------
+X15_CAP = 20
+
+
+@register(
+    "x15_frequency_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_type) AS rn
+      FROM events
+    ),
+    flags AS (
+      SELECT event_type, user_id,
+             CAST(rn <= {X15_CAP} AS BIGINT) AS kept,
+             CAST(rn > {X15_CAP} AS BIGINT) AS capped
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           (1000000 * SUM(kept)) // COUNT(*) AS kept_ppm,
+           CAST(COUNT(DISTINCT CASE WHEN capped = 1 THEN user_id END)
+                AS BIGINT) AS n_capped_users
+    FROM flags
+    GROUP BY event_type
+    """,
+)
+def x15_frequency_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_type")
+    flags = ev.select(
+        "event_type",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "event_type",
+        "user_id",
+        (F.col("rn") <= X15_CAP).cast("long").alias("kept"),
+        (F.col("rn") > X15_CAP).cast("long").alias("capped"),
+    )
+    return flags.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("kept").alias("n_kept"),
+        F.expr("(1000000 * sum(kept)) div count(*)").alias("kept_ppm"),
+        F.count_distinct(
+            F.when(F.col("capped") == 1, F.col("user_id"))
+        ).alias("n_capped_users"),
+    )
