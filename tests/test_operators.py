@@ -1614,7 +1614,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "q65_distinct_on": 1,
         "d31_neardup_explanations": 10,
         "m24_ahash_invariance": 0,
-        "x15_frequency_cap_sample": 2,
+        "x15_frequency_cap_sample": 3,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
