@@ -771,3 +771,66 @@ def log2_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "k")
         .agg(F.count("*").alias("c"))
     )
+
+
+def frequency_cap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of x15's frequency cap via
+    applyInPandasWithState: per-user state is two integers (events
+    seen, events kept); each micro-batch folds its events in
+    (ts, event_type) order and admits only while the running count is
+    under X15_CAP — the live admission decision a streaming ingest
+    makes, where the batch x15 is the retrospective audit. The LAST
+    update per user satisfies n_kept == min(n_seen, X15_CAP) against
+    the batch per-user counts (tested).
+
+    Scale: state is two integers per user, forever — the cap is the
+    point: unbounded per-user history is exactly what this operator
+    exists to avoid."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.events import X15_CAP
+
+    ev = stream_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("n_kept", T.LongType()),
+            T.StructField("capped", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("n_kept", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n_seen, n_kept = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_us", "event_type"])
+            for _ in range(len(pdf)):
+                n_seen += 1
+                if n_kept < X15_CAP:
+                    n_kept += 1
+        state.update((n_seen, n_kept))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([key[0]], dtype="Int64"),
+                "n_seen": pd.array([n_seen], dtype="Int64"),
+                "n_kept": pd.array([n_kept], dtype="Int64"),
+                "capped": [n_seen > X15_CAP],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -373,3 +373,31 @@ def test_log2_histogram_stream_matches_batch_x14(spark):
     )
     want = {(r.source, r.k): r["count"] for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_frequency_cap_stream_matches_batch_x15(spark):
+    from seamdb_spark.operators.events import X15_CAP
+    from seamdb_spark.streaming.events import frequency_cap_stream
+
+    out = st.run_stream_to_memory(
+        frequency_cap_stream(spark, SF_SMOKE), "freq_cap_q", "update"
+    )
+    # LAST update per user (the memory sink appends every update; the
+    # final row per user carries the end-of-stream state)
+    rows = out.collect()
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n_seen, r.n_kept, r.capped)
+    batch = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(last) == set(batch)
+    for uid, n in batch.items():
+        n_seen, n_kept, capped = last[uid]
+        assert n_seen == n
+        assert n_kept == min(n, X15_CAP)
+        assert capped == (n > X15_CAP)
