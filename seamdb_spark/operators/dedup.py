@@ -1983,10 +1983,12 @@ CDC_MOD = 8
 _SPARK_TOKHASH = "CAST(conv(substring(md5({0}), 1, 8), 16, 10) AS BIGINT)"
 
 
-def _cdc_oracle() -> str:
+def _cdc_flat_ctes() -> str:
+    """CTE chain ``toks, bounded, chunks, flat`` — the content-defined
+    chunking pipeline shared by d20 (corpus-wide popularity) and t43
+    (within-doc repetition)."""
     tok_hash = md5_prefix_long_sql("l[i]")
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS l,
              len(string_split(text, ' ')) AS n
       FROM documents
@@ -2009,7 +2011,12 @@ def _cdc_oracle() -> str:
                             THEN starts[j + 1] - 1 ELSE n END), ' '))))) AS c
       FROM bounded
     ),
-    flat AS (SELECT doc_id, n, c.chunk_id, c.n_tok, c.h FROM chunks),
+    flat AS (SELECT doc_id, n, c.chunk_id, c.n_tok, c.h FROM chunks)"""
+
+
+def _cdc_oracle() -> str:
+    return f"""
+    WITH {_cdc_flat_ctes()},
     pop AS (
       SELECT doc_id, n, n_tok,
              COUNT(*) OVER (PARTITION BY h) AS n_occ
@@ -2028,8 +2035,7 @@ def _cdc_oracle() -> str:
     """
 
 
-@register("d20_cdc_chunk_dedup", oracle=_cdc_oracle())
-def d20_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cdc_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tok_hash = _SPARK_TOKHASH.format("toks[i]")
     # starts is bound as a COLUMN before the chunk transform so each
@@ -2078,6 +2084,12 @@ def d20_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n", "n_tok", F.xxhash64("chunk_text").alias("h")
         )
     )
+    return flat
+
+
+@register("d20_cdc_chunk_dedup", oracle=_cdc_oracle())
+def d20_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _cdc_flat(spark, sf_dir)
     pop = flat.withColumn("n_occ", F.count("*").over(W.partitionBy("h")))
     is_dup = F.col("n_occ") >= 2
     return pop.groupBy("doc_id").agg(
@@ -3546,4 +3558,71 @@ def d31_neardup_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "array_join(transform(slice(keys, 1, 3), k -> substr(k, 14)), ',')"
         ).alias("top3_preview"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t43: intra-document repetition via content-defined chunks — the
+# self-repetition signal t11's fixed n-gram fractions miss when the
+# repeated unit is long and variable-sized (boilerplate paragraphs,
+# templated sections, chorus lines): d20's CDC chunking, but with
+# chunk popularity counted WITHIN each document instead of corpus-
+# wide. (Lives beside the CDC kernel it shares with d20 — the t-family
+# name marks the text-analysis role.) A doc whose chunks repeat internally is template-heavy even if
+# no other doc shares them. Entirely row-local after the chunk
+# explode — the (doc, chunk-hash) count never crosses documents, so
+# unlike d20 there is no corpus-wide popularity shuffle at all.
+#
+# Scale: the (doc_id, h) aggregate partitions by doc — corpus-linear
+# rows, map-side combined, no hot keys (hashes are per-doc).
+# --------------------------------------------------------------------------
+def _t43_oracle() -> str:
+    return f"""
+    WITH {_cdc_flat_ctes()},
+    occ AS (
+      SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(SUM(n_tok) AS BIGINT) AS occ_tokens,
+             ANY_VALUE(n) AS n
+      FROM flat GROUP BY doc_id, h
+    )
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+           -- identical chunk text ⇒ identical n_tok, so one
+           -- occurrence's tokens = occ_tokens // n_occ exactly and the
+           -- redundant (beyond-first) tokens are integer-exact
+           CAST(COALESCE(SUM(CASE WHEN n_occ >= 2
+                THEN occ_tokens - occ_tokens // n_occ END), 0) AS BIGINT)
+             AS redundant_tokens,
+           CAST((1000 * COALESCE(SUM(CASE WHEN n_occ >= 2
+                THEN occ_tokens - occ_tokens // n_occ END), 0))
+                // ANY_VALUE(n) AS BIGINT) AS rep_ratio_milli
+    FROM occ GROUP BY doc_id
+    """
+
+
+@register("t43_intra_doc_repetition", oracle=_t43_oracle())
+def t43_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _cdc_flat(spark, sf_dir)
+    occ = flat.groupBy("doc_id", "h").agg(
+        F.count("*").alias("n_occ"),
+        F.sum("n_tok").alias("occ_tokens"),
+        F.any_value("n").alias("n"),
+    )
+    redundant = F.when(
+        F.col("n_occ") >= 2,
+        F.col("occ_tokens") - F.expr("occ_tokens div n_occ"),
+    )
+    return occ.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.any_value("n").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(redundant), F.lit(0)).cast("long")
+        .alias("redundant_tokens"),
+        F.expr(
+            "CAST((1000 * coalesce(sum(CASE WHEN n_occ >= 2"
+            " THEN occ_tokens - occ_tokens div n_occ END), 0))"
+            " div any_value(n) AS BIGINT)"
+        ).alias("rep_ratio_milli"),
     )

@@ -1615,6 +1615,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "d31_neardup_explanations": 10,
         "m24_ahash_invariance": 0,
         "x15_frequency_cap_sample": 3,
+        "t43_intra_doc_repetition": 2,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
