@@ -414,14 +414,25 @@ def _centroid_rows(quant: DataFrame) -> list[tuple[int, list[int]]]:
     return _centroid_history(quant)[-1]
 
 
-def _centroid_history(quant: DataFrame) -> list[list[tuple[int, list[int]]]]:
+def _centroid_history(
+    quant: DataFrame, salt: str = ""
+) -> list[list[tuple[int, list[int]]]]:
     """[seeds, c1, ..., c_IVF_ITERS] — every Lloyd round's centroid
     table. Seeds = the IVF_K vectors with the smallest md5-derived key
-    (stable across runs/partitionings). Each table is K x 64 int64 —
-    the only thing that ever reaches the driver. s03 consumes the last
-    round; s17's drift monitor consumes the whole history."""
+    (stable across runs/partitionings; ``salt`` appended to the hashed
+    id gives an independent deterministic init — s23's stability
+    audit; the empty default hashes the bare id, so s03/s17 are
+    untouched). Each table is K x 64 int64 — the only thing that ever
+    reaches the driver. s03 consumes the last round; s17's drift
+    monitor consumes the whole history."""
     seeds = (
-        quant.select("vec_id", "q", md5_prefix_long(F.col("vec_id").cast("string")).alias("h"))
+        quant.select(
+            "vec_id",
+            "q",
+            md5_prefix_long(
+                F.concat(F.col("vec_id").cast("string"), F.lit(salt))
+            ).alias("h"),
+        )
         .orderBy("h", "vec_id")
         .limit(IVF_K)
         .collect()
@@ -3439,4 +3450,144 @@ def s22_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_high", F.lit(0)).alias("n_high"),
             F.expr("(1000000 * coalesce(n_high, 0)) div n_vecs").alias("high_ppm"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# s23: k-means init-stability audit — how much of the IVF cell
+# structure is DATA and how much is seed luck? Two fully deterministic
+# Lloyd runs differing only in their seed ordering hash (md5(id) vs
+# md5(id·salt)), compared by the exact Rand index over the final
+# assignments: agreement = same-cell-in-both + split-in-both pairs,
+# over all C(n,2) pairs, computed from the K×K contingency table in
+# closed form (Σ C(m_ij,2) etc. — never enumerating pairs). A low
+# Rand says the quantizer's cells are init-artifacts and nprobe
+# pruning (s03/s19) is shakier than its recall curve suggests —
+# completing the index-health quartet (s17 drift, s20 purity, s22
+# distortion, s23 stability).
+#
+# Output: one row per contingency cell (cid_a, cid_b, n_shared), each
+# carrying the corpus-level rand_milli and pair accounting.
+#
+# Scale: two Lloyd runs (each the s03 cost: IVF_ITERS bounded rounds,
+# K×64 driver state), one corpus join on vec_id, then K² arithmetic.
+# --------------------------------------------------------------------------
+S23_SALT = "b"
+
+
+def _s23_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    assign = _lloyd_assign_sql
+    means = _lloyd_means_sql
+    hA = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+    hB = md5_prefix_long_sql(f"CAST(vec_id AS VARCHAR) || '{S23_SALT}'")
+
+    def chain(tag: str, seed_hash: str) -> str:
+        return f"""seeds{tag} AS (
+      SELECT cid, q AS cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {IVF_K}
+    ),
+    a1{tag} AS ({assign('quant', f'seeds{tag}')}),
+    c1{tag} AS ({means(f'a1{tag}')}),
+    a2{tag} AS ({assign('quant', f'c1{tag}')}),
+    c2{tag} AS ({means(f'a2{tag}')}),
+    cells{tag} AS ({assign('quant', f'c2{tag}')})"""
+
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    {chain('A', hA)},
+    {chain('B', hB)},
+    cont AS (
+      SELECT a.cid AS cid_a, b.cid AS cid_b,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM cellsA a JOIN cellsB b USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS ss
+      FROM cont
+    ),
+    asz AS (SELECT cid_a, CAST(SUM(m) AS BIGINT) AS a FROM cont
+            GROUP BY cid_a),
+    bsz AS (SELECT cid_b, CAST(SUM(m) AS BIGINT) AS b FROM cont
+            GROUP BY cid_b),
+    agg AS (
+      SELECT s.n, s.ss,
+             (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) FROM asz) AS sa,
+             (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) FROM bsz) AS sb,
+             s.n * (s.n - 1) // 2 AS pairs
+      FROM sums s
+    )
+    SELECT c.cid_a, c.cid_b, c.m AS n_shared,
+           g.n AS n_vecs,
+           (1000 * (g.ss + (g.pairs - g.sa - g.sb + g.ss))) // g.pairs
+             AS rand_milli
+    FROM cont c CROSS JOIN agg g
+    """
+
+
+@register("s23_kmeans_stability_audit", oracle=_s23_oracle())
+def s23_kmeans_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quant = _quant_corpus(spark, sf_dir)
+
+    def assign_with(salt: str, tag: str) -> DataFrame:
+        from .materialize import materialized_value
+
+        cents = materialized_value(
+            spark, sf_dir, f"s23_centroids_{tag}",
+            lambda: _centroid_history(quant, salt)[-1],
+        )
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cid int, cvec array<bigint>")
+        )
+        return (
+            quant.crossJoin(cdf)
+            .withColumn("d2", _qd2("q", "cvec"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias(f"cid_{tag}"))
+        )
+
+    cont = (
+        assign_with("", "a")
+        .join(assign_with(S23_SALT, "b"), "vec_id")
+        .groupBy("cid_a", "cid_b")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint()  # K×K frame, read by every aggregate below
+    )
+    sums = cont.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.expr("m * (m - 1) div 2")).alias("ss"),
+    )
+    sa = (
+        cont.groupBy("cid_a").agg(F.sum("m").alias("a"))
+        .agg(F.sum(F.expr("a * (a - 1) div 2")).alias("sa"))
+    )
+    sb = (
+        cont.groupBy("cid_b").agg(F.sum("m").alias("b"))
+        .agg(F.sum(F.expr("b * (b - 1) div 2")).alias("sb"))
+    )
+    agg = (
+        sums.join(F.broadcast(sa)).join(F.broadcast(sb))
+        .select(
+            "n", "ss", "sa", "sb",
+            F.expr("n * (n - 1) div 2").alias("pairs"),
+        )
+    )
+    return cont.join(F.broadcast(agg)).select(
+        "cid_a", "cid_b", F.col("m").alias("n_shared"),
+        F.col("n").alias("n_vecs"),
+        F.expr(
+            "(1000 * (ss + (pairs - sa - sb + ss))) div pairs"
+        ).alias("rand_milli"),
     )

@@ -437,6 +437,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "lags",
         # s22: PQ_BLOCKS-row per-block stats
         "per",
+        # s23: 1-row pair-accounting aggregates
+        "sa", "sb", "agg",
         # e26: per-prev-type modal next step — |types| rows
         "modal",
         # dedup_index: the per-refresh ingest batch — bounded by batch
@@ -1616,6 +1618,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "m24_ahash_invariance": 0,
         "x15_frequency_cap_sample": 3,
         "t43_intra_doc_repetition": 2,
+        "s23_kmeans_stability_audit": 8,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
