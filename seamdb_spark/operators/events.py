@@ -63,11 +63,12 @@ def e01_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Sessionization: gap-based sessions via lag + cumulative sum
 # --------------------------------------------------------------------------
-@register(
-    "e02_sessionization",
-    oracle=f"""
-    WITH ordered AS (
-      SELECT user_id, event_id, ts, value,
+# Per-event session labels — the ONE gap-session definition, shared by
+# e02's summary oracle and e38's session-scoped funnel oracle (the
+# same single-definition rule the Spark side enforces via
+# _session_events).
+SESSION_EVENT_CTES = f"""ordered AS (
+      SELECT user_id, event_id, ts, value, event_type,
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MINUTES} MINUTE
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -75,22 +76,16 @@ def e01_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-      SELECT user_id, event_id, ts, value,
+      SELECT user_id, event_id, ts, value, event_type,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM ordered
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           CAST(COUNT(*) AS BIGINT)            AS n_events,
-           MIN(ts)                             AS session_start,
-           MAX(ts)                             AS session_end,
-           CAST(DATE_DIFF('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s,
-           ROUND(SUM(value), 2)                AS session_value
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
-)
-def e02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event gap-session labels — the one session definition
+    (shared by e02's summary and e38's session-scoped funnel)."""
     # Scale: two windows over the same (user_id, ts) partitioning — one
     # shuffle total; Catalyst reuses the sort for both window operators.
     ev = _events(spark, sf_dir)
@@ -101,6 +96,7 @@ def e02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
+        "event_type",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -112,10 +108,28 @@ def e02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
     )
-    sessions = marked.withColumn(
+    return marked.withColumn(
         "session_id",
         F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
+
+
+@register(
+    "e02_sessionization",
+    oracle=f"""
+    WITH {SESSION_EVENT_CTES}
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT)            AS n_events,
+           MIN(ts)                             AS session_start,
+           MAX(ts)                             AS session_end,
+           CAST(DATE_DIFF('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s,
+           ROUND(SUM(value), 2)                AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def e02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = _session_events(spark, sf_dir)
     return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -3849,4 +3863,109 @@ def x15_frequency_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(
             F.when(F.col("capped") == 1, F.col("user_id"))
         ).alias("n_capped_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e38: session-scoped funnel — e07's view→click→purchase chain
+# evaluated WITHIN one gap-session instead of over a user's lifetime:
+# the strict product question ("did this visit convert?") rather than
+# the cohort question ("did this user ever convert?"). Stage logic is
+# e07's verbatim (first view, first later click, first later
+# purchase, strict ts ordering) applied per (user, session); output is
+# the bounded 4-row stage distribution with per-stage session counts
+# and shares — the table a conversion dashboard actually plots.
+#
+# Session labels come from the ONE shared definition
+# (_session_events / SESSION_EVENT_CTES — the e28 discipline).
+#
+# Scale: the e02 session shuffle + three (user, session)-keyed
+# min-aggregates; output is 4 rows.
+# --------------------------------------------------------------------------
+@register(
+    "e38_session_funnel",
+    oracle=f"""
+    WITH {SESSION_EVENT_CTES},
+    v AS (
+      SELECT user_id, session_id, MIN(ts) AS view_ts FROM sessions
+      WHERE event_type = 'view' GROUP BY user_id, session_id
+    ),
+    c AS (
+      SELECT e.user_id, e.session_id, MIN(e.ts) AS click_ts
+      FROM sessions e JOIN v USING (user_id, session_id)
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id, e.session_id
+    ),
+    p AS (
+      SELECT e.user_id, e.session_id, MIN(e.ts) AS purchase_ts
+      FROM sessions e JOIN c USING (user_id, session_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id, e.session_id
+    ),
+    s AS (SELECT DISTINCT user_id, session_id FROM sessions),
+    staged AS (
+      SELECT s.user_id, s.session_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM s
+      LEFT JOIN v USING (user_id, session_id)
+      LEFT JOIN c USING (user_id, session_id)
+      LEFT JOIN p USING (user_id, session_id)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM staged)
+    SELECT CAST(stage AS BIGINT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           (1000000 * COUNT(*)) // ANY_VALUE(t.n) AS share_ppm
+    FROM staged CROSS JOIN tot t
+    GROUP BY stage
+    """,
+)
+def e38_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    se = _session_events(spark, sf_dir).localCheckpoint()  # 5 readers
+    key = ["user_id", "session_id"]
+    v = (
+        se.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        se.filter(F.col("event_type") == "click")
+        .join(v, key)
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        se.filter(F.col("event_type") == "purchase")
+        .join(c, key)
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    staged = (
+        se.select(*key).distinct()
+        .join(v.withColumn("s1", F.lit(1)).drop("view_ts"), key, "left")
+        .join(c.withColumn("s2", F.lit(1)).drop("click_ts"), key, "left")
+        .join(p.withColumn("s3", F.lit(1)).drop("purchase_ts"), key, "left")
+        .select(
+            F.when(F.col("s3").isNotNull(), 3)
+            .when(F.col("s2").isNotNull(), 2)
+            .when(F.col("s1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("stage")
+        )
+    )
+    tot = staged.agg(F.count("*").alias("n"))
+    return (
+        staged.groupBy("stage")
+        .agg(F.count("*").alias("n_sessions"))
+        .join(F.broadcast(tot))
+        .select(
+            "stage",
+            "n_sessions",
+            F.expr("(1000000 * n_sessions) div n").alias("share_ppm"),
+        )
     )

@@ -1619,6 +1619,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "x15_frequency_cap_sample": 3,
         "t43_intra_doc_repetition": 2,
         "s23_kmeans_stability_audit": 8,
+        # e38 funnels over the checkpointed per-event session table;
+        # every post-session stage keys on (user, session)
+        "e38_session_funnel": 16,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
