@@ -3626,3 +3626,78 @@ def t43_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div any_value(n) AS BIGINT)"
         ).alias("rep_ratio_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# d32: normalized-exact dedup — the cheap pass every dedup stack runs
+# BEFORE MinHash: case-fold, strip punctuation to spaces, collapse
+# whitespace, then group exactly. Catches trivial re-encodings
+# (casing, stray punctuation, double spaces) that d01's byte-exact
+# hash misses while costing one linear scan — at 100 TB this pass
+# typically removes the bulk of duplicates before any signature is
+# computed. Normalization is the SAME regex pipeline in both engines
+# (POSIX classes, no engine-specific escapes); groups key on the
+# md5 of the normalized text.
+#
+# Output: the per-doc verdict table a curation pipeline consumes —
+# each doc's normalized-group hash, group size, keep/drop verdict
+# (keeper = min doc_id of the group), and whether its group holds
+# ≥ 2 distinct RAW texts (the rows byte-exact d01 would miss). On a
+# fixture with no trivial variants the groups are all singletons and
+# every verdict is keep — the per-doc shape keeps the gate
+# substantive either way (d01's group-level output is empty here).
+#
+# Scale: one scan → md5 groupBy (uniform 128-bit key, skew-free), the
+# d01 shape with a normalization expression fused into the map side,
+# then one group→doc join back.
+# --------------------------------------------------------------------------
+@register(
+    "d32_normalized_exact_dedup",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    grp AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+             CAST(COUNT(DISTINCT text) >= 2 AS BIGINT) AS invisible_to_exact
+      FROM norm GROUP BY h
+    )
+    SELECT n.doc_id, n.h AS group_hash, g.group_size, g.keeper_doc_id,
+           CAST(n.doc_id = g.keeper_doc_id AS BIGINT) AS keep,
+           g.invisible_to_exact
+    FROM norm n JOIN grp g ON g.h = n.h
+    """,
+)
+def d32_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    norm = docs.select(
+        "doc_id",
+        "text",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("h"),
+    )
+    grp = norm.groupBy("h").agg(
+        F.count("*").alias("group_size"),
+        F.min("doc_id").alias("keeper_doc_id"),
+        (F.count_distinct("text") >= 2).cast("long")
+        .alias("invisible_to_exact"),
+    )
+    return norm.join(grp, "h").select(
+        "doc_id",
+        F.col("h").alias("group_hash"),
+        "group_size",
+        "keeper_doc_id",
+        (F.col("doc_id") == F.col("keeper_doc_id")).cast("long").alias("keep"),
+        "invisible_to_exact",
+    )

@@ -1622,6 +1622,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # e38 funnels over the checkpointed per-event session table;
         # every post-session stage keys on (user, session)
         "e38_session_funnel": 16,
+        "d32_normalized_exact_dedup": 3,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,

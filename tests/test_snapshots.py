@@ -124,3 +124,43 @@ def test_engine_compact(spark, tmp_path):
     # appends continue to work after compaction
     e.sql("INSERT INTO t VALUES (99, 'z')")
     assert e.sql("SELECT count(*) AS n FROM t").collect()[0].n == 5
+
+
+def test_json_and_csv_source_roundtrip(spark, tmp_path):
+    """Source-format coverage: the engine's tables round-trip through
+    JSON-lines and CSV with explicit schemas — write a sample of the
+    events fixture to both formats, read each back, and compare the
+    per-type counts and value sums (cents-exact) against the parquet
+    source of truth."""
+    from pyspark.sql import functions as F
+
+    from seamdb_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").cast("string").alias("ts_s"),
+    )
+
+    def tally(df):
+        return {
+            r.event_type: (r.n, r.cents)
+            for r in df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .collect()
+        }
+    want = tally(ev)
+
+    jdir, cdir = str(tmp_path / "ev_json"), str(tmp_path / "ev_csv")
+    ev.write.mode("overwrite").json(jdir)
+    ev.write.mode("overwrite").option("header", True).csv(cdir)
+    schema = "event_id long, user_id long, event_type string, value double, ts_s string"
+    got_json = tally(spark.read.schema(schema).json(jdir))
+    got_csv = tally(
+        spark.read.schema(schema).option("header", True).csv(cdir)
+    )
+    assert got_json == want
+    assert got_csv == want
