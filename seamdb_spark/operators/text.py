@@ -3179,3 +3179,53 @@ def t42_mixture_independence_audit(
         "lang", "source", F.col("o").alias("observed"), "expected_milli",
         "contribution_milli", "over_represented", "chi2_milli",
     )
+
+
+# --------------------------------------------------------------------------
+# t44: tokenization-efficiency profile — chars-per-token by language,
+# the standard multilingual fairness metric (a tokenizer that spends
+# 3× the tokens per character on one language triples its effective
+# context cost and training weight): per lang, docs, exact char and
+# whitespace-token totals off the stored n_chars column and the t01
+# split rule, and the milli ratios both ways. Read next to t41: t41
+# says what the learned merges save overall, this says who pays more
+# per character before merging.
+#
+# Scale: one scan → |langs|-row aggregate, map-side combined.
+# --------------------------------------------------------------------------
+@register(
+    "t44_chars_per_token_profile",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           (1000 * SUM(n_chars)) // SUM(len(string_split(text, ' ')))
+             AS chars_per_token_milli,
+           (1000000 * SUM(len(string_split(text, ' ')))) // SUM(n_chars)
+             AS tokens_per_kchar
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def t44_chars_per_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.expr("(1000 * sum(n_chars)) div sum(n_tok)").alias(
+                "chars_per_token_milli"
+            ),
+            F.expr("(1000000 * sum(n_tok)) div sum(n_chars)").alias(
+                "tokens_per_kchar"
+            ),
+        )
+    )
