@@ -932,3 +932,128 @@ def p08_tokenizer_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ready.cast("long").alias("tokenizer_ready"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p09: dedup-invariant audit — the self-consistency contract the whole
+# dedup family must satisfy, emitted as pinned-zero violation counts
+# so ANY future regression in one operator that breaks a cross-
+# operator guarantee turns into a hash mismatch here:
+#   byte_exact_within_normalized — two docs with identical raw text
+#     MUST share a normalized group (d32 can only merge, never split
+#     what d01 merges);
+#   neardup_within_component — every d03 near-dup pair's endpoints
+#     MUST carry the same d09 component label (components are the
+#     transitive closure OF those pairs);
+#   canonical_in_own_cluster — every d09 canonical doc MUST be a
+#     member of the cluster it canonicalizes (keeper sanity).
+# n_checked shows each invariant exercised real rows; n_violations is
+# pinned 0 in the oracle.
+#
+# Scale: equi-joins on md5/doc_id keys over already-argued pipelines;
+# nothing quadratic, nothing new to shuffle.
+# --------------------------------------------------------------------------
+def _p09_oracle() -> str:
+    from .dedup import _cc_ctes
+
+    return f"""
+    WITH RECURSIVE {_cc_ctes()},
+    labels AS (
+      SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cid,
+             (id = MIN(r)) AS is_canon
+      FROM reach GROUP BY id
+    ),
+    norm AS (
+      SELECT doc_id, md5(text) AS raw_h,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_h
+      FROM documents
+    ),
+    exact_pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(a.norm_h <> b.norm_h AS BIGINT) AS viol
+      FROM norm a JOIN norm b
+        ON a.raw_h = b.raw_h AND a.doc_id < b.doc_id
+    ),
+    pair_labels AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(la.cid <> lb.cid AS BIGINT) AS viol
+      FROM pairs p JOIN labels la ON la.doc_id = p.doc_a
+                   JOIN labels lb ON lb.doc_id = p.doc_b
+    ),
+    canon AS (
+      SELECT doc_id, CAST(cid <> doc_id AS BIGINT) AS viol
+      FROM labels WHERE is_canon
+    )
+    SELECT 'byte_exact_within_normalized' AS invariant,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COALESCE(SUM(viol), 0) AS BIGINT) AS n_violations
+    FROM exact_pairs
+    UNION ALL
+    SELECT 'neardup_within_component',
+           CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(viol), 0) AS BIGINT)
+    FROM pair_labels
+    UNION ALL
+    SELECT 'canonical_in_own_cluster',
+           CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(viol), 0) AS BIGINT)
+    FROM canon
+    """
+
+
+@register("p09_dedup_invariants", oracle=_p09_oracle())
+def p09_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from .dedup import _simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = docs.select(
+        "doc_id",
+        F.md5("text").alias("raw_h"),
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("norm_h"),
+    )
+    na = norm.select(
+        F.col("doc_id").alias("da"), F.col("raw_h"), F.col("norm_h").alias("nh_a")
+    )
+    nb = norm.select(
+        F.col("doc_id").alias("db"), F.col("raw_h"), F.col("norm_h").alias("nh_b")
+    )
+    exact_pairs = (
+        na.join(nb, "raw_h")
+        .filter(F.col("da") < F.col("db"))
+        .select((F.col("nh_a") != F.col("nh_b")).cast("long").alias("viol"))
+    )
+    labels = _cc_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+    pairs = _simhash_pairs(spark, sf_dir)
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+    pair_labels = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select((F.col("ca") != F.col("cb")).cast("long").alias("viol"))
+    )
+    canon = labels.filter("is_canonical").select(
+        (F.col("cluster_id") != F.col("doc_id")).cast("long").alias("viol")
+    )
+
+    def tally(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("invariant"),
+            F.count("*").alias("n_checked"),
+            F.coalesce(F.sum("viol"), F.lit(0)).alias("n_violations"),
+        )
+
+    return (
+        tally(exact_pairs, "byte_exact_within_normalized")
+        .unionAll(tally(pair_labels, "neardup_within_component"))
+        .unionAll(tally(canon, "canonical_in_own_cluster"))
+    )

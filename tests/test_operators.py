@@ -1624,6 +1624,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "e38_session_funnel": 16,
         "d32_normalized_exact_dedup": 3,
         "t44_chars_per_token_profile": 1,
+        "p09_dedup_invariants": 8,
         "q63_robust_outliers": 9,
         "x13_decayed_popularity": 9,
         "t39_k_anonymity_audit": 4,
