@@ -740,11 +740,11 @@ def decode_jpeg(payload: bytes) -> dict:
 def decode_media(payload: bytes) -> dict:
     """Decode a media payload by sniffing magic bytes.
 
-    BMP, WAV, baseline JPEG, and truecolor PNG decode for real
-    (pure-Python parsers above). Remaining formats require codec
-    libraries absent from this container and raise NotImplementedError
-    — callers with synthetic payloads use :func:`fake_decode` for the
-    deterministic oracle path.
+    BMP, WAV, baseline JPEG, truecolor PNG, and non-interlaced GIF
+    decode for real (pure-Python parsers above). Remaining formats
+    require codec libraries absent from this container and raise
+    NotImplementedError — callers with synthetic payloads use
+    :func:`fake_decode` for the deterministic oracle path.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -754,11 +754,13 @@ def decode_media(payload: bytes) -> dict:
         return decode_jpeg(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only BMP/WAV/baseline-JPEG/PNG decode natively; other formats "
-        "(MP4/..., subsampled or progressive JPEG) require codec "
-        "libraries (PIL/ffmpeg) not installed — use fake_decode for "
-        "the deterministic test path"
+        "only BMP/WAV/baseline-JPEG/PNG/GIF decode natively; other "
+        "formats (MP4/..., subsampled or progressive JPEG) require "
+        "codec libraries (PIL/ffmpeg) not installed — use fake_decode "
+        "for the deterministic test path"
     )
 
 
@@ -789,6 +791,229 @@ def build_wav(samples: list[int], sample_rate: int = 16000, channels: int = 1) -
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable-width codes (min+1 .. 12 bits) packed
+    LSB-first, clear/EOI codes, dictionary reset when full. Width-bump
+    alignment: the encoder adds its table entry BEFORE emitting the
+    next code, while the decoder adds the same entry AFTER reading that
+    code (its first code after a clear adds nothing), so the encoder
+    runs one add ahead. The standard decoder bumps at
+    next_code == 1<<width; the encoder therefore bumps one add later,
+    at next_code == (1<<width) + 1 — both sides then widen between the
+    same two codes of the stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def reset() -> tuple[dict, int, int]:
+        return {}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    emit(clear)
+    cur = indices[0]
+    for k in indices[1:]:
+        hit = table.get((cur, k))
+        if hit is not None:
+            cur = hit
+            continue
+        emit(cur)
+        table[(cur, k)] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code == 4096 and width == 12:
+            emit(clear)
+            table, next_code, width = reset()
+        cur = k
+    emit(cur)
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> tuple[list[int], int]:
+    """Inverse of :func:`_gif_lzw_encode`. Returns (indices, max code
+    width reached) — the width is pinned by the m25 oracle to prove the
+    variable-width boundary was actually crossed."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = nbits = bitbuf = 0
+    width = min_code_size + 1
+    max_width = width
+
+    def read() -> int:
+        nonlocal pos, nbits, bitbuf
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        return code
+
+    strings: dict[int, tuple[int, ...]] = {}
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    next_code = eoi + 1
+    while True:
+        code = read()
+        if code == clear:
+            strings, next_code, width = {}, eoi + 1, min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out, max_width
+        if code < clear:
+            entry = (code,)
+        elif code in strings:
+            entry = strings[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"GIF LZW code {code} out of sequence")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            strings[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+                max_width = max(max_width, width)
+        prev = entry
+
+
+def build_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw RGB bytes (len == width*height*3, row-major) as a
+    GIF89a: global color table built from the image's distinct colors
+    (must be <= 256 — GIF is palettized), real LZW compression,
+    <=255-byte sub-block framing. Inverse of :func:`decode_gif`."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    colors: list[bytes] = []
+    index: dict[bytes, int] = {}
+    indices: list[int] = []
+    for p in range(width * height):
+        c = rgb[3 * p : 3 * p + 3]
+        i = index.get(c)
+        if i is None:
+            i = index[c] = len(colors)
+            colors.append(c)
+        indices.append(i)
+    if len(colors) > 256:
+        raise ValueError("GIF requires <= 256 distinct colors")
+    n = 0  # color table holds 2^(n+1) entries, n in 0..7
+    while (2 << n) < len(colors):
+        n += 1
+    table = b"".join(colors).ljust((2 << n) * 3, b"\x00")
+    min_code_size = max(2, n + 1)
+    lzw = _gif_lzw_encode(indices, min_code_size)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF0 | n, 0, 0)
+        + table
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code_size])
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Parse a non-interlaced GIF87a/89a single image: screen + image
+    descriptors, color table, extension-block skip, sub-block concat,
+    real LZW decompress, palette mapping back to RGB bytes."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF screen descriptor")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    table = b""
+    if flags & 0x80:
+        size = (2 << (flags & 0x07)) * 3
+        table = payload[pos : pos + size]
+        if len(table) < size:
+            raise ValueError("truncated GIF global color table")
+        pos += size
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended without an image descriptor")
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:
+            raise ValueError("GIF trailer before any image descriptor")
+        if b0 == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 == 0x2C:
+            break
+        raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    left, top, width, height, iflags = struct.unpack(
+        "<HHHHB", payload[pos : pos + 9]
+    )
+    pos += 9
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    if iflags & 0x80:  # local color table overrides global
+        size = (2 << (iflags & 0x07)) * 3
+        table = payload[pos : pos + size]
+        pos += size
+    if not table:
+        raise ValueError("GIF image has no color table")
+    min_code_size = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-blocks")
+        blen = payload[pos]
+        pos += 1
+        if blen == 0:
+            break
+        lzw += payload[pos : pos + blen]
+        pos += blen
+    indices, max_width = _gif_lzw_decode(bytes(lzw), min_code_size)
+    if len(indices) != width * height:
+        raise ValueError("GIF index count != width*height")
+    n_entries = len(table) // 3
+    out = bytearray()
+    for i in indices:
+        if i >= n_entries:
+            raise ValueError("GIF pixel index outside color table")
+        out += table[3 * i : 3 * i + 3]
+    return {
+        "kind": "gif",
+        "width": width,
+        "height": height,
+        "pixels": bytes(out),
+        "palette_size": n_entries,
+        "max_code_width": max_width,
+    }
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -3008,3 +3233,86 @@ def m24_ahash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(audit, schema=_M24_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m25: REAL GIF round-trip through the DuckDB gate — the palettized
+# codec's gate in the m22 pattern: each sampled doc synthesizes the
+# shared 16x16 RGB ramp (all 256 pixels distinct colors — the linear
+# channel map (6x+3y, 4x+5y, 2x+7y) is injective and never clamps, so
+# the palette is exactly 256 entries and the LZW stream is the
+# worst case: zero dictionary hits), encodes it with build_gif
+# (GIF89a, global color table, real LZW), decodes the bytes back with
+# the magic-sniffing decode_media, and emits what the DECODER read:
+# dims, the exact decoded pixel sum (palettized GIF is lossless ⇒
+# closed form), the color-table entry count (exactly 256), the maximum
+# LZW code width the decoder reached (258 + 255 table adds crosses 512
+# ⇒ exactly 10 — proving the variable-width boundary was crossed and
+# both sides realigned), and a lossless bool comparing decoded bytes
+# to the ramp. A bug in palette construction, sub-block framing,
+# LSB-first bit packing, the width-bump alignment, or the clear/EOI
+# protocol breaks a pinned column — as a hash mismatch.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle; 1-in-8 doc
+# sample (offset +4, disjoint from m15/m22/m23/m24). The decode kernel
+# is the production path for a real GIF column; swap the sample for
+# the column at deployment.
+# --------------------------------------------------------------------------
+_M25_SCHEMA = (
+    "doc_id long, width long, height long, decoded_pixel_sum long,"
+    " palette_size long, max_code_width long, lossless boolean"
+)
+M25_SAMPLE_MOD = 8
+
+
+@register(
+    "m25_gif_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(256 * (doc_id % 64 + (doc_id * 7) % 64 + (doc_id * 13) % 64)
+                + 27 * 1920 AS BIGINT) AS decoded_pixel_sum,
+           CAST(256 AS BIGINT) AS palette_size,
+           CAST(10 AS BIGINT) AS max_code_width,
+           TRUE AS lossless
+    FROM documents
+    WHERE doc_id % {M25_SAMPLE_MOD} = 4
+    """,
+)
+def m25_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M25_SAMPLE_MOD == 4)
+        .select("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "decoded_pixel_sum": [], "palette_size": [],
+                "max_code_width": [], "lossless": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = _ramp_rgb(d).tobytes()
+                payload = build_gif(16, 16, raw)
+                info = decode_media(payload)  # magic-sniffed real decode
+                b = np.frombuffer(info["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                out["doc_id"].append(d)
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["decoded_pixel_sum"].append(int(b.sum()))
+                out["palette_size"].append(info["palette_size"])
+                out["max_code_width"].append(info["max_code_width"])
+                out["lossless"].append(
+                    info["kind"] == "gif" and info["pixels"] == raw
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=_M25_SCHEMA)

@@ -372,3 +372,78 @@ def test_exclude2of8_blocking_is_pigeonhole_complete(sig, flips):
     assert shared, f"hamming {bin(sig ^ other).count('1')} pair missed"
     if sig == other:
         assert len(shared) == 28
+
+
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    ncol=st.sampled_from([1, 2, 3, 5, 17, 64, 255, 256]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_bitexact(w, h, ncol, seed):
+    """GIF is lossless for palettized content: decode(build(x)) == x
+    byte-for-byte for any <=256-color image — repeated colors exercise
+    real LZW dictionary hits, and encoding is deterministic."""
+    import random
+
+    from seamdb_spark.operators.multimodal import (
+        build_gif,
+        decode_gif,
+        decode_media,
+    )
+
+    rng = random.Random(seed)
+    palette = [bytes(rng.randrange(256) for _ in range(3)) for _ in range(ncol)]
+    rgb = b"".join(palette[rng.randrange(ncol)] for _ in range(w * h))
+    payload = build_gif(w, h, rgb)
+    out = decode_media(payload)  # magic sniff routes to decode_gif
+    assert out["kind"] == "gif"
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["pixels"] == rgb
+    assert build_gif(w, h, rgb) == payload
+    assert decode_gif(payload)["pixels"] == rgb
+
+
+def test_gif_lzw_survives_dictionary_reset():
+    """An image large enough to fill the 4096-entry LZW table forces
+    the encoder's mid-stream clear/reset; the decoder must realign
+    (codes re-narrow to min+1 bits) and still reconstruct exactly."""
+    import random
+
+    from seamdb_spark.operators.multimodal import build_gif, decode_gif
+
+    rng = random.Random(99)
+    palette = [bytes((i, 255 - i, i ^ 0x55)) for i in range(256)]
+    rgb = b"".join(palette[rng.randrange(256)] for _ in range(120 * 120))
+    out = decode_gif(build_gif(120, 120, rgb))
+    assert out["pixels"] == rgb
+    assert out["max_code_width"] == 12  # table actually filled
+
+
+def test_gif_decoder_boundary_is_explicit():
+    """Truncated sub-blocks, interlaced images, >256-color input, bad
+    signatures, and out-of-sequence LZW codes raise (never a wrong
+    answer)."""
+    import pytest
+
+    from seamdb_spark.operators.multimodal import build_gif, decode_gif
+
+    payload = build_gif(4, 3, bytes(range(36)))
+    with pytest.raises(ValueError):
+        decode_gif(b"BM" + payload[6:])  # wrong signature
+    with pytest.raises(ValueError):
+        decode_gif(payload[:20])  # truncated mid-color-table
+    with pytest.raises(ValueError):
+        decode_gif(payload[:-6])  # truncated sub-blocks
+    # set the interlace flag inside the image descriptor
+    at = payload.index(b"\x2C")
+    corrupted = (
+        payload[:at + 9] + bytes([payload[at + 9] | 0x40]) + payload[at + 10:]
+    )
+    with pytest.raises(ValueError):
+        decode_gif(corrupted)
+    with pytest.raises(ValueError):  # 257 distinct colors cannot palettize
+        build_gif(257, 1, b"".join(
+            bytes((i & 0xFF, i >> 8, 0)) for i in range(257)
+        ))
