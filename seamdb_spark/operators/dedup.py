@@ -3701,3 +3701,133 @@ def d32_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("keeper_doc_id")).cast("long").alias("keep"),
         "invisible_to_exact",
     )
+
+
+# --------------------------------------------------------------------------
+# g08: transitive near-dup candidates — common-neighbor link prediction
+# over the verified pair graph. Signature blocking is probabilistic:
+# when a~b and b~c verified but (a,c) never co-blocked, the pair list
+# has an open wedge. Docs sharing >= 2 verified neighbors are the
+# pairs a curation pipeline sends BACK to the verifier next round (the
+# triangle-closing work-list), ranked by neighborhood Jaccard.
+#
+# Wedge centers are degree-capped (G08_DEG_CAP, part of the operator's
+# contract in BOTH engines): a hub with degree d would generate d²
+# wedges, and hub-mediated co-membership is weak evidence anyway (the
+# same reason Adamic-Adar down-weights high-degree neighbors — here
+# they are excluded outright). With the cap, wedge volume is
+# Σ min(deg, cap)²/2 ≤ cap²·|V|/2 — linear in nodes, never Θ(N²); the
+# candidate-volume gate pins the measured ~1.1·N fixture volume.
+#
+# Scale: pairs are dedup output (orders smaller than the corpus); one
+# degree agg, one capped self-join on the center key, one (a,b) count
+# with map-side combine, one anti-join against the edge list, two
+# integer-key degree joins. Neighborhood Jaccard uses TRUE (uncapped)
+# degrees — the cap bounds enumeration, not the reported overlap.
+# --------------------------------------------------------------------------
+G08_DEG_CAP = 32
+G08_MIN_COMMON = 2
+
+
+def _g08_graph_sql() -> str:
+    return f"""
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    cadj AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN deg ON deg.id = e.src WHERE deg.d <= {G08_DEG_CAP}
+    )"""
+
+
+def _g08_oracle() -> str:
+    return f"""
+    WITH {_simhash_sig_sql().strip()},
+    {_g08_graph_sql().strip()},
+    wedge AS (
+      SELECT a1.dst AS doc_a, a2.dst AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cadj a1 JOIN cadj a2
+        ON a1.src = a2.src AND a1.dst < a2.dst
+      GROUP BY a1.dst, a2.dst
+    ),
+    cand AS (
+      SELECT w.doc_a, w.doc_b, w.n_common FROM wedge w
+      WHERE w.n_common >= {G08_MIN_COMMON}
+        AND NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.doc_a = w.doc_a AND p.doc_b = w.doc_b)
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           (1000 * c.n_common) // (da.d + db.d - c.n_common)
+             AS nbr_jaccard_milli
+    FROM cand c
+    JOIN deg da ON da.id = c.doc_a
+    JOIN deg db ON db.id = c.doc_b
+    """
+
+
+def _g08_capped_adj(spark: SparkSession, sf_dir: str):
+    pairs = _simhash_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    cadj = edges.join(
+        deg.filter(F.col("d") <= G08_DEG_CAP).select(F.col("id").alias("src")),
+        "src",
+    )
+    return pairs, deg, cadj
+
+
+@register_candidates("g08_transitive_candidates")
+def _g08_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw wedge enumeration (center, a, b) BEFORE the count/
+    anti-join — what the degree cap bounds to Σ min(deg,cap)²/2."""
+    _, _, cadj = _g08_capped_adj(spark, sf_dir)
+    a1 = cadj.select("src", F.col("dst").alias("doc_a"))
+    a2 = cadj.select(F.col("src").alias("src2"), F.col("dst").alias("doc_b"))
+    return a1.join(
+        a2, (F.col("src") == F.col("src2")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+@register("g08_transitive_candidates", oracle=_g08_oracle())
+def g08_transitive_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, deg, cadj = _g08_capped_adj(spark, sf_dir)
+    a1 = cadj.select("src", F.col("dst").alias("doc_a"))
+    a2 = cadj.select(F.col("src").alias("src2"), F.col("dst").alias("doc_b"))
+    wedge = (
+        a1.join(
+            a2,
+            (F.col("src") == F.col("src2")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cand = wedge.filter(F.col("n_common") >= G08_MIN_COMMON).join(
+        pairs, ["doc_a", "doc_b"], "left_anti"
+    )
+    da = deg.select(F.col("id").alias("doc_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("id").alias("doc_b"), F.col("d").alias("d_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr("(1000 * n_common) div (d_a + d_b - n_common)")
+            .alias("nbr_jaccard_milli"),
+        )
+    )

@@ -1495,6 +1495,8 @@ def test_candidate_volume_regression_gate(spark, registry):
       d25  257 rows (0.51N): d02's banding over paragraph chunks
       d27  1700 rows (3.4N): d03's geometry over idf-weighted simhash
       m20  18 rows (0.04N): 3×~21-bit chunks over the 64-bit aHash
+      g08  563 rows (1.1N): degree-capped wedge enumeration,
+           Σ min(deg,cap)²/2 ≤ cap²·|V|/2 by construction
     d21/d26/d29 share d02's candidate stage, so one entry covers them."""
     from seamdb_spark.operators.registry import CANDIDATE_STAGES
 
@@ -1505,6 +1507,7 @@ def test_candidate_volume_regression_gate(spark, registry):
         "d25_paragraph_neardup": 1.2,
         "d27_weighted_simhash": 7.0,
         "m20_image_neardup_pairs": 0.2,
+        "g08_transitive_candidates": 2.5,
     }
     assert set(budgets_k) == set(CANDIDATE_STAGES), (
         "every registered candidate stage needs a budget (and vice versa)"
