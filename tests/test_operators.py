@@ -1639,6 +1639,10 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "s19_ivf_probe_recall_curve": 37,
         "d29_threshold_sensitivity": 19,
         "g04_component_size_distribution": 6,
+        "m25_gif_roundtrip": 0,
+        # g08: deg agg + capped-adj join + wedge self-join + count +
+        # anti-join + two degree joins, all on pair-list-sized tables
+        "g08_transitive_candidates": 10,
     }
     over = []
     for name, budget in budgets.items():
