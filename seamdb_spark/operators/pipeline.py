@@ -1057,3 +1057,118 @@ def p09_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tally(pair_labels, "neardup_within_component"))
         .unionAll(tally(canon, "canonical_in_own_cluster"))
     )
+
+
+# --------------------------------------------------------------------------
+# p10: mixture quota allocation — the planning step that turns "train
+# on B tokens" into per-(lang, source) sampling quotas. Proportional
+# allocation with LARGEST-REMAINDER (Hamilton) rounding: each bucket
+# gets floor(B·bucket/total) tokens, and the B − Σfloor leftover goes
+# one token-quota each to the buckets with the largest division
+# remainders (ties broken by (lang, source) — fully deterministic).
+# Quotas then sum to B EXACTLY — no ppm-rate drift, no float shares;
+# downstream per-bucket samplers (t21/x12/x15) consume the quota
+# column directly.
+#
+# Exactness precondition (documented, t42-style): the products
+# B·bucket_tokens stay within int64 — holds through ~3e9 corpus tokens
+# at the 20% budget. Beyond that, run the SAME formula on kilo/mega-
+# token units in both engines: quantization error is bounded by
+# granularity·|buckets|, and the leftover redistribution still lands
+# quotas within one unit of exact.
+#
+# Scale: one corpus scan into a map-side-combined (lang, source) token
+# agg; every later stage (totals broadcast, remainder rank window,
+# bonus assignment) runs on the |langs|×|sources|-bounded frame — the
+# partitionBy-free window is over that bounded frame, never the corpus.
+# --------------------------------------------------------------------------
+P10_BUDGET_PCT = 20
+
+
+def _p10_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT lang, source,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS bucket_tokens
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT CAST(SUM(bucket_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(bucket_tokens) * {P10_BUDGET_PCT} // 100 AS BIGINT)
+               AS budget
+      FROM tok
+    ),
+    base AS (
+      SELECT t.lang, t.source, t.bucket_tokens, tot.total_tokens, tot.budget,
+             (tot.budget * t.bucket_tokens) // tot.total_tokens AS quota_floor,
+             (tot.budget * t.bucket_tokens) % tot.total_tokens AS rem
+      FROM tok t CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT b.*,
+             SUM(quota_floor) OVER () AS floor_sum,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk
+      FROM base b
+    )
+    SELECT lang, source, bucket_tokens,
+           CAST(quota_floor
+                + CASE WHEN rk <= budget - floor_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS quota,
+           CAST(rk <= budget - floor_sum AS BIGINT) AS got_bonus,
+           CAST((1000000 * bucket_tokens) // total_tokens AS BIGINT)
+             AS share_ppm,
+           CAST((1000000 * (quota_floor
+                + CASE WHEN rk <= budget - floor_sum THEN 1 ELSE 0 END))
+                // bucket_tokens AS BIGINT) AS rate_ppm
+    FROM ranked
+    """
+
+
+@register("p10_mixture_quota_allocation", oracle=_p10_oracle())
+def p10_mixture_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("bucket_tokens")
+    )
+    tot = tok.agg(
+        F.sum("bucket_tokens").cast("long").alias("total_tokens"),
+        F.expr(f"CAST(sum(bucket_tokens) * {P10_BUDGET_PCT} div 100 AS BIGINT)")
+        .alias("budget"),
+    )
+    base = tok.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "bucket_tokens",
+        "total_tokens",
+        "budget",
+        F.expr("(budget * bucket_tokens) div total_tokens").alias("quota_floor"),
+        F.expr("(budget * bucket_tokens) % total_tokens").alias("rem"),
+    )
+    # bounded frame: |langs|x|sources| rows — the global window is safe
+    ranked = base.select(
+        "*",
+        F.sum("quota_floor").over(Window.partitionBy()).alias("floor_sum"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "lang", "source"))
+        .alias("rk"),
+    )
+    bonus = F.col("rk") <= F.col("budget") - F.col("floor_sum")
+    return ranked.select(
+        "lang",
+        "source",
+        "bucket_tokens",
+        (F.col("quota_floor") + bonus.cast("long")).alias("quota"),
+        bonus.cast("long").alias("got_bonus"),
+        F.expr("(1000000 * bucket_tokens) div total_tokens").alias("share_ppm"),
+        F.expr(
+            "(1000000 * (quota_floor + CAST(rk <= budget - floor_sum AS BIGINT)))"
+            " div bucket_tokens"
+        ).alias("rate_ppm"),
+    )

@@ -1643,6 +1643,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # g08: deg agg + capped-adj join + wedge self-join + count +
         # anti-join + two degree joins, all on pair-list-sized tables
         "g08_transitive_candidates": 10,
+        # p10: one corpus scan into the bucket agg; totals broadcast +
+        # rank window run on the |langs|x|sources| bounded frame
+        "p10_mixture_quota_allocation": 5,
     }
     over = []
     for name, budget in budgets.items():

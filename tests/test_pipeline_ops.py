@@ -151,3 +151,31 @@ def test_selection_pipeline_decision_precedence(spark):
         assert r.decision == want, (r.doc_id, r.decision, want)
     decisions = {r.decision for r in rows}
     assert "select" in decisions and "defer_low_importance" in decisions
+
+
+def test_mixture_quota_hamilton_invariants(spark):
+    """Largest-remainder allocation contract: quotas sum to the budget
+    EXACTLY, every quota is within one token of the exact proportional
+    share (the Hamilton guarantee), bonus count equals the floor-sum
+    leftover, and bonuses go to the largest remainders (ties by key)."""
+    rows = _q("p10_mixture_quota_allocation")(spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    total = sum(r.bucket_tokens for r in rows)
+    budget = total * 20 // 100
+    assert sum(r.quota for r in rows) == budget
+    n_bonus = sum(r.got_bonus for r in rows)
+    assert n_bonus == budget - sum(
+        budget * r.bucket_tokens // total for r in rows
+    )
+    for r in rows:
+        exact = budget * r.bucket_tokens / total
+        assert exact - 1 < r.quota < exact + 1
+        assert r.share_ppm == 1_000_000 * r.bucket_tokens // total
+    # the bonus set is exactly the top-n_bonus by (remainder, key) order
+    ordered = sorted(
+        rows,
+        key=lambda r: (-(budget * r.bucket_tokens % total), r.lang, r.source),
+    )
+    assert {(r.lang, r.source) for r in ordered[:n_bonus]} == {
+        (r.lang, r.source) for r in rows if r.got_bonus
+    }
