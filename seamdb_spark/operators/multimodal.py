@@ -940,80 +940,160 @@ def build_gif(width: int, height: int, rgb: bytes) -> bytes:
     )
 
 
-def decode_gif(payload: bytes) -> dict:
-    """Parse a non-interlaced GIF87a/89a single image: screen + image
-    descriptors, color table, extension-block skip, sub-block concat,
-    real LZW decompress, palette mapping back to RGB bytes."""
+def decode_gif_frames(payload: bytes) -> list[dict]:
+    """Parse a non-interlaced GIF87a/89a container into its frame list:
+    screen descriptor, global/local color tables, Graphic Control
+    Extension (per-frame delay), other-extension skip (comment,
+    application/NETSCAPE), sub-block concat, real LZW decompress per
+    frame, palette mapping back to RGB bytes."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
     if len(payload) < 13:
         raise ValueError("truncated GIF screen descriptor")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
-    table = b""
+    global_table = b""
     if flags & 0x80:
         size = (2 << (flags & 0x07)) * 3
-        table = payload[pos : pos + size]
-        if len(table) < size:
+        global_table = payload[pos : pos + size]
+        if len(global_table) < size:
             raise ValueError("truncated GIF global color table")
         pos += size
+    frames: list[dict] = []
+    delay_cs = 0  # set by the GCE preceding each image descriptor
     while True:
         if pos >= len(payload):
-            raise ValueError("GIF ended without an image descriptor")
+            raise ValueError("GIF ended without a trailer")
         b0 = payload[pos]
         pos += 1
         if b0 == 0x3B:
-            raise ValueError("GIF trailer before any image descriptor")
+            if not frames:
+                raise ValueError("GIF trailer before any image descriptor")
+            return frames
         if b0 == 0x21:  # extension: label byte + sub-blocks
+            label = payload[pos]
             pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                blen = payload[pos]
+                if blen != 4:
+                    raise ValueError("GCE block length != 4")
+                delay_cs = struct.unpack(
+                    "<H", payload[pos + 2 : pos + 4]
+                )[0]
             while payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
             continue
-        if b0 == 0x2C:
-            break
-        raise ValueError(f"unknown GIF block 0x{b0:02x}")
-    left, top, width, height, iflags = struct.unpack(
-        "<HHHHB", payload[pos : pos + 9]
-    )
-    pos += 9
-    if iflags & 0x40:
-        raise ValueError("interlaced GIF not supported")
-    if iflags & 0x80:  # local color table overrides global
-        size = (2 << (iflags & 0x07)) * 3
-        table = payload[pos : pos + size]
-        pos += size
-    if not table:
-        raise ValueError("GIF image has no color table")
-    min_code_size = payload[pos]
-    pos += 1
-    lzw = bytearray()
-    while True:
-        if pos >= len(payload):
-            raise ValueError("truncated GIF sub-blocks")
-        blen = payload[pos]
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        left, top, width, height, iflags = struct.unpack(
+            "<HHHHB", payload[pos : pos + 9]
+        )
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        table = global_table
+        if iflags & 0x80:  # local color table overrides global
+            size = (2 << (iflags & 0x07)) * 3
+            table = payload[pos : pos + size]
+            if len(table) < size:
+                raise ValueError("truncated GIF local color table")
+            pos += size
+        if not table:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
         pos += 1
-        if blen == 0:
-            break
-        lzw += payload[pos : pos + blen]
-        pos += blen
-    indices, max_width = _gif_lzw_decode(bytes(lzw), min_code_size)
-    if len(indices) != width * height:
-        raise ValueError("GIF index count != width*height")
-    n_entries = len(table) // 3
-    out = bytearray()
-    for i in indices:
-        if i >= n_entries:
-            raise ValueError("GIF pixel index outside color table")
-        out += table[3 * i : 3 * i + 3]
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            blen = payload[pos]
+            pos += 1
+            if blen == 0:
+                break
+            lzw += payload[pos : pos + blen]
+            pos += blen
+        indices, max_width = _gif_lzw_decode(bytes(lzw), min_code_size)
+        if len(indices) != width * height:
+            raise ValueError("GIF index count != width*height")
+        n_entries = len(table) // 3
+        out = bytearray()
+        for i in indices:
+            if i >= n_entries:
+                raise ValueError("GIF pixel index outside color table")
+            out += table[3 * i : 3 * i + 3]
+        frames.append(
+            {
+                "width": width,
+                "height": height,
+                "pixels": bytes(out),
+                "palette_size": n_entries,
+                "max_code_width": max_width,
+                "delay_cs": delay_cs,
+            }
+        )
+        delay_cs = 0
+
+
+def decode_gif(payload: bytes) -> dict:
+    """First frame of :func:`decode_gif_frames` in the single-image
+    decode_media shape (m25's gate pins these keys)."""
+    f = decode_gif_frames(payload)[0]
     return {
         "kind": "gif",
-        "width": width,
-        "height": height,
-        "pixels": bytes(out),
-        "palette_size": n_entries,
-        "max_code_width": max_width,
+        "width": f["width"],
+        "height": f["height"],
+        "pixels": f["pixels"],
+        "palette_size": f["palette_size"],
+        "max_code_width": f["max_code_width"],
     }
+
+
+def build_gif_animation(
+    width: int, height: int, frames: list[bytes], delays_cs: list[int]
+) -> bytes:
+    """Encode raw RGB frames as an animated GIF89a: no global color
+    table, per-frame LOCAL color tables (each frame independently
+    palettized, <= 256 distinct colors), a Graphic Control Extension
+    carrying each frame's delay, and the NETSCAPE2.0 looping
+    application extension (which decoders must skip)."""
+    if len(frames) != len(delays_cs) or not frames:
+        raise ValueError("frames and delays_cs must align and be non-empty")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x70, 0, 0)  # no GCT
+    out += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for rgb, delay in zip(frames, delays_cs):
+        if len(rgb) != width * height * 3:
+            raise ValueError("frame length != width*height*3")
+        colors: list[bytes] = []
+        index: dict[bytes, int] = {}
+        indices: list[int] = []
+        for p in range(width * height):
+            c = rgb[3 * p : 3 * p + 3]
+            i = index.get(c)
+            if i is None:
+                i = index[c] = len(colors)
+                colors.append(c)
+            indices.append(i)
+        if len(colors) > 256:
+            raise ValueError("GIF frame requires <= 256 distinct colors")
+        n = 0
+        while (2 << n) < len(colors):
+            n += 1
+        table = b"".join(colors).ljust((2 << n) * 3, b"\x00")
+        min_code_size = max(2, n + 1)
+        lzw = _gif_lzw_encode(indices, min_code_size)
+        out += b"\x21\xF9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0x80 | n)
+        out += table
+        out += bytes([min_code_size])
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3B"
+    return bytes(out)
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -3316,3 +3396,89 @@ def m25_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(roundtrip, schema=_M25_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m26: animated-GIF frame extraction — the REAL-container counterpart
+# of m03's frame sampling: each sampled doc synthesizes a K-frame
+# animation (K = 2 + doc_id % 3; frame j is the shared ramp fixture at
+# doc_id + j, so every frame's pixel sum has the m22/m25 closed form),
+# encodes it with build_gif_animation (GIF89a, per-frame LOCAL color
+# tables, Graphic Control Extensions carrying delay 4+j cs, NETSCAPE
+# looping extension), decodes the container back with
+# decode_gif_frames, and emits ONE ROW PER DECODED FRAME (the 1→N
+# explode a video pipeline produces): frame index, dims, exact decoded
+# pixel sum, the GCE delay the decoder read back, frame count, and a
+# lossless bool vs the source frame. A bug in extension skipping
+# (NETSCAPE), GCE parsing, local-table handling, per-frame LZW stream
+# framing, or trailer detection breaks a pinned column.
+#
+# Scale: row-local Arrow-batched mapInPandas (1→N rows out), zero
+# shuffle; 1-in-8 sample (offset +5, disjoint from m15/m22/m23/m24/
+# m25). The decode kernel is the production path for a real animated
+# media column; the per-frame LZW dictionary is format-capped at 4096
+# entries, so memory is O(frame size) regardless of animation length.
+# --------------------------------------------------------------------------
+_M26_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long,"
+    " frame_pixel_sum long, delay_cs long, n_frames long, lossless boolean"
+)
+M26_SAMPLE_MOD = 8
+
+
+@register(
+    "m26_gif_frame_extract",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(t.k AS BIGINT) AS frame_idx,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(256 * ((doc_id + t.k) % 64 + ((doc_id + t.k) * 7) % 64
+                       + ((doc_id + t.k) * 13) % 64)
+                + 27 * 1920 AS BIGINT) AS frame_pixel_sum,
+           CAST(4 + t.k AS BIGINT) AS delay_cs,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+           TRUE AS lossless
+    FROM documents, unnest(range(0, 2 + doc_id % 3)) t(k)
+    WHERE doc_id % {M26_SAMPLE_MOD} = 5
+    """,
+)
+def m26_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M26_SAMPLE_MOD == 5)
+        .select("doc_id")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "frame_pixel_sum": [], "delay_cs": [], "n_frames": [],
+                "lossless": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 2 + d % 3
+                frames = [_ramp_rgb(d + j).tobytes() for j in range(k)]
+                payload = build_gif_animation(
+                    16, 16, frames, [4 + j for j in range(k)]
+                )
+                decoded = decode_gif_frames(payload)  # real container parse
+                for j, f in enumerate(decoded):
+                    b = np.frombuffer(f["pixels"], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(j)
+                    out["width"].append(f["width"])
+                    out["height"].append(f["height"])
+                    out["frame_pixel_sum"].append(int(b.sum()))
+                    out["delay_cs"].append(f["delay_cs"])
+                    out["n_frames"].append(len(decoded))
+                    out["lossless"].append(f["pixels"] == frames[j])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, schema=_M26_SCHEMA)

@@ -1646,6 +1646,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # p10: one corpus scan into the bucket agg; totals broadcast +
         # rank window run on the |langs|x|sources| bounded frame
         "p10_mixture_quota_allocation": 5,
+        "m26_gif_frame_extract": 0,
     }
     over = []
     for name, budget in budgets.items():

@@ -447,3 +447,56 @@ def test_gif_decoder_boundary_is_explicit():
         build_gif(257, 1, b"".join(
             bytes((i & 0xFF, i >> 8, 0)) for i in range(257)
         ))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    k=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_animation_roundtrip_bitexact(w, h, k, seed):
+    """Animated GIF: every frame decodes bit-exact with its own local
+    color table, GCE delays survive the round trip in order, and the
+    NETSCAPE looping extension is skipped cleanly."""
+    import random
+
+    from seamdb_spark.operators.multimodal import (
+        build_gif_animation,
+        decode_gif_frames,
+    )
+
+    rng = random.Random(seed)
+    frames, delays = [], []
+    for _ in range(k):
+        ncol = rng.choice([1, 2, 7, 250])
+        pal = [bytes(rng.randrange(256) for _ in range(3)) for _ in range(ncol)]
+        frames.append(b"".join(pal[rng.randrange(ncol)] for _ in range(w * h)))
+        delays.append(rng.randrange(0, 60000))
+    payload = build_gif_animation(w, h, frames, delays)
+    decoded = decode_gif_frames(payload)
+    assert len(decoded) == k
+    for j, f in enumerate(decoded):
+        assert (f["width"], f["height"]) == (w, h)
+        assert f["pixels"] == frames[j]
+        assert f["delay_cs"] == delays[j]
+
+
+def test_gif_animation_boundary_is_explicit():
+    import pytest
+
+    from seamdb_spark.operators.multimodal import (
+        build_gif_animation,
+        decode_gif_frames,
+    )
+
+    payload = build_gif_animation(2, 2, [bytes(12), bytes(range(12))], [1, 2])
+    with pytest.raises(ValueError):
+        decode_gif_frames(payload[:-2])  # truncated: second frame cut
+    with pytest.raises(ValueError):
+        build_gif_animation(2, 2, [bytes(12)], [1, 2])  # delay misalign
+    # corrupt the GCE length byte of the first frame
+    at = payload.index(b"\x21\xF9")
+    with pytest.raises(ValueError):
+        decode_gif_frames(payload[:at + 2] + b"\x05" + payload[at + 3:])
