@@ -3831,3 +3831,120 @@ def g08_transitive_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nbr_jaccard_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d33: b-bit MinHash audit — the signature-compression calibration
+# table (Li & König, CACM 2011): keeping only the low b bits of each
+# MinHash permutation shrinks signatures 16x (64-bit -> 4-bit) — the
+# storage/bandwidth lever for corpus-scale sketch-only dedup — at the
+# cost of random low-bit collisions. The unbiased correction inverts
+# E[P_b] = C + (1-C)·J with C = 2^-b: for b = 4,
+# J_hat = (16·n_b − n) / (15·n) over n permutations. This audit emits,
+# for every d02 candidate pair, the full-width estimate, the 4-bit
+# raw-agreement and corrected estimates, and the correction's residual
+# vs full width — all rationals of small integers (milli-scaled,
+# clamped at 0 BEFORE the division so both engines stay in nonnegative
+# integer arithmetic).
+#
+# Scale: identical plan shape to d02/d18 up to the candidate join
+# (banding equi-join, never all-pairs; the shared candidate-volume
+# gate entry covers it); the audit adds 2n integer comparisons per
+# candidate, map-side. Production sketch-only mode ships the 4-bit
+# signatures and this table is how their error budget gets validated
+# on a sample first — the d18 discipline applied to the compressed
+# signature.
+# --------------------------------------------------------------------------
+D33_B_BITS = 4
+
+
+def _d33_oracle() -> str:
+    n = len(MINHASH_PARAMS)
+    mod = 1 << D33_B_BITS
+    inv = (1 << D33_B_BITS) - 1  # 15: the (1 - 2^-b) denominator x 16
+    agree_full = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(n)
+    )
+    agree_b = " + ".join(
+        f"CASE WHEN sa.mh{j} % {mod} = sb.mh{j} % {mod} THEN 1 ELSE 0 END"
+        for j in range(n)
+    )
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    audited AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(({agree_full}) AS BIGINT) AS n_agree_full,
+             CAST(({agree_b}) AS BIGINT) AS n_agree_b4
+      FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id
+                  JOIN sigs sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, n_agree_full, n_agree_b4,
+           (1000 * n_agree_full) // {n} AS est_full_milli,
+           (1000 * n_agree_b4) // {n} AS raw_b4_milli,
+           (1000 * GREATEST(0, {mod} * n_agree_b4 - {n}))
+             // ({inv} * {n}) AS est_b4_milli,
+           (1000 * GREATEST(0, {mod} * n_agree_b4 - {n})) // ({inv} * {n})
+             - (1000 * n_agree_full) // {n} AS correction_residual_milli
+    FROM audited
+    """
+
+
+@register("d33_bbit_minhash_audit", oracle=_d33_oracle())
+def d33_bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = len(MINHASH_PARAMS)
+    mod = 1 << D33_B_BITS
+    inv = (1 << D33_B_BITS) - 1
+    sh = _shingles_df(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    hashed = exploded.select("doc_id", md5_prefix_long(F.col("sh")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n)],
+    )
+    agree_full = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(n)),
+        F.lit(0),
+    )
+    agree_b = sum(
+        (
+            F.when(F.col(f"a{j}") % mod == F.col(f"b{j}") % mod, 1).otherwise(0)
+            for j in range(n)
+        ),
+        F.lit(0),
+    )
+    audited = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree_full.cast("long").alias("n_agree_full"),
+            agree_b.cast("long").alias("n_agree_b4"),
+        )
+    )
+    return audited.select(
+        "doc_a",
+        "doc_b",
+        "n_agree_full",
+        "n_agree_b4",
+        F.expr(f"(1000 * n_agree_full) div {n}").alias("est_full_milli"),
+        F.expr(f"(1000 * n_agree_b4) div {n}").alias("raw_b4_milli"),
+        F.expr(
+            f"(1000 * greatest(0, {mod} * n_agree_b4 - {n})) div ({inv} * {n})"
+        ).alias("est_b4_milli"),
+        F.expr(
+            f"(1000 * greatest(0, {mod} * n_agree_b4 - {n})) div ({inv} * {n})"
+            f" - (1000 * n_agree_full) div {n}"
+        ).alias("correction_residual_milli"),
+    )

@@ -1647,6 +1647,8 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # rank window run on the |langs|x|sources| bounded frame
         "p10_mixture_quota_allocation": 5,
         "m26_gif_frame_extract": 0,
+        # d33: d02's banding chain + two signature joins (d18's shape)
+        "d33_bbit_minhash_audit": 10,
     }
     over = []
     for name, budget in budgets.items():
