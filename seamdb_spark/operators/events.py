@@ -3969,3 +3969,98 @@ def e38_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_sessions) div n").alias("share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e36: burstiness (Fano factor / index of dispersion) per event type —
+# the dispersion complement of e14's level anomalies, e23's seasonal
+# index, and e34's autocorrelation: Var/Mean of the ZERO-FILLED hourly
+# count series. A Poisson-like arrival process sits at 1.0 (1000
+# milli); machine/metronome traffic is under-dispersed (« 1), campaign
+# or incident traffic is over-dispersed (» 1). The canonical
+# burst-detector input for deciding whether a type's volume needs
+# rate-normalization before sampling.
+#
+# Zero-filling needs NO dense grid: zero hours contribute nothing to
+# Σc or Σc², so only the grid LENGTH n = h1 − h0 + 1 (global hour
+# span, one 2-long broadcast) enters the sums —
+# F = (n·Σc² − (Σc)²) / (n·Σc), milli-scaled, integer-exact. Sums use
+# per-hour counts; int64 holds through ~3e9 events/hour (document-
+# scale precondition, t42-style — beyond that, count in kilo-events).
+#
+# Scale: one scan → (type, hour) count with map-side combine → one
+# per-type agg over observed hours only; the global-bounds broadcast
+# is 2 longs. No shuffle touches a dense |types|×|hours| frame.
+# --------------------------------------------------------------------------
+@register(
+    "e36_type_burstiness",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) // 3600 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT MAX(h) - MIN(h) + 1 AS n FROM counts
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+             CAST(SUM(c) AS BIGINT) AS total_events,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM counts GROUP BY event_type
+    )
+    SELECT s.event_type, CAST(sp.n AS BIGINT) AS n_hours, s.n_active_hours,
+           s.total_events,
+           (1000 * s.total_events) // sp.n AS mean_milli,
+           (1000 * (sp.n * s.sum_sq - s.total_events * s.total_events))
+             // (sp.n * s.total_events) AS fano_milli,
+           CASE
+             WHEN (1000 * (sp.n * s.sum_sq - s.total_events * s.total_events))
+                  // (sp.n * s.total_events) >= 1500 THEN 'bursty'
+             WHEN (1000 * (sp.n * s.sum_sq - s.total_events * s.total_events))
+                  // (sp.n * s.total_events) <= 667 THEN 'underdispersed'
+             ELSE 'poisson_like'
+           END AS dispersion_class
+    FROM sums s CROSS JOIN span sp
+    """,
+)
+def e36_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    span = counts.agg((F.max("h") - F.min("h") + 1).alias("n"))
+    sums = counts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_active_hours"),
+        F.sum("c").cast("long").alias("total_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    fano = F.expr(
+        "(1000 * (n * sum_sq - total_events * total_events))"
+        " div (n * total_events)"
+    )
+    return (
+        sums.join(F.broadcast(span))
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            "n_active_hours",
+            "total_events",
+            F.expr("(1000 * total_events) div n").alias("mean_milli"),
+            fano.alias("fano_milli"),
+            F.when(fano >= 1500, "bursty")
+            .when(fano <= 667, "underdispersed")
+            .otherwise("poisson_like")
+            .alias("dispersion_class"),
+        )
+    )

@@ -1649,6 +1649,8 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "m26_gif_frame_extract": 0,
         # d33: d02's banding chain + two signature joins (d18's shape)
         "d33_bbit_minhash_audit": 10,
+        # e36: (type, hour) count + per-type agg + 2-long span broadcast
+        "e36_type_burstiness": 4,
     }
     over = []
     for name, budget in budgets.items():
