@@ -756,11 +756,16 @@ def decode_media(payload: bytes) -> dict:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO-BMFF container metadata parses for real; the codec
+        # payload inside mdat stays opaque (no "pixels" key).
+        return decode_mp4_probe(payload)
     raise NotImplementedError(
-        "only BMP/WAV/baseline-JPEG/PNG/GIF decode natively; other "
-        "formats (MP4/..., subsampled or progressive JPEG) require "
-        "codec libraries (PIL/ffmpeg) not installed — use fake_decode "
-        "for the deterministic test path"
+        "only BMP/WAV/baseline-JPEG/PNG/GIF decode natively (plus "
+        "MP4 container-level probe); codec-payload decode for video "
+        "(H.264/H.265) and subsampled/progressive JPEG requires codec "
+        "libraries (PIL/ffmpeg) not installed — use fake_decode for "
+        "the deterministic test path"
     )
 
 
@@ -3482,3 +3487,212 @@ def m26_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, schema=_M26_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ISO-BMFF (MP4) container layer — real box parsing, stubbed codec
+# payload. A curation pipeline probes video containers (duration,
+# track handler, sample table, keyframe positions, payload size)
+# without ever running a video codec; H.264/H.265 FRAME decode is the
+# documented library boundary, the container is not.
+# --------------------------------------------------------------------------
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def build_mp4(
+    timescale: int,
+    duration: int,
+    sample_sizes: list[int],
+    keyframes: list[int],
+    fourcc: bytes = b"avc1",
+) -> bytes:
+    """Assemble a minimal valid ISO-BMFF file: ftyp + moov(mvhd,
+    trak(tkhd, mdia(mdhd, hdlr'vide', minf(stbl(stsd/stts/stsc/stsz/
+    stco/stss))))) + mdat whose payload length equals Σsample_sizes.
+    Keyframe numbers are 1-indexed sample numbers (stss convention)."""
+    n = len(sample_sizes)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x4I", 0, 0, 0, timescale, duration)
+        + b"\x00" * 80,
+    )
+    tkhd = _box(b"tkhd", struct.pack(">B3x5I", 0, 0, 0, 1, 0, duration) + b"\x00" * 60)
+    mdhd = _box(b"mdhd", struct.pack(">B3x4I2H", 0, 0, 0, timescale, duration, 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">B3x4x", 0) + b"vide" + b"\x00" * 13)
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + _box(fourcc, b"\x00" * 78))
+    stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, n, duration // max(n, 1)))
+    stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n, 1))
+    stsz = _box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, n)
+        + b"".join(struct.pack(">I", s) for s in sample_sizes),
+    )
+    stco = _box(b"stco", struct.pack(">B3xII", 0, 1, 0))
+    stss = _box(
+        b"stss",
+        struct.pack(">B3xI", 0, len(keyframes))
+        + b"".join(struct.pack(">I", k) for k in keyframes),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    # opaque codec payload: deterministic filler, length == sum(sizes)
+    mdat = _box(b"mdat", bytes(i & 0xFF for i in range(sum(sample_sizes))))
+    return ftyp + moov + mdat
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def decode_mp4_probe(payload: bytes) -> dict:
+    """Parse the ISO-BMFF container for real: box walk, movie header
+    (timescale/duration), track handler, sample-size and sync-sample
+    tables, mdat payload accounting. Codec FRAME decode (the bytes
+    inside mdat) is the documented library boundary and is NOT
+    attempted — ``pixels`` is absent from the result by design."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    info: dict = {"kind": "mp4"}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated MP4 box header")
+            (size,) = struct.unpack(">I", payload[pos : pos + 4])
+            btype = payload[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                raise ValueError(f"bad MP4 box size for {btype!r}")
+            body = payload[pos + 8 : pos + size]
+            if btype in _MP4_CONTAINERS:
+                walk(pos + 8, pos + size)
+            elif btype == b"ftyp":
+                info["brand"] = body[:4].decode("ascii", "replace")
+            elif btype == b"mvhd":
+                ts, dur = struct.unpack(">II", body[12:20])
+                info["timescale"], info["duration"] = ts, dur
+            elif btype == b"hdlr":
+                info["handler"] = body[8:12].decode("ascii", "replace")
+            elif btype == b"stsd":
+                info["codec"] = body[12:16].decode("ascii", "replace")
+            elif btype == b"stsz":
+                _, n = struct.unpack(">II", body[4:12])
+                if len(body) < 12 + 4 * n:
+                    raise ValueError("stsz table shorter than its count")
+                sizes = [
+                    struct.unpack(">I", body[12 + 4 * i : 16 + 4 * i])[0]
+                    for i in range(n)
+                ]
+                info["n_samples"] = n
+                info["sample_bytes"] = sum(sizes)
+            elif btype == b"stss":
+                (n,) = struct.unpack(">I", body[4:8])
+                if len(body) < 8 + 4 * n:
+                    raise ValueError("stss table shorter than its count")
+                info["keyframes"] = [
+                    struct.unpack(">I", body[8 + 4 * i : 12 + 4 * i])[0]
+                    for i in range(n)
+                ]
+            elif btype == b"mdat":
+                info["mdat_bytes"] = len(body)
+            pos += size
+
+    walk(0, len(payload))
+    if "timescale" not in info or "n_samples" not in info:
+        raise ValueError("MP4 missing mvhd or stsz")
+    if info.get("mdat_bytes") != info.get("sample_bytes"):
+        raise ValueError("mdat length != sum of stsz sample sizes")
+    return info
+
+
+# --------------------------------------------------------------------------
+# m27: MP4 container probe — REAL ISO-BMFF parsing through the DuckDB
+# gate: each sampled doc synthesizes a deterministic single-track
+# video container (ftyp/moov/trak/mdia/stbl box tree with mvhd
+# duration, 'vide' handler, 'avc1' sample entry, stsz sample sizes,
+# stss keyframes, and an mdat whose length must equal Σstsz), then
+# parses the BYTES back with the recursive box walker and emits what
+# the PARSER read: brand, codec fourcc, timescale/duration, sample
+# count and byte total, keyframe count and last keyframe. The mdat
+# accounting cross-check means a bug in box sizing, nesting, or any
+# table parse surfaces as a ValueError or a pinned-column mismatch.
+# Codec-payload decode (the H.264 frames a real file would hold) stays
+# the documented library boundary — containers parse, frames do not.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle; 1-in-8 doc
+# sample (offset +6, disjoint from m15/m22-m26). The probe kernel is
+# the production path for a real video column: container metadata at
+# full corpus scale, frame decode delegated to codec-equipped workers.
+# --------------------------------------------------------------------------
+_M27_SCHEMA = (
+    "doc_id long, brand string, codec string, handler string,"
+    " timescale long, duration long, n_samples long, sample_bytes long,"
+    " n_keyframes long, last_keyframe long, mdat_consistent boolean"
+)
+M27_SAMPLE_MOD = 8
+
+
+@register(
+    "m27_mp4_probe",
+    oracle=f"""
+    SELECT doc_id,
+           'isom' AS brand,
+           'avc1' AS codec,
+           'vide' AS handler,
+           CAST(1000 AS BIGINT) AS timescale,
+           CAST((5 + doc_id % 8) * (40 + doc_id % 25) AS BIGINT) AS duration,
+           CAST(5 + doc_id % 8 AS BIGINT) AS n_samples,
+           (SELECT CAST(SUM(100 + (doc_id + 7 * t.k) % 50) AS BIGINT)
+            FROM unnest(range(0, 5 + doc_id % 8)) t(k)) AS sample_bytes,
+           CAST((5 + doc_id % 8 + 2) // 3 AS BIGINT) AS n_keyframes,
+           CAST(1 + 3 * ((5 + doc_id % 8 + 2) // 3 - 1) AS BIGINT)
+             AS last_keyframe,
+           TRUE AS mdat_consistent
+    FROM documents
+    WHERE doc_id % {M27_SAMPLE_MOD} = 6
+    """,
+)
+def m27_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M27_SAMPLE_MOD == 6)
+        .select("doc_id")
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "brand": [], "codec": [], "handler": [],
+                "timescale": [], "duration": [], "n_samples": [],
+                "sample_bytes": [], "n_keyframes": [], "last_keyframe": [],
+                "mdat_consistent": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 5 + d % 8
+                sizes = [100 + (d + 7 * i) % 50 for i in range(n)]
+                keyframes = list(range(1, n + 1, 3))
+                payload = build_mp4(
+                    1000, n * (40 + d % 25), sizes, keyframes
+                )
+                info = decode_media(payload)  # ftyp-sniffed real probe
+                out["doc_id"].append(d)
+                out["brand"].append(info["brand"])
+                out["codec"].append(info["codec"])
+                out["handler"].append(info["handler"])
+                out["timescale"].append(info["timescale"])
+                out["duration"].append(info["duration"])
+                out["n_samples"].append(info["n_samples"])
+                out["sample_bytes"].append(info["sample_bytes"])
+                out["n_keyframes"].append(len(info["keyframes"]))
+                out["last_keyframe"].append(info["keyframes"][-1])
+                out["mdat_consistent"].append(
+                    info["mdat_bytes"] == info["sample_bytes"]
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(probe, schema=_M27_SCHEMA)

@@ -153,19 +153,25 @@ def test_media_features_deterministic(spark, registry):
 
 
 def test_decode_media_unsupported_formats_are_explicit():
-    # Codec-needing formats (here: an MP4 ftyp box) remain an explicit
-    # NotImplementedError boundary; BMP/WAV/JPEG/PNG take the
-    # real-parser paths (a JPEG SOI routes to decode_jpeg and a PNG
-    # signature to decode_png, so malformed payloads are ValueError —
-    # a real parse failure, not a missing codec).
-    from seamdb_spark.operators.multimodal import decode_media
+    # Codec-needing formats (here: a Matroska EBML header) remain an
+    # explicit NotImplementedError boundary; BMP/WAV/JPEG/PNG/GIF take
+    # the real-parser paths and MP4 takes the container probe (so
+    # malformed payloads in all of those are ValueError — a real parse
+    # failure, not a missing codec). A VALID MP4 container probes for
+    # real but carries no "pixels": frame decode is the codec boundary.
+    from seamdb_spark.operators.multimodal import build_mp4, decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00\x00\x00\x18ftypmp42 not decodable without codecs")
+        decode_media(b"\x1a\x45\xdf\xa3 matroska needs codec libraries")
+    with pytest.raises(ValueError):
+        decode_media(b"\x00\x00\x00\x18ftypmp42 bad box framing")
     with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0 malformed jpeg payload")
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\n malformed png payload")
+    probe = decode_media(build_mp4(1000, 2500, [100, 90], [1]))
+    assert probe["kind"] == "mp4" and probe["n_samples"] == 2
+    assert "pixels" not in probe
 
 
 def test_bmp_decode_handcrafted():
@@ -1651,6 +1657,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "d33_bbit_minhash_audit": 10,
         # e36: (type, hour) count + per-type agg + 2-long span broadcast
         "e36_type_burstiness": 4,
+        "m27_mp4_probe": 0,
     }
     over = []
     for name, budget in budgets.items():

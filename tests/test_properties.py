@@ -500,3 +500,57 @@ def test_gif_animation_boundary_is_explicit():
     at = payload.index(b"\x21\xF9")
     with pytest.raises(ValueError):
         decode_gif_frames(payload[:at + 2] + b"\x05" + payload[at + 3:])
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    ts=st.integers(min_value=1, max_value=90000),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_mp4_container_probe_roundtrip(n, ts, seed):
+    """ISO-BMFF probe: every header/table field written by build_mp4
+    survives the recursive box walk, and the mdat byte accounting
+    matches Σstsz for any sample-size vector."""
+    import random
+
+    from seamdb_spark.operators.multimodal import build_mp4, decode_mp4_probe
+
+    rng = random.Random(seed)
+    sizes = [rng.randrange(0, 5000) for _ in range(n)]
+    keyframes = sorted(rng.sample(range(1, n + 1), rng.randrange(1, n + 1)))
+    dur = rng.randrange(1, 1 << 31)
+    info = decode_mp4_probe(build_mp4(ts, dur, sizes, keyframes))
+    assert info["kind"] == "mp4" and info["brand"] == "isom"
+    assert (info["timescale"], info["duration"]) == (ts, dur)
+    assert info["handler"] == "vide" and info["codec"] == "avc1"
+    assert info["n_samples"] == n
+    assert info["sample_bytes"] == sum(sizes) == info["mdat_bytes"]
+    assert info["keyframes"] == keyframes
+
+
+def test_mp4_probe_boundary_is_explicit():
+    """Bad box framing, missing tables, and mdat/stsz disagreement
+    raise (never a wrong answer); frame decode is absent by design."""
+    import struct
+
+    import pytest
+
+    from seamdb_spark.operators.multimodal import build_mp4, decode_mp4_probe
+
+    payload = build_mp4(1000, 500, [10, 20], [1])
+    with pytest.raises(ValueError):
+        decode_mp4_probe(payload[:-4])  # truncated final box
+    with pytest.raises(ValueError):
+        decode_mp4_probe(b"\x00\x00\x00\x08ftyp")  # no moov/stsz
+    # corrupt the first stsz entry so mdat accounting disagrees
+    at = payload.index(b"stsz") + 4 + 12  # skip verflags+samplesize+count
+    bad = payload[:at] + struct.pack(">I", 999) + payload[at + 4:]
+    with pytest.raises(ValueError):
+        decode_mp4_probe(bad)
+    # blow up the stsz COUNT field: table now shorter than its count
+    at = payload.index(b"stsz") + 4 + 8
+    bad = payload[:at] + struct.pack(">I", 999) + payload[at + 4:]
+    with pytest.raises(ValueError):
+        decode_mp4_probe(bad)
+    assert "pixels" not in decode_mp4_probe(payload)
