@@ -164,3 +164,38 @@ def test_json_and_csv_source_roundtrip(spark, tmp_path):
     )
     assert got_json == want
     assert got_csv == want
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC completes the columnar source matrix (parquet is primary;
+    ORC ships with Spark): events round-trip through ORC with native
+    types preserved — including the timestamp column parquet needs the
+    nanos workaround for — and per-type tallies match the source."""
+    from pyspark.sql import functions as F
+
+    from seamdb_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+    def tally(df):
+        return {
+            r.event_type: (r.n, r.cents, str(r.t0), str(r.t1))
+            for r in df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+                F.min("ts").alias("t0"),
+                F.max("ts").alias("t1"),
+            )
+            .collect()
+        }
+
+    want = tally(ev)
+    odir = str(tmp_path / "ev_orc")
+    ev.write.mode("overwrite").orc(odir)
+    back = spark.read.orc(odir)
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    assert tally(back) == want
