@@ -472,6 +472,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "other",
         # s21: |labels|-row centroid table (both join sides)
         "cent", "cb",
+        # e36: 1-row global hour-span bounds (2 longs)
+        "span",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
