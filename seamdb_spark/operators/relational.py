@@ -2707,3 +2707,92 @@ def q65_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# j02: bucketed co-located join — the single most important 100 TB join
+# strategy made concrete: lineitem and orders are written ONCE as
+# bucketed+sorted tables on the join key (bucketBy/sortBy saveAsTable,
+# Spark's bucketing metadata in the catalog, one file per bucket), and
+# the orderkey sort-merge join then plans with ZERO Exchange — both
+# sides' bucket files are read pre-partitioned, so neither fact table
+# crosses the network. (Two LOCAL Sorts remain: since 3.0 Spark only
+# propagates bucket ordering under the legacy
+# bucketedTableScan.outputOrdering flag; sorting already-sorted runs
+# is cheap and shuffle-free, so the default is kept.) At corpus scale
+# this converts every repeated fact-fact join on the bucket key from a
+# full-data network pass into a local merge — the write cost is paid
+# once and amortized over every subsequent join (the classic warehouse
+# layout decision). The shuffle gate pins the plan: the ONLY Exchange
+# in j02 is the final small per-priority aggregate, NOT the join.
+#
+# The bucketed copies are session-memoized external tables under
+# /tmp/seamdb_bucketed (mode=overwrite, so stale dirs from dead
+# sessions are reclaimed); the oracle joins the raw parquet — bucketing
+# is a layout property and must not change any result.
+# --------------------------------------------------------------------------
+J02_BUCKETS = 8
+
+
+def _j02_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import re as _re
+
+    from .materialize import materialized_value
+
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_")
+    li_name, ord_name = f"j02_li_{tag}", f"j02_ord_{tag}"
+
+    def build() -> tuple[str, str]:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        for name, df, key in (
+            (li_name, li, "l_orderkey"),
+            (ord_name, od, "o_orderkey"),
+        ):
+            (
+                # one writer task per bucket => one file per bucket, so
+                # the reader preserves outputOrdering too (with >1 file
+                # per bucket Spark keeps only outputPartitioning and
+                # re-inserts local Sorts under the merge join)
+                df.repartition(J02_BUCKETS, F.col(key))
+                .write.mode("overwrite")
+                .format("parquet")
+                .option("path", f"/tmp/seamdb_bucketed/{tag}/{name}")
+                .bucketBy(J02_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        return li_name, ord_name
+
+    return materialized_value(spark, sf_dir, "j02_bucketed", build)
+
+
+@register(
+    "j02_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j02_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_name, ord_name = _j02_bucketed_tables(spark, sf_dir)
+    li = spark.table(li_name)
+    od = spark.table(ord_name)
+    # MERGE hint: at target scale both sides are fact tables (no
+    # broadcast exists); the hint makes the fixture plan the same
+    # SortMergeJoin — which the bucketed+sorted layout satisfies with
+    # zero Exchange and zero Sort on either side.
+    joined = li.join(od.hint("merge"), li.l_orderkey == od.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_orderkey").alias("n_orders"),
+        F.count("*").alias("n_lineitems"),
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

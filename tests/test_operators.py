@@ -1660,6 +1660,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # e36: (type, hour) count + per-type agg + 2-long span broadcast
         "e36_type_burstiness": 4,
         "m27_mp4_probe": 0,
+        # j02: the join is Exchange-free by bucketing; the one shuffle
+        # is the final per-priority aggregate (see the dedicated test)
+        "j02_bucketed_colocated_join": 1,
     }
     over = []
     for name, budget in budgets.items():
@@ -2930,3 +2933,20 @@ def test_modularity_audit_terms_are_consistent(spark, registry):
     }
     assert {r.community: r.n_nodes for r in rows} == comm_sizes
     assert sum(r.intra_edges for r in rows) <= sum(r.degree_sum for r in rows) // 2
+
+
+def test_bucketed_join_is_exchange_free(spark, registry):
+    """j02's defining property, pinned directly: the fact-fact join
+    reads both bucketed tables WITHOUT an Exchange — the only shuffle
+    in the whole plan is the final per-priority aggregate, and the
+    join is the sort-merge form (no broadcast masking the layout)."""
+    queries, _ = registry
+    plan = (
+        queries["j02_bucketed_colocated_join"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange ") == 1  # the aggregate, not the join
