@@ -3229,3 +3229,144 @@ def t44_chars_per_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t45: char-weighted repetition battery — the Gopher duplicate-n-gram
+# filters (Rae et al. 2021, Table A1) t11's count-based signals do not
+# cover: per doc, (a) the heaviest repeated n-gram MASS for n=2,3,4
+# (occurrences × gram chars, the deterministic no-tie-break variant of
+# "fraction of characters in the most common n-gram"), and (b) the
+# duplicate-gram char mass for n=5,6 (Σ count·chars over grams seen
+# ≥ 2 times — occurrence-counted, so overlaps can push past 1.0;
+# clamped at 1000 milli and documented as the conservative upper
+# bound). Thresholds are the published ones (0.20/0.18/0.16 top,
+# 0.15/0.14 dup); the battery verdict is their conjunction.
+#
+# Scale: ONE gram explode covers all five n (flattened (n, gram)
+# structs), one (doc, n, gram) count with map-side combine, one
+# (doc, n) aggregate, then conditional-agg reshape to columns — two
+# shuffles total for the whole battery, row counts bounded by
+# 5 × tokens per doc.
+# --------------------------------------------------------------------------
+T45_TOP_THRESH = {2: 200, 3: 180, 4: 160}
+T45_DUP_THRESH = {5: 150, 6: 140}
+
+
+def _t45_oracle() -> str:
+    gram_arrays = []
+    for n in range(2, 7):
+        parts = ", ".join(f"t[i+{k}]" for k in range(n))
+        gram_arrays.append(
+            f"list_transform(range(1, len(t) - {n - 1} + 1),"
+            f" i -> {{'n': {n}, 'g': concat_ws(' ', {parts})}})"
+        )
+    flat = " || ".join(gram_arrays)
+    top_cols = ",\n           ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN (1000 * topmass) // n_chars END), 0)"
+        f" AS top{n}_milli"
+        for n in T45_TOP_THRESH
+    )
+    dup_cols = ",\n           ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN LEAST(1000,"
+        f" (1000 * dupmass) // n_chars) END), 0) AS dup{n}_milli"
+        for n in T45_DUP_THRESH
+    )
+    conds = " AND ".join(
+        [
+            f"COALESCE(MAX(CASE WHEN n = {n} THEN (1000 * topmass) // n_chars END), 0)"
+            f" <= {t}"
+            for n, t in T45_TOP_THRESH.items()
+        ]
+        + [
+            f"COALESCE(MAX(CASE WHEN n = {n} THEN LEAST(1000,"
+            f" (1000 * dupmass) // n_chars) END), 0) <= {t}"
+            for n, t in T45_DUP_THRESH.items()
+        ]
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 6
+    ),
+    grams AS (
+      SELECT doc_id, n_chars, u.s['n'] AS n, u.s['g'] AS g
+      FROM toks, unnest({flat}) u(s)
+    ),
+    counts AS (
+      SELECT doc_id, n_chars, n, g,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(length(g) AS BIGINT) AS glen
+      FROM grams GROUP BY doc_id, n_chars, n, g
+    ),
+    per_n AS (
+      SELECT doc_id, n_chars, n,
+             MAX(c * glen) AS topmass,
+             COALESCE(SUM(CASE WHEN c >= 2 THEN c * glen END), 0) AS dupmass
+      FROM counts GROUP BY doc_id, n_chars, n
+    )
+    SELECT doc_id,
+           {top_cols},
+           {dup_cols},
+           CAST({conds} AS BIGINT) AS passes_battery
+    FROM per_n GROUP BY doc_id
+    """
+
+
+@register("t45_gopher_repetition", oracle=_t45_oracle())
+def t45_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    gram_arrays = []
+    for n in range(2, 7):
+        parts = ", ".join(f"t[i+{k}]" for k in range(n))
+        gram_arrays.append(
+            f"transform(sequence(0, size(t) - {n}),"
+            f" i -> struct({n} AS n, concat_ws(' ', {parts}) AS g))"
+        )
+    flat = f"flatten(array({', '.join(gram_arrays)}))"
+    toks = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.split("text", " ").alias("t"),
+    ).filter(F.size("t") >= 6)
+    grams = toks.select(
+        "doc_id", "n_chars", F.explode(F.expr(flat)).alias("s")
+    ).select("doc_id", "n_chars", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    counts = grams.groupBy("doc_id", "n_chars", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    per_n = counts.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(F.col("c") * F.length("g")).alias("topmass"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("g"))),
+            F.lit(0),
+        ).alias("dupmass"),
+    )
+    top_exprs = [
+        F.coalesce(
+            F.max(F.when(F.col("n") == n, F.expr("(1000 * topmass) div n_chars"))),
+            F.lit(0),
+        ).alias(f"top{n}_milli")
+        for n in T45_TOP_THRESH
+    ]
+    dup_exprs = [
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    F.least(F.lit(1000), F.expr("(1000 * dupmass) div n_chars")),
+                )
+            ),
+            F.lit(0),
+        ).alias(f"dup{n}_milli")
+        for n in T45_DUP_THRESH
+    ]
+    out = per_n.groupBy("doc_id").agg(*top_exprs, *dup_exprs)
+    passes = None
+    for n, t in T45_TOP_THRESH.items():
+        c = F.col(f"top{n}_milli") <= t
+        passes = c if passes is None else passes & c
+    for n, t in T45_DUP_THRESH.items():
+        passes = passes & (F.col(f"dup{n}_milli") <= t)
+    return out.select("*", passes.cast("long").alias("passes_battery"))

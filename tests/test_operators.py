@@ -1663,6 +1663,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # j02: the join is Exchange-free by bucketing; the one shuffle
         # is the final per-priority aggregate (see the dedicated test)
         "j02_bucketed_colocated_join": 1,
+        # t45: one gram explode for all five n, (doc,n,gram) count,
+        # (doc,n) agg, conditional-agg reshape
+        "t45_gopher_repetition": 3,
     }
     over = []
     for name, budget in budgets.items():
