@@ -3591,3 +3591,139 @@ def s23_kmeans_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * (ss + (pairs - sa - sb + ss))) div pairs"
         ).alias("rand_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# s24: pre- vs post-filter ANN audit — the vector-store design table
+# for predicate-constrained search: pre-filtering (score only rows
+# matching the predicate — s06's shape) is exact but needs the
+# predicate pushed into the index; post-filtering (take an expanded
+# unfiltered top-K', then apply the predicate) reuses one shared index
+# but loses recall when matches are sparse in the top-K'. Per probe
+# (predicate: same label as the probe) this audit emits how many
+# label-matches survive in the unfiltered top-4k, the post-filter
+# result size, and post-filter recall@k against the exact pre-filter
+# answer — the measured basis for choosing a filter strategy and
+# sizing the K' expansion.
+#
+# Ranking ties break on the ROUNDED cosine then neighbor_id in both
+# engines (the s06 float discipline), so pre/post sets are
+# deterministic and the intersection count is exact.
+#
+# Scale: the fixture path is the exact brute-force audit twin (probes
+# broadcast, one corpus scan); production replaces the scorer with the
+# IVF path (s03) and keeps the same audit joins, which are
+# probe-bounded (≤ N_PROBES × 4k rows).
+# --------------------------------------------------------------------------
+S24_EXPAND = 4 * TOP_K
+
+
+@register(
+    "s24_prepost_filter_audit",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe, label AS pl
+                    FROM embeddings WHERE vec_id < {N_PROBES}),
+    scored AS (
+      SELECT probe_id, pl, e.vec_id AS neighbor_id, e.label AS nl,
+             ROUND({_cos_sql('pe', 'e.embedding')}, 6) AS cosine
+      FROM probes JOIN embeddings e ON e.vec_id <> probe_id
+    ),
+    ranked_all AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    pre AS (
+      SELECT probe_id, neighbor_id, rk_pre FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk_pre
+        FROM scored WHERE nl = pl
+      ) WHERE rk_pre <= {TOP_K}
+    ),
+    post AS (
+      SELECT probe_id, neighbor_id, rk_post FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk_post
+        FROM ranked_all WHERE rk <= {S24_EXPAND} AND nl = pl
+      ) WHERE rk_post <= {TOP_K}
+    )
+    SELECT p.probe_id, ANY_VALUE(p.pl) AS probe_label,
+           CAST(COUNT(*) FILTER (r.rk <= {S24_EXPAND} AND r.nl = p.pl)
+                AS BIGINT) AS n_survivors_at_expand,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM post
+            WHERE post.probe_id = p.probe_id) AS n_post,
+           (SELECT CAST(1000 * COUNT(*) AS BIGINT) // {TOP_K}
+            FROM pre JOIN post ON pre.probe_id = post.probe_id
+                              AND pre.neighbor_id = post.neighbor_id
+            WHERE pre.probe_id = p.probe_id) AS postfilter_recall_milli
+    FROM probes p JOIN ranked_all r ON r.probe_id = p.probe_id
+    GROUP BY p.probe_id
+    """,
+)
+def s24_prepost_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("pl"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "pl",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nl"),
+            dround(
+                _dot("pe", "embedding") / (_norm("pe") * _norm("embedding")), 6
+            ).alias("cosine"),
+        )
+        .localCheckpoint()  # read by the all-rank, pre-rank, and tally
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    ranked_all = scored.select("*", F.row_number().over(w).alias("rk"))
+    pre = (
+        scored.filter(F.col("nl") == F.col("pl"))
+        .select("*", F.row_number().over(w).alias("rk_pre"))
+        .filter(F.col("rk_pre") <= TOP_K)
+        .select("probe_id", "neighbor_id")
+    )
+    post = (
+        ranked_all.filter((F.col("rk") <= S24_EXPAND) & (F.col("nl") == F.col("pl")))
+        .select("*", F.row_number().over(w).alias("rk_post"))
+        .filter(F.col("rk_post") <= TOP_K)
+        .select("probe_id", "neighbor_id")
+    )
+    survivors = (
+        ranked_all.filter((F.col("rk") <= S24_EXPAND) & (F.col("nl") == F.col("pl")))
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_survivors_at_expand"))
+    )
+    n_post = post.groupBy("probe_id").agg(F.count("*").alias("n_post"))
+    hits = (
+        pre.join(post, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.expr(f"CAST(1000 * count(*) AS BIGINT) div {TOP_K}").alias(
+            "postfilter_recall_milli"
+        ))
+    )
+    base = probes.select("probe_id", F.col("pl").alias("probe_label"))
+    return (
+        base.join(survivors, "probe_id", "left")
+        .join(n_post, "probe_id", "left")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "probe_label",
+            F.coalesce("n_survivors_at_expand", F.lit(0)).cast("long")
+            .alias("n_survivors_at_expand"),
+            F.coalesce("n_post", F.lit(0)).cast("long").alias("n_post"),
+            F.coalesce("postfilter_recall_milli", F.lit(0)).cast("long")
+            .alias("postfilter_recall_milli"),
+        )
+    )

@@ -1666,6 +1666,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # t45: one gram explode for all five n, (doc,n,gram) count,
         # (doc,n) agg, conditional-agg reshape
         "t45_gopher_repetition": 3,
+        # s24: probe-bounded rank windows + tally joins off one
+        # checkpointed scored frame (<= N_PROBES x corpus rows)
+        "s24_prepost_filter_audit": 11,
     }
     over = []
     for name, budget in budgets.items():
