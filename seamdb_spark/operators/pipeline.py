@@ -1085,9 +1085,11 @@ def p09_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 P10_BUDGET_PCT = 20
 
 
-def _p10_oracle() -> str:
-    return f"""
-    WITH tok AS (
+def _p10_alloc_ctes() -> str:
+    """The allocation CTE chain ``tok, tot, base, ranked`` — shared by
+    the p10 oracle and p11's quota join so both engines' sampler uses
+    the exact allocation p10 reports."""
+    return f"""tok AS (
       SELECT lang, source,
              CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
                AS bucket_tokens
@@ -1110,7 +1112,12 @@ def _p10_oracle() -> str:
              SUM(quota_floor) OVER () AS floor_sum,
              ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk
       FROM base b
-    )
+    )"""
+
+
+def _p10_oracle() -> str:
+    return f"""
+    WITH {_p10_alloc_ctes()}
     SELECT lang, source, bucket_tokens,
            CAST(quota_floor
                 + CASE WHEN rk <= budget - floor_sum THEN 1 ELSE 0 END
@@ -1125,8 +1132,10 @@ def _p10_oracle() -> str:
     """
 
 
-@register("p10_mixture_quota_allocation", oracle=_p10_oracle())
-def p10_mixture_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _p10_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The allocation frame (``ranked`` in the oracle CTEs) — bounded
+    at |langs|×|sources| rows; shared by p10's report and p11's
+    sampler."""
     from pyspark.sql import Window
 
     from ..sources import load_table
@@ -1152,13 +1161,18 @@ def p10_mixture_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(budget * bucket_tokens) % total_tokens").alias("rem"),
     )
     # bounded frame: |langs|x|sources| rows — the global window is safe
-    ranked = base.select(
+    return base.select(
         "*",
         F.sum("quota_floor").over(Window.partitionBy()).alias("floor_sum"),
         F.row_number()
         .over(Window.orderBy(F.col("rem").desc(), "lang", "source"))
         .alias("rk"),
     )
+
+
+@register("p10_mixture_quota_allocation", oracle=_p10_oracle())
+def p10_mixture_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _p10_ranked(spark, sf_dir)
     bonus = F.col("rk") <= F.col("budget") - F.col("floor_sum")
     return ranked.select(
         "lang",
@@ -1171,4 +1185,98 @@ def p10_mixture_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * (quota_floor + CAST(rk <= budget - floor_sum AS BIGINT)))"
             " div bucket_tokens"
         ).alias("rate_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p11: quota sampler — p10's plan executed: inside each (lang, source)
+# bucket, docs are ordered by the deterministic md5 shuffle key (t10's
+# convention) and taken in order until the bucket's cumulative token
+# count reaches its p10 quota (the boundary doc overshoots by < one
+# doc — the standard take-until-quota contract). Emits the per-doc
+# verdict with the running token position and the bucket quota, so the
+# selection is fully auditable and reproducible from the table alone.
+#
+# Scale: the running sum is a per-bucket PREFIX SCAN — the one shape a
+# partitionBy(bucket) window gets catastrophically wrong at corpus
+# scale (a terabyte bucket lands on ONE task). p11 instead uses
+# ranks.grouped_running_sum: range-partition on (bucket, key), per-
+# partition per-bucket partials to the driver (≤ #partitions + #buckets
+# rows), broadcast offsets back, and a partition-LOCAL window — no
+# task ever holds more than one partition, whatever the bucket skew.
+# The quota join broadcasts the |buckets|-row allocation frame.
+# --------------------------------------------------------------------------
+def _p11_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH {_p10_alloc_ctes()},
+    q AS (
+      SELECT lang, source,
+             CAST(quota_floor
+                  + CASE WHEN rk <= budget - floor_sum THEN 1 ELSE 0 END
+                  AS BIGINT) AS quota
+      FROM ranked
+    ),
+    docs AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             {h} AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang, source
+                     ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS running_tokens
+      FROM docs
+    )
+    SELECT r.doc_id, r.lang, r.source, r.n_tokens, r.running_tokens,
+           q.quota,
+           CAST(r.running_tokens - r.n_tokens < q.quota AS BIGINT)
+             AS selected
+    FROM r JOIN q ON q.lang = r.lang AND q.source = r.source
+    """
+
+
+@register("p11_quota_sampler", oracle=_p11_oracle())
+def p11_quota_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from .hashing import md5_prefix_long
+    from .ranks import grouped_running_sum
+
+    quotas = _p10_ranked(spark, sf_dir).select(
+        "lang",
+        "source",
+        (
+            F.col("quota_floor")
+            + (F.col("rk") <= F.col("budget") - F.col("floor_sum")).cast("long")
+        ).alias("quota"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        md5_prefix_long(F.col("doc_id").cast("string")).alias("h"),
+    )
+    r = grouped_running_sum(
+        docs,
+        ["lang", "source"],
+        [F.col("h"), F.col("doc_id")],
+        "n_tokens",
+        "running_tokens",
+    )
+    return r.join(F.broadcast(quotas), ["lang", "source"]).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "running_tokens",
+        "quota",
+        (F.col("running_tokens") - F.col("n_tokens") < F.col("quota"))
+        .cast("long")
+        .alias("selected"),
     )

@@ -131,3 +131,72 @@ def ntile_exact(
     return ranked.withColumn(
         out_col, ntile_from_rank(F.col(rank_col), n, k)
     ).drop(rank_col)
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact per-group running (prefix) sum over a total order within
+    each group, WITHOUT per-group single-task windows.
+
+    ``Window.partitionBy(group)`` ships each whole group to one task —
+    fine for bounded groups, a scale-killer when a group holds a
+    terabyte (exactly the shape of per-(lang, source) corpus buckets).
+    Here: range-partition on (group, order) so each partition holds a
+    contiguous slice of the total order; per-partition PER-GROUP sums
+    (≤ #partitions + #groups rows, since a group spans contiguous
+    partitions) come back to the driver once; their group-wise prefix
+    totals become broadcast offsets; the remaining window runs
+    partition-LOCALLY (partitioned by (physical partition, group)), so
+    no task ever sees more than one partition's rows.
+
+    ``order_cols`` must be a total order within each group (include a
+    unique tiebreak) for the prefix sum to be deterministic.
+    """
+    spark = df.sparkSession
+    keys = [F.col(c) for c in group_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *keys, *order_cols)
+        .sortWithinPartitions(*keys, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = (
+        part.groupBy(_PID, *group_cols)
+        .agg(F.sum(value_col).alias("__gs"))
+        .collect()
+    )
+    # group-wise prefix totals in partition order = the group offsets
+    offsets: list[tuple] = []
+    acc: dict[tuple, int] = {}
+    for r in sorted(stats, key=lambda r: r[_PID]):
+        gkey = tuple(r[c] for c in group_cols)
+        offsets.append((r[_PID], *gkey, acc.get(gkey, 0)))
+        acc[gkey] = acc.get(gkey, 0) + (r["__gs"] or 0)
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    odf = spark.createDataFrame(
+        offsets, schema=["__o_pid", *[f"__g_{c}" for c in group_cols], _OFF]
+    )
+    cond = [F.col(_PID) == F.col("__o_pid")] + [
+        F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in group_cols
+    ]
+    w = (
+        W.partitionBy(_PID, *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = part.withColumn("__local", F.sum(value_col).over(w)).join(
+        F.broadcast(odf), cond
+    )
+    drop_cols = [_PID, "__o_pid", _OFF, "__local"] + [
+        f"__g_{c}" for c in group_cols
+    ]
+    return joined.withColumn(
+        out_col, (F.col("__local") + F.col(_OFF)).cast("long")
+    ).drop(*drop_cols)

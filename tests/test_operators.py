@@ -1669,6 +1669,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # s24: probe-bounded rank windows + tally joins off one
         # checkpointed scored frame (<= N_PROBES x corpus rows)
         "s24_prepost_filter_audit": 11,
+        # p11: grouped_running_sum's range partition + partition-local
+        # window + the bounded allocation-frame join
+        "p11_quota_sampler": 8,
     }
     over = []
     for name, budget in budgets.items():

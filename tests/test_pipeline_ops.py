@@ -179,3 +179,38 @@ def test_mixture_quota_hamilton_invariants(spark):
     assert {(r.lang, r.source) for r in ordered[:n_bonus]} == {
         (r.lang, r.source) for r in rows if r.got_bonus
     }
+
+
+def test_quota_sampler_take_until_contract(spark):
+    """p11's selection contract per bucket: selected docs are a PREFIX
+    of the deterministic hash order, their token sum reaches the quota
+    with overshoot strictly smaller than the boundary doc, and
+    deselecting the boundary doc would land short of quota."""
+    rows = _q("p11_quota_sampler")(spark, SF_SMOKE).collect()
+    quotas = {
+        (r.lang, r.source): r.quota
+        for r in _q("p10_mixture_quota_allocation")(spark, SF_SMOKE).collect()
+    }
+    buckets = {}
+    for r in rows:
+        buckets.setdefault((r.lang, r.source), []).append(r)
+    assert set(buckets) == set(quotas)
+    for key, docs in buckets.items():
+        docs.sort(key=lambda r: r.running_tokens)
+        q = quotas[key]
+        assert q == docs[0].quota
+        sel = [r for r in docs if r.selected]
+        # prefix property: every selected doc precedes every unselected
+        if sel:
+            max_sel = max(r.running_tokens for r in sel)
+            assert all(
+                r.running_tokens > max_sel for r in docs if not r.selected
+            )
+            got = sum(r.n_tokens for r in sel)
+            boundary = sel[-1]
+            assert got - q < boundary.n_tokens  # overshoot < one doc
+            assert got >= min(q, 1)
+            if got > q:
+                assert got - boundary.n_tokens < q  # boundary was needed
+        else:
+            assert q == 0
