@@ -2959,3 +2959,66 @@ def test_bucketed_join_is_exchange_free(spark, registry):
     assert "SortMergeJoin" in plan
     assert "BroadcastExchange" not in plan
     assert plan.count("Exchange ") == 1  # the aggregate, not the join
+
+
+def test_bbit_correction_reduces_bias(spark, registry):
+    """d33 soundness: raw 4-bit agreement systematically overestimates
+    similarity (random low-bit collisions at rate 2^-b); the Li-Konig
+    correction must remove that inflation — corrected estimates sit at
+    or below raw ones, never above, and the mean absolute residual vs
+    the full-width estimate shrinks (or ties) after correction."""
+    queries, _ = registry
+    rows = queries["d33_bbit_minhash_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree_b4 <= 8 and 0 <= r.n_agree_full <= 8
+        assert r.n_agree_b4 >= r.n_agree_full  # low bits can only collide
+        assert r.est_b4_milli <= r.raw_b4_milli
+        assert r.correction_residual_milli == r.est_b4_milli - r.est_full_milli
+    # The correction is unbiased in EXPECTATION, not per pair: on a
+    # high-similarity candidate with no actual low-bit collisions it
+    # lands BELOW the full-width estimate (it assumes the expected
+    # collision count), so per-pair |error| can grow. The testable
+    # fixture claim is centering: the SIGNED residual sum must shrink
+    # toward zero from raw's strictly-positive inflation.
+    raw_signed = sum(r.raw_b4_milli - r.est_full_milli for r in rows)
+    corrected_signed = sum(r.correction_residual_milli for r in rows)
+    assert raw_signed > 0  # low-bit collisions only inflate
+    assert abs(corrected_signed) < raw_signed
+
+
+def test_burstiness_pure_python_replay(spark, registry):
+    """e36 replay: recompute the Fano table from the raw events with
+    plain Python dicts and match every column exactly."""
+    from seamdb_spark.sources import load_table
+
+    queries, _ = registry
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "ts"
+    ).collect()
+    counts: dict[tuple, int] = {}
+    for r in ev:
+        h = int(r.ts.timestamp()) // 3600
+        counts[(r.event_type, h)] = counts.get((r.event_type, h), 0) + 1
+    hours = [h for (_, h) in counts]
+    n = max(hours) - min(hours) + 1
+    per_type: dict[str, list] = {}
+    for (t, _), c in counts.items():
+        per_type.setdefault(t, []).append(c)
+    got = {
+        r.event_type: r
+        for r in queries["e36_type_burstiness"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(per_type)
+    for t, cs in per_type.items():
+        tot, ssq = sum(cs), sum(c * c for c in cs)
+        fano = (1000 * (n * ssq - tot * tot)) // (n * tot)
+        r = got[t]
+        assert (r.n_hours, r.n_active_hours, r.total_events) == (n, len(cs), tot)
+        assert r.mean_milli == 1000 * tot // n
+        assert r.fano_milli == fano
+        want_cls = (
+            "bursty" if fano >= 1500
+            else "underdispersed" if fano <= 667 else "poisson_like"
+        )
+        assert r.dispersion_class == want_cls
