@@ -474,6 +474,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "cent", "cb",
         # e36: 1-row global hour-span bounds (2 longs)
         "span",
+        # p11: |langs|x|sources|-row allocation frame
+        "quotas",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
