@@ -3696,3 +3696,109 @@ def m27_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(probe, schema=_M27_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m28: audio fingerprint dedup — the multimodal×dedup bridge: a
+# Shazam-style landmark-free fingerprint (the sign of each
+# frame-to-frame energy delta, packed into an int64 — robust to
+# uniform gain, cheap to compute, exact to compare) over REAL WAV
+# round-trips, then an exact groupBy on the fingerprint for duplicate
+# audio groups with keeper verdicts (d01's shape on a multimodal
+# column). Each doc synthesizes its waveform from md5(doc_id % 32), so
+# the fixture contains genuine duplicate groups (~N/32) and the group
+# accounting is exercised for real; at production the synth is
+# replaced by the decoded audio column.
+#
+# Scale: row-local Arrow-batched fingerprint (decode + one pass over
+# frames), then ONE exact groupBy on an 8-byte key (uniform,
+# skew-free) and one fingerprint-keyed join back — the d01 plan on a
+# fingerprint instead of a content hash.
+# --------------------------------------------------------------------------
+M28_KEYS = 32
+_M28_SCHEMA = "doc_id long, fingerprint long, n_frames long"
+
+
+def _m28_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id % {M28_KEYS} AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    d AS (SELECT doc_id, hx, 96 + {_byte_at('3')} % 3 * 48 AS n FROM h),
+    samples AS (
+      SELECT doc_id, t.i // {AUDIO_FRAME} AS frame,
+             ({_byte_at('(t.i % 16)')} - 128) * 256 AS s
+      FROM d, unnest(range(0, (n // {AUDIO_FRAME}) * {AUDIO_FRAME})) t(i)
+    ),
+    frames AS (
+      SELECT doc_id, frame, SUM(s * s) AS e
+      FROM samples GROUP BY doc_id, frame
+    ),
+    fp AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN b.e > a.e
+                  THEN (CAST(1 AS BIGINT) << CAST(a.frame AS INT))
+                  ELSE 0 END) AS BIGINT) AS fingerprint,
+             CAST(COUNT(*) + 1 AS BIGINT) AS n_frames
+      FROM frames a JOIN frames b
+        ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+      GROUP BY a.doc_id
+    ),
+    grp AS (
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.fingerprint, f.n_frames, g.group_size,
+           g.keeper_doc_id,
+           CAST(f.doc_id = g.keeper_doc_id AS BIGINT) AS keep
+    FROM fp f JOIN grp g ON g.fingerprint = f.fingerprint
+    """
+
+
+@register("m28_audio_fingerprint_dedup", oracle=_m28_oracle())
+def m28_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "fingerprint": [], "n_frames": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                digest = hashlib.md5(str(d % M28_KEYS).encode()).digest()
+                n = 96 + digest[3] % 3 * 48
+                synth = [(digest[k % 16] - 128) * 256 for k in range(n)]
+                samples = wav_samples(build_wav(synth, _WAV_RATE))  # real
+                nf = len(samples) // AUDIO_FRAME
+                energies = [
+                    sum(
+                        s * s
+                        for s in samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                    )
+                    for f in range(nf)
+                ]
+                fp = 0
+                for f in range(nf - 1):
+                    if energies[f + 1] > energies[f]:
+                        fp |= 1 << f
+                out["doc_id"].append(d)
+                out["fingerprint"].append(fp)
+                out["n_frames"].append(nf)
+            yield pd.DataFrame(out)
+
+    fps = docs.mapInPandas(fingerprint, schema=_M28_SCHEMA)
+    grp = fps.groupBy("fingerprint").agg(
+        F.count("*").alias("group_size"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+    return fps.join(grp, "fingerprint").select(
+        "doc_id",
+        "fingerprint",
+        "n_frames",
+        "group_size",
+        "keeper_doc_id",
+        (F.col("doc_id") == F.col("keeper_doc_id")).cast("long").alias("keep"),
+    )

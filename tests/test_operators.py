@@ -1674,6 +1674,8 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # p11: grouped_running_sum's range partition + partition-local
         # window + the bounded allocation-frame join
         "p11_quota_sampler": 8,
+        # m28: row-local fingerprint kernel + d01-shaped group/join
+        "m28_audio_fingerprint_dedup": 2,
     }
     over = []
     for name, budget in budgets.items():
