@@ -2796,3 +2796,91 @@ def j02_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q66: ordered string aggregation — LISTAGG/string_agg WITHIN GROUP
+# (ORDER BY ...), the report-formatting idiom. Spark has no ordered
+# string_agg aggregate; the plan-stable equivalent is
+# collect_list(struct(sortkeys..., value)) → array_sort → transform →
+# concat_ws, which sorts INSIDE each group's aggregation buffer (never
+# a global sort). Tie-break includes the unique orderkey so both
+# engines produce byte-identical strings.
+#
+# Scale: one groupBy with map-side combine; per-group buffers hold that
+# customer's orders only (bounded by per-customer order counts). The
+# LIMIT demonstrates the idiom without materializing megabyte strings.
+# --------------------------------------------------------------------------
+@register(
+    "q66_ordered_string_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderdate, o_orderkey) AS order_history
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    LIMIT 50
+    """,
+)
+def q66_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(o_orderdate, o_orderkey))),"
+                    " s -> CAST(s.o_orderkey AS STRING))"
+                ),
+            ).alias("order_history"),
+        )
+        .orderBy("o_custkey")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# q67: LOCF forward fill via IGNORE NULLS — the last-observation-
+# carried-forward idiom (sensor/gauge repair): sparse observations
+# (here: each user's 'purchase' values; other events are gaps) are
+# carried forward across subsequent rows with
+# last_value(...) IGNORE NULLS over the running frame. Complements
+# e06's join-based gap fill with the window-based form — the two
+# canonical shapes of the same repair.
+#
+# Scale: one window partitioned by user (bounded per-user event
+# counts), running frame — single shuffle on the partition key.
+# --------------------------------------------------------------------------
+@register(
+    "q67_locf_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN ROUND(value, 2) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    """,
+)
+def q67_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    obs = F.when(F.col("event_type") == "purchase", dround(F.col("value"), 2))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(obs, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

@@ -1676,6 +1676,8 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "p11_quota_sampler": 8,
         # m28: row-local fingerprint kernel + d01-shaped group/join
         "m28_audio_fingerprint_dedup": 2,
+        "q66_ordered_string_agg": 1,
+        "q67_locf_forward_fill": 1,
     }
     over = []
     for name, budget in budgets.items():
