@@ -800,34 +800,45 @@ def build_wav(samples: list[int], sample_rate: int = 16000, channels: int = 1) -
 
 def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     """GIF-flavor LZW: variable-width codes (min+1 .. 12 bits) packed
-    LSB-first, clear/EOI codes, dictionary reset when full. Width-bump
-    alignment: the encoder adds its table entry BEFORE emitting the
-    next code, while the decoder adds the same entry AFTER reading that
-    code (its first code after a clear adds nothing), so the encoder
-    runs one add ahead. The standard decoder bumps at
-    next_code == 1<<width; the encoder therefore bumps one add later,
-    at next_code == (1<<width) + 1 — both sides then widen between the
-    same two codes of the stream."""
+    LSB-first, clear/EOI codes, dictionary reset when full.
+
+    Width-bump alignment: the standard decoder adds one table entry
+    after EVERY symbol read except the first after a clear, and widens
+    when its next_code reaches 1<<width — including on the reads after
+    the encoder's own adds have stopped (the final literal and EOI).
+    A fixed add-offset rule therefore breaks whenever a width boundary
+    lands in that tail (found by the hypothesis round-trip suite), so
+    the encoder derives each code's width directly from the decoder's
+    simulated state: next_code before the Nth post-clear read is
+    first_dynamic + max(0, N-1)."""
     clear = 1 << min_code_size
     eoi = clear + 1
+    first_dyn = eoi + 1
     out = bytearray()
     bitbuf = nbits = 0
     width = min_code_size + 1
+    n_reads = 0  # symbol codes emitted since the last clear = decoder reads
 
-    def emit(code: int) -> None:
-        nonlocal bitbuf, nbits
+    def emit(code: int, is_clear: bool = False) -> None:
+        nonlocal bitbuf, nbits, width, n_reads
+        dec_nc = first_dyn + max(0, n_reads - 1)
+        while width < 12 and dec_nc >= (1 << width):
+            width += 1
         bitbuf |= code << nbits
         nbits += width
         while nbits >= 8:
             out.append(bitbuf & 0xFF)
             bitbuf >>= 8
             nbits -= 8
+        if is_clear:
+            n_reads = 0
+            width = min_code_size + 1
+        else:
+            n_reads += 1
 
-    def reset() -> tuple[dict, int, int]:
-        return {}, eoi + 1, min_code_size + 1
-
-    table, next_code, width = reset()
-    emit(clear)
+    table: dict[tuple[int, int], int] = {}
+    next_code = first_dyn
+    emit(clear, is_clear=True)
     cur = indices[0]
     for k in indices[1:]:
         hit = table.get((cur, k))
@@ -837,11 +848,10 @@ def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
         emit(cur)
         table[(cur, k)] = next_code
         next_code += 1
-        if next_code == (1 << width) + 1 and width < 12:
-            width += 1
-        elif next_code == 4096 and width == 12:
-            emit(clear)
-            table, next_code, width = reset()
+        if next_code == 4096:  # table full: reset both sides
+            emit(clear, is_clear=True)
+            table = {}
+            next_code = first_dyn
         cur = k
     emit(cur)
     emit(eoi)

@@ -554,3 +554,30 @@ def test_mp4_probe_boundary_is_explicit():
     with pytest.raises(ValueError):
         decode_mp4_probe(bad)
     assert "pixels" not in decode_mp4_probe(payload)
+
+
+def test_gif_lzw_width_bump_at_stream_tail():
+    """Regression (hypothesis-found): when the decoder's table add
+    after the FINAL literal crosses a power of two, the decoder reads
+    EOI at the widened code size even though the encoder's own adds
+    stalled — the encoder must emit EOI at the widened width. 15
+    symbols over a 3-entry alphabet at min-code-size 2 lands the bump
+    exactly on the EOI read."""
+    import random
+
+    from seamdb_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    r = random.Random(0)
+    idx = [r.randrange(3) for _ in range(15)]
+    out, _ = _gif_lzw_decode(_gif_lzw_encode(idx, 2), 2)
+    assert out == idx
+    # sweep every length around the boundary for several alphabets
+    for ncol, mcs in ((2, 2), (3, 2), (5, 3), (16, 4)):
+        for n in range(1, 70):
+            rng = random.Random(1000 * ncol + n)
+            seq = [rng.randrange(ncol) for _ in range(n)]
+            got, _ = _gif_lzw_decode(_gif_lzw_encode(seq, mcs), mcs)
+            assert got == seq, (ncol, mcs, n)
