@@ -214,3 +214,40 @@ def test_quota_sampler_take_until_contract(spark):
                 assert got - boundary.n_tokens < q  # boundary was needed
         else:
             assert q == 0
+
+
+def test_grouped_running_sum_matches_single_task_window(spark):
+    """ranks.grouped_running_sum must equal the naive
+    Window.partitionBy(group) prefix sum on randomized inputs — same
+    values, computed without ever giving one task a whole group."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from seamdb_spark.operators.ranks import grouped_running_sum
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{rng.randrange(5)}", i, rng.randrange(-50, 200))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    got = {
+        (r.g, r.i): r.run
+        for r in grouped_running_sum(
+            df, ["g"], [F.col("i")], "v", "run", num_partitions=8
+        ).collect()
+    }
+    w = (
+        W.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        (r.g, r.i): r.run
+        for r in df.select(
+            "g", "i", F.sum("v").over(w).alias("run")
+        ).collect()
+    }
+    assert got == want
