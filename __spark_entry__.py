@@ -232,17 +232,21 @@ _R5_WINDOW = [
 #     r1-stale backlog;
 # (d) slots 44-50: the head of _R2_GREEN (oldest r2 regression cover).
 #
-# ROUND-7 PROCEDURE: after CORRECTNESS_r06 lands, pin (a) the queries
-# registered after _R6_WINDOW froze (p08, s22, e34, t42, e35, q65,
-# d31, m24, x15, t43, s23, e38, d32, t44, p09, m25, g08, p10, m26, d33, e36, m27, j02, t45, s24, p11, m28, q66, q67 — all locally
-# hash-green at sf0.001 AND sf0.01 this round) plus the round-6 late
-# plan-changed refactors
+# ROUND-7 PROCEDURE: after CORRECTNESS_r06 lands, pin (a) the 29
+# queries registered after _R6_WINDOW froze —
+#   p08, s22, e34, t42, e35, q65, d31, m24, x15, t43, s23, e38,
+#   d32, t44, p09, m25, g08, p10, m26, d33, e36, m27, j02, t45,
+#   s24, p11, m28, q66, q67
+# (all locally hash-green in FULL 269/269 sweeps at sf0.001 AND
+# sf0.01) plus the round-6 late plan-changed refactors
 # (e02: session labeling factored for e38; d20: CDC flat builder
 # factored for t43; d25: candidate stage factored, displaced from the
-# r6 window; s03: seed hash gained a no-op empty-salt concat for s23 —
+# r6 window; s03: seed hash gained a no-op empty-salt concat for s23;
+# p10: allocation frame factored for p11 (plan unchanged); the GIF
+# LZW encoder's tail-width fix left m25/m26 outputs bit-identical —
 # every one re-verified locally after its refactor), then (b) any
-# whose plan/oracle changes in round 7, then fill to 50
-# oldest-green-first: the remaining _R2_GREEN entries from
+# whose plan/oracle changes in round 7, then fill the remaining ~17
+# slots oldest-green-first: the remaining _R2_GREEN entries from
 # d10_decontaminate onward, then _R3_WINDOW, then _R4_WINDOW, then
 # _R5_WINDOW, then _R6_WINDOW.
 _R6_WINDOW = [
