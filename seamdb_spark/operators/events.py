@@ -4064,3 +4064,119 @@ def e36_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dispersion_class"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x16: KMV A-not-B — the remaining standard theta set operation
+# (DataSketches ships it as its own sketch): estimated distinct count
+# of users who did A ('click') but never B ('purchase') — the audience
+# /exclusion query ("reached but not converted") that powers retention
+# targeting at corpus scale. Same merged-KMV construction as x11: the
+# k smallest hashes of A∪B form a uniform sample of the union, the
+# fraction of them in A-only scales the union estimate. The exact
+# columns are the fixture-scale audit (the oracle pins estimator
+# arithmetic bit-exactly via the shared md5 hash + dround discipline).
+#
+# Scale: per-type KMV sketches are k-row states (mergeable partials,
+# map-side combinable); the exact twin's groupBy drops in sketch-only
+# mode exactly as in x11.
+# --------------------------------------------------------------------------
+@register(
+    "x16_kmv_anotb",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type, {{h}} AS h FROM events
+      WHERE event_type IN ('{X11_A}', '{X11_B}')
+    ),
+    sk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashes
+    ),
+    a AS (SELECT h FROM sk WHERE event_type = '{X11_A}' AND rk <= {KMV_K}),
+    b AS (SELECT h FROM sk WHERE event_type = '{X11_B}' AND rk <= {KMV_K}),
+    merged AS (
+      SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    mstats AS (
+      SELECT MAX(h) AS kth_min, CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM a)
+                                     AND h NOT IN (SELECT h FROM b))
+                  AS BIGINT) AS n_a_only
+      FROM merged
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN has_a AND NOT has_b
+                                      THEN user_id END) AS BIGINT)
+               AS exact_a_not_b
+      FROM (
+        SELECT user_id,
+               bool_or(event_type = '{X11_A}') AS has_a,
+               bool_or(event_type = '{X11_B}') AS has_b
+        FROM events WHERE event_type IN ('{X11_A}', '{X11_B}')
+        GROUP BY user_id
+      )
+    ),
+    scored AS (
+      SELECT e.exact_a_not_b, m.k_used, m.n_a_only,
+             CASE WHEN m.k_used < {KMV_K} THEN CAST(m.k_used AS DOUBLE)
+                  ELSE ({KMV_K} - 1) * {_KMV_SCALE} / m.kth_min END AS est_u
+      FROM exact e, mstats m
+    )
+    SELECT exact_a_not_b, k_used, n_a_only,
+           ROUND(est_u * n_a_only / k_used, 6) AS est_a_not_b
+    FROM scored
+    """.format(h=_kmv_hash_sql()),
+)
+def x16_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .hashing import md5_prefix_long
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin(X11_A, X11_B))
+    hashes = ev.select(
+        "event_type",
+        md5_prefix_long(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    sk = hashes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    a = sk.filter(F.col("event_type") == X11_A).select("h")
+    b = sk.filter(F.col("event_type") == X11_B).select("h")
+    merged = a.union(b).distinct().orderBy("h").limit(KMV_K)
+    flagged = (
+        merged.join(a.withColumnRenamed("h", "ha"), merged.h == F.col("ha"), "left")
+        .join(b.withColumnRenamed("h", "hb"), merged.h == F.col("hb"), "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNull()).alias("a_only"),
+        )
+    )
+    kmv_stats = flagged.agg(
+        F.max("h").alias("kth_min"),
+        F.count("*").alias("k_used"),
+        F.sum(F.col("a_only").cast("long")).alias("n_a_only"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == X11_A).cast("int")).alias("has_a"),
+            F.max((F.col("event_type") == X11_B).cast("int")).alias("has_b"),
+        )
+        .agg(
+            F.sum(
+                (F.col("has_a") * (1 - F.col("has_b"))).cast("long")
+            ).alias("exact_a_not_b")
+        )
+    )
+    est_u = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.lit((KMV_K - 1) * _KMV_SCALE) / F.col("kth_min"))
+    return exact.join(F.broadcast(kmv_stats)).select(
+        "exact_a_not_b",
+        "k_used",
+        "n_a_only",
+        dround(est_u * F.col("n_a_only") / F.col("k_used"), 6).alias(
+            "est_a_not_b"
+        ),
+    )

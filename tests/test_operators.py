@@ -1678,6 +1678,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "m28_audio_fingerprint_dedup": 2,
         "q66_ordered_string_agg": 1,
         "q67_locf_forward_fill": 1,
+        # x16: x11's merged-KMV shape — K-row sketch frames everywhere
+        # after the per-type distinct (TakeOrdered merge, K-row probes)
+        "x16_kmv_anotb": 14,
     }
     over = []
     for name, budget in budgets.items():
