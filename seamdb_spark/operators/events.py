@@ -4180,3 +4180,64 @@ def x16_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_a_not_b"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# e37: transition latency profile — e11 tells you WHERE users go next;
+# this tells you HOW FAST: per (prev_type, next_type) transition, the
+# count, exact-integer mean dwell micros (epoch-micros difference, the
+# e19 time discipline), min/max, and the sub-minute share — the
+# latency table an SLA or funnel-velocity review reads next to e11's
+# probabilities. Same per-user (ts, event_id) total order as e11, so
+# the two tables describe the identical transition population.
+#
+# Scale: one per-user window (bounded per-user event counts), one
+# map-side-combined (prev, next) aggregate over |types|² groups; all
+# columns are sums/extrema of int64 micros — mergeable partials, no
+# per-group value buffers (the exact-percentile trap q63's SCALING
+# note warns about is deliberately avoided; x14 is the quantile path).
+# --------------------------------------------------------------------------
+@register(
+    "e37_transition_latency",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id, event_type AS next_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+               AS dwell_us
+      FROM events
+    )
+    SELECT prev_type, next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dwell_us) AS BIGINT) // COUNT(*) AS mean_dwell_us,
+           CAST(MIN(dwell_us) AS BIGINT) AS min_dwell_us,
+           CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us,
+           (1000 * CAST(COUNT(*) FILTER (dwell_us < 60000000) AS BIGINT))
+             // COUNT(*) AS subminute_milli
+    FROM pairs WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def e37_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+        (us - F.lag(us).over(w)).alias("dwell_us"),
+    ).filter(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(dwell_us) AS BIGINT) div count(*)").alias(
+            "mean_dwell_us"
+        ),
+        F.min("dwell_us").cast("long").alias("min_dwell_us"),
+        F.max("dwell_us").cast("long").alias("max_dwell_us"),
+        F.expr(
+            "(1000 * CAST(count_if(dwell_us < 60000000) AS BIGINT))"
+            " div count(*)"
+        ).alias("subminute_milli"),
+    )

@@ -1681,6 +1681,8 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # x16: x11's merged-KMV shape — K-row sketch frames everywhere
         # after the per-type distinct (TakeOrdered merge, K-row probes)
         "x16_kmv_anotb": 14,
+        # e37: one user-keyed window + one |types|^2 aggregate
+        "e37_transition_latency": 2,
     }
     over = []
     for name, budget in budgets.items():
