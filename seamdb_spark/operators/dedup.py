@@ -3948,3 +3948,160 @@ def d33_bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - (1000 * n_agree_full) div {n}"
         ).alias("correction_residual_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# g09: edge embeddedness — the per-EDGE audit g08's candidate list is
+# the complement of: for every VERIFIED near-dup pair, how many
+# triangles support it (= common neighbors of its endpoints) and the
+# neighborhood-overlap ratio n_tri / (deg_a + deg_b - 2 - n_tri).
+# Zero-embeddedness bridges are the edges most likely to be spurious
+# merges (one borderline signature match fusing two real clusters —
+# exactly the d09-overmerge failure mode), so this is the review
+# work-list BEFORE trusting component labels; g06/g07 quantify the
+# same risk at community granularity, this pins it to single edges.
+#
+# Algorithm: g02's degree-oriented triangle enumeration (every
+# triangle found exactly once, wedge fan-out bounded by out-degree ≤
+# O(sqrt E)), then each triangle credits its three edges — one explode
+# + one (a,b) count + one join onto the pair list.
+#
+# Scale: pairs are dedup output; the triangle list is bounded by the
+# wedge-join argument in g02's note; every join is an integer-pair
+# equi-join with map-side-combined counts.
+# --------------------------------------------------------------------------
+def _g09_oracle() -> str:
+    return f"""
+    WITH {_simhash_sig_sql().strip()},
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS id FROM pairs UNION ALL SELECT doc_b AS id FROM pairs
+      ) GROUP BY id
+    ),
+    oriented AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN p.doc_a ELSE p.doc_b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN p.doc_b ELSE p.doc_a END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN db.d ELSE da.d END AS dst_d
+      FROM pairs p
+      JOIN deg da ON da.id = p.doc_a
+      JOIN deg db ON db.id = p.doc_b
+    ),
+    tri AS (
+      SELECT w.src AS a, w.x, w.y
+      FROM (
+        SELECT o1.src, o1.dst AS x, o2.dst AS y
+        FROM oriented o1 JOIN oriented o2
+          ON o1.src = o2.src
+         AND (o1.dst_d < o2.dst_d OR (o1.dst_d = o2.dst_d AND o1.dst < o2.dst))
+      ) w
+      JOIN oriented e ON e.src = w.x AND e.dst = w.y
+    ),
+    edge_tri AS (
+      SELECT LEAST(u, v) AS doc_a, GREATEST(u, v) AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (
+        SELECT a AS u, x AS v FROM tri
+        UNION ALL SELECT a, y FROM tri
+        UNION ALL SELECT x, y FROM tri
+      ) GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           COALESCE(t.n_tri, 0) AS n_tri,
+           da.d AS deg_a, db.d AS deg_b,
+           CASE WHEN da.d + db.d - 2 - COALESCE(t.n_tri, 0) > 0
+                THEN (1000 * COALESCE(t.n_tri, 0))
+                     // (da.d + db.d - 2 - COALESCE(t.n_tri, 0))
+                ELSE CAST(1000 AS BIGINT) END AS embeddedness_milli,
+           CAST(COALESCE(t.n_tri, 0) = 0
+                AND da.d + db.d > 2 AS BIGINT) AS is_bridge_risk
+    FROM pairs p
+    JOIN deg da ON da.id = p.doc_a
+    JOIN deg db ON db.id = p.doc_b
+    LEFT JOIN edge_tri t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    """
+
+
+@register("g09_edge_embeddedness", oracle=_g09_oracle())
+def g09_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("id").alias("doc_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("id").alias("doc_b"), F.col("d").alias("d_b"))
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dst_d"),
+        )
+        # pair-list-sized; read by BOTH wedge sides + the closing probe
+        .localCheckpoint()
+    )
+    o1 = oriented.select("src", F.col("dst").alias("x"), F.col("dst_d").alias("x_d"))
+    o2 = oriented.select(
+        F.col("src").alias("src2"), F.col("dst").alias("y"), F.col("dst_d").alias("y_d")
+    )
+    wedges = o1.join(
+        o2,
+        (F.col("src") == F.col("src2"))
+        & (
+            (F.col("x_d") < F.col("y_d"))
+            | ((F.col("x_d") == F.col("y_d")) & (F.col("x") < F.col("y")))
+        ),
+    ).select(F.col("src").alias("a"), "x", "y")
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    edge_tri = (
+        tri.select(F.col("a").alias("u"), F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("x").alias("u"), F.col("y").alias("v")))
+        .select(
+            F.least("u", "v").alias("doc_a"),
+            F.greatest("u", "v").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    denom = F.col("d_a") + F.col("d_b") - 2 - F.coalesce("n_tri", F.lit(0))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .join(edge_tri, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.col("d_a").alias("deg_a"),
+            F.col("d_b").alias("deg_b"),
+            F.when(
+                denom > 0,
+                F.expr(
+                    "(1000 * coalesce(n_tri, 0))"
+                    " div (d_a + d_b - 2 - coalesce(n_tri, 0))"
+                ),
+            )
+            .otherwise(F.lit(1000).cast("long"))
+            .alias("embeddedness_milli"),
+            (
+                (F.coalesce("n_tri", F.lit(0)) == 0)
+                & (F.col("d_a") + F.col("d_b") > 2)
+            ).cast("long").alias("is_bridge_risk"),
+        )
+    )

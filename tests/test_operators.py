@@ -1683,6 +1683,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         "x16_kmv_anotb": 14,
         # e37: one user-keyed window + one |types|^2 aggregate
         "e37_transition_latency": 2,
+        # g09: checkpointed oriented table feeds wedge/closing/edge
+        # tally; every stage pair-list-sized
+        "g09_edge_embeddedness": 18,
     }
     over = []
     for name, budget in budgets.items():
