@@ -3812,3 +3812,94 @@ def m28_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_doc_id",
         (F.col("doc_id") == F.col("keeper_doc_id")).cast("long").alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# m29: image patch extraction — the ViT-preprocessing shape: decode the
+# image for real (BMP round-trip of the shared ramp), split it into
+# non-overlapping 8x8 patches (16x16 -> 4), and emit ONE ROW PER PATCH
+# with its grid position and exact per-channel pixel sums — the 1-to-N
+# patch explode a vision tokenizer produces, with m26's frame-explode
+# discipline applied spatially. The ramp's linear channels give every
+# patch a closed-form sum (sum over an 8x8 block of d + a*x + b*y =
+# 64*d + 8a*(64*px+28) + 8b*(64*py+28)), so a bug in row strides, BGR
+# ordering, bottom-up row order, or patch indexing breaks a pinned
+# column.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle; rows out =
+# patches per image x images (the contract a downstream embedding
+# stage consumes). 1-in-8 sample (offset +7 — the last free residue,
+# disjoint from m15/m22-m27).
+# --------------------------------------------------------------------------
+_M29_SCHEMA = (
+    "doc_id long, patch_x long, patch_y long, sum_r long, sum_g long,"
+    " sum_b long, patch_bytes long"
+)
+M29_SAMPLE_MOD = 8
+M29_PATCH = 8
+
+
+@register(
+    "m29_image_patches",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(px.i AS BIGINT) AS patch_x,
+           CAST(py.i AS BIGINT) AS patch_y,
+           CAST(64 * (doc_id % 64)
+                + 48 * (64 * px.i + 28) + 24 * (64 * py.i + 28)
+                AS BIGINT) AS sum_r,
+           CAST(64 * ((doc_id * 7) % 64)
+                + 32 * (64 * px.i + 28) + 40 * (64 * py.i + 28)
+                AS BIGINT) AS sum_g,
+           CAST(64 * ((doc_id * 13) % 64)
+                + 16 * (64 * px.i + 28) + 56 * (64 * py.i + 28)
+                AS BIGINT) AS sum_b,
+           CAST({M29_PATCH * M29_PATCH * 3} AS BIGINT) AS patch_bytes
+    FROM documents,
+         unnest(range(0, 2)) px(i), unnest(range(0, 2)) py(i)
+    WHERE doc_id % {M29_SAMPLE_MOD} = 7
+    """,
+)
+def m29_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M29_SAMPLE_MOD == 7)
+        .select("doc_id")
+    )
+
+    def patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "patch_x": [], "patch_y": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "patch_bytes": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rgb = _ramp_rgb(d)
+                # REAL round-trip: encode as BMP (BGR bottom-up) and
+                # decode back before patching — the strides under test
+                bmp = build_bmp(16, 16, rgb[:, :, ::-1].tobytes())
+                info = decode_bmp(bmp)  # validates header/strides
+                assert (info["width"], info["height"]) == (16, 16)
+                px = np.frombuffer(bmp_pixels(bmp), dtype=np.uint8).reshape(
+                    16, 16, 3
+                )
+                img = px[:, :, ::-1].astype(np.int64)  # BGR -> RGB
+                p = M29_PATCH
+                for py_ in range(16 // p):
+                    for px_ in range(16 // p):
+                        block = img[
+                            py_ * p : (py_ + 1) * p, px_ * p : (px_ + 1) * p
+                        ]
+                        out["doc_id"].append(d)
+                        out["patch_x"].append(px_)
+                        out["patch_y"].append(py_)
+                        out["sum_r"].append(int(block[:, :, 0].sum()))
+                        out["sum_g"].append(int(block[:, :, 1].sum()))
+                        out["sum_b"].append(int(block[:, :, 2].sum()))
+                        out["patch_bytes"].append(p * p * 3)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(patches, schema=_M29_SCHEMA)

@@ -1686,6 +1686,7 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # g09: checkpointed oriented table feeds wedge/closing/edge
         # tally; every stage pair-list-sized
         "g09_edge_embeddedness": 18,
+        "m29_image_patches": 0,
     }
     over = []
     for name, budget in budgets.items():
