@@ -4105,3 +4105,84 @@ def g09_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("is_bridge_risk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d34: detector disagreement audit — the table a pipeline team reads
+# when choosing (or stacking) near-dup detectors: the full outer join
+# of d02's MinHash-LSH verified pairs and d03's SimHash pairs, each
+# pair tagged found_lexical / found_simhash / found_both. The two
+# detectors measure different similarities (set-overlap Jaccard vs
+# weighted-profile cosine via hamming), so one-sided pairs are not
+# errors — they quantify COMPLEMENTARITY: how much recall stacking the
+# second detector actually buys, and on which pairs. Verdicts:
+# 'both', 'lexical_only', 'simhash_only'.
+#
+# Scale: both inputs are verified dedup OUTPUT (orders smaller than
+# the corpus — d02 through banding, d03 through the wide-chunk
+# blocking, both session-materialized); the audit itself is one
+# integer-pair full outer join.
+# --------------------------------------------------------------------------
+def _d34_oracle() -> str:
+    # the two chains both define a CTE named "sigs" (and the simhash
+    # chain "toks"); prefix the simhash chain's names to compose them
+    sim = _simhash_sig_sql().strip()
+    for name in ("toks", "tok_hash", "bit_votes", "sigs"):
+        sim = sim.replace(name, f"sh_{name}")
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    lex AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS j
+      FROM cand c JOIN sh a ON c.doc_a = a.doc_id
+                  JOIN sh b ON c.doc_b = b.doc_id
+    ),
+    lexical AS (
+      SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM lex
+      WHERE j >= {JACCARD_THRESHOLD}
+    ),
+    {sim},
+    simhash AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+             CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT)
+               AS hamming
+      FROM sh_sigs s1 JOIN sh_sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    )
+    SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+           COALESCE(l.doc_b, s.doc_b) AS doc_b,
+           l.jaccard, s.hamming,
+           CASE WHEN l.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+                WHEN l.doc_a IS NOT NULL THEN 'lexical_only'
+                ELSE 'simhash_only' END AS verdict
+    FROM lexical l
+    FULL OUTER JOIN simhash s ON s.doc_a = l.doc_a AND s.doc_b = l.doc_b
+    """
+
+
+@register("d34_detector_disagreement", oracle=_d34_oracle())
+def d34_detector_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lexical = d02_dedup_minhash_lsh(spark, sf_dir)
+    simhash = d03_dedup_simhash(spark, sf_dir)  # session-materialized
+    l = lexical.select("doc_a", "doc_b", "jaccard")
+    s = simhash.select(
+        F.col("doc_a").alias("s_a"), F.col("doc_b").alias("s_b"), "hamming"
+    )
+    joined = l.join(
+        s, (F.col("doc_a") == F.col("s_a")) & (F.col("doc_b") == F.col("s_b")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("doc_a", "s_a").alias("doc_a"),
+        F.coalesce("doc_b", "s_b").alias("doc_b"),
+        "jaccard",
+        "hamming",
+        F.when(
+            F.col("doc_a").isNotNull() & F.col("s_a").isNotNull(), "both"
+        )
+        .when(F.col("doc_a").isNotNull(), "lexical_only")
+        .otherwise("simhash_only")
+        .alias("verdict"),
+    )

@@ -1687,6 +1687,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # tally; every stage pair-list-sized
         "g09_edge_embeddedness": 18,
         "m29_image_patches": 0,
+        # d34: one integer-pair full outer join of two materialized
+        # verified pair lists
+        "d34_detector_disagreement": 9,
     }
     over = []
     for name, budget in budgets.items():
