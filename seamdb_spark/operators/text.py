@@ -3370,3 +3370,78 @@ def t45_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for n, t in T45_DUP_THRESH.items():
         passes = passes & (F.col(f"dup{n}_milli") <= t)
     return out.select("*", passes.cast("long").alias("passes_battery"))
+
+
+# --------------------------------------------------------------------------
+# t46: vocabulary coverage curve — the tokenizer-budget planning table:
+# what fraction of total token MASS the top-k vocabulary entries cover,
+# at a sweep of k. Read before fixing a vocab size (the t40 trainer's
+# budget) or an OOV policy (t37's rate is this curve's complement at
+# the chosen k). Ranking is by (count DESC, token) — fully
+# deterministic — and computed with ranks.global_rank, NOT a global
+# window: the vocabulary grows with the corpus (Heaps' law), so the
+# single-task ROW_NUMBER shortcut is exactly the scale trap the ranks
+# module exists to avoid.
+#
+# Scale: one corpus scan into the map-side-combined token count, the
+# distributed rank (range partition + #partitions-row offsets), one
+# broadcast k-sweep join, one k-keyed aggregate. Nothing bigger than
+# #partitions rows reaches the driver.
+# --------------------------------------------------------------------------
+T46_KS = [4, 8, 16, 32]
+
+
+@register(
+    "t46_vocab_coverage_curve",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk
+      FROM vocab
+    ),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab_size FROM ranked)
+    SELECT k.k,
+           CAST(SUM(r.cnt) AS BIGINT) AS covered_tokens,
+           CAST(ANY_VALUE(t.total) AS BIGINT) AS total_tokens,
+           CAST(ANY_VALUE(t.vocab_size) AS BIGINT) AS vocab_size,
+           (1000 * CAST(SUM(r.cnt) AS BIGINT)) // ANY_VALUE(t.total)
+             AS coverage_milli
+    FROM (SELECT unnest([{", ".join(str(k) for k in T46_KS)}]) AS k) k
+    JOIN ranked r ON r.rk <= k.k
+    CROSS JOIN tot t
+    GROUP BY k.k
+    """,
+)
+def t46_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ranks import global_rank
+
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked, _ = global_rank(
+        vocab, [F.col("cnt").desc(), F.col("tok")], "rk"
+    )
+    tot = ranked.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab_size")
+    )
+    ks = spark.createDataFrame([(k,) for k in T46_KS], "k long")
+    return (
+        ranked.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+        .join(F.broadcast(tot))
+        .select(
+            "k",
+            "covered_tokens",
+            F.col("total").cast("long").alias("total_tokens"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.expr("(1000 * covered_tokens) div total").alias("coverage_milli"),
+        )
+    )

@@ -1690,6 +1690,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # d34: one integer-pair full outer join of two materialized
         # verified pair lists
         "d34_detector_disagreement": 9,
+        # t46: token-count agg + global_rank's range partition +
+        # broadcast k-sweep join + k-keyed agg
+        "t46_vocab_coverage_curve": 6,
     }
     over = []
     for name, budget in budgets.items():
