@@ -476,6 +476,8 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "span",
         # p11: |langs|x|sources|-row allocation frame
         "quotas",
+        # t46: 4-row k-sweep literal table
+        "ks",
     }
     ops_dir = pathlib.Path(__file__).resolve().parent.parent / "seamdb_spark"
     offenders = []
