@@ -236,7 +236,7 @@ _R5_WINDOW = [
 # queries registered after _R6_WINDOW froze —
 #   p08, s22, e34, t42, e35, q65, d31, m24, x15, t43, s23, e38,
 #   d32, t44, p09, m25, g08, p10, m26, d33, e36, m27, j02, t45,
-#   s24, p11, m28, q66, q67, x16, e37, g09, m29, d34, t46
+#   s24, p11, m28, q66, q67, x16, e37, g09, m29, d34, t46, e39
 # (all locally hash-green in FULL 269/269 sweeps at sf0.001 AND
 # sf0.01) plus the round-6 late plan-changed refactors
 # (e02: session labeling factored for e38; d20: CDC flat builder

@@ -4241,3 +4241,99 @@ def e37_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*)"
         ).alias("subminute_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# e39: time-decay attribution — the remaining standard multi-touch
+# model next to e10 (last-touch), e22 (Markov removal), e24 (model
+# comparison): every view/click in the 7 days BEFORE a purchase gets
+# credit halving per day of age (weight 2^(7 - floor_days_before) —
+# x13's exact power-of-two trick, no float pow), normalized per
+# purchase to ppm shares, then aggregated per channel with revenue in
+# exact cents. The per-purchase integer division truncates; shares sum
+# to <= 1e6 with the remainder documented as the truncation residue
+# (both engines identical).
+#
+# Scale: one per-user equi-join of touches onto purchases (per-user
+# activity bounds the pair fan-out — the e20 precedent), one
+# per-purchase weight-sum aggregate joined back broadcast-small per
+# key, one |channels|-row final aggregate.
+# --------------------------------------------------------------------------
+E39_HORIZON_DAYS = 7
+
+
+@register(
+    "e39_time_decay_attribution",
+    oracle=f"""
+    WITH touches AS (
+      SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS p_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.event_id, t.channel, p.cents,
+             (CAST(1 AS BIGINT) << ({E39_HORIZON_DAYS}
+                  - CAST((p.p_us - t.t_us) // 86400000000 AS INT))) AS w
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_us <= p.p_us
+       AND (p.p_us - t.t_us) // 86400000000 <= {E39_HORIZON_DAYS}
+    ),
+    sums AS (
+      SELECT event_id, CAST(SUM(w) AS BIGINT) AS sw FROM pairs
+      GROUP BY event_id
+    ),
+    credited AS (
+      SELECT pr.channel,
+             (1000000 * pr.w) // s.sw AS credit_ppm,
+             (1000 * pr.cents * pr.w) // s.sw AS rev_milli_cents
+      FROM pairs pr JOIN sums s ON s.event_id = pr.event_id
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+           CAST(SUM(credit_ppm) AS BIGINT) AS total_credit_ppm,
+           CAST(SUM(rev_milli_cents) AS BIGINT) AS credited_rev_milli_cents
+    FROM credited GROUP BY channel
+    """,
+)
+def e39_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_type").alias("channel"), us.alias("t_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        us.alias("p_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    days = F.expr("(p_us - t_us) div 86400000000")
+    pairs = (
+        purchases.join(touches, "user_id")
+        .filter((F.col("t_us") <= F.col("p_us")) & (days <= E39_HORIZON_DAYS))
+        .select(
+            "event_id",
+            "channel",
+            "cents",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {E39_HORIZON_DAYS}"
+                f" - CAST((p_us - t_us) div 86400000000 AS INT))"
+            ).alias("w"),
+        )
+    )
+    sums = pairs.groupBy("event_id").agg(F.sum("w").cast("long").alias("sw"))
+    credited = pairs.join(sums, "event_id").select(
+        "channel",
+        F.expr("(1000000 * w) div sw").alias("credit_ppm"),
+        F.expr("(1000 * cents * w) div sw").alias("rev_milli_cents"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_credited_touches"),
+        F.sum("credit_ppm").cast("long").alias("total_credit_ppm"),
+        F.sum("rev_milli_cents").cast("long").alias("credited_rev_milli_cents"),
+    )

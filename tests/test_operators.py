@@ -1695,6 +1695,9 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # t46: token-count agg + global_rank's range partition +
         # broadcast k-sweep join + k-keyed agg
         "t46_vocab_coverage_curve": 6,
+        # e39: one per-user touch-purchase join + per-purchase weight
+        # sum + |channels|-row aggregate
+        "e39_time_decay_attribution": 5,
     }
     over = []
     for name, budget in budgets.items():
