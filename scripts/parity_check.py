@@ -64,6 +64,49 @@ def values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
+# Driver-hash dtype gate (round-6 lesson): DuckDB promotes SUM(BIGINT) to
+# HUGEINT (INT128), and an un-CAST integer division over it stays HUGEINT.
+# The driver's value hash renders INT128 unlike Spark's BIGINT (the
+# pandas/Arrow fetch turns it into float/object), so a query can be
+# value-equal here yet hash-red at the driver. Fail fast on any oracle
+# that emits one, and on any int-vs-float column split between the two
+# engines (1 vs 1.0 renders differently).
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def oracle_dtype_problems(duck_cols, duck_types, spark_schema=None) -> list[str]:
+    """Gate on oracle result dtypes; spark_schema (StructType) optional."""
+    problems = []
+    for c, t in zip(duck_cols, duck_types):
+        ts = str(t).upper()
+        if "HUGEINT" in ts:
+            problems.append(
+                f"oracle column `{c}` is {ts} (INT128) — the driver hash "
+                f"renders it unlike Spark BIGINT; CAST(... AS BIGINT)"
+            )
+    if spark_schema is not None:
+        smap = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+        for c, t in zip(duck_cols, duck_types):
+            ss = smap.get(c)
+            if ss is None:
+                continue
+            ts = str(t).upper()
+            if (ts in _DUCK_INT and ss in _SPARK_FLOAT) or (
+                ts in _DUCK_FLOAT and ss in _SPARK_INT
+            ):
+                problems.append(
+                    f"column `{c}`: oracle {ts} vs spark {ss} — int-vs-float "
+                    f"renders differently (1 vs 1.0) in the driver hash"
+                )
+    return problems
+
+
 def compare(name: str, spark_df, oracle_rows, oracle_cols) -> list[str]:
     problems = []
     s_cols = spark_df.columns
@@ -114,10 +157,12 @@ def main() -> int:
                 skipped.append(name)
                 print(f"[rows-only] {name}: {n} rows ({time.time()-t0:.1f}s)")
                 continue
-            res = con.execute(oracles[name])
-            oracle_cols = [d[0] for d in res.description]
-            oracle_rows = res.fetchall()
-            problems = compare(name, df, oracle_rows, oracle_cols)
+            rel = con.sql(oracles[name])
+            oracle_cols = list(rel.columns)
+            oracle_types = list(rel.types)
+            oracle_rows = rel.fetchall()
+            problems = oracle_dtype_problems(oracle_cols, oracle_types, df.schema)
+            problems += compare(name, df, oracle_rows, oracle_cols)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
         dt = time.time() - t0

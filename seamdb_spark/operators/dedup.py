@@ -3380,7 +3380,7 @@ def _g07_oracle() -> str:
     SELECT t.lbl AS community, t.n_nodes, t.e_c AS intra_edges,
            t.d_c AS degree_sum,
            (1000000 * t.num) // (4 * m.m * m.m) AS contribution_micro,
-           (SELECT (1000000 * SUM(num)) // (4 * m2.m * m2.m)
+           (SELECT CAST((1000000 * SUM(num)) // (4 * m2.m * m2.m) AS BIGINT)
             FROM terms, m AS m2 GROUP BY m2.m) AS modularity_micro
     FROM terms t CROSS JOIN m
     """

@@ -3836,7 +3836,7 @@ X15_CAP = 20
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(kept) AS BIGINT) AS n_kept,
-           (1000000 * SUM(kept)) // COUNT(*) AS kept_ppm,
+           CAST((1000000 * SUM(kept)) // COUNT(*) AS BIGINT) AS kept_ppm,
            CAST(COUNT(DISTINCT CASE WHEN capped = 1 THEN user_id END)
                 AS BIGINT) AS n_capped_users
     FROM flags

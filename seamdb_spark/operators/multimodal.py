@@ -2990,8 +2990,9 @@ def _m21_oracle() -> str:
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT) AS n_pixels,
            CAST(COUNT(*) AS BIGINT) AS n_buckets,
-           (1000 * MAX(c)) // SUM(c) AS modal_milli,
-           (1000000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS conc_ppm,
+           CAST((1000 * MAX(c)) // SUM(c) AS BIGINT) AS modal_milli,
+           CAST((1000000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS BIGINT)
+             AS conc_ppm,
            CAST((1000000 * SUM(c * c)) // (SUM(c) * SUM(c))
                 >= {M21_FLAT_PPM} AS BIGINT) AS is_flat
     FROM hist GROUP BY doc_id

@@ -3063,8 +3063,9 @@ def _t41_oracle() -> str:
            CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
              AS tokens_before,
            CAST(SUM(len(m.l)) AS BIGINT) AS tokens_after,
-           (1000000 * (SUM(len(string_split(d.text, ' '))) - SUM(len(m.l))))
-             // SUM(len(string_split(d.text, ' '))) AS saved_ppm
+           CAST((1000000
+                 * (SUM(len(string_split(d.text, ' '))) - SUM(len(m.l))))
+                // SUM(len(string_split(d.text, ' '))) AS BIGINT) AS saved_ppm
     FROM merged m JOIN documents d USING (doc_id)
     GROUP BY d.source
     """
@@ -3200,10 +3201,10 @@ def t42_mixture_independence_audit(
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-           (1000 * SUM(n_chars)) // SUM(len(string_split(text, ' ')))
-             AS chars_per_token_milli,
-           (1000000 * SUM(len(string_split(text, ' ')))) // SUM(n_chars)
-             AS tokens_per_kchar
+           CAST((1000 * SUM(n_chars)) // SUM(len(string_split(text, ' ')))
+                AS BIGINT) AS chars_per_token_milli,
+           CAST((1000000 * SUM(len(string_split(text, ' ')))) // SUM(n_chars)
+                AS BIGINT) AS tokens_per_kchar
     FROM documents
     GROUP BY lang
     """,
@@ -3268,8 +3269,8 @@ def _t45_oracle() -> str:
         for n in T45_TOP_THRESH
     )
     dup_cols = ",\n           ".join(
-        f"COALESCE(MAX(CASE WHEN n = {n} THEN LEAST(1000,"
-        f" (1000 * dupmass) // n_chars) END), 0) AS dup{n}_milli"
+        f"CAST(COALESCE(MAX(CASE WHEN n = {n} THEN LEAST(1000,"
+        f" (1000 * dupmass) // n_chars) END), 0) AS BIGINT) AS dup{n}_milli"
         for n in T45_DUP_THRESH
     )
     conds = " AND ".join(
@@ -3408,8 +3409,8 @@ T46_KS = [4, 8, 16, 32]
            CAST(SUM(r.cnt) AS BIGINT) AS covered_tokens,
            CAST(ANY_VALUE(t.total) AS BIGINT) AS total_tokens,
            CAST(ANY_VALUE(t.vocab_size) AS BIGINT) AS vocab_size,
-           (1000 * CAST(SUM(r.cnt) AS BIGINT)) // ANY_VALUE(t.total)
-             AS coverage_milli
+           CAST((1000 * CAST(SUM(r.cnt) AS BIGINT)) // ANY_VALUE(t.total)
+                AS BIGINT) AS coverage_milli
     FROM (SELECT unnest([{", ".join(str(k) for k in T46_KS)}]) AS k) k
     JOIN ranked r ON r.rk <= k.k
     CROSS JOIN tot t
