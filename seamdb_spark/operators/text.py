@@ -2914,68 +2914,88 @@ def t39_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # t40: iterative BPE merge-rule TRAINING — the real tokenizer-training
-# loop (Sennrich et al. 2016), not t25's one-shot approximation: after
-# each merge the corpus is re-tokenized and pair counts RECOUNTED, so
-# rule k's frequency table reflects rules 1..k-1 (merged symbols can
-# themselves pair up — the "+"-joined left/right symbols in later rows
-# show it). Per round: count adjacent pairs on the CURRENT
-# tokenization, pick the arg-max pair (count desc, then pair text — the
-# t23 tie-break), splice it corpus-wide, repeat. Corpus state uses
-# t25's double-space encoding, where splicing is one literal
-# replace(' w1  w2 ', ' w1+w2 ') — greedy left-to-right non-overlapping
-# in BOTH engines, and the double spacing means adjacent merge sites
-# share no characters, so "a b a b" merges both sites in one pass while
-# the overlapping "a a a" chain merges only the leftmost (exactly
-# greedy BPE).
+# loop (Sennrich et al. 2016): symbols start as the CHARACTERS of each
+# word, and each round merges the adjacent symbol pair with the highest
+# word-frequency-weighted count. After each merge pair counts are
+# RECOUNTED on the current segmentation, so rule k's frequency reflects
+# rules 1..k-1 (merged symbols can themselves pair up — multi-char
+# left/right symbols in later rows show it). Tie-break: count desc,
+# then (w1, w2) text asc. Per-word symbol state uses t25's double-space
+# encoding, where splicing is one literal replace(' w1  w2 ', ' w1w2 ')
+# — greedy left-to-right non-overlapping in BOTH engines, and the
+# double spacing means adjacent merge sites share no characters, so
+# "a b a b" merges both sites in one pass while the overlapping
+# "a a a" chain merges only the leftmost (exactly greedy BPE).
 #
 # Output: the learned merge table (rank, left symbol, right symbol,
-# the pair's frequency AT ITS TRAINING ROUND) — the artifact a
-# tokenizer ships.
+# the pair's weighted frequency AT ITS TRAINING ROUND) — the artifact
+# a tokenizer ships.
 #
-# Scale: each round is ONE corpus scan into a vocabulary-sized pair
-# aggregate (map-side combined) + a 1-row argmax broadcast back into
-# the next round's expression — K rounds ⇒ K scans, the canonical
-# distributed BPE-training shape. Driver state is one (w1, w2, count)
-# row per round (the bounded-collect discipline). The oracle unrolls
-# the identical K rounds as CTE stages.
+# Scale (the round-6 trainer-shape fix): training never rescans the
+# corpus. ONE corpus scan builds the word-frequency table (Heaps' law:
+# |vocab| ~ O(sqrt(corpus)), e.g. ~10M types for a 100 TB web corpus),
+# then every merge round runs over that VOCAB-SIZED table — pair counts
+# weighted by word frequency (map-side combined, |symbol-vocab|² upper
+# bound but in practice ~|vocab|·avg_word_len rows pre-combine), a
+# 1-row argmax collect (bounded driver state), and a vocab-sized
+# replace+localCheckpoint. K=30k real-tokenizer merges therefore cost
+# K vocab-table passes, not K corpus scans. The oracle unrolls the
+# identical K rounds as CTE stages over the same word-frequency table.
 # --------------------------------------------------------------------------
 T40_MERGES = 6
 
 
-def _t40_oracle() -> str:
-    rounds = []
-    prev_s = "s0"
-    picks = []
+def _t40_chain_ctes() -> str:
+    """Shared WITH-body for t40/t41/p08 (structural composition per the
+    _pq_chain_sql discipline — consumers splice the builder, never
+    string-surgery the rendered SQL): the word-frequency table, the
+    per-word char-sequence state s0, and K unrolled merge rounds
+    (t{k} tokenize, p{k} weighted pair counts, r{k} argmax, s{k}
+    spliced state)."""
+    parts = [
+        """words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    s0 AS (
+      SELECT w, freq,
+             ' ' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> w[i]), '  ')
+               || ' ' AS s
+      FROM words
+    )"""
+    ]
     for k in range(1, T40_MERGES + 1):
-        rounds.append(f"""t{k} AS (
-      SELECT doc_id, string_split(trim(s), '  ') AS l FROM {prev_s}
+        prev = f"s{k - 1}"
+        parts.append(f"""t{k} AS (
+      SELECT freq, string_split(trim(s), '  ') AS l FROM {prev}
     ),
     p{k} AS (
-      SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c
-      FROM (SELECT unnest(list_zip(l, l[2:])) AS p FROM t{k})
+      SELECT p[1] AS w1, p[2] AS w2, CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT freq, unnest(list_zip(l, l[2:])) AS p FROM t{k})
       WHERE p[2] IS NOT NULL
       GROUP BY 1, 2
     ),
     r{k} AS (SELECT w1, w2, c FROM p{k} ORDER BY c DESC, w1, w2 LIMIT 1),
     s{k} AS (
-      SELECT doc_id,
+      SELECT w, freq,
              replace(s, (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM r{k}),
-                        (SELECT ' ' || w1 || '{_T25_SEP}' || w2 || ' ' FROM r{k}))
-               AS s
-      FROM {prev_s}
+                        (SELECT ' ' || w1 || w2 || ' ' FROM r{k})) AS s
+      FROM {prev}
     )""")
-        picks.append(
-            f"SELECT CAST({k} AS BIGINT) AS merge_rank, w1 AS left_sym,"
-            f" w2 AS right_sym, c AS pair_freq FROM r{k}"
-        )
-        prev_s = f"s{k}"
+    return ",\n    ".join(parts)
+
+
+def _t40_oracle() -> str:
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, w1 AS left_sym,"
+        f" w2 AS right_sym, c AS pair_freq FROM r{k}"
+        for k in range(1, T40_MERGES + 1)
+    )
     return f"""
-    WITH s0 AS (
-      SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s
-      FROM documents
-    ),
-    {", ".join(rounds)}
-    {" UNION ALL ".join(picks)}
+    WITH {_t40_chain_ctes()}
+    {picks}
     """
 
 
@@ -2994,80 +3014,107 @@ def t40_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_char_seq(col: str):
+    """word -> its characters in t25's double-space encoding:
+    'ab' -> ' a  b ' (sentinel single spaces, double-space separators)."""
+    return F.expr(
+        f"concat(' ', array_join(transform(sequence(1, length({col})),"
+        f" i -> substring({col}, i, 1)), '  '), ' ')"
+    )
+
+
 def _t40_train_rules(spark: SparkSession, sf_dir: str) -> list[tuple]:
     docs = _docs(spark, sf_dir)
-    s = F.concat(
-        F.lit(" "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
+    # ONE corpus scan -> the Heaps-law word-frequency table; every merge
+    # round below iterates over this vocab-sized state, never the corpus
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select("w", "freq", _bpe_char_seq("w").alias("s"))
+        .localCheckpoint()
     )
-    corpus = docs.select("doc_id", s.alias("s"))
     rules = []
     for k in range(1, T40_MERGES + 1):
-        toks = corpus.select(F.split(F.trim("s"), "  ").alias("l")).filter(
+        toks = vocab.select("freq", F.split(F.trim("s"), "  ").alias("l")).filter(
             F.size("l") >= 2
         )
         pairs = toks.select(
+            "freq",
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(l) - 1),"
                     " i -> struct(l[i - 1] AS w1, l[i] AS w2))"
                 )
-            ).alias("p")
-        ).select("p.w1", "p.w2")
+            ).alias("p"),
+        ).select("p.w1", "p.w2", "freq")
         top = (
             pairs.groupBy("w1", "w2")
-            .agg(F.count("*").alias("c"))
+            .agg(F.sum("freq").alias("c"))
             .orderBy(F.desc("c"), "w1", "w2")
             .limit(1)
             .collect()  # 1-row driver state per round: the argmax pair
         )[0]
         rules.append((k, top["w1"], top["w2"], top["c"]))
-        corpus = corpus.select(
-            "doc_id",
+        vocab = vocab.select(
+            "w",
+            "freq",
             F.replace(
                 F.col("s"),
                 F.lit(f" {top['w1']}  {top['w2']} "),
-                F.lit(f" {top['w1']}{_T25_SEP}{top['w2']} "),
+                F.lit(f" {top['w1']}{top['w2']} "),
             ).alias("s"),
         # lineage cut per round: each round's count job re-reads the
         # checkpointed previous state instead of re-running every prior
-        # replace over the raw corpus (the d09 iteration discipline)
+        # replace over the word table (the d09 iteration discipline)
         ).localCheckpoint()
     return rules
 
 
 # --------------------------------------------------------------------------
 # t41: tokenizer compression evaluation — the acceptance metric a
-# trained tokenizer ships with: apply t40's learned merge rules to the
-# corpus and report, PER SOURCE, how many tokens the merges save
-# (training-corpus compression in ppm). Composes the t40 trainer with
-# the t25 application machinery; in the oracle the t40 CTE chain's
-# FINAL corpus state s{K} already is the fully-merged corpus, so
-# evaluation is one tokenize+count over it — the rules are never
-# re-derived.
+# trained tokenizer ships with: apply t40's learned merge rules and
+# report, PER SOURCE, how many tokens (symbols) the merges save
+# relative to the character-level baseline (compression in ppm).
+# Merges are within-word, so evaluation never re-tokenizes the corpus:
+# the rules are applied once to the VOCAB (per distinct word), then the
+# per-word savings are weighted by each source's word-usage counts. In
+# the oracle the t40 CTE chain's FINAL state s{K} already is the fully
+# merged vocab, so the rules are never re-derived.
 #
-# Scale: t40's K training scans (amortized if the rule table is already
-# materialized), then one evaluation scan aggregating per source —
-# |sources| output rows, map-side combined.
+# Scale: t40's training (amortized if the rule table is already
+# materialized), one corpus scan to (source, word, cnt) usage counts
+# (map-side combined), a vocab-sized rule application, and a
+# usage⋈vocab equi-join on the word key — |sources| output rows. The
+# corpus text is read exactly once.
 # --------------------------------------------------------------------------
 def _t41_oracle() -> str:
-    # reuse the t40 round chain verbatim; only the final SELECT differs
-    body = _t40_oracle()
-    chain = body[: body.rindex("SELECT CAST(1 AS BIGINT)")]
-    chain = chain[: chain.rindex("\n    ")]  # drop the rule UNION tail
-    return f"""{chain},
+    return f"""
+    WITH {_t40_chain_ctes()},
     merged AS (
-      SELECT doc_id, string_split(trim(s), '  ') AS l FROM s{T40_MERGES}
+      SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS len_after
+      FROM s{T40_MERGES}
+    ),
+    usage AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY source, w
+    ),
+    nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
     )
-    SELECT d.source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
-             AS tokens_before,
-           CAST(SUM(len(m.l)) AS BIGINT) AS tokens_after,
-           CAST((1000000
-                 * (SUM(len(string_split(d.text, ' '))) - SUM(len(m.l))))
-                // SUM(len(string_split(d.text, ' '))) AS BIGINT) AS saved_ppm
-    FROM merged m JOIN documents d USING (doc_id)
-    GROUP BY d.source
+    SELECT nd.source, nd.n_docs,
+           CAST(SUM(u.cnt * length(u.w)) AS BIGINT) AS tokens_before,
+           CAST(SUM(u.cnt * m.len_after) AS BIGINT) AS tokens_after,
+           CAST((1000000 * (SUM(u.cnt * length(u.w))
+                            - SUM(u.cnt * m.len_after)))
+                // SUM(u.cnt * length(u.w)) AS BIGINT) AS saved_ppm
+    FROM usage u
+    JOIN merged m ON m.w = u.w
+    JOIN nd ON nd.source = u.source
+    GROUP BY nd.source, nd.n_docs
     """
 
 
@@ -3075,28 +3122,43 @@ def _t41_oracle() -> str:
 def t41_bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = t40_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
     docs = _docs(spark, sf_dir)
-    s = F.concat(
-        F.lit(" "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
+    usage = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cnt"))
     )
-    # apply the rules in TRAINING ORDER — identical to replaying the
-    # trainer's final corpus state (each replace is exactly the splice
-    # round k performed)
+    # apply the rules in TRAINING ORDER to each distinct word — identical
+    # to replaying the trainer's final vocab state (each replace is
+    # exactly the splice round k performed)
+    s = _bpe_char_seq("w")
     for r in rules:
         s = F.replace(
             s,
             F.lit(f" {r['left_sym']}  {r['right_sym']} "),
-            F.lit(f" {r['left_sym']}{_T25_SEP}{r['right_sym']} "),
+            F.lit(f" {r['left_sym']}{r['right_sym']} "),
         )
-    per_doc = docs.select(
-        "source",
-        F.size(F.split("text", " ")).cast("long").alias("nb"),
-        F.size(F.split(F.trim(s), "  ")).cast("long").alias("na"),
+    merged = (
+        usage.select("w")
+        .distinct()
+        .select("w", F.size(F.split(F.trim(s), "  ")).cast("long").alias("len_after"))
     )
-    return per_doc.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("nb").alias("tokens_before"),
-        F.sum("na").alias("tokens_after"),
-        F.expr("(1000000 * (sum(nb) - sum(na))) div sum(nb)").alias("saved_ppm"),
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    per_source = (
+        usage.join(merged, "w")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("cnt") * F.length("w")).alias("tokens_before"),
+            F.sum(F.col("cnt") * F.col("len_after")).alias("tokens_after"),
+        )
+    )
+    return nd.join(per_source, "source").select(
+        "source",
+        "n_docs",
+        F.col("tokens_before").cast("long").alias("tokens_before"),
+        F.col("tokens_after").cast("long").alias("tokens_after"),
+        F.expr(
+            "(1000000 * (tokens_before - tokens_after)) div tokens_before"
+        ).alias("saved_ppm"),
     )
 
 

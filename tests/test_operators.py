@@ -1611,17 +1611,21 @@ def test_shuffle_budget_regression_gate(spark, registry):
         # the final size join over the checkpointed label table
         "g06_label_propagation": 2,
         "m23_cross_codec_consistency": 0,
-        # t41's returned plan: one eval scan + per-source agg (the K
+        # t41's returned plan: one corpus scan to (source, word, cnt)
+        # usage counts, then vocab-sized frames only — the merged-vocab
+        # distinct + rule application, the usage⋈vocab join, the
+        # per-source agg, and the |sources|-row n_docs join (the K
         # training rounds run their own jobs at build time, like t40)
-        "t41_bpe_compression_eval": 1,
+        "t41_bpe_compression_eval": 6,
         # g07/x14 run every post-scan stage on bounded frames
         # (|communities| / |sources|x41 rows); the counts include the
         # broadcast exchanges of those small tables
         "g07_modularity_audit": 24,
         "x14_log2_histogram_quantiles": 21,
         # p08 composes t41 + x14 + g06: the x14 bounded frames re-plan
-        # inside the composition; g06 labels read their checkpoints
-        "p08_tokenizer_readiness": 30,
+        # inside the composition; g06 labels read their checkpoints;
+        # +5 over the old budget from t41's word-frequency eval shape
+        "p08_tokenizer_readiness": 35,
         "s22_pq_distortion_audit": 5,
         "e34_periodicity_autocorrelation": 3,
         # t42's marginal/total broadcasts re-plan off the checkpointed
@@ -2842,14 +2846,16 @@ def test_price_drift_replay(spark, registry):
 
 
 def test_bpe_train_matches_pure_python_replay(spark, registry):
-    """t40: replay the full iterative BPE training loop in pure Python
-    (greedy left-to-right merges, count-desc/pair-asc argmax) on the
-    collected smoke corpus and compare every learned rule. Also pins
-    the iterative invariants: round-1 equals t23's top pair, and picked
-    frequencies never increase across rounds (a merge can only shrink
-    or inherit existing pair counts)."""
+    """t40: replay the full iterative char-BPE training loop in pure
+    Python (word-frequency-weighted pair counts, greedy left-to-right
+    within-word merges, count-desc/pair-asc argmax) on the collected
+    smoke corpus and compare every learned rule. Also pins the
+    iterative invariants: round-1 equals the top weighted character
+    bigram counted directly, and picked frequencies never increase
+    across rounds (every pair a merge creates occurs at most once per
+    merge site, so new counts are bounded by the picked count)."""
     queries, _ = registry
-    from seamdb_spark.operators.text import T40_MERGES, _T25_SEP
+    from seamdb_spark.operators.text import T40_MERGES
 
     texts = [
         r.text
@@ -2857,29 +2863,32 @@ def test_bpe_train_matches_pure_python_replay(spark, registry):
         .select("text")
         .collect()
     ]
-    corpus = [t.split(" ") for t in texts]
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    vocab = {w: list(w) for w in freq}
     expected = []
     for k in range(1, T40_MERGES + 1):
         counts: dict[tuple, int] = {}
-        for toks in corpus:
-            for a, b in zip(toks, toks[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + 1
+        for w, syms in vocab.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
         (w1, w2), c = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
         expected.append((k, w1, w2, c))
-        merged_corpus = []
-        for toks in corpus:
+        for w, syms in vocab.items():
             out, i = [], 0
-            while i < len(toks):
-                if i + 1 < len(toks) and toks[i] == w1 and toks[i + 1] == w2:
-                    out.append(w1 + _T25_SEP + w2)
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == w1 and syms[i + 1] == w2:
+                    out.append(w1 + w2)
                     i += 2
                 else:
-                    out.append(toks[i])
+                    out.append(syms[i])
                     i += 1
-            merged_corpus.append(out)
-        corpus = merged_corpus
+            vocab[w] = out
     got = [
         (r.merge_rank, r.left_sym, r.right_sym, r.pair_freq)
         for r in queries["t40_bpe_train"](spark, SF_SMOKE)
@@ -2889,8 +2898,12 @@ def test_bpe_train_matches_pure_python_replay(spark, registry):
     assert got == expected
     freqs = [g[3] for g in got]
     assert freqs == sorted(freqs, reverse=True)
-    top23 = queries["t23_bpe_pair_stats"](spark, SF_SMOKE).first()
-    assert (got[0][1], got[0][2]) == (top23.w1, top23.w2)
+    bigrams: dict[tuple, int] = {}
+    for w, f in freq.items():
+        for a, b in zip(w, w[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + f
+    top1 = min(bigrams.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    assert (got[0][1], got[0][2], got[0][3]) == (top1[0][0], top1[0][1], top1[1])
 
 
 def test_label_propagation_consistent_with_components(spark, registry):
