@@ -280,9 +280,68 @@ _R6_WINDOW = [
 ]
 
 
+# Round-7 window, built per the ROUND-7 PROCEDURE above:
+# (a) slots 1-39: every query WITHOUT a driver-green row in
+#     CORRECTNESS_r01..r06 — the 36 registered after the round-6
+#     window froze, plus the 3 round-6 hash-reds (m21/t41/g07, whose
+#     oracles emitted HUGEINT columns; CAST-fixed this round along
+#     with the 5 latent ones already in this list: t44/t45/t46/x15/p08);
+# (b) slots 40-41: plan/oracle changed in round 7 — t40 (trainer moved
+#     to the word-frequency char-BPE formulation; t41/p08, whose plans
+#     changed with it, are in (a)) and g06 (oracle rebuilt from the
+#     shared _g06_chain_ctes builder; d34/g07's identical rebuilds are
+#     in (a); j02's bucketed path was namespaced by applicationId —
+#     output unaffected, already in (a));
+# (c) slots 42-45: the round-6 late plan-changed refactors carried per
+#     the procedure (e02 session labeling factored for e38; d20 CDC
+#     flat builder factored for t43; d25 candidate stage factored —
+#     displaced from the r6 window; s03 seed hash's no-op empty-salt
+#     concat for s23);
+# (d) slots 46-50: oldest-green regression fill — the head of
+#     _R2_GREEN not re-checked since round 2.
+#
+# ROUND-8 PROCEDURE: after CORRECTNESS_r07 lands, pin (a) any queries
+# registered after _R7_WINDOW froze and any whose plan/oracle changes
+# in round 8, then fill to 50 oldest-green-first: the remaining
+# _R2_GREEN entries from x01_approx_distinct onward (d09/d10 and the
+# 3 fill slots below land rows this round), then _R3_WINDOW, then
+# _R4_WINDOW, then _R5_WINDOW, then _R6_WINDOW.
+_R7_WINDOW = [
+    # (a) no driver row ever (rowless post-r6-freeze + the 3 CAST-fixed
+    # r6 reds), registration order
+    "m21_image_flatness", "t41_bpe_compression_eval",
+    "g07_modularity_audit",
+    "p08_tokenizer_readiness", "s22_pq_distortion_audit",
+    "e34_periodicity_autocorrelation", "t42_mixture_independence_audit",
+    "e35_anomaly_incidents", "q65_distinct_on", "d31_neardup_explanations",
+    "m24_ahash_invariance", "x15_frequency_cap_sample",
+    "t43_intra_doc_repetition", "s23_kmeans_stability_audit",
+    "e38_session_funnel", "d32_normalized_exact_dedup",
+    "t44_chars_per_token_profile", "p09_dedup_invariants",
+    "m25_gif_roundtrip", "g08_transitive_candidates",
+    "p10_mixture_quota_allocation", "m26_gif_frame_extract",
+    "d33_bbit_minhash_audit", "e36_type_burstiness", "m27_mp4_probe",
+    "j02_bucketed_colocated_join", "t45_gopher_repetition",
+    "s24_prepost_filter_audit", "p11_quota_sampler",
+    "m28_audio_fingerprint_dedup", "q66_ordered_string_agg",
+    "q67_locf_forward_fill", "x16_kmv_anotb", "e37_transition_latency",
+    "g09_edge_embeddedness", "m29_image_patches",
+    "d34_detector_disagreement", "t46_vocab_coverage_curve",
+    "e39_time_decay_attribution",
+    # (b) plan/oracle changed in round 7
+    "t40_bpe_train", "g06_label_propagation",
+    # (c) round-6 late plan-changed refactors
+    "e02_sessionization", "d20_cdc_chunk_dedup", "d25_paragraph_neardup",
+    "s03_ann_ivf_topk",
+    # (d) oldest-green regression fill (last row: round 2)
+    "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
+    "x03_percentile_approx", "e07_funnel_steps",
+]
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R6_WINDOW if n in names]
+    window = [n for n in _R7_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 

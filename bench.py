@@ -66,20 +66,31 @@ def main() -> None:
     # RETIME_ABOVE once and record the MIN — the standard min-of-k
     # noise guard, bounded to ~the heavy tail's cost.
     RETIME_ABOVE = 3.0
-    # Queries whose top-level result IS a session-memoized artifact
-    # (materialize.py): their second run reads the localCheckpoint in
-    # ~0.1s instead of re-deriving, so min-of-2 would record the memo
-    # read, not the query. Record the first (materializing) run — the
-    # honest cost every downstream consumer of the artifact amortizes.
-    no_retime = {"d03_dedup_simhash"}
+    # Queries whose first timed run materializes a session-memoized
+    # artifact (materialize.py): their second run reads the
+    # localCheckpoint in ~0.1s instead of re-deriving, so min-of-2
+    # would record the memo read, not the query. Detected MECHANICALLY:
+    # if the run added keys to the materialize registry, record the
+    # first (materializing) run — the honest cost every downstream
+    # consumer of the artifact amortizes. first_run is recorded for
+    # every retimed query so memo-vs-cold mixes stay visible.
+    from seamdb_spark.operators.materialize import _MATERIALIZED
+
     timings: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
+    materializers: dict[str, list[str]] = {}
     for name, fn in sorted(queries.items()):
         if name in skip:
             continue
+        before = set(_MATERIALIZED)
         t0 = time.time()
         fn(spark, sf_dir).count()
         t = round(time.time() - t0, 3)
-        if t > RETIME_ABOVE and name not in no_retime:
+        new_keys = sorted(k[2] for k in set(_MATERIALIZED) - before)
+        if new_keys:
+            materializers[name] = new_keys
+        if t > RETIME_ABOVE and not new_keys:
+            first_runs[name] = t
             t0 = time.time()
             fn(spark, sf_dir).count()
             t = min(t, round(time.time() - t0, 3))
@@ -103,7 +114,14 @@ def main() -> None:
     }
     with open(RESULTS_FILE, "w") as f:
         json.dump(
-            {**summary, "queries": timings, "skipped": sorted(skip), "skip_reasons": skip},
+            {
+                **summary,
+                "queries": timings,
+                "first_runs": first_runs,
+                "materializers": materializers,
+                "skipped": sorted(skip),
+                "skip_reasons": skip,
+            },
             f,
             indent=1,
         )

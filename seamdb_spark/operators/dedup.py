@@ -341,26 +341,31 @@ def d21_editdist_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 # SimHash (32-bit) + multi-index blocking
 # --------------------------------------------------------------------------
-def _simhash_sig_sql() -> str:
+def _simhash_sig_sql(prefix: str = "") -> str:
+    """SimHash signature CTE chain. ``prefix`` namespaces the CTE names
+    so composing oracles (d34) can splice this chain next to another
+    chain that also defines ``toks``/``sigs`` — structural composition,
+    never post-hoc string surgery on rendered SQL."""
     h = md5_prefix_long_sql("tok")
+    p = prefix
     return f"""
-    toks AS (
+    {p}toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
-    tok_hash AS (
-      SELECT doc_id, {h} AS h FROM toks
+    {p}tok_hash AS (
+      SELECT doc_id, {h} AS h FROM {p}toks
     ),
-    bit_votes AS (
+    {p}bit_votes AS (
       SELECT doc_id, b,
              SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      FROM tok_hash, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
+      FROM {p}tok_hash, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
       GROUP BY doc_id, b
     ),
-    sigs AS (
+    {p}sigs AS (
       SELECT doc_id,
              CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
                   AS BIGINT) AS simhash
-      FROM bit_votes GROUP BY doc_id
+      FROM {p}bit_votes GROUP BY doc_id
     )
     """
 
@@ -3264,7 +3269,11 @@ def g05_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 G06_ROUNDS = 4
 
 
-def _g06_oracle() -> str:
+def _g06_chain_ctes() -> str:
+    """Shared WITH-body for g06/g07 (structural composition — consumers
+    splice the builder, never slice rendered SQL): simhash signatures,
+    the near-dup ``pairs``/``edges`` graph, and the G06_ROUNDS unrolled
+    LPA label tables l0..l{G06_ROUNDS}."""
     ctes = ["""nodes AS (SELECT DISTINCT src AS id FROM edges),
     l0 AS (SELECT id, id AS lbl FROM nodes)"""]
     for i in range(1, G06_ROUNDS + 1):
@@ -3278,8 +3287,7 @@ def _g06_oracle() -> str:
       ) WHERE rk = 1
     )""")
     joined = ",\n    ".join(ctes)
-    return f"""
-    WITH {_simhash_sig_sql().strip()},
+    return f"""{_simhash_sig_sql().strip()},
     pairs AS (
       SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
       FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
@@ -3290,7 +3298,12 @@ def _g06_oracle() -> str:
       UNION ALL
       SELECT doc_b AS src, doc_a AS dst FROM pairs
     ),
-    {joined},
+    {joined}"""
+
+
+def _g06_oracle() -> str:
+    return f"""
+    WITH {_g06_chain_ctes()},
     sizes AS (
       SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
       FROM l{G06_ROUNDS} GROUP BY lbl
@@ -3351,11 +3364,9 @@ def g06_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle shape beyond g06's own.
 # --------------------------------------------------------------------------
 def _g07_oracle() -> str:
-    g06 = _g06_oracle()
-    # reuse g06's CTE chain up to (but not including) its final SELECT
-    chain = g06[: g06.rindex("SELECT l.id AS doc_id")]
-    chain = chain[: chain.rindex("\n    ")]
-    return f"""{chain},
+    # reuse g06's CTE chain (the shared builder) up to its label table
+    return f"""
+    WITH {_g06_chain_ctes()},
     labels AS (SELECT id, lbl FROM l{G06_ROUNDS}),
     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
     intra AS (
@@ -4029,8 +4040,10 @@ def _g09_oracle() -> str:
     """
 
 
-@register("g09_edge_embeddedness", oracle=_g09_oracle())
-def g09_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _g09_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented edge list (src = lower-degree endpoint) with each
+    edge's dst degree — pair-list-sized; read by BOTH wedge sides + the
+    closing probe."""
     pairs = _simhash_pairs(spark, sf_dir)
     deg = (
         pairs.select(F.col("doc_a").alias("id"))
@@ -4043,7 +4056,7 @@ def g09_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("d_a") < F.col("d_b")) | (
         (F.col("d_a") == F.col("d_b")) & (F.col("doc_a") < F.col("doc_b"))
     )
-    oriented = (
+    return (
         pairs.join(da, "doc_a")
         .join(db, "doc_b")
         .select(
@@ -4051,14 +4064,20 @@ def g09_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
             F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dst_d"),
         )
-        # pair-list-sized; read by BOTH wedge sides + the closing probe
         .localCheckpoint()
     )
+
+
+def _g09_wedges_from(oriented: DataFrame) -> DataFrame:
+    """Degree-ordered wedge enumeration off the oriented edge list —
+    the g02 shape: each wedge materializes once at its lowest-degree
+    apex, bounding the volume by Σ_v d_min(v)²/2 over the (already
+    blocking-bounded) near-dup graph."""
     o1 = oriented.select("src", F.col("dst").alias("x"), F.col("dst_d").alias("x_d"))
     o2 = oriented.select(
         F.col("src").alias("src2"), F.col("dst").alias("y"), F.col("dst_d").alias("y_d")
     )
-    wedges = o1.join(
+    return o1.join(
         o2,
         (F.col("src") == F.col("src2"))
         & (
@@ -4066,6 +4085,26 @@ def g09_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("x_d") == F.col("y_d")) & (F.col("x") < F.col("y")))
         ),
     ).select(F.col("src").alias("a"), "x", "y")
+
+
+@register_candidates("g09_edge_embeddedness")
+def _g09_wedge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _g09_wedges_from(_g09_oriented(spark, sf_dir))
+
+
+@register("g09_edge_embeddedness", oracle=_g09_oracle())
+def g09_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("id").alias("doc_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("id").alias("doc_b"), F.col("d").alias("d_b"))
+    oriented = _g09_oriented(spark, sf_dir)
+    wedges = _g09_wedges_from(oriented)
     closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     tri = wedges.join(closing, ["x", "y"])
     edge_tri = (
@@ -4125,10 +4164,8 @@ def g09_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _d34_oracle() -> str:
     # the two chains both define a CTE named "sigs" (and the simhash
-    # chain "toks"); prefix the simhash chain's names to compose them
-    sim = _simhash_sig_sql().strip()
-    for name in ("toks", "tok_hash", "bit_votes", "sigs"):
-        sim = sim.replace(name, f"sh_{name}")
+    # chain "toks"); build the simhash chain with namespaced CTE names
+    sim = _simhash_sig_sql("sh_").strip()
     return f"""
     WITH {_lsh_cand_ctes()},
     lex AS (

@@ -2739,7 +2739,14 @@ def _j02_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     from .materialize import materialized_value
 
-    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_")
+    # namespace the catalog names AND the warehouse path by the Spark
+    # application id: two concurrent sessions on one machine would
+    # otherwise race on the same /tmp path — one session's
+    # mode=overwrite deleting bucket files the other's catalog entry
+    # still references (the session-level memoization below is keyed
+    # per session, so the app id is stable across reuse)
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
     li_name, ord_name = f"j02_li_{tag}", f"j02_ord_{tag}"
 
     def build() -> tuple[str, str]:

@@ -1509,7 +1509,11 @@ def test_candidate_volume_regression_gate(spark, registry):
       m20  18 rows (0.04N): 3×~21-bit chunks over the 64-bit aHash
       g08  563 rows (1.1N): degree-capped wedge enumeration,
            Σ min(deg,cap)²/2 ≤ cap²·|V|/2 by construction
-    d21/d26/d29 share d02's candidate stage, so one entry covers them."""
+      g09  93 rows (0.19N): degree-ORIENTED wedge enumeration over the
+           blocking-bounded near-dup graph (Σ d_min(v)²/2)
+    Operators that consume pairs WITHOUT enumerating any themselves
+    (d21/d26/d29/d31/d33/d34) are proven gated-source-only by
+    test_pair_consumers_use_gated_sources below."""
     from seamdb_spark.operators.registry import CANDIDATE_STAGES
 
     budgets_k = {
@@ -1520,6 +1524,7 @@ def test_candidate_volume_regression_gate(spark, registry):
         "d27_weighted_simhash": 7.0,
         "m20_image_neardup_pairs": 0.2,
         "g08_transitive_candidates": 2.5,
+        "g09_edge_embeddedness": 0.4,
     }
     assert set(budgets_k) == set(CANDIDATE_STAGES), (
         "every registered candidate stage needs a budget (and vice versa)"
@@ -1531,6 +1536,45 @@ def test_candidate_volume_regression_gate(spark, registry):
         if c > k * n_docs:
             over.append(f"{name}: {c} candidates > {k}·N = {k * n_docs:.0f}")
     assert not over, "; ".join(over)
+
+
+def test_pair_consumers_use_gated_sources():
+    """Proof (mechanical, source-level) that every pair-CONSUMING
+    operator outside CANDIDATE_STAGES gets its pairs exclusively from a
+    budget-gated enumeration: _lsh_candidate_pairs (gated via d02's
+    entry), _simhash_pairs (the verified output of d03's gated stage),
+    or the registered query outputs of d02/d03 themselves (d34's full
+    outer join). If an edit introduces its own pair generator (a
+    crossJoin or a raw self-join of documents/sigs), this assertion
+    forces either a CANDIDATE_STAGES registration + budget or a rewrite
+    against a gated source."""
+    import inspect
+
+    from seamdb_spark.operators import dedup
+
+    blessed = (
+        "_lsh_candidate_pairs",
+        "_simhash_pairs",
+        "d02_dedup_minhash_lsh",
+        "d03_dedup_simhash",
+    )
+    consumers = [
+        dedup.d21_editdist_verified_neardup,
+        dedup.d26_containment_neardup,
+        dedup.d29_threshold_sensitivity,
+        dedup.d31_neardup_explanations,
+        dedup.d33_bbit_minhash_audit,
+        dedup.d34_detector_disagreement,
+    ]
+    for fn in consumers:
+        src = inspect.getsource(fn)
+        assert any(b in src for b in blessed), (
+            f"{fn.__name__}: no gated pair source referenced"
+        )
+        assert "crossJoin" not in src, f"{fn.__name__}: raw crossJoin"
+        assert ".join(docs" not in src and "documents\").join" not in src, (
+            f"{fn.__name__}: raw document self-join"
+        )
 
 
 def test_shuffle_budget_regression_gate(spark, registry):
