@@ -333,9 +333,11 @@ _R7_WINDOW = [
     # (c) round-6 late plan-changed refactors
     "e02_sessionization", "d20_cdc_chunk_dedup", "d25_paragraph_neardup",
     "s03_ann_ivf_topk",
-    # (d) oldest-green regression fill (last row: round 2)
+    # (d) registered in round 7 (never checked — outrank regression
+    # fill per the established rule)
+    "t47_bpe_fertility_by_lang", "j03_partition_pruned_join",
+    # (e) oldest-green regression fill (last row: round 2)
     "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
-    "x03_percentile_approx", "e07_funnel_steps",
 ]
 
 

@@ -2806,6 +2806,99 @@ def j02_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# j03: dynamic-partition-pruned join — j02's sibling 100 TB primitive:
+# where j02 kills the JOIN shuffle (bucketing), j03 kills the SCAN
+# (hive-style partitioning + runtime pruning). A lineitem projection is
+# written once per session PARTITIONED BY ship month (84 calendar
+# months at any SF — at 100 TB this is the date-partitioned fact table
+# every warehouse already has), then joined on the partition column
+# against a runtime-derived dim: the TOP-k busiest order months. The
+# months are not literals anywhere in the fact-side plan, so static
+# pruning is impossible — Spark's DynamicPartitionPruning inserts a
+# runtime subquery filter into the scan's PartitionFilters (asserted by
+# tests/test_operators.py::test_j03_plan_has_dynamic_pruning) and reads
+# k/84 of the partitions instead of the full table.
+#
+# Scale: one partitioned write per session (a real deployment reads the
+# already-partitioned table); the dim side is a |months|-row aggregate
+# broadcast; the pruned scan reads only the k matching partitions.
+# --------------------------------------------------------------------------
+J03_TOP_MONTHS = 3
+
+
+def _j03_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    import re as _re
+
+    from .materialize import materialized_value
+
+    # same concurrency discipline as j02: namespace by applicationId
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+    path = f"/tmp/seamdb_partitioned/{tag}/lineitem"
+
+    def build() -> str:
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select(
+                F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+                "l_extendedprice",
+                "l_discount",
+            )
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(path)
+        )
+        return path
+
+    return materialized_value(spark, sf_dir, "j03_partitioned", build)
+
+
+@register(
+    "j03_partition_pruned_join",
+    oracle="""
+    WITH om AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS ship_month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    top AS (
+      SELECT ship_month, n_orders FROM om
+      ORDER BY n_orders DESC, ship_month LIMIT 3
+    )
+    SELECT t.ship_month, t.n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN top t ON strftime(l.l_shipdate, '%Y-%m') = t.ship_month
+    GROUP BY t.ship_month, t.n_orders
+    """,
+)
+def j03_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = spark.read.parquet(_j03_partitioned_lineitem(spark, sf_dir))
+    om = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .agg(F.count("*").alias("n_orders"))
+        # the selective predicate DPP's benefit heuristic looks for on
+        # the build side (always true here: months with zero orders
+        # produce no om row at all)
+        .filter(F.col("n_orders") > 0)
+    )
+    top = om.orderBy(F.desc("n_orders"), "ship_month").limit(J03_TOP_MONTHS)
+    return (
+        fact.join(F.broadcast(top), "ship_month")
+        .groupBy("ship_month", "n_orders")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .select("ship_month", "n_orders", "n_lineitems", "revenue")
+    )
+
+
+# --------------------------------------------------------------------------
 # q66: ordered string aggregation — LISTAGG/string_agg WITHIN GROUP
 # (ORDER BY ...), the report-formatting idiom. Spark has no ordered
 # string_agg aggregate; the plan-stable equivalent is

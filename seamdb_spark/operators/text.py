@@ -3508,3 +3508,86 @@ def t46_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * covered_tokens) div total").alias("coverage_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t47: BPE fertility by language — the standard multilingual tokenizer
+# audit (tokens per word, by language): a tokenizer trained on a mixed
+# corpus systematically over-segments under-represented languages, and
+# fertility (post-merge symbols per word) is the metric that exposes
+# it before training. Composes t40's learned merges: per language,
+# total words, total post-BPE tokens, total chars, fertility in milli
+# (1000·tokens/words) and the post-BPE chars-per-token in milli (the
+# BPE counterpart of t44's whitespace-token profile).
+#
+# Scale: the t41 shape with lang as the report axis — one corpus scan
+# to (lang, word, cnt) usage counts, a vocab-sized rule application,
+# one usage⋈vocab equi-join; |langs| output rows. Corpus read once.
+# --------------------------------------------------------------------------
+def _t47_oracle() -> str:
+    return f"""
+    WITH {_t40_chain_ctes()},
+    merged AS (
+      SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS len_after
+      FROM s{T40_MERGES}
+    ),
+    usage AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY lang, w
+    )
+    SELECT u.lang,
+           CAST(SUM(u.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(u.cnt * m.len_after) AS BIGINT) AS n_tokens,
+           CAST(SUM(u.cnt * length(u.w)) AS BIGINT) AS n_chars,
+           CAST((1000 * SUM(u.cnt * m.len_after)) // SUM(u.cnt) AS BIGINT)
+             AS fertility_milli,
+           CAST((1000 * SUM(u.cnt * length(u.w)))
+                // SUM(u.cnt * m.len_after) AS BIGINT)
+             AS bpe_chars_per_token_milli
+    FROM usage u JOIN merged m ON m.w = u.w
+    GROUP BY u.lang
+    """
+
+
+@register("t47_bpe_fertility_by_lang", oracle=_t47_oracle())
+def t47_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = t40_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
+    docs = _docs(spark, sf_dir)
+    usage = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    s = _bpe_char_seq("w")
+    for r in rules:
+        s = F.replace(
+            s,
+            F.lit(f" {r['left_sym']}  {r['right_sym']} "),
+            F.lit(f" {r['left_sym']}{r['right_sym']} "),
+        )
+    merged = (
+        usage.select("w")
+        .distinct()
+        .select("w", F.size(F.split(F.trim(s), "  ")).cast("long").alias("len_after"))
+    )
+    return (
+        usage.join(merged, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("len_after")).cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("(1000 * n_tokens) div n_words").alias("fertility_milli"),
+            F.expr("(1000 * n_chars) div n_tokens").alias(
+                "bpe_chars_per_token_milli"
+            ),
+        )
+    )

@@ -441,6 +441,9 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "rows_m", "cols_m", "n", "chi2",
         # e34: len(E34_LAGS)-row lag table (driver-local list)
         "lags",
+        # j03: J03_TOP_MONTHS-row (constant 3) top-months dim — the DPP
+        # build side
+        "top",
         # s22: PQ_BLOCKS-row per-block stats
         "per",
         # s23: 1-row pair-accounting aggregates
@@ -3042,6 +3045,23 @@ def test_bucketed_join_is_exchange_free(spark, registry):
     assert "SortMergeJoin" in plan
     assert "BroadcastExchange" not in plan
     assert plan.count("Exchange ") == 1  # the aggregate, not the join
+
+
+def test_j03_plan_has_dynamic_pruning(spark, registry):
+    """j03's defining property, pinned directly: the partitioned fact
+    scan must carry a runtime DynamicPruning PartitionFilter (so only
+    the k matching month partitions are read), not a full-table scan —
+    the months come from a runtime aggregate, so a static filter is
+    impossible and its absence would mean DPP silently degraded to a
+    full scan."""
+    queries, _ = registry
+    plan = (
+        queries["j03_partition_pruned_join"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
 
 
 def test_bbit_correction_reduces_bias(spark, registry):
