@@ -2844,6 +2844,11 @@ def _j03_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
                 "l_extendedprice",
                 "l_discount",
             )
+            # one writer task per month => one file per partition dir
+            # (without this every input task writes every month dir —
+            # |tasks|×|months| small files, the classic partitioned-
+            # write mistake at any scale)
+            .repartition(F.col("ship_month"))
             .write.mode("overwrite")
             .partitionBy("ship_month")
             .parquet(path)
