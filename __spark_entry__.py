@@ -336,8 +336,9 @@ _R7_WINDOW = [
     # (d) registered in round 7 (never checked — outrank regression
     # fill per the established rule)
     "t47_bpe_fertility_by_lang", "j03_partition_pruned_join",
+    "m30_mp4_sample_extract",
     # (e) oldest-green regression fill (last row: round 2)
-    "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
+    "d09_dedup_clusters", "d10_decontaminate",
 ]
 
 
