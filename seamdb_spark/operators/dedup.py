@@ -187,8 +187,19 @@ def _minhash_oracle() -> str:
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct LSH candidate pairs ``(doc_a, doc_b)``, doc_a < doc_b —
     the banding pipeline shared by d02 (Jaccard verify), d21
-    (edit-distance verify), d26 (containment verify) and d29 (threshold
-    sweep). One candidate-volume gate entry covers all four."""
+    (edit-distance verify), d26 (containment verify), d29 (threshold
+    sweep) and the d18/d31/d33 audits. One candidate-volume gate entry
+    covers all of them. Session-memoized like the simhash pair graph
+    (the candidate list is ~0.07N rows — orders smaller than the
+    corpus, safe to checkpoint at any SF), so the seven consumers share
+    one shingle→minhash→banding derivation instead of re-running it."""
+    return _materialized(
+        spark, sf_dir, "lsh_cand_pairs",
+        lambda: _lsh_candidate_pairs_build(spark, sf_dir),
+    )
+
+
+def _lsh_candidate_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     hashed = exploded.select("doc_id", md5_prefix_long(F.col("sh")).alias("h"))
