@@ -336,16 +336,15 @@ _R7_WINDOW = [
     # (d) registered in round 7 (never checked — outrank regression
     # fill per the established rule)
     "t47_bpe_fertility_by_lang", "j03_partition_pruned_join",
-    "m30_mp4_sample_extract",
+    "m30_mp4_sample_extract", "m31_progressive_jpeg_consistency",
     # (e) d02, representing the round-7 LSH-candidate memoization (the
     # shared banding stage now materializes once per session; outputs
     # bit-identical, verified in full local sweeps). Its co-consumers
     # d18/d21/d26/d29 carry the SAME single-line plan change but the
     # window is full — they are the d25-precedent deferral, queued
-    # FIRST for the round-8 window.
+    # FIRST for the round-8 window along with the oldest regression
+    # fills (the remaining _R2_GREEN entries from d09/d10 onward).
     "d02_dedup_minhash_lsh",
-    # (f) oldest-green regression fill (last row: round 2)
-    "d09_dedup_clusters",
 ]
 
 
