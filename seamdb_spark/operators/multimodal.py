@@ -775,16 +775,20 @@ def _jpeg_quantized_zz(width: int, height: int, rgb: bytes) -> list[list[list[in
 
 
 # Progressive scan script: spectral selection for AC plus successive
-# approximation for DC (first pass at Al=1, one-bit refinement scan) —
-# both T.81 progressive dimensions exercised. (comp_indices, Ss, Se,
-# Ah, Al); comp None means "all components, interleaved" (DC scans).
+# approximation for BOTH DC (first pass at Al=1, one-bit refinement
+# scan) and the luma AC bands (first pass at Al=1, then the T.81
+# G.1.2.3 correction-bit refinement scans) — every T.81 progressive
+# dimension exercised. (comp_indices, Ss, Se, Ah, Al); comp None means
+# "all components, interleaved" (DC scans).
 _JPEG_PROG_SCANS = [
     (None, 0, 0, 0, 1),   # DC first pass, all comps, point transform 1
-    ((0,), 1, 5, 0, 0),   # Y AC low band
-    ((0,), 6, 63, 0, 0),  # Y AC high band
-    ((1,), 1, 63, 0, 0),  # Cb AC
+    ((0,), 1, 5, 0, 1),   # Y AC low band, first pass at Al=1
+    ((0,), 6, 63, 0, 1),  # Y AC high band, first pass at Al=1
+    ((1,), 1, 63, 0, 0),  # Cb AC (single full-precision pass)
     ((2,), 1, 63, 0, 0),  # Cr AC
     (None, 0, 0, 1, 0),   # DC refinement (1 raw bit per block)
+    ((0,), 1, 5, 1, 0),   # Y AC low band refinement (correction bits)
+    ((0,), 6, 63, 1, 0),  # Y AC high band refinement
 ]
 
 
@@ -828,17 +832,22 @@ def build_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
             header = bytes([3]) + bytes(
                 [1, 0x00, 2, 0x00, 3, 0x00]
             ) + bytes([ss, se, (ah << 4) | al])
-        else:  # AC scan: single component, band [ss..se], first pass
+        elif ah == 0:  # AC first pass: single component, band [ss..se]
             (ci,) = comp_ids
             for bi in range(nblocks):
                 zz = coefs[ci][bi]
-                last = 0
-                for i in range(ss, se + 1):
-                    if zz[i]:
-                        last = i
+                # point transform: magnitude shift, sign preserved
+                band = [
+                    (v >> al) if v >= 0 else -((-v) >> al)
+                    for v in (zz[i] for i in range(ss, se + 1))
+                ]
+                last = -1
+                for j, v in enumerate(band):
+                    if v:
+                        last = j
                 run = 0
-                for i in range(ss, last + 1):
-                    v = zz[i]
+                for j in range(last + 1):
+                    v = band[j]
                     if v == 0:
                         run += 1
                         continue
@@ -851,9 +860,56 @@ def build_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
                     w.write(code, nb)
                     w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
                     run = 0
-                if last < se:  # per-block EOB (EOBRUN of exactly 1)
+                if last < se - ss:  # per-block EOB (EOBRUN of exactly 1)
                     code, nb = ac_codes[0x00]
                     w.write(code, nb)
+            header = bytes([1]) + bytes([ci + 1, 0x00]) + bytes(
+                [ss, se, (ah << 4) | al]
+            )
+        else:  # AC refinement (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine)
+            (ci,) = comp_ids
+            for bi in range(nblocks):
+                zz = coefs[ci][bi]
+                # magnitudes at the CURRENT precision: 1 = newly
+                # significant this pass, >1 = history (correction bit)
+                mags = [abs(zz[i]) >> al for i in range(ss, se + 1)]
+                eobpos = -1
+                for j, t in enumerate(mags):
+                    if t == 1:
+                        eobpos = j
+                run = 0
+                corr: list[int] = []  # buffered correction bits
+                for j, t in enumerate(mags):
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs flush on EVERY nonzero encounter (history
+                    # included) so correction bits stay positionally
+                    # aligned with the decoder's skip loop; trailing
+                    # zeros past the last new significant fold into EOB
+                    while run > 15 and j <= eobpos:
+                        code, nb = ac_codes[0xF0]  # ZRL
+                        w.write(code, nb)
+                        run -= 16
+                        for b in corr:
+                            w.write(b, 1)
+                        corr = []
+                    if t > 1:  # history coefficient: buffer its bit
+                        corr.append(t & 1)
+                        continue
+                    # newly significant (t == 1)
+                    code, nb = ac_codes[(run << 4) | 1]
+                    w.write(code, nb)
+                    w.write(1 if zz[ss + j] >= 0 else 0, 1)  # sign bit
+                    for b in corr:
+                        w.write(b, 1)
+                    corr = []
+                    run = 0
+                if run > 0 or corr:
+                    code, nb = ac_codes[0x00]  # EOB (run of exactly 1)
+                    w.write(code, nb)
+                    for b in corr:
+                        w.write(b, 1)
             header = bytes([1]) + bytes([ci + 1, 0x00]) + bytes(
                 [ss, se, (ah << 4) | al]
             )
@@ -879,11 +935,11 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     """Decode a progressive JFIF (SOF2, 4:4:4 or grayscale): walk every
     scan, merging spectral-selection bands and DC successive-
     approximation passes into one coefficient array per block, then
-    dequantize + IDCT once. Supports DC first/refinement passes and AC
-    first passes (any Al); AC successive-approximation REFINEMENT
-    (Ss>0 with Ah>0) raises ValueError — the same documented-boundary
-    contract as the other codecs, and build_jpeg_progressive never
-    emits it."""
+    dequantize + IDCT once. Supports the full progressive feature set
+    for 4:4:4/grayscale: DC first/refinement passes and AC first
+    passes at any Al, plus the T.81 G.1.2.3 AC correction-bit
+    refinement (newly-significant ±1<<Al insertion, zero-history run
+    skipping, EOB-covered correction bits)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1000,13 +1056,9 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                         for ci, _d, _a in scan_comps:
                             if reader.read_bit():
                                 coefs[ci][bi][0] |= 1 << al
-            else:  # AC scan: single component, spectral band
+            elif ah == 0:  # AC first pass: single component, band
                 if len(scan_comps) != 1:
                     raise ValueError("progressive AC scan must be 1-component")
-                if ah != 0:
-                    raise ValueError(
-                        "AC successive-approximation refinement unsupported"
-                    )
                 ci, _d, act_id = scan_comps[0]
                 if act_id not in ac_tables:
                     raise ValueError("JPEG references undeclared Huffman table")
@@ -1033,6 +1085,73 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                             raise ValueError("JPEG AC run past band end")
                         zz[k] = _jpeg_extend(reader.read(s), s) << al
                         k += 1
+            else:  # AC refinement (T.81 G.1.2.3 / decode_mcu_AC_refine)
+                if len(scan_comps) != 1:
+                    raise ValueError("progressive AC scan must be 1-component")
+                ci, _d, act_id = scan_comps[0]
+                if act_id not in ac_tables:
+                    raise ValueError("JPEG references undeclared Huffman table")
+                act = ac_tables[act_id]
+                p1, m1 = 1 << al, -(1 << al)
+
+                def _refine_nonzero(zz, k):
+                    # one correction bit per already-nonzero coefficient
+                    if reader.read_bit() and (abs(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+
+                eobrun = 0
+                for bi in range(nblocks):
+                    zz = coefs[ci][bi]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _jpeg_huff_decode(reader, act)
+                            r, s = sym >> 4, sym & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r != 15:  # EOBn (covers THIS block too)
+                                    eobrun = (1 << r) + (
+                                        reader.read(r) if r else 0
+                                    )
+                                    break
+                                # ZRL: skip 16 zero-history positions
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "AC refinement symbol must have s=1"
+                                    )
+                                newval = p1 if reader.read_bit() else m1
+                            # advance: pass r zero-history positions
+                            # (history coefficients don't count against
+                            # r — they get correction bits), stopping AT
+                            # the (r+1)-th zero-history position: the
+                            # landing slot for newval, or ZRL's 16th
+                            # zero, consumed by the trailing k += 1
+                            if s == 0:
+                                r = 15
+                            while k <= se:
+                                if zz[k] != 0:
+                                    _refine_nonzero(zz, k)
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        break
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG AC refinement past band end"
+                                    )
+                                zz[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # EOB-covered region: remaining nonzero-history
+                        # coefficients still carry correction bits
+                        while k <= se:
+                            if zz[k] != 0:
+                                _refine_nonzero(zz, k)
+                            k += 1
+                        eobrun -= 1
             pos = dend
             continue
         pos += 2 + size
@@ -4394,15 +4513,16 @@ def m30_mp4_sample_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next to m30's mdat slicing): each sampled doc's ramp image is
 # encoded BOTH as baseline SOF0 (build_jpeg) and as progressive SOF2
 # (build_jpeg_progressive: DC successive approximation at Al=1 plus a
-# one-bit refinement scan, and spectral-selection AC bands 1-5/6-63
-# for Y and 1-63 per chroma — six scans), then both payloads decode
-# through the magic-sniffing decode_media. The two encoders quantize
-# identical coefficients, so after scan MERGING the progressive decode
-# must be BIT-identical to the baseline decode — any error in band
-# splitting, EOB-run handling, the DC point transform, or refinement
-# ORing surfaces as pixels_equal=false. AC successive-approximation
-# refinement remains the documented ValueError boundary
-# (decode_jpeg_progressive docstring).
+# one-bit refinement scan; luma AC bands 1-5/6-63 at Al=1 each
+# followed by a T.81 G.1.2.3 correction-bit refinement scan; chroma
+# AC 1-63 full-precision — EIGHT scans covering every progressive
+# feature), then both payloads decode through the magic-sniffing
+# decode_media. The two encoders quantize identical coefficients, so
+# after scan MERGING the progressive decode must be BIT-identical to
+# the baseline decode — any error in band splitting, EOB-run handling,
+# point transforms, newly-significant insertion, or correction-bit
+# alignment surfaces as pixels_equal=false. Also identity-checked over
+# random-noise images in pytest (ZRL/EOB/refinement stress).
 #
 # Scale: row-local Arrow-batched mapInPandas, zero shuffle; shares
 # m15's 1-in-8 sample (offset 0) — the same image family whose
@@ -4420,7 +4540,7 @@ _M31_SCHEMA = (
     SELECT doc_id,
            CAST(16 AS BIGINT) AS width,
            CAST(16 AS BIGINT) AS height,
-           CAST(6 AS BIGINT) AS n_scans,
+           CAST(8 AS BIGINT) AS n_scans,
            CAST(256 * (doc_id % 64 + (doc_id * 7) % 64 + (doc_id * 13) % 64)
                 + 27 * 1920 AS BIGINT) AS src_pixel_sum,
            TRUE AS pixels_equal,

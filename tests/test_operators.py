@@ -3125,3 +3125,30 @@ def test_burstiness_pure_python_replay(spark, registry):
             else "underdispersed" if fano <= 667 else "poisson_like"
         )
         assert r.dispersion_class == want_cls
+
+
+def test_progressive_jpeg_identity_on_noise():
+    """m31's codec kernel under adversarial inputs: random-noise images
+    maximize nonzero AC coefficients, stressing ZRL emission, per-block
+    EOB handling, the AC point transform, and the G.1.2.3 refinement
+    correction-bit alignment. The progressive decode must stay
+    BIT-identical to the baseline decode (same quantized coefficients
+    by construction) — any positional drift in buffered correction
+    bits corrupts the Huffman stream and fails loudly here."""
+    import numpy as np
+
+    from seamdb_spark.operators.multimodal import (
+        build_jpeg,
+        build_jpeg_progressive,
+        decode_jpeg,
+        decode_media,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        raw = rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes()
+        base = decode_jpeg(build_jpeg(16, 16, raw))
+        prog = decode_media(build_jpeg_progressive(16, 16, raw))
+        assert prog.get("progressive") and prog["n_scans"] == 8
+        assert prog["pixels"] == base["pixels"]
+        assert prog["pixel_sum"] == base["pixel_sum"]
