@@ -330,13 +330,16 @@ _R7_WINDOW = [
     "e39_time_decay_attribution",
     # (b) plan/oracle changed in round 7
     "t40_bpe_train", "g06_label_propagation",
-    # (c) round-6 late plan-changed refactors
+    # (c) round-6 late plan-changed refactors (s03's no-op empty-salt
+    # concat — output bit-identical — was displaced by m32 when the
+    # window filled; it joins the round-8 head queue with d18/d21/
+    # d26/d29)
     "e02_sessionization", "d20_cdc_chunk_dedup", "d25_paragraph_neardup",
-    "s03_ann_ivf_topk",
     # (d) registered in round 7 (never checked — outrank regression
     # fill per the established rule)
     "t47_bpe_fertility_by_lang", "j03_partition_pruned_join",
     "m30_mp4_sample_extract", "m31_progressive_jpeg_consistency",
+    "m32_jpeg_420_roundtrip",
     # (e) d02, representing the round-7 LSH-candidate memoization (the
     # shared banding stage now materializes once per session; outputs
     # bit-identical, verified in full local sweeps). Its co-consumers

