@@ -834,3 +834,69 @@ def frequency_cap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming counterpart of x11/x16's KMV sketches via
+    applyInPandasWithState: per event type the state is the KMV_K
+    smallest DISTINCT user-id hashes — a true mergeable sketch (k
+    longs forever), folded incrementally per micro-batch. Run to
+    completion, the LAST update per type equals the batch KMV
+    construction hash-for-hash, and x16's A-not-B audience estimate
+    derives from the two final sketches ALONE (tested) — the live form
+    of the exclusion query, where batch x16 is the retrospective
+    audit."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.events import KMV_K, X11_A, X11_B
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type").isin(X11_A, X11_B))
+        .select("event_type", "user_id")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("k_used", T.LongType()),
+            T.StructField("kth_min", T.LongType()),
+            T.StructField("hashes", T.ArrayType(T.LongType())),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("hs", T.ArrayType(T.LongType()))]
+    )
+
+    def _hk(uid: int) -> int:
+        # same 32-bit md5-prefix value as operators.hashing.md5_prefix_long
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16)
+
+    def update(key, pdfs, state: GroupState):
+        hs = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            hs.update(_hk(int(u)) for u in pdf["user_id"])
+            if len(hs) > KMV_K:  # trim once per batch, not per event
+                hs = set(sorted(hs)[:KMV_K])
+        out = sorted(hs)[:KMV_K]
+        state.update((out,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "k_used": pd.array([len(out)], dtype="Int64"),
+                "kth_min": pd.array(
+                    [max(out) if out else 0], dtype="Int64"
+                ),
+                "hashes": [out],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -401,3 +401,51 @@ def test_frequency_cap_stream_matches_batch_x15(spark):
         assert n_seen == n
         assert n_kept == min(n, X15_CAP)
         assert capped == (n > X15_CAP)
+
+
+def test_kmv_sketch_stream_matches_batch_x16(spark):
+    """The streaming KMV states must equal the batch KMV construction
+    hash-for-hash, and x16's A-not-B estimate must be derivable from
+    the two final sketches alone (sketch-only read-off, no raw data)."""
+    from seamdb_spark.operators.events import KMV_K, X11_A, X11_B, _KMV_SCALE
+    from seamdb_spark.operators.hashing import md5_prefix_long
+    from seamdb_spark.streaming.events import kmv_sketch_stream
+
+    out = st.run_stream_to_memory(
+        kmv_sketch_stream(spark, SF_SMOKE), "kmv_q", "update"
+    )
+    last = {}
+    for r in out.collect():  # memory sink appends; last row per type wins
+        last[r.event_type] = r
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("event_type").isin(X11_A, X11_B)
+    )
+    batch = {}
+    for t in (X11_A, X11_B):
+        hs = sorted(
+            r.h
+            for r in ev.filter(F.col("event_type") == t)
+            .select(md5_prefix_long(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+            .collect()
+        )[:KMV_K]
+        batch[t] = hs
+    for t in (X11_A, X11_B):
+        assert list(last[t].hashes) == batch[t]
+        assert last[t].k_used == len(batch[t])
+        assert last[t].kth_min == (max(batch[t]) if batch[t] else 0)
+    # sketch-only A-not-B read-off equals x16's estimate columns
+    a, b = set(batch[X11_A]), set(batch[X11_B])
+    merged = sorted(a | b)[:KMV_K]
+    k_used = len(merged)
+    n_a_only = sum(1 for h in merged if h in a and h not in b)
+    est_u = (
+        float(k_used)
+        if k_used < KMV_K
+        else (KMV_K - 1) * _KMV_SCALE / max(merged)
+    )
+    from seamdb_spark.operators.events import x16_kmv_anotb
+
+    row = x16_kmv_anotb(spark, SF_SMOKE).collect()[0]
+    assert row.k_used == k_used and row.n_a_only == n_a_only
+    assert abs(row.est_a_not_b - round(est_u * n_a_only / k_used, 6)) < 1e-6
