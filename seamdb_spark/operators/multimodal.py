@@ -159,6 +159,10 @@ def decode_wav(payload: bytes) -> dict:
             f"unsupported WAV (format={audio_format}, bits={bits}); "
             "only 8/16-bit PCM supported"
         )
+    if channels == 0 or block_align != channels * (bits // 8):
+        raise ValueError(
+            "WAV block_align inconsistent with channels/bit depth"
+        )
     n_samples = len(data) // block_align if block_align else 0
     if bits == 16:
         vals = struct.unpack_from(f"<{n_samples * channels}h", data, 0)
@@ -421,7 +425,10 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + clen
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * 3
     if len(raw) != height * (stride + 1):
         raise ValueError("inflated length != height*(stride+1)")
@@ -559,6 +566,8 @@ def build_jpeg(width: int, height: int, rgb: bytes) -> bytes:
 
 def _jpeg_decode_table(bits, symbols):
     """Canonical (code, length) -> symbol map from DHT bits/values."""
+    if sum(bits[1:17]) > len(symbols):
+        raise ValueError("JPEG DHT bit counts exceed its symbol list")
     table = {}
     code = 0
     k = 0
@@ -691,15 +700,17 @@ def decode_jpeg(payload: bytes) -> dict:
     for _cid, tq in comps:
         if tq not in qtabs:
             raise ValueError(f"JPEG references undeclared quant table {tq}")
-    for _cid, dct_id, act_id in scan_comps:
+    comp_q = {cid: qtabs[tq] for cid, tq in comps}
+    for cid, dct_id, act_id in scan_comps:
         if dct_id not in dc_tables or act_id not in ac_tables:
             raise ValueError("JPEG references undeclared Huffman table")
+        if cid not in comp_q:
+            raise ValueError(f"JPEG SOS references undeclared component {cid}")
     end = payload.rfind(b"\xff\xd9")
     reader = _JpegBitReader(payload[scan_start : end if end > 0 else len(payload)])
     C = _jpeg_dct_matrix()
     planes = [np.zeros((h, w), dtype=np.float64) for _ in scan_comps]
     prev_dc = [0] * len(scan_comps)
-    comp_q = {cid: qtabs[tq] for cid, tq in comps}
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
             for ci, (cid, dct_id, act_id) in enumerate(scan_comps):
@@ -958,7 +969,7 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     sof = None
     coefs: list | None = None  # per comp: nblocks x 64 ints, zigzag order
     n_scans = 0
-    while pos + 2 <= len(payload):
+    while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = payload[pos + 1]
@@ -1022,13 +1033,21 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                 raise ValueError("JPEG SOS before SOF2")
             w_, h_, comps = sof
             cid_to_ci = {cid: i for i, (cid, _tq) in enumerate(comps)}
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                if cid not in cid_to_ci:
+                    raise ValueError(
+                        f"JPEG SOS references undeclared component {cid}"
+                    )
                 scan_comps.append((cid_to_ci[cid], tabs >> 4, tabs & 0x0F))
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if ss > se or se > 63:
+                raise ValueError("JPEG progressive scan band out of range")
             # entropy data: up to the next real marker (skip stuffing)
             dstart = pos + 2 + size
             dend = dstart
@@ -1333,6 +1352,8 @@ def decode_jpeg_420(payload: bytes) -> dict:
         if marker == 0xDB:
             off = 0
             while off < len(body):
+                if off + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT segment")
                 pq, tq = body[off] >> 4, body[off] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit JPEG quant tables unsupported")
@@ -1344,9 +1365,13 @@ def decode_jpeg_420(payload: bytes) -> dict:
         elif marker == 0xC4:
             off = 0
             while off < len(body):
+                if off + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
                 tc, th = body[off] >> 4, body[off] & 0x0F
                 bits = [0] + list(body[off + 1 : off + 17])
                 nsym = sum(bits)
+                if off + 17 + nsym > len(body):
+                    raise ValueError("truncated JPEG DHT symbol list")
                 syms = list(body[off + 17 : off + 17 + nsym])
                 (dc_tables if tc == 0 else ac_tables)[th] = (
                     _jpeg_decode_table(bits, syms)
@@ -1368,6 +1393,8 @@ def decode_jpeg_420(payload: bytes) -> dict:
                 raise ValueError("non-multiple-of-16 4:2:0 dimensions")
             sof = (w, h, comps)
         elif marker == 0xDA:
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
@@ -1379,6 +1406,8 @@ def decode_jpeg_420(payload: bytes) -> dict:
     if sof is None or scan_comps is None:
         raise ValueError("JPEG missing SOF0/SOS")
     w, h, comps = sof
+    if len(scan_comps) != len(comps):
+        raise ValueError("JPEG SOS component count != SOF component count")
     for _cid, _s, tq in comps:
         if tq not in qtabs:
             raise ValueError(f"JPEG references undeclared quant table {tq}")
@@ -4296,6 +4325,8 @@ def decode_mp4_probe(payload: bytes) -> dict:
             elif btype == b"ftyp":
                 info["brand"] = body[:4].decode("ascii", "replace")
             elif btype == b"mvhd":
+                if len(body) < 20:
+                    raise ValueError("truncated MP4 mvhd box")
                 ts, dur = struct.unpack(">II", body[12:20])
                 info["timescale"], info["duration"] = ts, dur
             elif btype == b"hdlr":
@@ -4303,6 +4334,8 @@ def decode_mp4_probe(payload: bytes) -> dict:
             elif btype == b"stsd":
                 info["codec"] = body[12:16].decode("ascii", "replace")
             elif btype == b"stsz":
+                if len(body) < 12:
+                    raise ValueError("truncated MP4 stsz header")
                 _, n = struct.unpack(">II", body[4:12])
                 if len(body) < 12 + 4 * n:
                     raise ValueError("stsz table shorter than its count")
@@ -4313,6 +4346,8 @@ def decode_mp4_probe(payload: bytes) -> dict:
                 info["n_samples"] = n
                 info["sample_bytes"] = sum(sizes)
             elif btype == b"stss":
+                if len(body) < 8:
+                    raise ValueError("truncated MP4 stss header")
                 (n,) = struct.unpack(">I", body[4:8])
                 if len(body) < 8 + 4 * n:
                     raise ValueError("stss table shorter than its count")
@@ -4361,6 +4396,8 @@ def extract_mp4_samples(payload: bytes) -> list[tuple]:
             if btype in _MP4_CONTAINERS:
                 walk(pos + 8, pos + size)
             elif btype == b"stsz":
+                if len(body) < 12:
+                    raise ValueError("truncated MP4 stsz header")
                 _, n = struct.unpack(">II", body[4:12])
                 if len(body) < 12 + 4 * n:
                     raise ValueError("stsz table shorter than its count")
@@ -4369,7 +4406,11 @@ def extract_mp4_samples(payload: bytes) -> list[tuple]:
                     for i in range(n)
                 )
             elif btype == b"stss":
+                if len(body) < 8:
+                    raise ValueError("truncated MP4 stss header")
                 (n,) = struct.unpack(">I", body[4:8])
+                if len(body) < 8 + 4 * n:
+                    raise ValueError("stss table shorter than its count")
                 keyframes.update(
                     struct.unpack(">I", body[8 + 4 * i : 12 + 4 * i])[0]
                     for i in range(n)

@@ -3152,3 +3152,54 @@ def test_progressive_jpeg_identity_on_noise():
         assert prog.get("progressive") and prog["n_scans"] == 8
         assert prog["pixels"] == base["pixels"]
         assert prog["pixel_sum"] == base["pixel_sum"]
+
+
+def test_codec_decoders_fail_clean_on_malformed_bytes():
+    """Corpus-robustness contract: at 100 TB some payloads WILL be
+    truncated or bit-rotted, and a decode kernel that leaks IndexError/
+    KeyError/struct.error instead of ValueError turns one bad row into
+    an undiagnosable task failure. Fixed-seed fuzz over every builder's
+    output: byte truncations and single-byte flips must only ever raise
+    ValueError or NotImplementedError, and pristine payloads must still
+    decode (the guards cannot reject valid files)."""
+    import numpy as np
+
+    from seamdb_spark.operators import multimodal as mm
+
+    raw = mm._ramp_rgb(8).tobytes()
+    payloads = {
+        "jpeg": mm.build_jpeg(16, 16, raw),
+        "jpeg_progressive": mm.build_jpeg_progressive(16, 16, raw),
+        "jpeg_420": mm.build_jpeg_420(16, 16, raw),
+        "png": mm.build_png(16, 16, raw),
+        "bmp": mm.build_bmp(16, 16, bytes(range(256)) * 3),
+        "wav": mm.build_wav(list(range(-100, 100))),
+        "mp4": mm.build_mp4(1000, 200, [100, 120, 140], [1]),
+    }
+    for name, p in payloads.items():
+        assert mm.decode_media(p)["kind"]  # pristine still decodes
+        for cut in range(2, len(p), 11):
+            try:
+                mm.decode_media(p[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        rng = np.random.default_rng(1)
+        for _ in range(300):
+            b = bytearray(p)
+            i = int(rng.integers(2, len(p)))
+            b[i] = int(rng.integers(0, 256))
+            try:
+                mm.decode_media(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+    # the mdat sample slicer shares the walker and the same contract
+    rng = np.random.default_rng(9)
+    p = payloads["mp4"]
+    for _ in range(300):
+        b = bytearray(p)
+        i = int(rng.integers(2, len(p)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            mm.extract_mp4_samples(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
