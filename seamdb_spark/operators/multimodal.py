@@ -1727,21 +1727,29 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
                 raise ValueError("GIF trailer before any image descriptor")
             return frames
         if b0 == 0x21:  # extension: label byte + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension block")
             label = payload[pos]
             pos += 1
             if label == 0xF9:  # Graphic Control Extension
+                if pos + 4 > len(payload):
+                    raise ValueError("truncated GIF GCE block")
                 blen = payload[pos]
                 if blen != 4:
                     raise ValueError("GCE block length != 4")
                 delay_cs = struct.unpack(
                     "<H", payload[pos + 2 : pos + 4]
                 )[0]
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension sub-blocks")
             pos += 1
             continue
         if b0 != 0x2C:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         left, top, width, height, iflags = struct.unpack(
             "<HHHHB", payload[pos : pos + 9]
         )
@@ -1757,6 +1765,8 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
             pos += size
         if not table:
             raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF before LZW code size")
         min_code_size = payload[pos]
         pos += 1
         lzw = bytearray()

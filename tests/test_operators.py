@@ -3175,6 +3175,10 @@ def test_codec_decoders_fail_clean_on_malformed_bytes():
         "bmp": mm.build_bmp(16, 16, bytes(range(256)) * 3),
         "wav": mm.build_wav(list(range(-100, 100))),
         "mp4": mm.build_mp4(1000, 200, [100, 120, 140], [1]),
+        "gif": mm.build_gif(16, 16, raw),
+        "gif_anim": mm.build_gif_animation(
+            8, 8, [raw[:192], raw[192:384]], [10, 20]
+        ),
     }
     for name, p in payloads.items():
         assert mm.decode_media(p)["kind"]  # pristine still decodes
