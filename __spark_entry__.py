@@ -292,20 +292,25 @@ _R6_WINDOW = [
 #     shared _g06_chain_ctes builder; d34/g07's identical rebuilds are
 #     in (a); j02's bucketed path was namespaced by applicationId —
 #     output unaffected, already in (a));
-# (c) slots 42-45: the round-6 late plan-changed refactors carried per
+# (c) slots 42-44: the round-6 late plan-changed refactors carried per
 #     the procedure (e02 session labeling factored for e38; d20 CDC
 #     flat builder factored for t43; d25 candidate stage factored —
-#     displaced from the r6 window; s03 seed hash's no-op empty-salt
-#     concat for s23);
-# (d) slots 46-50: oldest-green regression fill — the head of
-#     _R2_GREEN not re-checked since round 2.
+#     displaced from the r6 window); s03's no-op empty-salt concat
+#     (output bit-identical) was displaced by m32 when the window
+#     filled;
+# (d) slots 45-49: registered in round 7, never driver-checked
+#     (t47/j03/m30/m31/m32);
+# (e) slot 50: d02, representing the round-7 LSH-candidate
+#     memoization plan change.
 #
 # ROUND-8 PROCEDURE: after CORRECTNESS_r07 lands, pin (a) any queries
 # registered after _R7_WINDOW froze and any whose plan/oracle changes
-# in round 8, then fill to 50 oldest-green-first: the remaining
-# _R2_GREEN entries from x01_approx_distinct onward (d09/d10 and the
-# 3 fill slots below land rows this round), then _R3_WINDOW, then
-# _R4_WINDOW, then _R5_WINDOW, then _R6_WINDOW.
+# in round 8, then (b) the deferred round-7 plan changes with
+# bit-identical outputs: d18/d21/d26/d29 (LSH-candidate memoization,
+# same one-line change d02 verifies this round) and s03 (no-op
+# empty-salt concat), then fill to 50 oldest-green-first: the
+# remaining _R2_GREEN entries from d09_dedup_clusters onward, then
+# _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW, then _R6_WINDOW.
 _R7_WINDOW = [
     # (a) no driver row ever (rowless post-r6-freeze + the 3 CAST-fixed
     # r6 reds), registration order
