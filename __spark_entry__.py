@@ -292,23 +292,24 @@ _R6_WINDOW = [
 #     shared _g06_chain_ctes builder; d34/g07's identical rebuilds are
 #     in (a); j02's bucketed path was namespaced by applicationId —
 #     output unaffected, already in (a));
-# (c) slots 42-44: the round-6 late plan-changed refactors carried per
+# (c) slots 42-43: the round-6 late plan-changed refactors carried per
 #     the procedure (e02 session labeling factored for e38; d20 CDC
-#     flat builder factored for t43; d25 candidate stage factored —
-#     displaced from the r6 window); s03's no-op empty-salt concat
-#     (output bit-identical) was displaced by m32 when the window
-#     filled;
-# (d) slots 45-49: registered in round 7, never driver-checked
-#     (t47/j03/m30/m31/m32);
+#     flat builder factored for t43); the bit-identical s03 (no-op
+#     empty-salt concat) and d25 (candidate-stage factoring, plan
+#     bit-identical per the r6 notes) were displaced by m32/p12 when
+#     the window filled;
+# (d) slots 44-49: registered in round 7, never driver-checked
+#     (t47/j03/m30/m31/m32/p12);
 # (e) slot 50: d02, representing the round-7 LSH-candidate
 #     memoization plan change.
 #
 # ROUND-8 PROCEDURE: after CORRECTNESS_r07 lands, pin (a) any queries
 # registered after _R7_WINDOW froze and any whose plan/oracle changes
-# in round 8, then (b) the deferred round-7 plan changes with
-# bit-identical outputs: d18/d21/d26/d29 (LSH-candidate memoization,
-# same one-line change d02 verifies this round) and s03 (no-op
-# empty-salt concat), then fill to 50 oldest-green-first: the
+# in round 8, then (b) the deferred plan changes with bit-identical
+# outputs: d18/d21/d26/d29 (LSH-candidate memoization, same one-line
+# change d02 verifies this round), s03 (no-op empty-salt concat) and
+# d25 (r6 candidate-stage factoring), then fill to 50
+# oldest-green-first: the
 # remaining _R2_GREEN entries from d09_dedup_clusters onward, then
 # _R3_WINDOW, then _R4_WINDOW, then _R5_WINDOW, then _R6_WINDOW.
 _R7_WINDOW = [
@@ -339,12 +340,12 @@ _R7_WINDOW = [
     # concat — output bit-identical — was displaced by m32 when the
     # window filled; it joins the round-8 head queue with d18/d21/
     # d26/d29)
-    "e02_sessionization", "d20_cdc_chunk_dedup", "d25_paragraph_neardup",
+    "e02_sessionization", "d20_cdc_chunk_dedup",
     # (d) registered in round 7 (never checked — outrank regression
     # fill per the established rule)
     "t47_bpe_fertility_by_lang", "j03_partition_pruned_join",
     "m30_mp4_sample_extract", "m31_progressive_jpeg_consistency",
-    "m32_jpeg_420_roundtrip",
+    "m32_jpeg_420_roundtrip", "p12_cluster_balanced_sample",
     # (e) d02, representing the round-7 LSH-candidate memoization (the
     # shared banding stage now materializes once per session; outputs
     # bit-identical, verified in full local sweeps). Its co-consumers

@@ -1280,3 +1280,131 @@ def p11_quota_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("selected"),
     )
+
+
+# --------------------------------------------------------------------------
+# p12: cluster-balanced corpus sample — the SemDeDup-adjacent long-tail
+# flattening step a curation pipeline runs between clustering and
+# training-set assembly: assign every embedding to its IVF cell (the
+# memoized s03 Lloyd centroids), then keep isqrt(cell size) members per
+# cell — big near-duplicate-heavy clusters are decimated toward their
+# square root while singleton-tail cells survive intact, the standard
+# diversity-preserving rebalance. Selection is deterministic (t09/x12
+# discipline: rank members by (md5(vec_id), vec_id) within each cell)
+# and the output pins the EXACT sample via the per-cell id checksum,
+# not just its size. isqrt is computed exactly in both engines: float
+# floor(sqrt(n)) then a ±1 integer correction, so no binary-boundary
+# divergence can reach the hash gate.
+#
+# Scale: cell assignment is the benched s03 path (broadcast K=16
+# centroid table, one corpus scan); sizes/quotas are K-row frames; the
+# per-cell rank is a keyed window over K strata — at 100 TB raise K
+# with the corpus (IVF cells ~ sqrt(N) members each) or swap in
+# ranks.grouped_running_sum (the p11 discipline) for huge strata.
+# --------------------------------------------------------------------------
+def _p12_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+    from .similarity import (
+        IVF_K,
+        QUANT_SCALE,
+        _lloyd_assign_sql,
+        _lloyd_means_sql,
+    )
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+    member_hash = md5_prefix_long_sql("CAST(c.vec_id AS VARCHAR)")
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT cid, q AS cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {IVF_K}
+    ),
+    a1 AS ({_lloyd_assign_sql('quant', 'seeds')}),
+    c1 AS ({_lloyd_means_sql('a1')}),
+    a2 AS ({_lloyd_assign_sql('quant', 'c1')}),
+    c2 AS ({_lloyd_means_sql('a2')}),
+    cells AS ({_lloyd_assign_sql('quant', 'c2')}),
+    sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM cells GROUP BY cid
+    ),
+    quotas AS (
+      SELECT cid, n_members,
+             CAST(CASE WHEN (q0 + 1) * (q0 + 1) <= n_members THEN q0 + 1
+                       WHEN q0 * q0 > n_members THEN q0 - 1
+                       ELSE q0 END AS BIGINT) AS quota
+      FROM (SELECT cid, n_members,
+                   CAST(FLOOR(SQRT(CAST(n_members AS DOUBLE))) AS BIGINT)
+                     AS q0
+            FROM sizes)
+    ),
+    ranked AS (
+      SELECT c.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY c.cid
+                                ORDER BY {member_hash}, c.vec_id) AS rk
+      FROM cells c
+    )
+    SELECT CAST(q.cid AS BIGINT) AS cid, q.n_members, q.quota,
+           CAST((1000000 * q.quota) // q.n_members AS BIGINT) AS kept_ppm,
+           CAST(SUM(r.vec_id) AS BIGINT) AS sampled_id_sum
+    FROM ranked r JOIN quotas q USING (cid)
+    WHERE r.rk <= q.quota
+    GROUP BY q.cid, q.n_members, q.quota
+    """
+
+
+@register("p12_cluster_balanced_sample", oracle=_p12_oracle())
+def p12_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .hashing import md5_prefix_long
+    from .similarity import _ivf_centroids, _qd2, _quant_corpus
+
+    quant = _quant_corpus(spark, sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
+    cdf = F.broadcast(
+        spark.createDataFrame(centroids, "cid int, cvec array<bigint>")
+    )
+    cells = (
+        quant.crossJoin(cdf)
+        .withColumn("d2", _qd2("q", "cvec"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+        # read by sizes AND the per-cell rank
+        .localCheckpoint()
+    )
+    sizes = cells.groupBy("cid").agg(F.count("*").alias("n_members"))
+    q0 = F.floor(F.sqrt(F.col("n_members").cast("double"))).cast("long")
+    quotas = sizes.select(
+        "cid",
+        "n_members",
+        F.when((q0 + 1) * (q0 + 1) <= F.col("n_members"), q0 + 1)
+        .when(q0 * q0 > F.col("n_members"), q0 - 1)
+        .otherwise(q0)
+        .alias("quota"),
+    )
+    w = W.partitionBy("cid").orderBy(
+        md5_prefix_long(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = cells.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "cid")
+        .filter(F.col("rk") <= F.col("quota"))
+        .groupBy("cid", "n_members", "quota")
+        .agg(F.sum("vec_id").alias("sampled_id_sum"))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_members",
+            "quota",
+            F.expr("(1000000 * quota) div n_members").alias("kept_ppm"),
+            "sampled_id_sum",
+        )
+    )
