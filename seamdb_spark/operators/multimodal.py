@@ -273,6 +273,13 @@ class _JpegBitWriter:
             self.write(1, 1)  # pad with 1-bits per T.81
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded) and emit an RSTn marker — markers are
+        never byte-stuffed."""
+        while self.n:
+            self.write(1, 1)
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 class _JpegBitReader:
     def __init__(self, data):
@@ -302,6 +309,23 @@ class _JpegBitReader:
         for _ in range(nbits):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, n: int) -> None:
+        """Consume an RSTn marker at a restart boundary: discard any
+        partial byte (the encoder padded to a byte edge before the
+        marker) and verify the 2-byte 0xFFD0+n marker."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG scan at restart boundary")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != (
+            0xD0 + (n % 8)
+        ):
+            raise ValueError(
+                f"expected RST{n % 8} marker at restart boundary, got "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
 
 
 # --------------------------------------------------------------------------
@@ -481,10 +505,15 @@ def _jpeg_extend(v, cat):
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def build_jpeg(width: int, height: int, rgb: bytes) -> bytes:
+def build_jpeg(
+    width: int, height: int, rgb: bytes, restart_interval: int = 0
+) -> bytes:
     """Encode raw RGB bytes (len == width*height*3, row-major) as a
     baseline JFIF (YCbCr 4:4:4). Dimensions must be multiples of 8 —
-    the synthesized fixtures are; a general encoder would edge-pad."""
+    the synthesized fixtures are; a general encoder would edge-pad.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (with DC-predictor reset) every that-many MCUs — the error-
+    resilience layout most real camera JPEGs carry."""
     import numpy as np
 
     if width % 8 or height % 8:
@@ -505,8 +534,15 @@ def build_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     _, _, ac_codes = _jpeg_huff_spec(_JPEG_AC_SYMBOLS, 8)
     w = _JpegBitWriter()
     prev_dc = [0, 0, 0]
+    mcu = 0
+    rst = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0, 0, 0]
+            mcu += 1
             for ci, plane in enumerate(planes):
                 block = plane[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
                 qc = np.rint((C @ block @ C.T) / q).astype(np.int64)
@@ -561,7 +597,12 @@ def build_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     jfif = seg(
         0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     )
-    return b"\xff\xd8" + jfif + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + jfif + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
 def _jpeg_decode_table(bits, symbols):
@@ -608,6 +649,7 @@ def decode_jpeg(payload: bytes) -> dict:
     sof = None
     scan_comps = None
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -618,7 +660,11 @@ def decode_jpeg(payload: bytes) -> dict:
         body = payload[pos + 4 : pos + 2 + size]
         if len(body) != size - 2:
             raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:
+        if marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDB:
             off = 0
             while off < len(body):
                 if off + 65 > len(body):
@@ -711,8 +757,15 @@ def decode_jpeg(payload: bytes) -> dict:
     C = _jpeg_dct_matrix()
     planes = [np.zeros((h, w), dtype=np.float64) for _ in scan_comps]
     prev_dc = [0] * len(scan_comps)
+    mcu = 0
+    rst = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.expect_restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0] * len(scan_comps)
+            mcu += 1
             for ci, (cid, dct_id, act_id) in enumerate(scan_comps):
                 dct = dc_tables[dct_id]
                 act = ac_tables[act_id]
@@ -1225,12 +1278,15 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     }
 
 
-def build_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
+def build_jpeg_420(
+    width: int, height: int, rgb: bytes, restart_interval: int = 0
+) -> bytes:
     """Encode raw RGB as a 4:2:0 chroma-subsampled baseline JFIF
     (SOF0; Y at 2x2 sampling factors, Cb/Cr at half resolution via the
     exact integer 2x2 mean (a+b+c+d+2)>>2). Dimensions must be
     multiples of 16 — one MCU covers 16x16 pixels as four Y blocks
-    (raster order) + one Cb + one Cr block, the standard interleave."""
+    (raster order) + one Cb + one Cr block, the standard interleave.
+    ``restart_interval`` emits DRI/RSTn exactly as in build_jpeg."""
     import numpy as np
 
     if width % 16 or height % 16:
@@ -1291,8 +1347,15 @@ def build_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
             code, nb = ac_codes[0x00]
             w.write(code, nb)
 
+    mcu = 0
+    rst = 0
     for my in range(0, height, 16):
         for mx in range(0, width, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc[:] = [0, 0, 0]
+            mcu += 1
             for vv in (0, 8):
                 for hh in (0, 8):
                     put_block(y, my + vv, mx + hh, 0)
@@ -1319,7 +1382,12 @@ def build_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
     jfif = seg(
         0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     )
-    return b"\xff\xd8" + jfif + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + jfif + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
 def decode_jpeg_420(payload: bytes) -> dict:
@@ -1339,6 +1407,7 @@ def decode_jpeg_420(payload: bytes) -> dict:
     sof = None
     scan_comps = None
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -1349,7 +1418,11 @@ def decode_jpeg_420(payload: bytes) -> dict:
         body = payload[pos + 4 : pos + 2 + size]
         if len(body) != size - 2:
             raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:
+        if marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDB:
             off = 0
             while off < len(body):
                 if off + 65 > len(body):
@@ -1450,8 +1523,15 @@ def decode_jpeg_420(payload: bytes) -> dict:
         coef = coef.reshape(8, 8) * qmap[ci]
         plane[by:by + 8, bx:bx + 8] = C.T @ coef @ C + 128.0
 
+    mcu = 0
+    rst = 0
     for my in range(0, h, 16):
         for mx in range(0, w, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.expect_restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc[:] = [0, 0, 0]
+            mcu += 1
             for vv in (0, 8):
                 for hh in (0, 8):
                     get_block(0, yplane, my + vv, mx + hh)

@@ -3207,3 +3207,44 @@ def test_codec_decoders_fail_clean_on_malformed_bytes():
             mm.extract_mp4_samples(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn support — the error-resilience layout most real camera
+    JPEGs carry: the encoder emits a DRI segment and byte-aligned RSTn
+    markers (cycling 0-7) with DC-predictor resets every N MCUs, and
+    the decoder consumes them at the same boundaries. Entropy resets
+    cannot change coefficients, so the decode must stay BIT-identical
+    to the restart-free encoding — for 4:4:4 and 4:2:0, at several
+    intervals, and on a 16-MCU image that cycles the RST index."""
+    import numpy as np
+
+    from seamdb_spark.operators import multimodal as mm
+
+    raw = mm._ramp_rgb(11).tobytes()
+    plain = mm.decode_media(mm.build_jpeg(16, 16, raw))
+    for ri in (1, 2, 3):
+        p = mm.build_jpeg(16, 16, raw, restart_interval=ri)
+        assert b"\xff\xdd" in p and b"\xff\xd0" in p
+        assert mm.decode_media(p)["pixels"] == plain["pixels"]
+    p420 = mm.decode_media(mm.build_jpeg_420(16, 16, raw))
+    r420 = mm.build_jpeg_420(16, 16, raw, restart_interval=1)
+    assert mm.decode_media(r420)["pixels"] == p420["pixels"]
+    big = np.tile(
+        np.frombuffer(raw, dtype=np.uint8).reshape(16, 16, 3), (2, 2, 1)
+    ).tobytes()
+    assert (
+        mm.decode_media(mm.build_jpeg(32, 32, big, restart_interval=5))["pixels"]
+        == mm.decode_media(mm.build_jpeg(32, 32, big))["pixels"]
+    )
+    # malformed restarts stay inside the clean-ValueError contract
+    rng = np.random.default_rng(4)
+    p = mm.build_jpeg(16, 16, raw, restart_interval=1)
+    for _ in range(300):
+        b = bytearray(p)
+        i = int(rng.integers(2, len(p)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            mm.decode_media(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
