@@ -18,11 +18,45 @@ or CREATE MATERIALIZED VIEW); see SCALING.md.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MATERIALIZED: dict[tuple[str, str, str], object] = {}
+
+# External-layout counterpart of _prune: j02/j03 write session-
+# namespaced bucketed/partitioned copies under a shared /tmp root
+# (namespacing prevents two live sessions racing on one path, but
+# means mode=overwrite never reclaims a dead session's directory).
+# Reclamation is two-sided: an atexit hook removes THIS session's
+# directories on clean exit, and each new reservation best-effort
+# prunes sibling directories untouched for 24h (crashed sessions) —
+# long enough that no plausibly-live session loses its layout.
+_EXTERNAL_STALE_SECONDS = 24 * 3600
+_EXTERNAL_RESERVED: set[str] = set()
+
+
+def session_external_dir(root: str, tag: str) -> str:
+    """Reserve ``<root>/<tag>`` for this session's external table data."""
+    path = os.path.join(root, tag)
+    try:
+        now = time.time()
+        for name in os.listdir(root):
+            sib = os.path.join(root, name)
+            if name != tag and (
+                now - os.path.getmtime(sib) > _EXTERNAL_STALE_SECONDS
+            ):
+                shutil.rmtree(sib, ignore_errors=True)
+    except OSError:
+        pass
+    if path not in _EXTERNAL_RESERVED:
+        _EXTERNAL_RESERVED.add(path)
+        atexit.register(shutil.rmtree, path, True)
+    return path
 
 
 def _prune(app_id: str) -> None:

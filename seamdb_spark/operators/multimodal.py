@@ -1,16 +1,22 @@
 """Multimodal column plumbing (beyond-reference extension).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata. BMP, WAV, and baseline JPEG decode is REAL (pure-Python
-byte-layout parsers ``decode_bmp``/``decode_wav``, a pure-Python +
-numpy baseline-JFIF codec ``build_jpeg``/``decode_jpeg``, and a
-stdlib-zlib PNG codec ``build_png``/``decode_png``, driven through the
-oracle gate by m06/m07/m15/m22); formats that still need codec
-libraries absent from this container (MP4, subsampled or progressive
-JPEG) remain a clearly-marked deterministic stub. The
-Spark-side plumbing is real throughout: binary column synthesis,
-Arrow-batched ``mapInPandas`` with an explicit output schema, and
-partition-preserving flow (no driver collect).
+metadata. BMP, WAV, JPEG (baseline SOF0, progressive SOF2 including AC
+successive-approximation refinement, and 4:2:0 chroma-subsampled — all
+with DRI/RSTn restart-marker support), truecolor PNG, and
+non-interlaced GIF decode is REAL (pure-Python byte-layout parsers
+``decode_bmp``/``decode_wav``, a pure-Python + numpy T.81 codec family
+``build_jpeg``/``decode_jpeg``/``decode_jpeg_progressive``/
+``decode_jpeg_420``, a stdlib-zlib PNG codec ``build_png``/
+``decode_png``, and an LZW GIF codec, driven through the oracle gate by
+m06/m07/m15/m22/m25/m31/m32). The MP4/ISO-BMFF container walk and mdat
+sample slicing are real too (m27/m30); only the video codec payloads
+inside mdat (H.264/H.265) and non-4:2:0 chroma subsampling (e.g.
+4:2:2) need codec libraries absent from this container and stay a
+clearly-marked boundary. The Spark-side plumbing is real throughout:
+binary column synthesis, Arrow-batched ``mapInPandas`` with an
+explicit output schema, and partition-preserving flow (no driver
+collect).
 
 ``m01_binary_metadata`` has a DuckDB oracle because its outputs
 (byte length, md5 digest, declared content type) are computable from the
@@ -51,12 +57,15 @@ FEATURE_SCHEMA = (
 # REAL decode: header validation, dimension/sample extraction, and pixel
 # /sample statistics. m06/m07 drive them through the DuckDB gate on
 # synthesized-but-genuine files; tests/test_operators.py checks them on
-# handcrafted fixtures byte-for-byte. Baseline JPEG also decodes for
-# real (the T.81 codec further down, m15/m16), as does truecolor PNG
-# (stdlib zlib carries the DEFLATE/CRC32 primitives, m22). Formats that
-# genuinely need codec libraries (MP4, subsampled or progressive JPEG)
-# still raise NotImplementedError / ValueError — that is the documented
-# container boundary, no longer the default path.
+# handcrafted fixtures byte-for-byte. JPEG decodes for real in all
+# three supported shapes — baseline SOF0 (m15/m16), progressive SOF2
+# (m31), and 4:2:0 chroma-subsampled (m32), with DRI/RSTn restart
+# markers — as do truecolor PNG (stdlib zlib carries the DEFLATE/CRC32
+# primitives, m22) and non-interlaced GIF (m25/m26). The MP4 container
+# walk + mdat sample slicing are real (m27/m30). What remains behind
+# NotImplementedError / ValueError is exactly the codec-library
+# boundary: H.264/H.265 video payloads inside mdat and non-4:2:0
+# chroma subsampling (e.g. 4:2:2).
 # --------------------------------------------------------------------------
 def decode_bmp(payload: bytes) -> dict:
     """Parse an uncompressed 24-bit BMP: dimensions + pixel-sum stats.
@@ -863,12 +872,17 @@ _JPEG_PROG_SCANS = [
 ]
 
 
-def build_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
+def build_jpeg_progressive(
+    width: int, height: int, rgb: bytes, restart_interval: int = 0
+) -> bytes:
     """Encode raw RGB as a PROGRESSIVE JFIF (SOF2, YCbCr 4:4:4): the
     same quantized coefficients as build_jpeg, split across the
     _JPEG_PROG_SCANS script. EOB runs are emitted per block (EOBRUN=1,
     a valid encoder choice), so the baseline Annex-K Huffman tables
-    suffice for every scan."""
+    suffice for every scan. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs in EVERY scan
+    (numbering restarting at RST0 per scan, DC predictors reset at
+    each boundary) — per-block EOB runs never cross a boundary."""
     coefs = _jpeg_quantized_zz(width, height, rgb)
     nblocks = len(coefs[0])
     _, _, dc_codes = _jpeg_huff_spec(_JPEG_DC_SYMBOLS, 4)
@@ -880,10 +894,15 @@ def build_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
     scans = b""
     for comp_ids, ss, se, ah, al in _JPEG_PROG_SCANS:
         w = _JpegBitWriter()
+        rst = 0
         if ss == 0:  # DC scan (interleaved, all components)
             if ah == 0:  # first pass on the point-transformed values
                 prev = [0, 0, 0]
                 for bi in range(nblocks):
+                    if restart_interval and bi and bi % restart_interval == 0:
+                        w.restart(rst)
+                        rst = (rst + 1) % 8
+                        prev = [0, 0, 0]
                     for ci in range(3):
                         v = coefs[ci][bi][0] >> al  # arithmetic shift
                         diff = v - prev[ci]
@@ -898,6 +917,9 @@ def build_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
                             )
             else:  # refinement: the Al-th magnitude bit, one per block
                 for bi in range(nblocks):
+                    if restart_interval and bi and bi % restart_interval == 0:
+                        w.restart(rst)
+                        rst = (rst + 1) % 8
                     for ci in range(3):
                         w.write(coefs[ci][bi][0] & 1, 1)
             header = bytes([3]) + bytes(
@@ -906,6 +928,9 @@ def build_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
         elif ah == 0:  # AC first pass: single component, band [ss..se]
             (ci,) = comp_ids
             for bi in range(nblocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
                 zz = coefs[ci][bi]
                 # point transform: magnitude shift, sign preserved
                 band = [
@@ -940,6 +965,9 @@ def build_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
         else:  # AC refinement (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine)
             (ci,) = comp_ids
             for bi in range(nblocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
                 zz = coefs[ci][bi]
                 # magnitudes at the CURRENT precision: 1 = newly
                 # significant this pass, >1 = history (correction bit)
@@ -999,7 +1027,12 @@ def build_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
     jfif = seg(
         0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     )
-    return b"\xff\xd8" + jfif + dqt + sof + dht + scans + b"\xff\xd9"
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + jfif + dqt + sof + dht + dri + scans + b"\xff\xd9"
 
 
 def decode_jpeg_progressive(payload: bytes) -> dict:
@@ -1010,12 +1043,15 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     for 4:4:4/grayscale: DC first/refinement passes and AC first
     passes at any Al, plus the T.81 G.1.2.3 AC correction-bit
     refinement (newly-significant ±1<<Al insertion, zero-history run
-    skipping, EOB-covered correction bits)."""
+    skipping, EOB-covered correction bits), and DRI/RSTn restart
+    markers in every scan kind (byte-align + DC-predictor/EOBRUN reset
+    at each boundary, RST numbering restarting per scan)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
+    restart_interval = 0
     qtabs: dict[int, object] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
@@ -1032,7 +1068,11 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
         body = payload[pos + 4 : pos + 2 + size]
         if len(body) != size - 2:
             raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:
+        if marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDB:
             off = 0
             while off < len(body):
                 if off + 65 > len(body):
@@ -1101,16 +1141,21 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             if ss > se or se > 63:
                 raise ValueError("JPEG progressive scan band out of range")
-            # entropy data: up to the next real marker (skip stuffing)
+            # entropy data: up to the next real marker (skip stuffing;
+            # RSTn markers are scan-interior, keep walking past them)
             dstart = pos + 2 + size
             dend = dstart
             while dend < len(payload) - 1:
-                if payload[dend] == 0xFF and payload[dend + 1] != 0x00:
+                nxt = payload[dend + 1]
+                if payload[dend] == 0xFF and nxt != 0x00 and not (
+                    0xD0 <= nxt <= 0xD7
+                ):
                     break
                 dend += 1
             reader = _JpegBitReader(payload[dstart:dend])
             nblocks = (w_ // 8) * (h_ // 8)
             n_scans += 1
+            rst = 0  # RST numbering restarts at RST0 for each scan
             if ss == 0:  # DC scan (interleaved over scan_comps)
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
@@ -1122,6 +1167,12 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                             )
                     prev = [0] * len(scan_comps)
                     for bi in range(nblocks):
+                        if restart_interval and bi and (
+                            bi % restart_interval == 0
+                        ):
+                            reader.expect_restart(rst)
+                            rst = (rst + 1) % 8
+                            prev = [0] * len(scan_comps)
                         for si, (ci, dct_id, _a) in enumerate(scan_comps):
                             cat = _jpeg_huff_decode(reader, dc_tables[dct_id])
                             diff = (
@@ -1132,6 +1183,11 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                             coefs[ci][bi][0] = prev[si] << al
                 else:  # DC refinement: one raw bit per block per comp
                     for bi in range(nblocks):
+                        if restart_interval and bi and (
+                            bi % restart_interval == 0
+                        ):
+                            reader.expect_restart(rst)
+                            rst = (rst + 1) % 8
                         for ci, _d, _a in scan_comps:
                             if reader.read_bit():
                                 coefs[ci][bi][0] |= 1 << al
@@ -1144,6 +1200,11 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                 act = ac_tables[act_id]
                 eobrun = 0
                 for bi in range(nblocks):
+                    if restart_interval and bi and bi % restart_interval == 0:
+                        # T.81: EOB runs do not cross restart boundaries
+                        reader.expect_restart(rst)
+                        rst = (rst + 1) % 8
+                        eobrun = 0
                     zz = coefs[ci][bi]
                     if eobrun > 0:
                         eobrun -= 1
@@ -1180,6 +1241,10 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
 
                 eobrun = 0
                 for bi in range(nblocks):
+                    if restart_interval and bi and bi % restart_interval == 0:
+                        reader.expect_restart(rst)
+                        rst = (rst + 1) % 8
+                        eobrun = 0
                     zz = coefs[ci][bi]
                     k = ss
                     if eobrun == 0:
@@ -1561,11 +1626,13 @@ def decode_jpeg_420(payload: bytes) -> dict:
 def decode_media(payload: bytes) -> dict:
     """Decode a media payload by sniffing magic bytes.
 
-    BMP, WAV, baseline JPEG, truecolor PNG, and non-interlaced GIF
-    decode for real (pure-Python parsers above). Remaining formats
-    require codec libraries absent from this container and raise
-    NotImplementedError — callers with synthetic payloads use
-    :func:`fake_decode` for the deterministic oracle path.
+    BMP, WAV, JPEG (baseline, progressive, and 4:2:0 — ``decode_jpeg``
+    routes by SOF marker and sampling factors), truecolor PNG, and
+    non-interlaced GIF decode for real (pure-Python parsers above);
+    MP4 gets a real container probe. What raises NotImplementedError
+    is the codec-library boundary only: H.264/H.265 payloads inside
+    mdat and non-4:2:0 chroma subsampling. Callers with synthetic
+    payloads use :func:`fake_decode` for the deterministic oracle path.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -1582,11 +1649,12 @@ def decode_media(payload: bytes) -> dict:
         # payload inside mdat stays opaque (no "pixels" key).
         return decode_mp4_probe(payload)
     raise NotImplementedError(
-        "only BMP/WAV/JPEG (baseline + progressive)/PNG/GIF decode "
-        "natively (plus MP4 container probe + mdat sample slicing); "
-        "codec-payload decode for video (H.264/H.265) and subsampled "
-        "JPEG requires codec libraries (PIL/ffmpeg) not installed — "
-        "use fake_decode for the deterministic test path"
+        "only BMP/WAV/JPEG (baseline + progressive + 4:2:0)/PNG/GIF "
+        "decode natively (plus MP4 container probe + mdat sample "
+        "slicing); codec-payload decode for video (H.264/H.265) and "
+        "non-4:2:0 chroma subsampling (e.g. 4:2:2) requires codec "
+        "libraries (PIL/ffmpeg) not installed — use fake_decode for "
+        "the deterministic test path"
     )
 
 

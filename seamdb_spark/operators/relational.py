@@ -2727,9 +2727,11 @@ def q65_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in j02 is the final small per-priority aggregate, NOT the join.
 #
 # The bucketed copies are session-memoized external tables under
-# /tmp/seamdb_bucketed (mode=overwrite, so stale dirs from dead
-# sessions are reclaimed); the oracle joins the raw parquet — bucketing
-# is a layout property and must not change any result.
+# /tmp/seamdb_bucketed, app-id-namespaced (so concurrent sessions
+# never race on a path) and reclaimed by session_external_dir (atexit
+# for this session's dir, 24h-stale prune for crashed sessions'); the
+# oracle joins the raw parquet — bucketing is a layout property and
+# must not change any result.
 # --------------------------------------------------------------------------
 J02_BUCKETS = 8
 
@@ -2737,7 +2739,7 @@ J02_BUCKETS = 8
 def _j02_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import re as _re
 
-    from .materialize import materialized_value
+    from .materialize import materialized_value, session_external_dir
 
     # namespace the catalog names AND the warehouse path by the Spark
     # application id: two concurrent sessions on one machine would
@@ -2748,6 +2750,8 @@ def _j02_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
     li_name, ord_name = f"j02_li_{tag}", f"j02_ord_{tag}"
+    # reserve (and reclaim siblings of) the session's warehouse dir
+    base = session_external_dir("/tmp/seamdb_bucketed", tag)
 
     def build() -> tuple[str, str]:
         li = _t(spark, sf_dir, "lineitem").select(
@@ -2766,7 +2770,7 @@ def _j02_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 df.repartition(J02_BUCKETS, F.col(key))
                 .write.mode("overwrite")
                 .format("parquet")
-                .option("path", f"/tmp/seamdb_bucketed/{tag}/{name}")
+                .option("path", f"{base}/{name}")
                 .bucketBy(J02_BUCKETS, key)
                 .sortBy(key)
                 .saveAsTable(name)
@@ -2829,12 +2833,12 @@ J03_TOP_MONTHS = 3
 def _j03_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
     import re as _re
 
-    from .materialize import materialized_value
+    from .materialize import materialized_value, session_external_dir
 
     # same concurrency discipline as j02: namespace by applicationId
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
-    path = f"/tmp/seamdb_partitioned/{tag}/lineitem"
+    path = session_external_dir("/tmp/seamdb_partitioned", tag) + "/lineitem"
 
     def build() -> str:
         (

@@ -323,3 +323,27 @@ def test_explicit_null_serial_rejected(engine):
     # omitted column still auto-fills
     assert engine.sql("INSERT INTO t (v) VALUES ('y')").collect()[0]["count"] == 1
     assert engine.sql("SELECT id FROM t").collect()[0].id == 1
+
+
+def test_bench_trajectory_gate():
+    """bench.py's regression gate (round-8): a query slower than
+    max(2x, +2s) of its own last clean-run time fails; new queries,
+    allowlisted queries, and other-SF baselines gate nothing."""
+    import bench
+
+    base = {"sf": 0.1, "queries": {"fast": 0.4, "slow": 5.0, "plan": 1.0}}
+    # within bounds: small-query jitter is absorbed by the +2s guard,
+    # big-query jitter by the 2x factor
+    assert bench.check_regressions(
+        {"fast": 1.1, "slow": 9.9, "brand_new": 99.0}, base, 0.1
+    ) == []
+    # breaches: fast needs > 2.4s, slow needs > 10s
+    hits = bench.check_regressions({"fast": 2.5, "slow": 10.1}, base, 0.1)
+    assert {h["query"] for h in hits} == {"fast", "slow"}
+    assert hits[0]["bound"] == 2.4
+    # allowlist exempts a deliberate plan change
+    assert bench.check_regressions(
+        {"plan": 50.0}, base, 0.1, allow={"plan": "reason recorded"}
+    ) == []
+    # a baseline recorded at another SF never gates
+    assert bench.check_regressions({"fast": 99.0}, base, 0.001) == []

@@ -3248,3 +3248,47 @@ def test_jpeg_restart_markers_roundtrip():
             mm.decode_media(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_progressive_jpeg_restart_markers_roundtrip():
+    """Round-8 closure of the last restart-marker gap: DRI/RSTn inside
+    PROGRESSIVE (SOF2) scans. Every scan kind crosses boundaries here —
+    interleaved DC first pass (predictor resets), DC refinement
+    (byte-align only), AC first pass (EOBRUN confined to the interval),
+    and G.1.2.3 AC refinement — and RST numbering restarts per scan.
+    Entropy resets cannot change coefficients, so decode must stay
+    BIT-identical to the restart-free encoding."""
+    import numpy as np
+
+    from seamdb_spark.operators import multimodal as mm
+
+    raw = mm._ramp_rgb(11).tobytes()
+    plain = mm.decode_media(mm.build_jpeg_progressive(16, 16, raw))
+    assert plain.get("progressive")
+    for ri in (1, 2, 3):
+        p = mm.build_jpeg_progressive(16, 16, raw, restart_interval=ri)
+        assert b"\xff\xdd" in p and b"\xff\xd0" in p
+        got = mm.decode_media(p)
+        assert got["pixels"] == plain["pixels"]
+        assert got["n_scans"] == plain["n_scans"]
+    # 16 MCUs wide at ri=1 cycles the RST index past 7 within one scan
+    big = np.tile(
+        np.frombuffer(raw, dtype=np.uint8).reshape(16, 16, 3), (2, 2, 1)
+    ).tobytes()
+    assert (
+        mm.decode_media(
+            mm.build_jpeg_progressive(32, 32, big, restart_interval=1)
+        )["pixels"]
+        == mm.decode_media(mm.build_jpeg_progressive(32, 32, big))["pixels"]
+    )
+    # malformed restarts stay inside the clean-ValueError contract
+    rng = np.random.default_rng(5)
+    p = mm.build_jpeg_progressive(16, 16, raw, restart_interval=1)
+    for _ in range(300):
+        b = bytearray(p)
+        i = int(rng.integers(2, len(p)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            mm.decode_media(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
