@@ -5117,3 +5117,158 @@ def m32_jpeg_420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(roundtrip, schema=_M32_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m33: keyframe selection over mdat samples — the end-to-end
+# doc→samples→selection shape a video curation pipeline runs WITHOUT
+# needing an H.264 decoder (the round-7 verdict's suggested
+# composition of m30's mdat slicing with m17's frame-delta signal):
+# slice every sample's bytes out of mdat (extract_mp4_samples), score
+# inter-sample motion as the L1 byte delta against the previous
+# sample (truncated to the shorter payload — the m17 signal, applied
+# to codec-opaque sample payloads), group samples into GOPs at the
+# stss sync samples (every 3rd sample here, so GOP = ceil 3), and
+# select sync samples (always kept — they are the only
+# independently-decodable entry points) plus each GOP's peak-motion
+# sample (ties → smallest sample_no; the first sample of the track
+# has no predecessor, so NULL motion, and can only be selected as
+# sync). The per-sample motion is computed row-locally in the same
+# Arrow batch that sliced the bytes; the per-GOP argmax is a
+# DataFrame window over (doc_id, gop_no) — the real pipeline shape
+# where payload work stays data-local and ranking is declarative.
+#
+# Scale: the mapInPandas stage is row-local zero-shuffle; the window
+# shuffles only the exploded SAMPLE TABLE (≤12 rows/doc, ~40 bytes
+# each — 3 orders smaller than the video payloads, which never move),
+# partitioned by (doc_id, gop_no): maximal parallelism, no skew. Same
+# 1-in-8 doc sample as m27/m30; filler byte p = p mod 256 keeps the
+# oracle closed-form.
+# --------------------------------------------------------------------------
+_M33_SCHEMA = (
+    "doc_id long, sample_no long, gop_no long, is_sync long, motion long"
+)
+
+
+@register(
+    "m33_keyframe_selection",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 5 + doc_id % 8 AS n
+      FROM documents WHERE doc_id % {M27_SAMPLE_MOD} = 6
+    ),
+    s AS (
+      SELECT doc_id, t.k + 1 AS sample_no,
+             CAST(100 + (doc_id + 7 * t.k) % 50 AS BIGINT) AS nbytes
+      FROM d, unnest(range(0, n)) t(k)
+    ),
+    o AS (
+      SELECT doc_id, sample_no, nbytes,
+             CAST(COALESCE(SUM(nbytes) OVER (
+               PARTITION BY doc_id ORDER BY sample_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS off
+      FROM s
+    ),
+    m AS (
+      SELECT cur.doc_id, cur.sample_no, cur.off,
+             LAG(cur.off) OVER w AS poff,
+             LEAST(LAG(cur.nbytes) OVER w, cur.nbytes) AS mlen
+      FROM o cur
+      WINDOW w AS (PARTITION BY cur.doc_id ORDER BY cur.sample_no)
+    ),
+    mot AS (
+      SELECT doc_id, sample_no,
+             CASE WHEN poff IS NULL THEN NULL ELSE
+               (SELECT CAST(SUM(ABS(
+                  ((off + u.p) % 256) - ((poff + u.p) % 256)
+                )) AS BIGINT)
+                FROM unnest(range(0, mlen)) u(p))
+             END AS motion
+      FROM m
+    ),
+    g AS (
+      SELECT doc_id, CAST(sample_no AS BIGINT) AS sample_no, motion,
+             CAST((sample_no - 1) // 3 AS BIGINT) AS gop_no,
+             CAST((sample_no - 1) % 3 = 0 AS BIGINT) AS is_sync
+      FROM mot
+    ),
+    p AS (
+      SELECT doc_id, gop_no, CAST(MIN(sample_no) AS BIGINT) AS peak_sample
+      FROM (
+        SELECT g.*, MAX(motion) OVER (PARTITION BY doc_id, gop_no) AS mx
+        FROM g
+      ) t
+      WHERE motion = mx
+      GROUP BY doc_id, gop_no
+    )
+    SELECT g.doc_id, g.sample_no, g.gop_no, g.is_sync, g.motion
+    FROM g LEFT JOIN p ON p.doc_id = g.doc_id AND p.gop_no = g.gop_no
+    WHERE g.is_sync = 1 OR g.sample_no = p.peak_sample
+    """,
+)
+def m33_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M27_SAMPLE_MOD == 6)
+        .select("doc_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_no": [], "gop_no": [], "is_sync": [],
+                "motion": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 5 + d % 8
+                sizes = [100 + (d + 7 * i) % 50 for i in range(n)]
+                keyframes = list(range(1, n + 1, 3))
+                payload = build_mp4(1000, n * (40 + d % 25), sizes, keyframes)
+                samples = extract_mp4_samples(payload)
+                # the ACTUAL mdat bytes (box body follows the 'mdat'
+                # fourcc), as int64 for the vectorized deltas — motion
+                # is measured on real sliced payloads, not the formula
+                total = sum(s[2] for s in samples)
+                mstart = payload.rfind(b"mdat") + 4
+                mdat = np.frombuffer(
+                    payload[mstart : mstart + total], dtype=np.uint8
+                ).astype(np.int64)
+                prev_off = prev_nb = None
+                for no, off, nb, kf, _bs in samples:
+                    if prev_off is None:
+                        motion = None
+                    else:
+                        mlen = min(prev_nb, nb)
+                        a = mdat[off : off + mlen]
+                        b = mdat[prev_off : prev_off + mlen]
+                        motion = int(np.abs(a - b).sum())
+                    out["doc_id"].append(d)
+                    out["sample_no"].append(no)
+                    out["gop_no"].append((no - 1) // 3)
+                    out["is_sync"].append(int(kf))
+                    out["motion"].append(motion)
+                    prev_off, prev_nb = off, nb
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_no", "gop_no", "is_sync", "motion"],
+            )
+
+    samples = docs.mapInPandas(score, schema=_M33_SCHEMA)
+    # per-GOP peak-motion argmax: NULL motion sorts last, ties break to
+    # the smallest sample number — declarative over the tiny sample
+    # table, never over the payloads
+    w = (
+        Window.partitionBy("doc_id", "gop_no")
+        .orderBy(F.col("motion").desc_nulls_last(), F.col("sample_no").asc())
+    )
+    ranked = samples.withColumn("rk", F.row_number().over(w))
+    return ranked.filter(
+        (F.col("is_sync") == 1)
+        | ((F.col("rk") == 1) & F.col("motion").isNotNull())
+    ).select("doc_id", "sample_no", "gop_no", "is_sync", "motion")

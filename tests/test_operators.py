@@ -3292,3 +3292,35 @@ def test_progressive_jpeg_restart_markers_roundtrip():
             mm.decode_media(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_m33_keyframe_selection_invariants(spark):
+    """m33 selection semantics on the sf0.001 fixture: every stss sync
+    sample is selected; every GOP with any scored (non-NULL-motion)
+    sample contributes exactly one peak; a selected non-sync sample
+    carries its GOP's maximum motion; the track's first sample (no
+    predecessor => NULL motion) appears only as sync."""
+    from seamdb_spark.operators.registry import QUERIES
+
+    rows = QUERIES["m33_keyframe_selection"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, sel in by_doc.items():
+        n = 5 + doc_id % 8
+        syncs = set(range(1, n + 1, 3))
+        got_syncs = {r.sample_no for r in sel if r.is_sync == 1}
+        assert got_syncs == syncs, (doc_id, got_syncs, syncs)
+        for r in sel:
+            assert r.gop_no == (r.sample_no - 1) // 3
+            if r.sample_no == 1:
+                assert r.motion is None and r.is_sync == 1
+            else:
+                assert r.motion is not None and r.motion >= 0
+        # non-sync selections are their GOP's peak (and unique in it)
+        non_sync = [r for r in sel if r.is_sync == 0]
+        gops = [r.gop_no for r in non_sync]
+        assert len(gops) == len(set(gops))
