@@ -361,42 +361,48 @@ _R7_WINDOW = [
 # gate came back 50/50 green, closing the cumulative evidence gap —
 # every one of the 282 then-registered queries has a driver-green row
 # in the r1–r7 union with no latest-row red):
-# (a) slot 1: m33 (registered in round 8, the only rowless query);
-#     slots 2-4: code-path-touched in round 8 — m31 (the progressive
-#     decoder gained DRI/RSTn handling; marker-free payloads decode
-#     through the same merged-scan path, outputs bit-identical) and
-#     j02/j03 (their /tmp warehouse dirs are now reserved/reclaimed
-#     via materialize.session_external_dir; same paths, same layout,
-#     outputs unaffected);
-# (b) slots 5-10: the six deferred bit-identical refactors queued by
+# (a) slots 1-5: registered in round 8 — m33 keyframe selection, m34
+#     EXIF metadata, m35 scene segmentation, m36 orientation
+#     normalization, q68 GROUPS-frame emulation (each hash-green at
+#     sf0.001+sf0.01+sf0.1 locally on registration); then
+#     code-path-touched in round 8 — m31
+#     (the progressive decoder gained DRI/RSTn handling; marker-free
+#     payloads decode through the same merged-scan path, outputs
+#     bit-identical) and j02/j03 (their /tmp warehouse dirs are now
+#     reserved/reclaimed via materialize.session_external_dir; same
+#     paths, same layout, outputs unaffected);
+# (b) next six slots: the deferred bit-identical refactors queued by
 #     the procedure — d18/d21/d26/d29 (round-7 LSH-candidate
 #     memoization, the one-line change d02 verified green in r7), s03
 #     (r6 no-op empty-salt concat), d25 (r6 candidate-stage
 #     factoring); all green in every local sweep since, plus sf0.01
 #     re-runs during round-7 judging;
-# (c) slots 11-50: regression fill, oldest-green-first — the first 40
-#     _R2_GREEN entries (latest driver row r2, five rounds of churn
-#     ago) in _R2_GREEN list order from d09/d10 onward, skipping s03
-#     (already in (b)).
+# (c) remaining slots: regression fill, oldest-green-first — the
+#     first 36 _R2_GREEN entries (latest driver row r2, five rounds
+#     of churn ago) in _R2_GREEN list order from d09/d10 onward,
+#     skipping s03 (already in (b)).
 #
 # ROUND-9 PROCEDURE: after CORRECTNESS_r08 lands, pin (a) any queries
 # registered after _R8_WINDOW froze and any whose plan/oracle changes
-# in round 9, then (b) regression fill oldest-green-first: the 10
-# remaining latest-row-r2 queries (t04–t12 tail of _R2_GREEN: t04,
-# t05, t06, t07, t08, t09, t10, t11, t12, plus x05 if displaced),
-# then the latest-row-r3 queries in _R3_WINDOW order, then r4, r5,
-# r6, r7 — recompute "latest green row" from the r1–r8 union rather
-# than trusting list memory.
+# in round 9, then (b) regression fill oldest-green-first: the 13
+# remaining latest-row-r2 queries (the _R2_GREEN tail t01–t12 plus
+# any fill entry displaced from this window), then the latest-row-r3
+# queries in _R3_WINDOW order, then r4, r5, r6, r7 — recompute
+# "latest green row" from the r1–r8 union rather than trusting list
+# memory.
 _R8_WINDOW = [
-    # (a) round-8 registration + code-path-touched
-    "m33_keyframe_selection", "m31_progressive_jpeg_consistency",
+    # (a) round-8 registrations + code-path-touched
+    "m33_keyframe_selection", "m34_exif_metadata",
+    "m35_scene_segmentation", "m36_orientation_normalize",
+    "q68_groups_frame",
+    "m31_progressive_jpeg_consistency",
     "j02_bucketed_colocated_join", "j03_partition_pruned_join",
     # (b) deferred bit-identical refactors (d25-precedent queue)
     "d18_minhash_estimate_audit", "d21_editdist_verified_neardup",
     "d26_containment_neardup", "d29_threshold_sensitivity",
     "s03_ann_ivf_topk", "d25_paragraph_neardup",
     # (c) oldest-green regression fill: _R2_GREEN order from d09,
-    # skipping s03 (above); these 40 queries' only driver row is r2
+    # skipping s03 (above); these 37 queries' only driver row is r2
     "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
     "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
     "e09_conversion_lag", "m02_media_features", "m04_image_resize",
@@ -410,8 +416,6 @@ _R8_WINDOW = [
     "q49_lateral_join", "x05_histogram", "s01_ann_bruteforce_topk",
     "d05_embedding_neardup", "s02_ann_lsh_topk",
     "d06_embedding_neardup_blocked", "s04_ann_quantized_topk",
-    "s05_ann_range_search", "t01_token_count", "t02_quality_score",
-    "t03_lang_id",
 ]
 
 

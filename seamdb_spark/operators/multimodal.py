@@ -5272,3 +5272,509 @@ def m33_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("is_sync") == 1)
         | ((F.col("rk") == 1) & F.col("motion").isNotNull())
     ).select("doc_id", "sample_no", "gop_no", "is_sync", "motion")
+
+
+# --------------------------------------------------------------------------
+# EXIF/TIFF metadata (round 8): real byte-layout parsing of the APP1
+# Exif segment real photos carry — the orientation/timestamp/camera
+# fields a curation pipeline reads BEFORE any pixel decode (dedup by
+# capture time, rotate-normalize by orientation, per-device stats).
+# TIFF is pure byte layout (no codec): an endianness-tagged header
+# (II little / MM big, magic 42), then IFD entry tables of
+# (tag, type, count, value-or-offset) with out-of-line storage for
+# values over 4 bytes — both endiannesses and the offset indirection
+# are exercised by construction (ASCII strings and RATIONALs never
+# fit inline).
+# --------------------------------------------------------------------------
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+_EXIF_TAGS = {
+    0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+    0x011A: "x_resolution", 0x0132: "datetime",
+}
+
+
+def build_exif_app1(
+    orientation: int,
+    make: str,
+    model: str,
+    datetime_str: str,
+    x_resolution: tuple[int, int],
+    big_endian: bool = False,
+) -> bytes:
+    """Assemble an APP1 Exif segment (marker included): 'Exif\\0\\0' +
+    TIFF header + one IFD0 holding Make/Model/Orientation/XResolution/
+    DateTime, with >4-byte values stored after the entry table (the
+    real TIFF offset layout)."""
+    bo = ">" if big_endian else "<"
+    entries = []  # (tag, type, count, inline4-or-None, outline-bytes)
+    for tag, typ, val in (
+        (0x010F, 2, make.encode("ascii") + b"\x00"),
+        (0x0110, 2, model.encode("ascii") + b"\x00"),
+        (0x0112, 3, orientation),
+        (0x011A, 5, x_resolution),
+        (0x0132, 2, datetime_str.encode("ascii") + b"\x00"),
+    ):
+        if typ == 3:
+            entries.append((tag, typ, 1, struct.pack(bo + "H2x", val), b""))
+        elif typ == 5:
+            entries.append(
+                (tag, typ, 1, None, struct.pack(bo + "II", *val))
+            )
+        else:  # ASCII
+            count = len(val)
+            if count <= 4:
+                entries.append((tag, typ, count, val.ljust(4, b"\x00"), b""))
+            else:
+                entries.append((tag, typ, count, None, val))
+    # TIFF header (8) + entry count (2) + 12/entry + next-IFD (4)
+    table_len = 8 + 2 + 12 * len(entries) + 4
+    out_off = table_len
+    packed = []
+    outline = b""
+    for tag, typ, count, inline, out in sorted(entries):
+        if inline is None:
+            inline = struct.pack(bo + "I", out_off)
+            out_off += len(out)
+            outline += out
+        packed.append(struct.pack(bo + "HHI", tag, typ, count) + inline)
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(bo + "HI", 42, 8)
+        + struct.pack(bo + "H", len(entries))
+        + b"".join(packed)
+        + struct.pack(bo + "I", 0)  # no next IFD
+        + outline
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def build_jpeg_with_exif(width: int, height: int, rgb: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 Exif segment right after SOI of a build_jpeg
+    payload (before JFIF — the position real cameras use)."""
+    base = build_jpeg(width, height, rgb)
+    return base[:2] + app1 + base[2:]
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Walk the JPEG segment stream to APP1/Exif and parse IFD0 for
+    real: endianness from the TIFF header (II/MM), magic-42 check,
+    (tag, type, count, value) entries with inline/offset resolution,
+    ASCII / SHORT / LONG / RATIONAL decoding. Raises ValueError on any
+    malformed layout (the media-decoder error contract)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos, app1 = 2, None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            app1 = body[6:]
+            break
+        pos += 2 + size
+    if app1 is None:
+        raise ValueError("no APP1 Exif segment")
+    if len(app1) < 8:
+        raise ValueError("truncated TIFF header")
+    if app1[:2] == b"II":
+        bo = "<"
+    elif app1[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    magic, ifd0 = struct.unpack_from(bo + "HI", app1, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if ifd0 + 2 > len(app1):
+        raise ValueError("IFD0 offset out of range")
+    (n,) = struct.unpack_from(bo + "H", app1, ifd0)
+    if ifd0 + 2 + 12 * n + 4 > len(app1):
+        raise ValueError("IFD0 entry table out of range")
+    out: dict = {"byte_order": "MM" if bo == ">" else "II", "n_entries": n}
+    for i in range(n):
+        off = ifd0 + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", app1, off)
+        if typ not in _EXIF_TYPE_SIZES:
+            raise ValueError(f"unsupported TIFF type {typ}")
+        nbytes = _EXIF_TYPE_SIZES[typ] * count
+        if nbytes <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", app1, off + 8)
+        if voff + nbytes > len(app1):
+            raise ValueError("TIFF value out of range")
+        if typ == 2:  # ASCII, NUL-terminated
+            val = app1[voff : voff + count].split(b"\x00", 1)[0].decode(
+                "ascii", "replace"
+            )
+        elif typ == 3:
+            val = struct.unpack_from(bo + "H", app1, voff)[0]
+        elif typ == 4:
+            val = struct.unpack_from(bo + "I", app1, voff)[0]
+        elif typ == 5:
+            num, den = struct.unpack_from(bo + "II", app1, voff)
+            if den == 0:
+                raise ValueError("RATIONAL with zero denominator")
+            val = (num, den)
+        else:  # BYTE
+            val = app1[voff : voff + count]
+        name = _EXIF_TAGS.get(tag)
+        if name:
+            out[name] = val
+    return out
+
+
+# --------------------------------------------------------------------------
+# m34: EXIF orientation/metadata audit — per sampled doc, synthesize a
+# deterministic camera-style APP1 (orientation cycling all 8 TIFF
+# values, make/model/timestamp derived from doc_id, 72/1 resolution),
+# alternate the TIFF byte order by doc parity (II for even, MM for
+# odd — BOTH endian paths hash-gated), splice it into the m15 ramp
+# JPEG, and parse the BYTES back with parse_exif. needs_rotation is
+# the real downstream signal (orientation > 1 means the decoder must
+# transform pixels). The JPEG still decodes: decode_media ignores
+# APPn, so the same payload serves pixel and metadata paths.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle — the m15
+# shape; EXIF parsing touches only the first ~200 bytes of each file.
+# --------------------------------------------------------------------------
+_M34_SCHEMA = (
+    "doc_id long, byte_order string, n_entries long, orientation long,"
+    " needs_rotation boolean, make string, res_num long, res_den long,"
+    " capture_year long, pixels_intact boolean"
+)
+
+
+@register(
+    "m34_exif_metadata",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(5 AS BIGINT) AS n_entries,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           (doc_id % 8) > 0 AS needs_rotation,
+           'CAM-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           CAST(72 AS BIGINT) AS res_num,
+           CAST(1 AS BIGINT) AS res_den,
+           CAST(2020 + doc_id % 6 AS BIGINT) AS capture_year,
+           TRUE AS pixels_intact
+    FROM documents
+    WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    """,
+)
+def m34_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "byte_order": [], "n_entries": [],
+                "orientation": [], "needs_rotation": [], "make": [],
+                "res_num": [], "res_den": [], "capture_year": [],
+                "pixels_intact": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = _ramp_rgb(d).tobytes()
+                year = 2020 + d % 6
+                app1 = build_exif_app1(
+                    orientation=1 + d % 8,
+                    make=f"CAM-{d % 5}",
+                    model=f"MODEL-{d % 3}",
+                    datetime_str=f"{year}:01:01 00:00:00",
+                    x_resolution=(72, 1),
+                    big_endian=bool(d % 2),
+                )
+                payload = build_jpeg_with_exif(16, 16, raw, app1)
+                meta = parse_exif(payload)
+                pix = decode_media(payload)  # APPn-transparent decode
+                plain = decode_media(build_jpeg(16, 16, raw))
+                out["doc_id"].append(d)
+                out["byte_order"].append(meta["byte_order"])
+                out["n_entries"].append(meta["n_entries"])
+                out["orientation"].append(meta["orientation"])
+                out["needs_rotation"].append(meta["orientation"] > 1)
+                out["make"].append(meta["make"])
+                out["res_num"].append(meta["x_resolution"][0])
+                out["res_den"].append(meta["x_resolution"][1])
+                out["capture_year"].append(int(meta["datetime"][:4]))
+                out["pixels_intact"].append(pix["pixels"] == plain["pixels"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(audit, schema=_M34_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m35: scene segmentation — the change-point step after m17's motion
+# signal: frames (the m05/m17 WINDOW_BYTES byte-frame shape) are cut
+# into scenes wherever the incoming L1 frame delta exceeds a fixed
+# threshold, the classic hard-cut detector a frame-sampling pipeline
+# runs to pick one representative per scene instead of one per N
+# frames. Per scene: start frame, length, and intra-scene motion
+# (boundary deltas belong to no scene). Same two-stage shape as m33:
+# the payload work (per-frame deltas) is row-local Arrow-batched
+# mapInPandas; the gaps-and-islands labeling (boundary flag → running
+# SUM → per-scene aggregate) is declarative over the small per-FRAME
+# table (~n_bytes/64 rows per doc), windowed by doc_id — never a
+# per-byte shuffle. Threshold 1800 sits between the fixture's median
+# (~1727) and p90 (~2039) delta, so real multi-scene splits occur.
+#
+# Scale: frame-table rows ~ bytes/64; the window partitions on
+# doc_id (maximal cardinality). At video scale the same plan holds
+# with frames from m30's samples instead of byte windows.
+# --------------------------------------------------------------------------
+M35_CUT_THRESHOLD = 1800
+_M35_SCHEMA = "doc_id long, frame_no long, incoming long"
+
+
+@register(
+    "m35_scene_segmentation",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, text AS payload,
+             octet_length(CAST(text AS BLOB)) AS n
+      FROM documents
+    ),
+    framed AS (
+      SELECT doc_id, payload, n,
+             CAST(CEIL(n / {WINDOW_BYTES}.0) AS BIGINT) AS n_frames
+      FROM sized
+    ),
+    deltas AS (
+      SELECT f.doc_id, t.k,
+             CAST(SUM(ABS(
+               ascii(substr(f.payload, CAST(t.k * {WINDOW_BYTES} + s.j AS INT), 1))
+               - ascii(substr(f.payload,
+                              CAST((t.k + 1) * {WINDOW_BYTES} + s.j AS INT), 1))
+             )) AS BIGINT) AS delta
+      FROM framed f,
+           UNNEST(generate_series(0, CAST(f.n_frames - 2 AS BIGINT))) t(k),
+           UNNEST(generate_series(1, {WINDOW_BYTES})) s(j)
+      WHERE f.n_frames >= 2 AND (t.k + 1) * {WINDOW_BYTES} + s.j <= f.n
+      GROUP BY f.doc_id, t.k
+    ),
+    frames AS (
+      SELECT f.doc_id, t.j AS frame_no
+      FROM framed f,
+           UNNEST(generate_series(0, CAST(f.n_frames - 1 AS BIGINT))) t(j)
+    ),
+    lab AS (
+      SELECT fr.doc_id, fr.frame_no, d.delta AS incoming,
+             CASE WHEN d.delta > {M35_CUT_THRESHOLD} THEN 1 ELSE 0 END
+               AS boundary
+      FROM frames fr
+      LEFT JOIN deltas d
+        ON d.doc_id = fr.doc_id AND d.k = fr.frame_no - 1
+    ),
+    sc AS (
+      SELECT doc_id, frame_no, incoming, boundary,
+             SUM(boundary) OVER (
+               PARTITION BY doc_id ORDER BY frame_no
+             ) AS scene_no
+      FROM lab
+    )
+    SELECT doc_id, CAST(scene_no AS BIGINT) AS scene_no,
+           CAST(MIN(frame_no) AS BIGINT) AS start_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN boundary = 1 OR incoming IS NULL
+                         THEN 0 ELSE incoming END) AS BIGINT)
+             AS scene_motion
+    FROM sc
+    GROUP BY doc_id, scene_no
+    """,
+)
+def m35_scene_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    payloads = _with_payload(spark, sf_dir)
+
+    def frame_deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_no": [], "incoming": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                n_frames = -(-n // WINDOW_BYTES)
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                for j in range(n_frames):
+                    if j == 0:
+                        inc = None
+                    else:
+                        a = arr[(j - 1) * WINDOW_BYTES : j * WINDOW_BYTES]
+                        b = arr[j * WINDOW_BYTES : (j + 1) * WINDOW_BYTES]
+                        m = min(len(a), len(b))
+                        inc = int(np.abs(a[:m] - b[:m]).sum())
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(j)
+                    out["incoming"].append(inc)
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_no", "incoming"]
+            )
+
+    frames = payloads.mapInPandas(frame_deltas, schema=_M35_SCHEMA)
+    boundary = F.when(
+        F.col("incoming") > M35_CUT_THRESHOLD, F.lit(1)
+    ).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    labeled = frames.select(
+        "doc_id",
+        "frame_no",
+        "incoming",
+        boundary.alias("boundary"),
+    ).withColumn("scene_no", F.sum("boundary").over(w))
+    intra = F.when(
+        (F.col("boundary") == 1) | F.col("incoming").isNull(), F.lit(0)
+    ).otherwise(F.col("incoming"))
+    return labeled.groupBy("doc_id", "scene_no").agg(
+        F.min("frame_no").alias("start_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(intra).alias("scene_motion"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m36: EXIF orientation normalization — the ACTION m34's metadata
+# feeds: apply the TIFF orientation transform (the 8 cases: identity,
+# mirrors, 180/90/270 rotations, transpose/transverse) to the REAL
+# pixel array so every image is upright before feature extraction —
+# the rotate-normalize pass every vision pipeline runs. The transform
+# table matches libjpeg-turbo/PIL exif_transpose: stored→display is
+# flip-H (2), rot180 (3), flip-V (4), transpose (5), rot90CW (6),
+# transverse (7), rot90CCW (8). Verified three ways per doc: the
+# pixel sum is invariant (every case is a permutation), the display
+# top-left pixel and the display row-0 channel sum match the ramp's
+# closed forms per orientation, and undo_ok applies the inverse
+# transform (self for the involutions 2/3/4/5/7; 8 undoes 6) and
+# requires bit-identical recovery of the stored array.
+#
+# Scale: row-local numpy per image inside Arrow-batched mapInPandas —
+# zero shuffle, the m15 shape; orientation comes from m34's parse in
+# a real pipeline (here derived from the same doc_id formula so the
+# oracle stays closed-form).
+# --------------------------------------------------------------------------
+_M36_SCHEMA = (
+    "doc_id long, orientation long, out_width long, out_height long,"
+    " pixel_sum long, tl_r long, tl_g long, tl_b long,"
+    " row0_sum_r long, undo_ok boolean"
+)
+
+
+def orient_normalize(arr, orientation: int):
+    """Apply the stored→display transform for a TIFF orientation tag
+    to an (H, W, C) array; returns a new array (display-upright)."""
+    import numpy as np
+
+    if orientation == 1:
+        return arr.copy()
+    if orientation == 2:
+        return arr[:, ::-1].copy()
+    if orientation == 3:
+        return arr[::-1, ::-1].copy()
+    if orientation == 4:
+        return arr[::-1, :].copy()
+    if orientation == 5:
+        return np.transpose(arr, (1, 0, 2)).copy()
+    if orientation == 6:
+        return np.transpose(arr, (1, 0, 2))[:, ::-1].copy()
+    if orientation == 7:
+        return np.transpose(arr[::-1, ::-1], (1, 0, 2)).copy()
+    if orientation == 8:
+        return np.transpose(arr, (1, 0, 2))[::-1, :].copy()
+    raise ValueError(f"invalid TIFF orientation {orientation}")
+
+
+_ORIENT_INVERSE = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+
+
+@register(
+    "m36_orientation_normalize",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 8 AS o,
+             doc_id % 64 AS d1, (doc_id * 7) % 64 AS d2,
+             (doc_id * 13) % 64 AS d3
+      FROM documents WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    ),
+    src AS (
+      -- display (0,0) maps to stored (sx, sy) per orientation
+      SELECT *,
+             CASE o WHEN 1 THEN 0 WHEN 2 THEN 15 WHEN 3 THEN 15
+                    WHEN 4 THEN 0 WHEN 5 THEN 0 WHEN 6 THEN 0
+                    WHEN 7 THEN 15 ELSE 15 END AS sx,
+             CASE o WHEN 1 THEN 0 WHEN 2 THEN 0 WHEN 3 THEN 15
+                    WHEN 4 THEN 15 WHEN 5 THEN 0 WHEN 6 THEN 15
+                    WHEN 7 THEN 15 ELSE 0 END AS sy,
+             -- display row 0 maps to: stored row 0 (o1/o2), stored
+             -- row 15 (o3/o4), stored col 0 (o5/o6), col 15 (o7/o8)
+             CASE WHEN o IN (1, 2) THEN 16 * d1 + 720
+                  WHEN o IN (3, 4) THEN 16 * d1 + 1440
+                  WHEN o IN (5, 6) THEN 16 * d1 + 360
+                  ELSE 16 * d1 + 1800 END AS r0
+      FROM d
+    )
+    SELECT doc_id, CAST(o AS BIGINT) AS orientation,
+           CAST(16 AS BIGINT) AS out_width,
+           CAST(16 AS BIGINT) AS out_height,
+           CAST(256 * (d1 + d2 + d3) + 27 * 1920 AS BIGINT) AS pixel_sum,
+           CAST(d1 + 6 * sx + 3 * sy AS BIGINT) AS tl_r,
+           CAST(d2 + 4 * sx + 5 * sy AS BIGINT) AS tl_g,
+           CAST(d3 + 2 * sx + 7 * sy AS BIGINT) AS tl_b,
+           CAST(r0 AS BIGINT) AS row0_sum_r,
+           TRUE AS undo_ok
+    FROM src
+    """,
+)
+def m36_orientation_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "orientation": [], "out_width": [],
+                "out_height": [], "pixel_sum": [], "tl_r": [], "tl_g": [],
+                "tl_b": [], "row0_sum_r": [], "undo_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                o = 1 + d % 8
+                stored = _ramp_rgb(d)
+                disp = orient_normalize(stored, o)
+                undo = orient_normalize(disp, _ORIENT_INVERSE[o])
+                out["doc_id"].append(d)
+                out["orientation"].append(o)
+                out["out_width"].append(disp.shape[1])
+                out["out_height"].append(disp.shape[0])
+                out["pixel_sum"].append(int(disp.astype(np.int64).sum()))
+                out["tl_r"].append(int(disp[0, 0, 0]))
+                out["tl_g"].append(int(disp[0, 0, 1]))
+                out["tl_b"].append(int(disp[0, 0, 2]))
+                out["row0_sum_r"].append(
+                    int(disp[0, :, 0].astype(np.int64).sum())
+                )
+                out["undo_ok"].append(bool((undo == stored).all()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(normalize, schema=_M36_SCHEMA)

@@ -2993,3 +2993,67 @@ def q67_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.last(obs, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q68: GROUPS window frame — the third SQL frame mode (SQL:2011;
+# DataFusion/DuckDB/PG support it, Spark only has ROWS and RANGE). A
+# GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING frame covers the previous
+# PEER GROUP, the current one, and the next one — "this ship date,
+# the ship date before, the ship date after", regardless of how many
+# rows share each date. Emulated exactly by the collapse-frame-join
+# identity: frame aggregates are constant within a peer group, so
+# (1) pre-aggregate rows to one row per (partition, order) peer group
+# — a map-side-combinable groupBy — then (2) a plain ROWS frame over
+# the collapsed table IS the GROUPS frame. The result is one row per
+# peer group (joining it back to rows is a broadcast-free co-keyed
+# join if row granularity is needed). The bundled DuckDB's parser
+# rejects GROUPS mode too ("not implemented yet"), so the oracle
+# replays the 1-PRECEDING/1-FOLLOWING frame as lag+current+lead over
+# the peer-group table — a different formulation (3-term addition vs
+# a sliding ROWS SUM) computing the same SQL:2011 semantics.
+#
+# Scale: one shuffle for the peer-group aggregate (map-side partials
+# over (priority, date) — high cardinality, skew-free), then the ROWS
+# window over the COLLAPSED table (|dates|x|priorities| rows, ~5/day —
+# 3+ orders smaller than orders). Never a per-row window.
+# --------------------------------------------------------------------------
+@register(
+    "q68_groups_frame",
+    oracle="""
+    WITH peer AS (
+      SELECT o_orderpriority, o_orderdate,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS grp_cents
+      FROM orders
+      GROUP BY o_orderpriority, o_orderdate
+    )
+    SELECT o_orderpriority, o_orderdate, n_orders,
+           CAST(COALESCE(LAG(grp_cents) OVER w, 0) + grp_cents
+                + COALESCE(LEAD(grp_cents) OVER w, 0) AS BIGINT)
+             AS frame_cents
+    FROM peer
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+    """,
+)
+def q68_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    peer = orders.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("grp_cents"),
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rowsBetween(-1, 1)
+    )
+    return peer.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "n_orders",
+        F.sum("grp_cents").over(w).alias("frame_cents"),
+    )

@@ -3324,3 +3324,91 @@ def test_m33_keyframe_selection_invariants(spark):
         non_sync = [r for r in sel if r.is_sync == 0]
         gops = [r.gop_no for r in non_sync]
         assert len(gops) == len(set(gops))
+
+
+def test_exif_roundtrip_and_fuzz():
+    """APP1 Exif/TIFF layer: both byte orders round-trip every field
+    (including the offset-stored ASCII and RATIONAL values); the Exif
+    segment is transparent to pixel decode; unknown trailing tags are
+    skipped, not fatal; malformed bytes stay inside the clean-
+    ValueError contract."""
+    import numpy as np
+
+    from seamdb_spark.operators import multimodal as mm
+
+    raw = mm._ramp_rgb(3).tobytes()
+    for be in (False, True):
+        app1 = mm.build_exif_app1(
+            orientation=6,
+            make="CAM-X",
+            model="MODEL-Y",
+            datetime_str="2023:05:17 08:30:00",
+            x_resolution=(300, 1),
+            big_endian=be,
+        )
+        p = mm.build_jpeg_with_exif(16, 16, raw, app1)
+        meta = mm.parse_exif(p)
+        assert meta["byte_order"] == ("MM" if be else "II")
+        assert meta["orientation"] == 6
+        assert meta["make"] == "CAM-X" and meta["model"] == "MODEL-Y"
+        assert meta["x_resolution"] == (300, 1)
+        assert meta["datetime"] == "2023:05:17 08:30:00"
+        assert meta["n_entries"] == 5
+        # pixel path unaffected by the APP1 splice
+        assert (
+            mm.decode_media(p)["pixels"]
+            == mm.decode_media(mm.build_jpeg(16, 16, raw))["pixels"]
+        )
+    # a JPEG without APP1 raises the documented error
+    try:
+        mm.parse_exif(mm.build_jpeg(16, 16, raw))
+        raise AssertionError("expected ValueError for missing APP1")
+    except ValueError:
+        pass
+    # malformed bytes: clean ValueError, never IndexError/struct.error
+    rng = np.random.default_rng(6)
+    app1 = mm.build_exif_app1(1, "A", "B", "2020:01:01 00:00:00", (72, 1))
+    p = mm.build_jpeg_with_exif(16, 16, raw, app1)
+    for _ in range(300):
+        b = bytearray(p)
+        i = int(rng.integers(2, min(len(p), 220)))  # target the APP1 head
+        b[i] = int(rng.integers(0, 256))
+        try:
+            mm.parse_exif(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_orient_normalize_group_properties():
+    """The 8 TIFF orientation transforms form the dihedral group D4:
+    each inverse in _ORIENT_INVERSE recovers the original array
+    bit-identically, involutions are exactly {1,2,3,4,5,7}, the four
+    transposing cases (5-8) swap dimensions on non-square input, and
+    every case permutes (never alters) the multiset of pixels."""
+    import numpy as np
+
+    from seamdb_spark.operators.multimodal import (
+        _ORIENT_INVERSE,
+        orient_normalize,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)  # H=6, W=4
+    for o in range(1, 9):
+        disp = orient_normalize(arr, o)
+        if o >= 5:
+            assert disp.shape == (4, 6, 3), o
+        else:
+            assert disp.shape == arr.shape, o
+        assert sorted(disp.flatten()) == sorted(arr.flatten())
+        undo = orient_normalize(disp, _ORIENT_INVERSE[o])
+        assert (undo == arr).all(), o
+        is_involution = (orient_normalize(disp, o).shape == arr.shape) and (
+            orient_normalize(disp, o) == arr
+        ).all()
+        assert is_involution == (o in (1, 2, 3, 4, 5, 7)), o
+    try:
+        orient_normalize(arr, 9)
+        raise AssertionError("expected ValueError for orientation 9")
+    except ValueError:
+        pass
