@@ -1408,3 +1408,107 @@ def p12_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sampled_id_sum",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p13: orientation-robust image dedup — the round-8 multimodal chain
+# composed end-to-end: a camera-rotated copy of an image (stored
+# sideways with the matching TIFF orientation tag, the way phones
+# actually save photos) MUST dedup against its upright original, and
+# does only if hashing happens AFTER orientation normalization. Per
+# sampled doc two variants exist: the upright ramp (tag 1) and the
+# same image stored pre-rotated by the tag's inverse (tag o =
+# 1 + doc_id % 8). Both run the REAL pipeline — build_bmp →
+# bmp_pixels parse → (naive) ahash_rgb on stored pixels vs
+# (normalized) ahash_rgb after orient_normalize(tag). The fixture
+# ramp's gray plane is c + 4x + 5y for EVERY doc, so the upright
+# aHash is the half-plane constant 65152 (16ci + 20cj >= 54 cells)
+# and no nontrivial D4 transform preserves that pattern — giving the
+# closed forms the oracle pins: naive_match ⇔ tag = 1 (rotation
+# breaks naive dedup for all 7 rotated cases), normalized_match TRUE
+# always (BMP is lossless and the transform is exact), norm_hash =
+# 65152.
+#
+# Scale: row-local Arrow-batched mapInPandas (two in-memory variants
+# per doc, ~1.5 KB each), zero shuffle — the m15 shape. In a real
+# corpus the dedup is then m09's hash groupBy on the normalized hash;
+# the per-doc verdicts here pin exactly the property that makes that
+# groupBy correct.
+# --------------------------------------------------------------------------
+_P13_SCHEMA = (
+    "doc_id long, orientation long, naive_match boolean,"
+    " normalized_match boolean, norm_hash long"
+)
+P13_UPRIGHT_AHASH = 65152
+
+
+@register(
+    "p13_orientation_robust_dedup",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           (doc_id % 8) = 0 AS naive_match,
+           TRUE AS normalized_match,
+           CAST(65152 AS BIGINT) AS norm_hash
+    FROM documents
+    WHERE doc_id % 8 = 0
+    """,
+)
+def p13_orientation_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources import load_table
+    from .multimodal import (
+        _ORIENT_INVERSE,
+        M15_SAMPLE_MOD,
+        _ramp_rgb,
+        ahash_rgb,
+        bmp_pixels,
+        build_bmp,
+        orient_normalize,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decoded(arr):
+            # the real pipeline step: lossless container round-trip
+            raw = bmp_pixels(build_bmp(16, 16, arr.tobytes()))
+            return np.frombuffer(raw, dtype=np.uint8).reshape(16, 16, 3)
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "orientation": [], "naive_match": [],
+                "normalized_match": [], "norm_hash": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                o = 1 + d % 8
+                upright = _ramp_rgb(d)
+                stored = orient_normalize(upright, _ORIENT_INVERSE[o])
+                pix_a = decoded(upright)   # variant A: tag 1
+                pix_b = decoded(stored)    # variant B: tag o
+                naive_a = ahash_rgb(16, 16, pix_a.tobytes())
+                naive_b = ahash_rgb(16, 16, pix_b.tobytes())
+                norm_a = ahash_rgb(
+                    16, 16, orient_normalize(pix_a, 1).tobytes()
+                )
+                norm_b = ahash_rgb(
+                    16, 16, orient_normalize(pix_b, o).tobytes()
+                )
+                out["doc_id"].append(d)
+                out["orientation"].append(o)
+                out["naive_match"].append(naive_a == naive_b)
+                out["normalized_match"].append(norm_a == norm_b)
+                out["norm_hash"].append(norm_b)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(audit, schema=_P13_SCHEMA)
