@@ -3057,3 +3057,86 @@ def q68_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("grp_cents").over(w).alias("frame_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q69: window frame EXCLUDE clause (SQL:2011's other frame modifier,
+# also absent from Spark; DuckDB executes it natively, so the oracle
+# is the real semantics, not a restatement). All three modes over one
+# ±2-day RANGE frame per priority: EXCLUDE CURRENT ROW, EXCLUDE GROUP
+# (drop the whole peer group), EXCLUDE TIES (drop peers, keep self).
+# Emulated by the subtraction identities — frame aggregates are
+# linear, so exclude_current = frame − self, exclude_group = frame −
+# peer_sum, exclude_ties = frame − peer_sum + self — using exactly
+# two windows: the RANGE frame and the peer-group partition sum.
+# SQL's empty-frame semantics are preserved: SUM over an emptied
+# exclusion frame is NULL, not 0, so the identities carry COUNT-based
+# guards (frame_cnt−1 = 0 ⇒ NULL for CURRENT ROW, frame_cnt−peer_cnt
+# = 0 ⇒ NULL for GROUP; TIES always keeps self, never empty).
+#
+# Scale: both windows partition by (priority[, day]) — the same
+# narrow shuffle; the subtractions are per-row projections. The
+# identity holds for any linear aggregate (SUM/COUNT/AVG numerators);
+# MIN/MAX under EXCLUDE genuinely need the collapse-join (q68) shape.
+# --------------------------------------------------------------------------
+@register(
+    "q69_window_exclude",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, day, cents,
+           CAST(SUM(cents) OVER w AS BIGINT) AS frame_cents,
+           CAST(SUM(cents) OVER (
+             PARTITION BY o_orderpriority ORDER BY day
+             RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE CURRENT ROW
+           ) AS BIGINT) AS excl_current,
+           CAST(SUM(cents) OVER (
+             PARTITION BY o_orderpriority ORDER BY day
+             RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE GROUP
+           ) AS BIGINT) AS excl_group,
+           CAST(SUM(cents) OVER (
+             PARTITION BY o_orderpriority ORDER BY day
+             RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE TIES
+           ) AS BIGINT) AS excl_ties
+    FROM base
+    WINDOW w AS (
+      PARTITION BY o_orderpriority ORDER BY day
+      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+    )
+    """,
+)
+def q69_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wf = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rangeBetween(-2, 2)
+    )
+    wp = W.partitionBy("o_orderpriority", "day")
+    frame = F.sum("cents").over(wf)
+    frame_cnt = F.count("cents").over(wf)
+    peer = F.sum("cents").over(wp)
+    peer_cnt = F.count("cents").over(wp)
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "day",
+        "cents",
+        frame.alias("frame_cents"),
+        F.when(frame_cnt > 1, frame - F.col("cents")).alias("excl_current"),
+        F.when(frame_cnt > peer_cnt, frame - peer).alias("excl_group"),
+        (frame - peer + F.col("cents")).alias("excl_ties"),
+    )

@@ -581,3 +581,37 @@ def test_gif_lzw_width_bump_at_stream_tail():
             seq = [rng.randrange(ncol) for _ in range(n)]
             got, _ = _gif_lzw_decode(_gif_lzw_encode(seq, mcs), mcs)
             assert got == seq, (ncol, mcs, n)
+
+
+@given(
+    orientation=st.integers(min_value=1, max_value=8),
+    make=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=12),
+    model=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=12),
+    num=st.integers(min_value=0, max_value=2**32 - 1),
+    den=st.integers(min_value=1, max_value=2**32 - 1),
+    big_endian=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_exif_property_roundtrip(orientation, make, model, num, den, big_endian):
+    """Any IFD0 field combination round-trips through the APP1 builder
+    and parser in both byte orders — including empty/short ASCII
+    (inline 4-byte storage) and long ASCII / RATIONAL (offset
+    storage)."""
+    from seamdb_spark.operators.multimodal import (
+        build_exif_app1,
+        build_jpeg_with_exif,
+        build_jpeg,
+        parse_exif,
+        _ramp_rgb,
+    )
+
+    dt = "2021:06:01 12:00:00"
+    app1 = build_exif_app1(orientation, make, model, dt, (num, den), big_endian)
+    payload = build_jpeg_with_exif(16, 16, _ramp_rgb(1).tobytes(), app1)
+    meta = parse_exif(payload)
+    assert meta["orientation"] == orientation
+    assert meta["make"] == make
+    assert meta["model"] == model
+    assert meta["datetime"] == dt
+    assert meta["x_resolution"] == (num, den)
+    assert meta["byte_order"] == ("MM" if big_endian else "II")
