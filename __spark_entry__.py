@@ -361,10 +361,11 @@ _R7_WINDOW = [
 # gate came back 50/50 green, closing the cumulative evidence gap —
 # every one of the 282 then-registered queries has a driver-green row
 # in the r1–r7 union with no latest-row red):
-# (a) slots 1-7: registered in round 8 — m33 keyframe selection, m34
+# (a) slots 1-8: registered in round 8 — m33 keyframe selection, m34
 #     EXIF metadata, m35 scene segmentation, m36 orientation
 #     normalization, q68 GROUPS-frame emulation, p13 orientation-
-#     robust dedup, q69 EXCLUDE-clause emulation (each hash-green at
+#     robust dedup, q69 EXCLUDE-clause emulation, m37 FFT pitch
+#     detection (each hash-green at
 #     sf0.001+sf0.01+sf0.1 locally on registration — q69's
 #     NULL-on-empty-exclusion semantics were caught BY the sf0.001
 #     sweep, where isolated ±2-day frames actually occur); then
@@ -381,7 +382,7 @@ _R7_WINDOW = [
 #     factoring); all green in every local sweep since, plus sf0.01
 #     re-runs during round-7 judging;
 # (c) remaining slots: regression fill, oldest-green-first — the
-#     first 34 _R2_GREEN entries (latest driver row r2, five rounds
+#     first 33 _R2_GREEN entries (latest driver row r2, five rounds
 #     of churn ago) in _R2_GREEN list order from d09/d10 onward,
 #     skipping s03 (already in (b)).
 #
@@ -398,7 +399,7 @@ _R8_WINDOW = [
     "m33_keyframe_selection", "m34_exif_metadata",
     "m35_scene_segmentation", "m36_orientation_normalize",
     "q68_groups_frame", "p13_orientation_robust_dedup",
-    "q69_window_exclude",
+    "q69_window_exclude", "m37_pitch_detection",
     "m31_progressive_jpeg_consistency",
     "j02_bucketed_colocated_join", "j03_partition_pruned_join",
     # (b) deferred bit-identical refactors (d25-precedent queue)
@@ -418,7 +419,7 @@ _R8_WINDOW = [
     "q44_window_distribution", "q45_pattern_matching",
     "q46_below_avg_quantity", "q47_supplier_share", "q48_multiset_ops",
     "q49_lateral_join", "x05_histogram", "s01_ann_bruteforce_topk",
-    "d05_embedding_neardup", "s02_ann_lsh_topk",
+    "d05_embedding_neardup",
 ]
 
 

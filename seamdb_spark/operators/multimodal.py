@@ -5778,3 +5778,84 @@ def m36_orientation_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(normalize, schema=_M36_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m37: pitch detection — real frequency-domain DSP over real WAV
+# round-trips: each sampled doc synthesizes a pure tone at an exact
+# FFT-bin frequency (bin k = 5 + doc_id % 120 over a 512-point frame
+# at 16 kHz → k·31.25 Hz, an integer number of cycles so spectral
+# energy concentrates in one bin), writes it through the RIFF/PCM
+# builder, parses the BYTES back (wav_samples), and detects the pitch
+# as the argmax of the real-FFT magnitude spectrum (DC excluded). The
+# closed forms the oracle pins: detected_bin equals the synthesis
+# bin, freq_milli_hz = 31250·k exactly, and is_tonal (peak magnitude
+# > 2x the runner-up, true for a pure tone, integer-quantization
+# noise notwithstanding — verified over the whole doc_id range before
+# the threshold was pinned). The audio-analysis step a speech corpus
+# runs for tone/DTMF/beep screening before transcription.
+#
+# Scale: row-local numpy rfft inside Arrow-batched mapInPandas, zero
+# shuffle — the m07/m18 shape; frame length is the batch-memory knob.
+# --------------------------------------------------------------------------
+M37_FFT_N = 512
+M37_SR = 16000
+_M37_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, synth_bin long,"
+    " detected_bin long, freq_milli_hz long, is_tonal boolean"
+)
+
+
+@register(
+    "m37_pitch_detection",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({M37_FFT_N} AS BIGINT) AS n_samples,
+           CAST({M37_SR} AS BIGINT) AS sample_rate,
+           CAST(5 + doc_id % 120 AS BIGINT) AS synth_bin,
+           CAST(5 + doc_id % 120 AS BIGINT) AS detected_bin,
+           CAST(31250 * (5 + doc_id % 120) AS BIGINT) AS freq_milli_hz,
+           TRUE AS is_tonal
+    FROM documents
+    WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    """,
+)
+def m37_pitch_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = np.arange(M37_FFT_N)
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_samples": [], "sample_rate": [],
+                "synth_bin": [], "detected_bin": [], "freq_milli_hz": [],
+                "is_tonal": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 5 + d % 120
+                tone = np.rint(
+                    12000.0 * np.sin(2.0 * np.pi * k * n / M37_FFT_N)
+                ).astype(int)
+                payload = build_wav([int(v) for v in tone], M37_SR)
+                samples = np.array(wav_samples(payload), dtype=np.float64)
+                spec = np.abs(np.fft.rfft(samples))
+                peak = int(np.argmax(spec[1:]) + 1)  # skip DC
+                top2 = np.sort(spec)[::-1][:2]
+                out["doc_id"].append(d)
+                out["n_samples"].append(len(samples))
+                out["sample_rate"].append(M37_SR)
+                out["synth_bin"].append(k)
+                out["detected_bin"].append(peak)
+                # exact: sr * 1000 / N = 31250 exactly for 16000/512
+                out["freq_milli_hz"].append(peak * (M37_SR * 1000 // M37_FFT_N))
+                out["is_tonal"].append(bool(top2[0] > 2.0 * top2[1]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(detect, schema=_M37_SCHEMA)

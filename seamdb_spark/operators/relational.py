@@ -3074,6 +3074,14 @@ def q68_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # guards (frame_cnt−1 = 0 ⇒ NULL for CURRENT ROW, frame_cnt−peer_cnt
 # = 0 ⇒ NULL for GROUP; TIES always keeps self, never empty).
 #
+# Physical shape: the RANGE frame depends only on (priority, day), so
+# the windows run over the COLLAPSED day table (q68's identity) and
+# the day-level sums broadcast-join back to the fact rows — one full
+# shuffle (the map-side-combinable day aggregate) plus a tiny window
+# and a broadcast. Windowing the raw fact table PARTITION BY priority
+# (5 values) would serialize the corpus through 5 tasks at 100 TB;
+# this shape never windows anything bigger than |days|x|priorities|.
+#
 # Scale: both windows partition by (priority[, day]) — the same
 # narrow shuffle; the subtractions are per-row projections. The
 # identity holds for any linear aggregate (SUM/COUNT/AVG numerators);
@@ -3125,18 +3133,35 @@ def q69_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rangeBetween(-2, 2)
     )
-    wp = W.partitionBy("o_orderpriority", "day")
-    frame = F.sum("cents").over(wf)
-    frame_cnt = F.count("cents").over(wf)
-    peer = F.sum("cents").over(wp)
-    peer_cnt = F.count("cents").over(wp)
-    return base.select(
+    days = base.groupBy("o_orderpriority", "day").agg(
+        F.sum("cents").alias("day_cents"),
+        F.count(F.lit(1)).alias("day_cnt"),
+    )
+    framed = days.select(
+        "o_orderpriority",
+        "day",
+        "day_cents",
+        "day_cnt",
+        F.sum("day_cents").over(wf).alias("frame_cents"),
+        F.sum("day_cnt").over(wf).alias("frame_cnt"),
+    )
+    joined = base.join(
+        F.broadcast(framed), ["o_orderpriority", "day"]
+    )
+    return joined.select(
         "o_orderkey",
         "o_orderpriority",
         "day",
         "cents",
-        frame.alias("frame_cents"),
-        F.when(frame_cnt > 1, frame - F.col("cents")).alias("excl_current"),
-        F.when(frame_cnt > peer_cnt, frame - peer).alias("excl_group"),
-        (frame - peer + F.col("cents")).alias("excl_ties"),
+        "frame_cents",
+        F.when(
+            F.col("frame_cnt") > 1, F.col("frame_cents") - F.col("cents")
+        ).alias("excl_current"),
+        F.when(
+            F.col("frame_cnt") > F.col("day_cnt"),
+            F.col("frame_cents") - F.col("day_cents"),
+        ).alias("excl_group"),
+        (F.col("frame_cents") - F.col("day_cents") + F.col("cents")).alias(
+            "excl_ties"
+        ),
     )

@@ -3412,3 +3412,51 @@ def test_orient_normalize_group_properties():
         raise AssertionError("expected ValueError for orientation 9")
     except ValueError:
         pass
+
+
+def test_q68_q69_window_over_collapsed_table(spark, registry):
+    """The round-8 frame emulations' defining physical property: the
+    Window never runs over the raw fact table. q68/q69 collapse to
+    peer groups first, so every Window in the plan sits above a
+    HashAggregate; q69 additionally rejoins rows via BROADCAST (the
+    day table is dimension-sized) rather than a shuffled join."""
+    queries, _ = registry
+    for name in ("q68_groups_frame", "q69_window_exclude"):
+        plan = (
+            queries[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        w = plan.find("Window")
+        assert w != -1, name
+        # the aggregate (collapse) must appear BELOW the window in the
+        # tree printout (later in the string = deeper)
+        assert "HashAggregate" in plan[w:], (name, "window not over collapse")
+    plan69 = (
+        queries["q69_window_exclude"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan69
+    assert "SortMergeJoin" not in plan69
+
+
+def test_m33_selection_never_shuffles_payloads(spark, registry):
+    """m33's physical property: the only Exchange in the plan moves
+    the exploded SAMPLE table (post-mapInPandas rows), never binary
+    payloads — the scan side below the Python stage is
+    payload-column-free (doc_id only), and exactly one shuffle feeds
+    the per-GOP window."""
+    queries, _ = registry
+    plan = (
+        queries["m33_keyframe_selection"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange ") == 1
+    assert "MapInPandas" in plan
+    # the exchange must be ABOVE the Python stage (earlier in print)
+    assert plan.find("Exchange ") < plan.find("MapInPandas")
