@@ -4337,3 +4337,67 @@ def e39_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit_ppm").cast("long").alias("total_credit_ppm"),
         F.sum("rev_milli_cents").cast("long").alias("credited_rev_milli_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# e41: NATIVE session windows — the same gap-session concept as e02,
+# but through Spark's built-in session_window operator (the one the
+# STREAMING engine uses for watermarked session aggregation; in batch
+# it runs as a SessionWindow aggregate — exercising the native
+# operator instead of the lag+running-sum islands formulation is the
+# point, and the DuckDB oracle replays the islands formulation so the
+# two INDEPENDENT constructions must agree). Boundary semantics
+# differ between the two conventions and are pinned explicitly:
+# session_window merges events whose [ts, ts+gap) windows OVERLAP, so
+# a successor exactly `gap` later starts a NEW session (>= boundary),
+# while e02's SQL-islands convention keeps it (> boundary) — the
+# oracle here uses >= to match the native operator; e02 remains the
+# SQL convention's oracle. session_end is last_ts + gap (the native
+# window's end), NOT last_ts.
+#
+# Scale: one shuffle on user_id (the same profile as any keyed agg);
+# session_window is a first-class aggregate with partial merge — no
+# per-user window sort bottleneck.
+# --------------------------------------------------------------------------
+@register(
+    "e41_native_session_window",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    lab AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM lab
+    GROUP BY user_id, sid
+    """,
+)
+def e41_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

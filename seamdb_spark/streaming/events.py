@@ -85,7 +85,10 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization with the built-in session_window —
-    the streaming counterpart of e02_sessionization's lag+cumsum."""
+    the streaming counterpart of e02_sessionization's lag+cumsum.
+    e41_native_session_window registers the identical aggregation as
+    an oracle-checked batch query, so this stream is batch-equality
+    pinned against it (tests/test_streaming.py)."""
     ev = stream_events(spark, sf_dir)
     return (
         ev.withWatermark("ts", "2 hours")

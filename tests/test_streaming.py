@@ -44,6 +44,23 @@ def test_session_window_stream_event_conservation(spark):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 <= s2
+    # FULL batch equality (round 8): e41 registers the same native
+    # session_window aggregation as a batch query with a DuckDB
+    # oracle, so the streaming result must match the oracle-checked
+    # batch result row-for-row on the shared columns
+    from seamdb_spark.operators.registry import QUERIES
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in QUERIES["e41_native_session_window"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in rows
+    }
+    assert got == batch
 
 
 def test_stateful_running_totals(spark):
