@@ -3,7 +3,8 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. BMP, WAV, JPEG (baseline SOF0, progressive SOF2 including AC
 successive-approximation refinement, and 4:2:0 chroma-subsampled — all
-with DRI/RSTn restart-marker support), truecolor PNG, and
+with DRI/RSTn restart-marker support), truecolor PNG (sequential and
+Adam7-interlaced), and
 non-interlaced GIF decode is REAL (pure-Python byte-layout parsers
 ``decode_bmp``/``decode_wav``, a pure-Python + numpy T.81 codec family
 ``build_jpeg``/``decode_jpeg``/``decode_jpeg_progressive``/
@@ -343,10 +344,30 @@ class _JpegBitReader:
 # requires no external codec). Encoder cycles the filter type per row
 # (None/Sub/Up/Average/Paeth) so a round-trip exercises every unfilter
 # path; decoder validates chunk CRCs, concatenates multi-chunk IDAT,
-# inflates, and unfilters. 8-bit RGB (color type 2) only — the
-# fixture/synthesis path; palette/alpha/interlace raise ValueError.
+# inflates, and unfilters. 8-bit RGB (color type 2), both interlace
+# methods — 0 (sequential) and 1 (Adam7: seven filtered sub-images
+# scattered on the 8x8 progressive grid, round-8 addition, m38);
+# palette/alpha raise ValueError.
 # --------------------------------------------------------------------------
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_pass_dims(width: int, height: int) -> list[tuple]:
+    """(x0, y0, dx, dy, pass_width, pass_height) for each NONEMPTY
+    Adam7 pass of a width x height image."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -366,20 +387,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def build_png(width: int, height: int, rgb: bytes) -> bytes:
-    """Encode raw RGB bytes (len == width*height*3, row-major) as an
-    8-bit truecolor PNG. Filter type cycles row % 5 so every filter
-    (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) appears; IDAT is
-    split into two chunks to exercise the decoder's stream concat."""
-    import zlib
-
-    if len(rgb) != width * height * 3:
-        raise ValueError("rgb length != width*height*3")
-    stride = width * 3
+def _png_filter_rows(rows: list[bytes]) -> bytearray:
+    """Filter a sub-image (list of equal-stride rows): per-row filter
+    byte cycling y % 5 (None/Sub/Up/Average/Paeth), prior row starting
+    at zeros — the per-pass unit both interlace methods share."""
     filtered = bytearray()
+    if not rows:
+        return filtered
+    stride = len(rows[0])
     prior = bytes(stride)
-    for y in range(height):
-        row = rgb[y * stride:(y + 1) * stride]
+    for y, row in enumerate(rows):
         f = y % 5
         filtered.append(f)
         if f == 0:
@@ -409,59 +426,13 @@ def build_png(width: int, height: int, rgb: bytes) -> bytes:
                 for i in range(stride)
             )
         prior = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    comp = zlib.compress(bytes(filtered), 6)
-    half = len(comp) // 2
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", comp[:half])
-        + _png_chunk(b"IDAT", comp[half:])
-        + _png_chunk(b"IEND", b"")
-    )
+    return filtered
 
 
-def decode_png(payload: bytes) -> dict:
-    """Parse an 8-bit truecolor PNG: CRC-checked chunk walk, IDAT
-    inflate, per-row unfilter (all five filter types). Returns kind,
-    dimensions, raw RGB pixels, and the per-row filter types seen."""
-    import zlib
-
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG signature")
-    pos, width, height, idat = 8, None, None, bytearray()
-    while pos < len(payload):
-        if pos + 12 > len(payload):
-            raise ValueError("truncated PNG chunk header")
-        (clen,) = struct.unpack(">I", payload[pos:pos + 4])
-        ctype = payload[pos + 4:pos + 8]
-        if pos + 12 + clen > len(payload):
-            raise ValueError("truncated PNG chunk body")
-        data = payload[pos + 8:pos + 8 + clen]
-        (crc,) = struct.unpack(
-            ">I", payload[pos + 8 + clen:pos + 12 + clen]
-        )
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
-        if ctype == b"IHDR":
-            width, height, depth, ctyp, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if (depth, ctyp, comp, filt, inter) != (8, 2, 0, 0, 0):
-                raise ValueError(
-                    "only 8-bit truecolor non-interlaced PNG supported"
-                )
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen
-    if width is None or not idat:
-        raise ValueError("missing IHDR or IDAT")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+def _png_unfilter_rows(raw: bytes, width: int, height: int):
+    """Inverse of _png_filter_rows over a (width x height) sub-image:
+    returns (pixel bytes, per-row filter list). raw must be exactly
+    height * (width*3 + 1) bytes."""
     stride = width * 3
     if len(raw) != height * (stride + 1):
         raise ValueError("inflated length != height*(stride+1)")
@@ -492,11 +463,125 @@ def decode_png(payload: bytes) -> dict:
             rec[i] = v & 0xFF
         out += rec
         prior = bytes(rec)
+    return bytes(out), filters
+
+
+def build_png(width: int, height: int, rgb: bytes, interlace: int = 0) -> bytes:
+    """Encode raw RGB bytes (len == width*height*3, row-major) as an
+    8-bit truecolor PNG. Filter type cycles row % 5 so every filter
+    (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) appears; IDAT is
+    split into two chunks to exercise the decoder's stream concat.
+    ``interlace=1`` writes Adam7: the seven pass sub-images are
+    gathered off the 8x8 progressive grid and each pass is filtered
+    independently (filters restart per pass, per the spec)."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    if interlace not in (0, 1):
+        raise ValueError("PNG interlace method must be 0 or 1")
+    stride = width * 3
+    if interlace == 0:
+        rows = [rgb[y * stride:(y + 1) * stride] for y in range(height)]
+        filtered = _png_filter_rows(rows)
+    else:
+        filtered = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+            rows = []
+            for j in range(ph):
+                y = y0 + j * dy
+                row = bytearray()
+                for i in range(pw):
+                    x = x0 + i * dx
+                    p = (y * width + x) * 3
+                    row += rgb[p:p + 3]
+                rows.append(bytes(row))
+            filtered += _png_filter_rows(rows)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, interlace)
+    comp = zlib.compress(bytes(filtered), 6)
+    half = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit truecolor PNG: CRC-checked chunk walk, IDAT
+    inflate, per-row unfilter (all five filter types), both interlace
+    methods (sequential and Adam7 — each pass unfilters independently
+    and scatters back onto the 8x8 progressive grid). Returns kind,
+    dimensions, interlace flag, raw RGB pixels, and the per-row
+    filter types seen (concatenated in pass order for Adam7)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, width, height, inter, idat = 8, None, None, 0, bytearray()
+    while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (clen,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk body")
+        data = payload[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + clen:pos + 12 + clen]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctyp, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctyp, comp, filt) != (8, 2, 0, 0) or inter not in (
+                0, 1,
+            ):
+                raise ValueError(
+                    "only 8-bit truecolor PNG (interlace 0/1) supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if inter == 0:
+        pixels, filters = _png_unfilter_rows(raw, width, height)
+    else:  # Adam7: unfilter each pass, scatter to the full image
+        passes = _adam7_pass_dims(width, height)
+        need = sum(ph * (pw * 3 + 1) for _x, _y, _dx, _dy, pw, ph in passes)
+        if len(raw) != need:
+            raise ValueError("inflated length != Adam7 pass total")
+        out = bytearray(width * height * 3)
+        filters = []
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            plen = ph * (pw * 3 + 1)
+            sub, fs = _png_unfilter_rows(raw[off:off + plen], pw, ph)
+            off += plen
+            filters += fs
+            for j in range(ph):
+                for i in range(pw):
+                    p = ((y0 + j * dy) * width + (x0 + i * dx)) * 3
+                    s = (j * pw + i) * 3
+                    out[p:p + 3] = sub[s:s + 3]
+        pixels = bytes(out)
     return {
         "kind": "png",
         "width": width,
         "height": height,
-        "pixels": bytes(out),
+        "interlaced": inter == 1,
+        "pixels": pixels,
         "filters": filters,
     }
 
@@ -5859,3 +5944,76 @@ def m37_pitch_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(detect, schema=_M37_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m38: Adam7 interlaced PNG round-trip — the second PNG interlace
+# method closed (real-world PNGs from older tooling are frequently
+# interlaced; a corpus decode path that rejects interlace=1 drops
+# them): the encoder gathers the seven pass sub-images off the 8x8
+# progressive grid and filters each pass independently, the decoder
+# unfilters per pass and scatters pixels back. PNG is lossless, so
+# the interlaced decode must be BIT-identical to the sequential
+# decode of the same ramp — any error in pass geometry, per-pass
+# filter restart, or scatter indexing surfaces as pixels_equal=false.
+# n_filter_rows pins the pass geometry itself (Σ pass heights = 30
+# for 16x16, vs 16 sequential rows). Odd-size pass handling (empty
+# and partial passes) is pytest-pinned separately.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle — the m22
+# shape, m15's 1-in-8 doc sample.
+# --------------------------------------------------------------------------
+_M38_SCHEMA = (
+    "doc_id long, width long, height long, interlaced boolean,"
+    " n_filter_rows long, src_pixel_sum long, pixels_equal boolean"
+)
+
+
+@register(
+    "m38_png_adam7_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           TRUE AS interlaced,
+           CAST(30 AS BIGINT) AS n_filter_rows,
+           CAST(256 * (doc_id % 64 + (doc_id * 7) % 64 + (doc_id * 13) % 64)
+                + 27 * 1920 AS BIGINT) AS src_pixel_sum,
+           TRUE AS pixels_equal
+    FROM documents
+    WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    """,
+)
+def m38_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "interlaced": [],
+                "n_filter_rows": [], "src_pixel_sum": [], "pixels_equal": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = _ramp_rgb(d).tobytes()
+                lace = decode_media(build_png(16, 16, raw, interlace=1))
+                seq = decode_media(build_png(16, 16, raw))
+                src = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                out["doc_id"].append(d)
+                out["width"].append(lace["width"])
+                out["height"].append(lace["height"])
+                out["interlaced"].append(bool(lace["interlaced"]))
+                out["n_filter_rows"].append(len(lace["filters"]))
+                out["src_pixel_sum"].append(int(src.sum()))
+                out["pixels_equal"].append(
+                    lace["pixels"] == seq["pixels"] == raw
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=_M38_SCHEMA)

@@ -3460,3 +3460,47 @@ def test_m33_selection_never_shuffles_payloads(spark, registry):
     assert "MapInPandas" in plan
     # the exchange must be ABOVE the Python stage (earlier in print)
     assert plan.find("Exchange ") < plan.find("MapInPandas")
+
+
+def test_png_adam7_odd_sizes_and_fuzz():
+    """Adam7 correctness at the geometry edges: odd dimensions where
+    passes go EMPTY (width 1 kills passes 2/4/6; height 1 kills
+    3/5/7) or partial; every size round-trips bit-identically, the
+    filter-row count equals the sum of nonempty pass heights, and
+    malformed bytes stay inside the clean-ValueError contract."""
+    import random
+
+    import numpy as np
+
+    from seamdb_spark.operators import multimodal as mm
+
+    random.seed(9)
+    for (w, h) in [(1, 1), (1, 9), (8, 1), (2, 3), (7, 5), (13, 11), (5, 32)]:
+        rgb = bytes(random.randrange(256) for _ in range(w * h * 3))
+        lace = mm.build_png(w, h, rgb, interlace=1)
+        d = mm.decode_png(lace)
+        assert d["pixels"] == rgb, (w, h)
+        assert d["interlaced"]
+        passes = mm._adam7_pass_dims(w, h)
+        assert len(d["filters"]) == sum(ph for *_, ph in passes)
+        # each nonempty pass covers its own pixel set exactly once
+        seen = set()
+        for x0, y0, dx, dy, pw, ph in passes:
+            for j in range(ph):
+                for i in range(pw):
+                    pt = (x0 + i * dx, y0 + j * dy)
+                    assert pt not in seen
+                    seen.add(pt)
+        assert len(seen) == w * h
+    rng = np.random.default_rng(10)
+    p = mm.build_png(7, 5, bytes(range(7 * 5 * 3 % 256)) * 0 + bytes(
+        (i * 31) % 256 for i in range(7 * 5 * 3)
+    ), interlace=1)
+    for _ in range(300):
+        b = bytearray(p)
+        i = int(rng.integers(8, len(p)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            mm.decode_png(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
