@@ -4,8 +4,8 @@ Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. BMP, WAV, JPEG (baseline SOF0, progressive SOF2 including AC
 successive-approximation refinement, and 4:2:0 chroma-subsampled — all
 with DRI/RSTn restart-marker support), truecolor PNG (sequential and
-Adam7-interlaced), and
-non-interlaced GIF decode is REAL (pure-Python byte-layout parsers
+Adam7-interlaced), and GIF (sequential and 4-pass interlaced) decode
+is REAL (pure-Python byte-layout parsers
 ``decode_bmp``/``decode_wav``, a pure-Python + numpy T.81 codec family
 ``build_jpeg``/``decode_jpeg``/``decode_jpeg_progressive``/
 ``decode_jpeg_420``, a stdlib-zlib PNG codec ``build_png``/
@@ -62,7 +62,8 @@ FEATURE_SCHEMA = (
 # three supported shapes — baseline SOF0 (m15/m16), progressive SOF2
 # (m31), and 4:2:0 chroma-subsampled (m32), with DRI/RSTn restart
 # markers — as do truecolor PNG (stdlib zlib carries the DEFLATE/CRC32
-# primitives, m22) and non-interlaced GIF (m25/m26). The MP4 container
+# primitives, m22; Adam7 interlace, m38) and GIF in both layouts
+# (m25/m26 sequential, m39 interlaced). The MP4 container
 # walk + mdat sample slicing are real (m27/m30). What remains behind
 # NotImplementedError / ValueError is exactly the codec-library
 # boundary: H.264/H.265 video payloads inside mdat and non-4:2:0
@@ -1887,11 +1888,23 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> tuple[list[int], int]:
         prev = entry
 
 
-def build_gif(width: int, height: int, rgb: bytes) -> bytes:
+def _gif_interlace_rows(height: int) -> list[int]:
+    """GIF 4-pass interlace row order (spec appendix E): stored row j
+    is display row order[j] — every 8th from 0, every 8th from 4,
+    every 4th from 2, every 2nd from 1."""
+    return (
+        list(range(0, height, 8)) + list(range(4, height, 8))
+        + list(range(2, height, 4)) + list(range(1, height, 2))
+    )
+
+
+def build_gif(width: int, height: int, rgb: bytes, interlaced: bool = False) -> bytes:
     """Encode raw RGB bytes (len == width*height*3, row-major) as a
     GIF89a: global color table built from the image's distinct colors
     (must be <= 256 — GIF is palettized), real LZW compression,
-    <=255-byte sub-block framing. Inverse of :func:`decode_gif`."""
+    <=255-byte sub-block framing. ``interlaced`` stores the rows in
+    the 4-pass interlace order with the descriptor flag set. Inverse
+    of :func:`decode_gif`."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != width*height*3")
     colors: list[bytes] = []
@@ -1906,6 +1919,12 @@ def build_gif(width: int, height: int, rgb: bytes) -> bytes:
         indices.append(i)
     if len(colors) > 256:
         raise ValueError("GIF requires <= 256 distinct colors")
+    if interlaced:
+        indices = [
+            indices[y * width + x]
+            for y in _gif_interlace_rows(height)
+            for x in range(width)
+        ]
     n = 0  # color table holds 2^(n+1) entries, n in 0..7
     while (2 << n) < len(colors):
         n += 1
@@ -1922,7 +1941,10 @@ def build_gif(width: int, height: int, rgb: bytes) -> bytes:
         b"GIF89a"
         + struct.pack("<HHBBB", width, height, 0xF0 | n, 0, 0)
         + table
-        + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x2C"
+        + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0
+        )
         + bytes([min_code_size])
         + bytes(blocks)
         + b"\x3B"
@@ -1930,11 +1952,12 @@ def build_gif(width: int, height: int, rgb: bytes) -> bytes:
 
 
 def decode_gif_frames(payload: bytes) -> list[dict]:
-    """Parse a non-interlaced GIF87a/89a container into its frame list:
-    screen descriptor, global/local color tables, Graphic Control
-    Extension (per-frame delay), other-extension skip (comment,
+    """Parse a GIF87a/89a container into its frame list: screen
+    descriptor, global/local color tables, Graphic Control Extension
+    (per-frame delay), other-extension skip (comment,
     application/NETSCAPE), sub-block concat, real LZW decompress per
-    frame, palette mapping back to RGB bytes."""
+    frame, 4-pass deinterlace when the descriptor flag is set
+    (round-8 addition), palette mapping back to RGB bytes."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
     if len(payload) < 13:
@@ -1987,8 +2010,7 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
             "<HHHHB", payload[pos : pos + 9]
         )
         pos += 9
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        interlaced = bool(iflags & 0x40)
         table = global_table
         if iflags & 0x80:  # local color table overrides global
             size = (2 << (iflags & 0x07)) * 3
@@ -2015,6 +2037,13 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
         indices, max_width = _gif_lzw_decode(bytes(lzw), min_code_size)
         if len(indices) != width * height:
             raise ValueError("GIF index count != width*height")
+        if interlaced:  # stored row j is display row order[j]
+            out_idx = [0] * (width * height)
+            for j, y in enumerate(_gif_interlace_rows(height)):
+                out_idx[y * width : (y + 1) * width] = indices[
+                    j * width : (j + 1) * width
+                ]
+            indices = out_idx
         n_entries = len(table) // 3
         out = bytearray()
         for i in indices:
@@ -2029,6 +2058,7 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
                 "palette_size": n_entries,
                 "max_code_width": max_width,
                 "delay_cs": delay_cs,
+                "interlaced": interlaced,
             }
         )
         delay_cs = 0
@@ -6017,3 +6047,78 @@ def m38_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(roundtrip, schema=_M38_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m39: interlaced GIF round-trip — the GIF counterpart of m38's
+# Adam7 closure (GIF's 4-pass interlace is a pure row permutation:
+# every 8th row from 0, from 4, every 4th from 2, every 2nd from 1):
+# the encoder stores index rows in pass order with the descriptor
+# flag set, the decoder permutes them back after LZW. Lossless, so
+# the interlaced decode must be BIT-identical to the sequential
+# decode and to the source; the interlaced payload must differ from
+# the sequential one (the permuted index stream LZW-compresses
+# differently on the ramp) — pinning that the flag actually changes
+# the stored layout rather than being ignored.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle — the m25
+# shape, m15's 1-in-8 doc sample.
+# --------------------------------------------------------------------------
+_M39_SCHEMA = (
+    "doc_id long, width long, height long, interlaced boolean,"
+    " src_pixel_sum long, pixels_equal boolean, payload_differs boolean"
+)
+
+
+@register(
+    "m39_gif_interlaced_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           TRUE AS interlaced,
+           CAST(256 * (doc_id % 64 + (doc_id * 7) % 64 + (doc_id * 13) % 64)
+                + 27 * 1920 AS BIGINT) AS src_pixel_sum,
+           TRUE AS pixels_equal,
+           TRUE AS payload_differs
+    FROM documents
+    WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    """,
+)
+def m39_gif_interlaced_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "interlaced": [],
+                "src_pixel_sum": [], "pixels_equal": [], "payload_differs": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = _ramp_rgb(d).tobytes()
+                seq_payload = build_gif(16, 16, raw)
+                lace_payload = build_gif(16, 16, raw, interlaced=True)
+                lace = decode_media(lace_payload)
+                seq = decode_media(seq_payload)
+                src = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                out["doc_id"].append(d)
+                out["width"].append(lace["width"])
+                out["height"].append(lace["height"])
+                out["interlaced"].append(
+                    bool(decode_gif_frames(lace_payload)[0]["interlaced"])
+                )
+                out["src_pixel_sum"].append(int(src.sum()))
+                out["pixels_equal"].append(
+                    lace["pixels"] == seq["pixels"] == raw
+                )
+                out["payload_differs"].append(lace_payload != seq_payload)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=_M39_SCHEMA)

@@ -3504,3 +3504,23 @@ def test_png_adam7_odd_sizes_and_fuzz():
             mm.decode_png(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_gif_interlace_roundtrip_odd_sizes():
+    """GIF 4-pass interlace at geometry edges: heights where passes go
+    empty (h=1 leaves only pass 1; h=2 passes 1+4; h=5 has an empty
+    pass 2), round-trips bit-identically, and the row order is a
+    permutation of range(h) for every height."""
+    import random
+
+    from seamdb_spark.operators import multimodal as mm
+
+    random.seed(11)
+    for h in range(1, 20):
+        assert sorted(mm._gif_interlace_rows(h)) == list(range(h)), h
+    for (w, h) in [(1, 1), (3, 2), (5, 5), (4, 9), (7, 16), (2, 19)]:
+        rgb = bytes(random.randrange(8) * 32 for _ in range(w * h * 3))
+        lace = mm.build_gif(w, h, rgb, interlaced=True)
+        d = mm.decode_media(lace)
+        assert d["pixels"] == rgb, (w, h)
+        assert mm.decode_gif_frames(lace)[0]["interlaced"]

@@ -422,12 +422,18 @@ def test_gif_lzw_survives_dictionary_reset():
 
 
 def test_gif_decoder_boundary_is_explicit():
-    """Truncated sub-blocks, interlaced images, >256-color input, bad
-    signatures, and out-of-sequence LZW codes raise (never a wrong
-    answer)."""
+    """Truncated sub-blocks, >256-color input, bad signatures, and
+    out-of-sequence LZW codes raise (never a wrong answer); since
+    round 8 the interlace flag DECODES (4-pass row permutation)
+    instead of raising — flipping it on sequentially-stored data
+    yields the row-permuted image, same pixel multiset."""
     import pytest
 
-    from seamdb_spark.operators.multimodal import build_gif, decode_gif
+    from seamdb_spark.operators.multimodal import (
+        _gif_interlace_rows,
+        build_gif,
+        decode_gif,
+    )
 
     payload = build_gif(4, 3, bytes(range(36)))
     with pytest.raises(ValueError):
@@ -436,13 +442,19 @@ def test_gif_decoder_boundary_is_explicit():
         decode_gif(payload[:20])  # truncated mid-color-table
     with pytest.raises(ValueError):
         decode_gif(payload[:-6])  # truncated sub-blocks
-    # set the interlace flag inside the image descriptor
+    # flipping the interlace flag on sequential data = mis-declared
+    # layout: decodes (no error) to the row permutation of the source
     at = payload.index(b"\x2C")
-    corrupted = (
+    flagged = (
         payload[:at + 9] + bytes([payload[at + 9] | 0x40]) + payload[at + 10:]
     )
-    with pytest.raises(ValueError):
-        decode_gif(corrupted)
+    got = decode_gif(flagged)["pixels"]
+    src = bytes(range(36))
+    order = _gif_interlace_rows(3)
+    expect = bytearray(36)
+    for j, y in enumerate(order):
+        expect[y * 12:(y + 1) * 12] = src[j * 12:(j + 1) * 12]
+    assert got == bytes(expect) != src
     with pytest.raises(ValueError):  # 257 distinct colors cannot palettize
         build_gif(257, 1, b"".join(
             bytes((i & 0xFF, i >> 8, 0)) for i in range(257)
