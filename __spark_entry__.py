@@ -366,7 +366,8 @@ _R7_WINDOW = [
 #     normalization, q68 GROUPS-frame emulation, p13 orientation-
 #     robust dedup, q69 EXCLUDE-clause emulation, m37 FFT pitch
 #     detection, e41 native session_window, m38 Adam7 interlaced PNG,
-#     m39 interlaced GIF (each hash-green at
+#     m39 interlaced GIF, e42 conversion-window funnel (each
+#     hash-green at
 #     sf0.001+sf0.01+sf0.1 locally on registration — q69's
 #     NULL-on-empty-exclusion semantics were caught BY the sf0.001
 #     sweep, where isolated ±2-day frames actually occur); then
@@ -383,7 +384,7 @@ _R7_WINDOW = [
 #     factoring); all green in every local sweep since, plus sf0.01
 #     re-runs during round-7 judging;
 # (c) remaining slots: regression fill, oldest-green-first — the
-#     first 30 _R2_GREEN entries (latest driver row r2, five rounds
+#     first 29 _R2_GREEN entries (latest driver row r2, five rounds
 #     of churn ago) in _R2_GREEN list order from d09/d10 onward,
 #     skipping s03 (already in (b)).
 #
@@ -402,7 +403,7 @@ _R8_WINDOW = [
     "q68_groups_frame", "p13_orientation_robust_dedup",
     "q69_window_exclude", "m37_pitch_detection",
     "e41_native_session_window", "m38_png_adam7_roundtrip",
-    "m39_gif_interlaced_roundtrip",
+    "m39_gif_interlaced_roundtrip", "e42_conversion_window_funnel",
     "m31_progressive_jpeg_consistency",
     "j02_bucketed_colocated_join", "j03_partition_pruned_join",
     # (b) deferred bit-identical refactors (d25-precedent queue)
@@ -421,7 +422,6 @@ _R8_WINDOW = [
     "q41_recursive_cte", "q42_right_join", "q43_cross_join",
     "q44_window_distribution", "q45_pattern_matching",
     "q46_below_avg_quantity", "q47_supplier_share", "q48_multiset_ops",
-    "q49_lateral_join",
 ]
 
 

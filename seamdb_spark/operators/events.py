@@ -4401,3 +4401,107 @@ def e41_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e42: conversion-window funnel — the time-BOUNDED strict funnel e07
+# does not express (e07's stages are order-only): view → click →
+# purchase where each step must land within W minutes of the
+# previous step, under the standard greedy earliest-chain semantics
+# (anchor = the user's earliest view; then the earliest click in
+# (v, v+W]; then the earliest purchase in (c, c+W] — only timestamps
+# are emitted, so ts ties need no break). Greedy-earliest is
+# deterministic and what funnel
+# products actually report; later views are NOT retried (a
+# re-anchoring funnel is a different product metric). Emits one row
+# per user who has a view: the chain timestamps (NULL where it broke)
+# and the reached depth.
+#
+# Scale: three user-keyed min-aggregates and two user-keyed joins —
+# every shuffle is on user_id (maximal cardinality); no window over
+# event rows at all. The joins' right sides are 1-row-per-user
+# aggregates of the filtered event classes.
+# --------------------------------------------------------------------------
+E42_WINDOW_MINUTES = 60
+
+
+@register(
+    "e42_conversion_window_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, MIN(e.ts) AS c_ts
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.v_ts
+       AND e.ts <= v.v_ts + INTERVAL {E42_WINDOW_MINUTES} MINUTE
+      GROUP BY v.user_id
+    ),
+    p AS (
+      SELECT c.user_id, MIN(e.ts) AS p_ts
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.c_ts
+       AND e.ts <= c.c_ts + INTERVAL {E42_WINDOW_MINUTES} MINUTE
+      GROUP BY c.user_id
+    )
+    SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+           CAST(1 + (c.c_ts IS NOT NULL)::INT + (p.p_ts IS NOT NULL)::INT
+                AS BIGINT) AS depth
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def e42_conversion_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = F.expr(f"INTERVAL {E42_WINDOW_MINUTES} MINUTES")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("ts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + w),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("ts")
+    )
+    p = (
+        c.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + w),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "v_ts",
+            "c_ts",
+            "p_ts",
+            (
+                F.lit(1)
+                + F.col("c_ts").isNotNull().cast("long")
+                + F.col("p_ts").isNotNull().cast("long")
+            ).alias("depth"),
+        )
+    )

@@ -437,6 +437,10 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         "picked",
         # p08: |sources|-row dup profile
         "dup_profile",
+        # q69: the (priority, day) grid — TPC-H's order-date span is
+        # FIXED by spec (1992-1998, ~2.4k days x 5 priorities) at any
+        # scale factor, the same day-grid argument as e06's frames
+        "framed",
         # t42: |langs|/|sources|-row marginals, 1-row total and chi2
         "rows_m", "cols_m", "n", "chi2",
         # e34: len(E34_LAGS)-row lag table (driver-local list)
