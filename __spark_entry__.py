@@ -390,12 +390,12 @@ _R7_WINDOW = [
 #
 # ROUND-9 PROCEDURE: after CORRECTNESS_r08 lands, pin (a) any queries
 # registered after _R8_WINDOW froze and any whose plan/oracle changes
-# in round 9, then (b) regression fill oldest-green-first: the 13
-# remaining latest-row-r2 queries (the _R2_GREEN tail t01–t12 plus
-# any fill entry displaced from this window), then the latest-row-r3
-# queries in _R3_WINDOW order, then r4, r5, r6, r7 — recompute
-# "latest green row" from the r1–r8 union rather than trusting list
-# memory.
+# in round 9, then (b) regression fill oldest-green-first: the 20
+# remaining latest-row-r2 queries (q49/x05/s01/s02/s04/s05/d05/d06 —
+# displaced from this window as new round-8 registrations arrived —
+# plus the _R2_GREEN tail t01–t12), then the latest-row-r3 queries in
+# _R3_WINDOW order, then r4, r5, r6, r7 — recompute "latest green
+# row" from the r1–r8 union rather than trusting list memory.
 _R8_WINDOW = [
     # (a) round-8 registrations + code-path-touched
     "m33_keyframe_selection", "m34_exif_metadata",
