@@ -3591,3 +3591,83 @@ def t47_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t48: Unicode NFC-normalization dedup — the normalization pass a
+# multilingual corpus runs BEFORE exact/near dedup (d01/d32 hash raw
+# bytes, so "café" precomposed and "cafe" + COMBINING ACUTE are
+# different rows until normalized — the classic web-scrape dup class
+# that byte-level dedup misses). Spark has no NFC built-in, so the
+# normalization is an Arrow-batched mapInPandas over stdlib
+# unicodedata; the DuckDB oracle runs its own independent
+# nfc_normalize implementation — true cross-engine Unicode parity,
+# not a replay. Each doc derives a DECOMPOSED variant (text + k
+# copies of e + U+0301) and the PRECOMPOSED twin (text + k copies of
+# U+00E9); the pipeline must show they differ raw and collide
+# post-NFC, with md5s and codepoint counts agreeing with DuckDB's.
+#
+# Scale: row-local Arrow-batched normalization, zero shuffle; at
+# corpus scale this runs fused into the first scan before d01's hash
+# groupBy.
+# --------------------------------------------------------------------------
+_T48_SCHEMA = (
+    "doc_id long, raw_cp long, norm_cp long, changed boolean,"
+    " match_before boolean, match_after boolean, norm_md5 string"
+)
+
+
+@register(
+    "t48_nfc_normalization_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             text || ' ' || repeat(chr(101) || chr(769), 1 + doc_id % 4)
+               AS dec_var,
+             text || ' ' || repeat(chr(233), 1 + doc_id % 4) AS pre_var
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(dec_var) AS BIGINT) AS raw_cp,
+           CAST(length(nfc_normalize(dec_var)) AS BIGINT) AS norm_cp,
+           nfc_normalize(dec_var) != dec_var AS changed,
+           dec_var = pre_var AS match_before,
+           nfc_normalize(dec_var) = nfc_normalize(pre_var) AS match_after,
+           md5(nfc_normalize(dec_var)) AS norm_md5
+    FROM v
+    """,
+)
+def t48_nfc_normalization_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import unicodedata
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "raw_cp": [], "norm_cp": [], "changed": [],
+                "match_before": [], "match_after": [], "norm_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                k = 1 + int(doc_id) % 4
+                dec_var = text + " " + ("e\u0301" * k)  # decomposed
+                pre_var = text + " " + ("\u00e9" * k)  # precomposed
+                norm_dec = unicodedata.normalize("NFC", dec_var)
+                norm_pre = unicodedata.normalize("NFC", pre_var)
+                out["doc_id"].append(doc_id)
+                out["raw_cp"].append(len(dec_var))
+                out["norm_cp"].append(len(norm_dec))
+                out["changed"].append(norm_dec != dec_var)
+                out["match_before"].append(dec_var == pre_var)
+                out["match_after"].append(norm_dec == norm_pre)
+                out["norm_md5"].append(
+                    hashlib.md5(norm_dec.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(normalize, schema=_T48_SCHEMA)
