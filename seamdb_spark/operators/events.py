@@ -4505,3 +4505,124 @@ def e42_conversion_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("depth"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x17: KMV intersection — the third theta-sketch set operation,
+# completing the family (x11 union, x16 A-not-B): audience OVERLAP
+# ("reached by A and B") from two mergeable K-minimum-values sketches
+# without touching raw ids. Same merged-sample methodology as
+# x11/x16: merge the two K-min sets, keep the K smallest, estimate
+# |A∪B| from the kth minimum, then scale by the fraction of the
+# merged sample present in BOTH input sketches (the sample is uniform
+# over the union, so the both-fraction estimates |A∩B|/|A∪B| — the
+# Jaccard estimator LSH banding is built on). Exact intersection +
+# exact-twin discipline at fixture scale, x11's float rules.
+#
+# Scale: sketches are K-row; everything after the two distinct-hash
+# scans is K-row algebra. The exact twin is the per-user flag
+# aggregate (one shuffle), fixture-gate only.
+# --------------------------------------------------------------------------
+@register(
+    "x17_kmv_intersection",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type, {{h}} AS h FROM events
+      WHERE event_type IN ('{X11_A}', '{X11_B}')
+    ),
+    sk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashes
+    ),
+    a AS (SELECT h FROM sk WHERE event_type = '{X11_A}' AND rk <= {KMV_K}),
+    b AS (SELECT h FROM sk WHERE event_type = '{X11_B}' AND rk <= {KMV_K}),
+    merged AS (
+      SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    mstats AS (
+      SELECT MAX(h) AS kth_min, CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM a)
+                                     AND h IN (SELECT h FROM b))
+                  AS BIGINT) AS n_both
+      FROM merged
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN has_a AND has_b
+                                      THEN user_id END) AS BIGINT)
+               AS exact_intersection
+      FROM (
+        SELECT user_id,
+               bool_or(event_type = '{X11_A}') AS has_a,
+               bool_or(event_type = '{X11_B}') AS has_b
+        FROM events WHERE event_type IN ('{X11_A}', '{X11_B}')
+        GROUP BY user_id
+      )
+    ),
+    scored AS (
+      SELECT e.exact_intersection, m.k_used, m.n_both,
+             CASE WHEN m.k_used < {KMV_K} THEN CAST(m.k_used AS DOUBLE)
+                  ELSE ({KMV_K} - 1) * {_KMV_SCALE} / m.kth_min END AS est_u
+      FROM exact e, mstats m
+    )
+    SELECT exact_intersection, k_used, n_both,
+           ROUND(est_u * n_both / k_used, 6) AS est_intersection,
+           ROUND(CAST(n_both AS DOUBLE) / k_used, 6) AS est_jaccard
+    FROM scored
+    """.format(h=_kmv_hash_sql()),
+)
+def x17_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .hashing import md5_prefix_long
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin(X11_A, X11_B))
+    hashes = ev.select(
+        "event_type",
+        md5_prefix_long(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    sk = hashes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    a = sk.filter(F.col("event_type") == X11_A).select("h")
+    b = sk.filter(F.col("event_type") == X11_B).select("h")
+    merged = a.union(b).distinct().orderBy("h").limit(KMV_K)
+    flagged = (
+        merged.join(a.withColumnRenamed("h", "ha"), merged.h == F.col("ha"), "left")
+        .join(b.withColumnRenamed("h", "hb"), merged.h == F.col("hb"), "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull()).alias("both"),
+        )
+    )
+    kmv_stats = flagged.agg(
+        F.max("h").alias("kth_min"),
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("both").cast("long")).alias("n_both"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == X11_A).cast("int")).alias("has_a"),
+            F.max((F.col("event_type") == X11_B).cast("int")).alias("has_b"),
+        )
+        .agg(
+            F.sum(
+                (F.col("has_a") * F.col("has_b")).cast("long")
+            ).alias("exact_intersection")
+        )
+    )
+    est_u = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.lit((KMV_K - 1) * _KMV_SCALE) / F.col("kth_min"))
+    return exact.join(F.broadcast(kmv_stats)).select(
+        "exact_intersection",
+        "k_used",
+        "n_both",
+        dround(est_u * F.col("n_both") / F.col("k_used"), 6).alias(
+            "est_intersection"
+        ),
+        dround(
+            F.col("n_both").cast("double") / F.col("k_used"), 6
+        ).alias("est_jaccard"),
+    )
