@@ -5408,42 +5408,33 @@ _EXIF_TAGS = {
 }
 
 
-def build_exif_app1(
-    orientation: int,
-    make: str,
-    model: str,
-    datetime_str: str,
-    x_resolution: tuple[int, int],
-    big_endian: bool = False,
-) -> bytes:
-    """Assemble an APP1 Exif segment (marker included): 'Exif\\0\\0' +
-    TIFF header + one IFD0 holding Make/Model/Orientation/XResolution/
-    DateTime, with >4-byte values stored after the entry table (the
-    real TIFF offset layout)."""
-    bo = ">" if big_endian else "<"
-    entries = []  # (tag, type, count, inline4-or-None, outline-bytes)
-    for tag, typ, val in (
-        (0x010F, 2, make.encode("ascii") + b"\x00"),
-        (0x0110, 2, model.encode("ascii") + b"\x00"),
-        (0x0112, 3, orientation),
-        (0x011A, 5, x_resolution),
-        (0x0132, 2, datetime_str.encode("ascii") + b"\x00"),
-    ):
-        if typ == 3:
-            entries.append((tag, typ, 1, struct.pack(bo + "H2x", val), b""))
-        elif typ == 5:
-            entries.append(
-                (tag, typ, 1, None, struct.pack(bo + "II", *val))
-            )
-        else:  # ASCII
-            count = len(val)
-            if count <= 4:
-                entries.append((tag, typ, count, val.ljust(4, b"\x00"), b""))
-            else:
-                entries.append((tag, typ, count, None, val))
-    # TIFF header (8) + entry count (2) + 12/entry + next-IFD (4)
-    table_len = 8 + 2 + 12 * len(entries) + 4
-    out_off = table_len
+def _exif_entry(tag: int, typ: int, val, bo: str):
+    """Normalize one IFD entry to (tag, type, count, inline4-or-None,
+    outline-bytes). Multi-count RATIONAL (type 5 with a list of
+    (num, den) pairs) always goes out-of-line."""
+    if typ == 3:
+        return (tag, typ, 1, struct.pack(bo + "H2x", val), b"")
+    if typ == 4:
+        return (tag, typ, 1, struct.pack(bo + "I", val), b"")
+    if typ == 5:
+        pairs = val if isinstance(val, list) else [val]
+        return (
+            tag, typ, len(pairs), None,
+            b"".join(struct.pack(bo + "II", *p) for p in pairs),
+        )
+    # ASCII (type 2): val already NUL-terminated bytes
+    count = len(val)
+    if count <= 4:
+        return (tag, typ, count, val.ljust(4, b"\x00"), b"")
+    return (tag, typ, count, None, val)
+
+
+def _exif_ifd(entries: list, bo: str, base: int) -> bytes:
+    """Pack one IFD (count + entries + next-IFD 0 + outline values)
+    located at TIFF offset ``base``; out-of-line offsets are absolute
+    within the TIFF blob, per the spec."""
+    table_len = 2 + 12 * len(entries) + 4
+    out_off = base + table_len
     packed = []
     outline = b""
     for tag, typ, count, inline, out in sorted(entries):
@@ -5452,13 +5443,67 @@ def build_exif_app1(
             out_off += len(out)
             outline += out
         packed.append(struct.pack(bo + "HHI", tag, typ, count) + inline)
+    return (
+        struct.pack(bo + "H", len(entries))
+        + b"".join(packed)
+        + struct.pack(bo + "I", 0)
+        + outline
+    )
+
+
+def build_exif_app1(
+    orientation: int,
+    make: str,
+    model: str,
+    datetime_str: str,
+    x_resolution: tuple[int, int],
+    big_endian: bool = False,
+    gps: tuple | None = None,
+) -> bytes:
+    """Assemble an APP1 Exif segment (marker included): 'Exif\\0\\0' +
+    TIFF header + one IFD0 holding Make/Model/Orientation/XResolution/
+    DateTime, with >4-byte values stored after the entry table (the
+    real TIFF offset layout). ``gps`` = (lat_ref, (deg, min, sec_mil),
+    lon_ref, (deg, min, sec_mil)) appends a GPS sub-IFD (coordinates
+    as 3-element RATIONAL arrays, the real EXIF GPS layout) pointed to
+    by IFD0 tag 0x8825 — exercising nested-IFD offsets and
+    multi-count out-of-line values."""
+    bo = ">" if big_endian else "<"
+    entries = [
+        _exif_entry(tag, typ, val, bo)
+        for tag, typ, val in (
+            (0x010F, 2, make.encode("ascii") + b"\x00"),
+            (0x0110, 2, model.encode("ascii") + b"\x00"),
+            (0x0112, 3, orientation),
+            (0x011A, 5, x_resolution),
+            (0x0132, 2, datetime_str.encode("ascii") + b"\x00"),
+        )
+    ]
+    if gps is not None:
+        lat_ref, lat, lon_ref, lon = gps
+        # IFD0 size with the extra 0x8825 pointer entry; GPS IFD
+        # starts right after IFD0's outline data
+        n0 = len(entries) + 1
+        ifd0_outline = sum(len(e[4]) for e in entries)
+        gps_base = 8 + 2 + 12 * n0 + 4 + ifd0_outline
+        entries.append(_exif_entry(0x8825, 4, gps_base, bo))
+        gps_entries = [
+            _exif_entry(tag, typ, val, bo)
+            for tag, typ, val in (
+                (0x0001, 2, lat_ref.encode("ascii") + b"\x00"),
+                (0x0002, 5, [(lat[0], 1), (lat[1], 1), (lat[2], 1000)]),
+                (0x0003, 2, lon_ref.encode("ascii") + b"\x00"),
+                (0x0004, 5, [(lon[0], 1), (lon[1], 1), (lon[2], 1000)]),
+            )
+        ]
+        gps_blob = _exif_ifd(gps_entries, bo, gps_base)
+    else:
+        gps_blob = b""
     tiff = (
         (b"MM" if big_endian else b"II")
         + struct.pack(bo + "HI", 42, 8)
-        + struct.pack(bo + "H", len(entries))
-        + b"".join(packed)
-        + struct.pack(bo + "I", 0)  # no next IFD
-        + outline
+        + _exif_ifd(entries, bo, 8)
+        + gps_blob
     )
     body = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
@@ -5509,12 +5554,31 @@ def parse_exif(payload: bytes) -> dict:
         raise ValueError("bad TIFF magic")
     if ifd0 + 2 > len(app1):
         raise ValueError("IFD0 offset out of range")
-    (n,) = struct.unpack_from(bo + "H", app1, ifd0)
-    if ifd0 + 2 + 12 * n + 4 > len(app1):
-        raise ValueError("IFD0 entry table out of range")
-    out: dict = {"byte_order": "MM" if bo == ">" else "II", "n_entries": n}
+    out: dict = {"byte_order": "MM" if bo == ">" else "II"}
+    out.update(_parse_ifd(app1, bo, ifd0, _EXIF_TAGS, "n_entries"))
+    return out
+
+
+_GPS_TAGS = {
+    0x0001: "lat_ref", 0x0002: "lat", 0x0003: "lon_ref", 0x0004: "lon",
+}
+
+
+def _parse_ifd(
+    app1: bytes, bo: str, ifd_off: int, tags: dict, count_key: str
+) -> dict:
+    """Walk one TIFF IFD entry table: (tag, type, count,
+    value-or-offset) with inline/out-of-line resolution, multi-count
+    RATIONAL arrays, and recursion into the GPS sub-IFD (tag 0x8825).
+    Raises ValueError on any malformed layout."""
+    if ifd_off + 2 > len(app1):
+        raise ValueError("IFD offset out of range")
+    (n,) = struct.unpack_from(bo + "H", app1, ifd_off)
+    if ifd_off + 2 + 12 * n + 4 > len(app1):
+        raise ValueError("IFD entry table out of range")
+    out: dict = {count_key: n}
     for i in range(n):
-        off = ifd0 + 2 + 12 * i
+        off = ifd_off + 2 + 12 * i
         tag, typ, count = struct.unpack_from(bo + "HHI", app1, off)
         if typ not in _EXIF_TYPE_SIZES:
             raise ValueError(f"unsupported TIFF type {typ}")
@@ -5534,13 +5598,21 @@ def parse_exif(payload: bytes) -> dict:
         elif typ == 4:
             val = struct.unpack_from(bo + "I", app1, voff)[0]
         elif typ == 5:
-            num, den = struct.unpack_from(bo + "II", app1, voff)
-            if den == 0:
-                raise ValueError("RATIONAL with zero denominator")
-            val = (num, den)
+            vals = []
+            for j in range(count):
+                num, den = struct.unpack_from(bo + "II", app1, voff + 8 * j)
+                if den == 0:
+                    raise ValueError("RATIONAL with zero denominator")
+                vals.append((num, den))
+            val = vals[0] if count == 1 else tuple(vals)
         else:  # BYTE
             val = app1[voff : voff + count]
-        name = _EXIF_TAGS.get(tag)
+        if tag == 0x8825:  # GPS sub-IFD pointer
+            if typ != 4:
+                raise ValueError("GPS IFD pointer must be LONG")
+            out["gps"] = _parse_ifd(app1, bo, val, _GPS_TAGS, "n_gps_entries")
+            continue
+        name = tags.get(tag)
         if name:
             out[name] = val
     return out
@@ -6122,3 +6194,103 @@ def m39_gif_interlaced_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(roundtrip, schema=_M39_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m40: EXIF GPS extraction — the nested-IFD half of the EXIF layer
+# m34 opened: real camera files store GPS as a SUB-IFD (IFD0 tag
+# 0x8825 points at a second entry table) with coordinates as
+# 3-element RATIONAL arrays (deg, min, sec) — geo-dedup / region
+# filtering reads exactly this structure. Each sampled doc builds an
+# APP1 with a doc-derived GPS block (hemispheres cycling by
+# parity/mod-3, seconds carrying a /1000 denominator), alternates
+# byte order like m34, and parses the BYTES back through the nested
+# walk. Coordinates are emitted as SIGNED milli-arcseconds
+# (deg*3.6e6 + min*6e4 + sec_milli, negated for S/W) — exact integer
+# arithmetic end to end, no float degrees.
+#
+# Scale: row-local Arrow-batched mapInPandas reading ~250 bytes per
+# file, zero shuffle — the metadata prepass shape of m34.
+# --------------------------------------------------------------------------
+_M40_SCHEMA = (
+    "doc_id long, byte_order string, n_gps_entries long,"
+    " lat_ref string, lon_ref string, lat_mas long, lon_mas long"
+)
+
+
+@register(
+    "m40_exif_gps_extract",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 90 AS lat_d, (3 * doc_id) % 60 AS lat_m,
+             (7 * doc_id) % 60000 AS lat_s,
+             doc_id % 180 AS lon_d, (5 * doc_id) % 60 AS lon_m,
+             (11 * doc_id) % 60000 AS lon_s,
+             CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+             CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref
+      FROM documents WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(4 AS BIGINT) AS n_gps_entries,
+           lat_ref, lon_ref,
+           CAST((CASE WHEN lat_ref = 'S' THEN -1 ELSE 1 END)
+                * (lat_d * 3600000 + lat_m * 60000 + lat_s) AS BIGINT)
+             AS lat_mas,
+           CAST((CASE WHEN lon_ref = 'W' THEN -1 ELSE 1 END)
+                * (lon_d * 3600000 + lon_m * 60000 + lon_s) AS BIGINT)
+             AS lon_mas
+    FROM d
+    """,
+)
+def m40_exif_gps_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def mas(triple, ref, neg_refs):
+            (d, dd), (m, md), (s, sd) = triple
+            if (dd, md, sd) != (1, 1, 1000):
+                raise ValueError("unexpected GPS rational denominators")
+            v = d * 3_600_000 + m * 60_000 + s
+            return -v if ref in neg_refs else v
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "byte_order": [], "n_gps_entries": [],
+                "lat_ref": [], "lon_ref": [], "lat_mas": [], "lon_mas": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                lat = (d % 90, (3 * d) % 60, (7 * d) % 60000)
+                lon = (d % 180, (5 * d) % 60, (11 * d) % 60000)
+                lat_ref = "N" if d % 2 == 0 else "S"
+                lon_ref = "E" if d % 3 == 0 else "W"
+                app1 = build_exif_app1(
+                    orientation=1 + d % 8,
+                    make=f"CAM-{d % 5}",
+                    model=f"MODEL-{d % 3}",
+                    datetime_str=f"{2020 + d % 6}:01:01 00:00:00",
+                    x_resolution=(72, 1),
+                    big_endian=bool(d % 2),
+                    gps=(lat_ref, lat, lon_ref, lon),
+                )
+                payload = build_jpeg_with_exif(
+                    16, 16, _ramp_rgb(d).tobytes(), app1
+                )
+                meta = parse_exif(payload)
+                g = meta["gps"]
+                out["doc_id"].append(d)
+                out["byte_order"].append(meta["byte_order"])
+                out["n_gps_entries"].append(g["n_gps_entries"])
+                out["lat_ref"].append(g["lat_ref"])
+                out["lon_ref"].append(g["lon_ref"])
+                out["lat_mas"].append(mas(g["lat"], g["lat_ref"], ("S",)))
+                out["lon_mas"].append(mas(g["lon"], g["lon_ref"], ("W",)))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, schema=_M40_SCHEMA)

@@ -3528,3 +3528,47 @@ def test_gif_interlace_roundtrip_odd_sizes():
         d = mm.decode_media(lace)
         assert d["pixels"] == rgb, (w, h)
         assert mm.decode_gif_frames(lace)[0]["interlaced"]
+
+
+def test_exif_gps_subifd_roundtrip_and_fuzz():
+    """The nested GPS IFD (tag 0x8825 → second entry table with
+    3-element RATIONAL arrays) round-trips in both byte orders,
+    coexists with all IFD0 fields, and malformed bytes over the whole
+    APP1 region stay inside the clean-ValueError contract."""
+    import numpy as np
+
+    from seamdb_spark.operators import multimodal as mm
+
+    raw = mm._ramp_rgb(4).tobytes()
+    for be in (False, True):
+        app1 = mm.build_exif_app1(
+            6, "CAM", "MOD", "2022:03:04 05:06:07", (300, 1),
+            big_endian=be,
+            gps=("S", (33, 52, 4123), "W", (151, 12, 55999)),
+        )
+        p = mm.build_jpeg_with_exif(16, 16, raw, app1)
+        m = mm.parse_exif(p)
+        assert m["orientation"] == 6 and m["x_resolution"] == (300, 1)
+        g = m["gps"]
+        assert (g["lat_ref"], g["lon_ref"]) == ("S", "W")
+        assert g["lat"] == ((33, 1), (52, 1), (4123, 1000))
+        assert g["lon"] == ((151, 1), (12, 1), (55999, 1000))
+        # pixels still decode through the APPn-transparent path
+        assert (
+            mm.decode_media(p)["pixels"]
+            == mm.decode_media(mm.build_jpeg(16, 16, raw))["pixels"]
+        )
+    rng = np.random.default_rng(12)
+    app1 = mm.build_exif_app1(
+        1, "A", "B", "2020:01:01 00:00:00", (72, 1),
+        gps=("N", (1, 2, 3), "E", (4, 5, 6)),
+    )
+    p = mm.build_jpeg_with_exif(16, 16, raw, app1)
+    for _ in range(400):
+        b = bytearray(p)
+        i = int(rng.integers(2, min(len(p), 320)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            mm.parse_exif(bytes(b))
+        except ValueError:
+            pass
