@@ -3165,3 +3165,46 @@ def q69_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excl_ties"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# j04: bucket-pruned point lookup — the READ-side payoff of j02's
+# bucketed layout beyond join co-location: an equality predicate on
+# the bucket column lets Spark prune the scan to ONE bucket
+# (SelectedBucketsCount 1/8 in the plan, pinned by test) — at corpus
+# scale that turns "find this order's lineitems" from a full-table
+# scan into reading 1/B of the files, the warehouse answer to
+# point-ish lookups without a secondary index (the same layout
+# serving j02's zero-Exchange joins serves these lookups for free).
+# Key 1 exists at every fixture SF (3-6 lineitems).
+#
+# Scale: bucket count B is the knob — the scan cost is data/B; the
+# aggregate is a handful of rows.
+# --------------------------------------------------------------------------
+J04_LOOKUP_KEY = 1
+
+
+@register(
+    "j04_bucket_pruned_lookup",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey = {J04_LOOKUP_KEY}
+    GROUP BY l_orderkey
+    """,
+)
+def j04_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_name, _ord_name = _j02_bucketed_tables(spark, sf_dir)
+    return (
+        spark.table(li_name)
+        .filter(F.col("l_orderkey") == J04_LOOKUP_KEY)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

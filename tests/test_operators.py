@@ -3572,3 +3572,18 @@ def test_exif_gps_subifd_roundtrip_and_fuzz():
             mm.parse_exif(bytes(b))
         except ValueError:
             pass
+
+
+def test_j04_plan_prunes_to_one_bucket(spark, registry):
+    """j04's defining property, pinned directly: the equality filter
+    on the bucket column prunes the bucketed scan to exactly 1 of the
+    8 buckets (SelectedBucketsCount in the FileSourceScan) — not a
+    full-table scan with a post-filter."""
+    queries, _ = registry
+    plan = (
+        queries["j04_bucket_pruned_lookup"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:2000]
