@@ -1512,3 +1512,80 @@ def p13_orientation_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(audit, schema=_P13_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# p14: snapshot time-travel diff — the ENGINE's versioned-manifest
+# layer (snapshots.py: Delta/Iceberg-shaped version → file-list
+# manifests, ≙ the reference's read-at-timestamp MVCC semantics,
+# /root/reference/src/tablet/memory.rs:73-81) driven through the
+# oracle gate instead of pytest only: build a two-version table
+# (v1 = nations with n_nationkey < 13, v2 = append the rest), read
+# BOTH versions via time travel, and emit the anti-join delta — the
+# "what did this corpus refresh add" question every incremental
+# pipeline run asks of its snapshot store. The layout is session-
+# memoized and app-id-namespaced under /tmp (the j02/j03 discipline,
+# reclaimed by session_external_dir); the oracle replays the
+# deterministic construction from the raw table.
+#
+# Scale: the diff is an anti-join on the row key over two manifest
+# file lists — time travel costs nothing beyond reading the retained
+# older segments; version count retained is the KEEP_MANIFESTS knob.
+# --------------------------------------------------------------------------
+_P14_SCHEMA_SPLIT = 13
+
+
+@register(
+    "p14_snapshot_diff",
+    oracle=f"""
+    SELECT n_nationkey, n_name,
+           CAST(1 AS BIGINT) AS v_from, CAST(2 AS BIGINT) AS v_to
+    FROM nation WHERE n_nationkey >= {_P14_SCHEMA_SPLIT}
+    """,
+)
+def p14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import materialized_value, session_external_dir
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ]
+    )
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> str:
+        base = session_external_dir("/tmp/seamdb_snapdiff", tag)
+        path = base + "/nation"
+        snaps = TableSnapshots(path)
+        nat = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long"), "n_name"
+        )
+        snaps.commit(
+            nat.filter(F.col("n_nationkey") < _P14_SCHEMA_SPLIT),
+            mode="overwrite",
+        )
+        snaps.commit(nat.filter(F.col("n_nationkey") >= _P14_SCHEMA_SPLIT))
+        return path
+
+    path = materialized_value(spark, sf_dir, "p14_snapshots", build)
+    snaps = TableSnapshots(path)
+    v2 = snaps.read(spark, schema, version=2)
+    v1 = snaps.read(spark, schema, version=1)
+    return (
+        v2.join(v1, ["n_nationkey"], "left_anti")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.lit(1).cast("long").alias("v_from"),
+            F.lit(2).cast("long").alias("v_to"),
+        )
+    )
