@@ -369,7 +369,7 @@ _R7_WINDOW = [
 #     m39 interlaced GIF, e42 conversion-window funnel, t48 NFC
 #     normalization dedup, x17 KMV intersection, m40 EXIF GPS
 #     sub-IFD extraction, j04 bucket-pruned lookup, p14 snapshot
-#     time-travel diff (each hash-green at
+#     time-travel diff, p15 incremental rollup (each hash-green at
 #     sf0.001+sf0.01+sf0.1 locally on registration — q69's
 #     NULL-on-empty-exclusion semantics were caught BY the sf0.001
 #     sweep, where isolated ±2-day frames actually occur); then
@@ -386,14 +386,14 @@ _R7_WINDOW = [
 #     factoring); all green in every local sweep since, plus sf0.01
 #     re-runs during round-7 judging;
 # (c) remaining slots: regression fill, oldest-green-first — the
-#     first 24 _R2_GREEN entries (latest driver row r2, five rounds
+#     first 23 _R2_GREEN entries (latest driver row r2, five rounds
 #     of churn ago) in _R2_GREEN list order from d09/d10 onward,
 #     skipping s03 (already in (b)).
 #
 # ROUND-9 PROCEDURE: after CORRECTNESS_r08 lands, pin (a) any queries
 # registered after _R8_WINDOW froze and any whose plan/oracle changes
-# in round 9, then (b) regression fill oldest-green-first: the 25
-# remaining latest-row-r2 queries (q44-q49/x05/s01/s02/s04/s05/d05/
+# in round 9, then (b) regression fill oldest-green-first: the 26
+# remaining latest-row-r2 queries (q43-q49/x05/s01/s02/s04/s05/d05/
 # d06 — displaced from this window as new round-8 registrations
 # arrived — plus the _R2_GREEN tail t01–t12), then the latest-row-r3
 # queries in _R3_WINDOW order, then r4, r5, r6, r7 — recompute
@@ -409,7 +409,7 @@ _R8_WINDOW = [
     "m39_gif_interlaced_roundtrip", "e42_conversion_window_funnel",
     "t48_nfc_normalization_dedup", "x17_kmv_intersection",
     "m40_exif_gps_extract", "j04_bucket_pruned_lookup",
-    "p14_snapshot_diff",
+    "p14_snapshot_diff", "p15_incremental_rollup",
     "m31_progressive_jpeg_consistency",
     "j02_bucketed_colocated_join", "j03_partition_pruned_join",
     # (b) deferred bit-identical refactors (d25-precedent queue)
@@ -425,7 +425,7 @@ _R8_WINDOW = [
     "q32_sort_limit_offset", "q33_in_subquery", "q34_union_all_agg",
     "q35_market_share", "q36_returned_items", "q37_unpivot",
     "q38_filtered_agg", "q39_null_functions", "q40_exists_inequality",
-    "q41_recursive_cte", "q42_right_join", "q43_cross_join",
+    "q41_recursive_cte", "q42_right_join",
 ]
 
 

@@ -1589,3 +1589,102 @@ def p14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).cast("long").alias("v_to"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p15: incremental rollup refresh — the ENGINE's continuous-aggregate
+# layer (rollups.py: mergeable count/sum partials, refresh = diff the
+# source snapshot manifest and fold ONLY newly appended segments)
+# driven through the oracle gate like p14 did for time travel: create
+# an engine table, insert the fixed 25-row nation dim in TWO batches
+# with a refresh after each, and return the rollup READ — which must
+# equal the oracle's one-shot full aggregate because count/sum
+# partials form a commutative monoid (merge order and batching cannot
+# change the result). second_refresh_incremental pins that the second
+# fold ran in O(new-segments) mode, not a rebuild.
+#
+# Scale: per-refresh scan = new segments only; the merge shuffles on
+# the rollup key (its cardinality, not the fact table's); state
+# commits reuse the atomic snapshot writer. The warehouse is
+# session-memoized and app-id-namespaced with j02/j03's reclamation.
+# --------------------------------------------------------------------------
+_P15_SPLIT = 13
+
+
+@register(
+    "p15_incremental_rollup",
+    oracle=f"""
+    WITH src AS (
+      SELECT n_nationkey % 5 AS bucket,
+             CAST(n_nationkey AS DOUBLE) * 1.5 AS value
+      FROM nation
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value,
+           TRUE AS second_refresh_incremental
+    FROM src GROUP BY bucket
+    """,
+)
+def p15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from ..engine import Engine
+    from ..rollups import ContinuousRollup
+    from ..sources import load_table
+    from .materialize import materialized_value, session_external_dir
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def rollup_for(warehouse: str) -> ContinuousRollup:
+        eng = Engine(spark, warehouse, database="p15db", user="pipeline")
+        return ContinuousRollup(
+            eng, "nation_by_bucket", "metrics",
+            keys=[("bucket", "bucket")], sum_cols=["value"],
+        )
+
+    def build() -> tuple[str, bool]:
+        warehouse = session_external_dir("/tmp/seamdb_rollup", tag) + "/wh"
+        eng = Engine(spark, warehouse, database="p15db", user="pipeline")
+        eng.sql(
+            "CREATE TABLE metrics (id serial PRIMARY KEY,"
+            " bucket bigint, value double precision)"
+        )
+        # the fixed 25-row nation dim (bounded driver collect), split
+        # into two insert batches so TWO refreshes run
+        rows = sorted(
+            (int(r.n_nationkey) % 5, int(r.n_nationkey) * 1.5)
+            for r in load_table(spark, sf_dir, "nation")
+            .select("n_nationkey")
+            .collect()
+        )
+
+        def insert(batch):
+            vals = ", ".join(f"({b}, {v})" for b, v in batch)
+            eng.sql(f"INSERT INTO metrics (bucket, value) VALUES {vals}")
+
+        rollup = ContinuousRollup(
+            eng, "nation_by_bucket", "metrics",
+            keys=[("bucket", "bucket")], sum_cols=["value"],
+        )
+        insert([r for r in rows if r[1] < _P15_SPLIT * 1.5])
+        first = rollup.refresh()
+        insert([r for r in rows if r[1] >= _P15_SPLIT * 1.5])
+        second = rollup.refresh()
+        return warehouse, (
+            first["mode"] == "incremental" and second["mode"] == "incremental"
+        )
+
+    warehouse, incremental = materialized_value(
+        spark, sf_dir, "p15_rollup", build
+    )
+    out = rollup_for(warehouse).read()
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        dround(F.col("sum_value"), 6).alias("sum_value"),
+        dround(F.col("avg_value"), 6).alias("avg_value"),
+        F.lit(bool(incremental)).alias("second_refresh_incremental"),
+    )
