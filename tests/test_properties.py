@@ -627,3 +627,32 @@ def test_exif_property_roundtrip(orientation, make, model, num, den, big_endian)
     assert meta["datetime"] == dt
     assert meta["x_resolution"] == (num, den)
     assert meta["byte_order"] == ("MM" if big_endian else "II")
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_interlace_property_roundtrip(w, h, data):
+    """Any size x any (<=8-color) content round-trips through the
+    4-pass interlaced GIF layout bit-identically, and the row order
+    is always a permutation."""
+    from seamdb_spark.operators.multimodal import (
+        _gif_interlace_rows,
+        build_gif,
+        decode_gif,
+    )
+
+    assert sorted(_gif_interlace_rows(h)) == list(range(h))
+    vals = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=7),
+            min_size=w * h * 3,
+            max_size=w * h * 3,
+        )
+    )
+    rgb = bytes(v * 32 for v in vals)
+    out = decode_gif(build_gif(w, h, rgb, interlaced=True))
+    assert out["pixels"] == rgb
