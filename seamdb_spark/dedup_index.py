@@ -131,20 +131,46 @@ class _IncrementalTextIndex:
         self.source = source
         self.id_col = id_col
         self.text_col = text_col
+        self._spark = engine.spark
+        self._source_path = None
+        self._schema = None
         base = os.path.join(
             engine.store.warehouse_dir, "_dedup_index", engine.database, name
         )
         self.state = TableSnapshots(os.path.join(base, "state"))
+
+    @classmethod
+    def over_snapshots(cls, spark, source_path: str, source_schema,
+                       id_col: str, text_col: str, state_path: str):
+        """Index a raw :class:`TableSnapshots` directory instead of an
+        Engine table — the same manifest-diff refresh over any
+        snapshot-backed parquet layout (p16 drives this path through
+        the oracle gate; Engine tables route through ``__init__``)."""
+        self = cls.__new__(cls)
+        self.engine = None
+        self.name = os.path.basename(state_path)
+        self.source = source_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self._spark = spark
+        self._source_path = source_path
+        self._schema = source_schema
+        self.state = TableSnapshots(state_path)
+        return self
 
     # --------------------------------------------------------- helpers
     def _derive(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError
 
     def _source_snaps(self) -> TableSnapshots:
+        if self.engine is None:
+            return TableSnapshots(self._source_path)
         store = self.engine.store
         return TableSnapshots(store.table_dir(self.engine.database, self.source))
 
     def _source_schema(self):
+        if self.engine is None:
+            return self._schema
         return self.engine.store.get_table(
             self.engine.database, self.source
         ).spark_schema()
@@ -156,13 +182,13 @@ class _IncrementalTextIndex:
         return None if self.state.current_version() > 0 else []
 
     def _state_schema(self):
-        spark = self.engine.spark
+        spark = self._spark
         return self._derive(
             spark.createDataFrame([], self._source_schema())
         ).schema
 
     def _derive_of(self, files: list[str]) -> DataFrame:
-        spark = self.engine.spark
+        spark = self._spark
         df = (
             spark.read.schema(self._source_schema()).parquet(*files)
             if files
@@ -204,7 +230,7 @@ class _IncrementalTextIndex:
 
     def index(self) -> DataFrame:
         """The current index rows."""
-        return self.state.read(self.engine.spark, self._state_schema())
+        return self.state.read(self._spark, self._state_schema())
 
 
 class IncrementalLSHIndex(_IncrementalTextIndex):
@@ -216,7 +242,11 @@ class IncrementalLSHIndex(_IncrementalTextIndex):
 
     def candidate_pairs(self) -> DataFrame:
         """All near-dup candidate pairs (doc_a < doc_b) from the index."""
-        bands = self.index()
+        # Explicit partition count before the self-join — the band table
+        # is small enough that AQE would coalesce it to one partition and
+        # single-thread the bucket join (the d02/d03 trap); band_key is
+        # near-unique so 64 buckets keep every core busy.
+        bands = self.index().repartition(64, "band_id", "band_key")
         b1 = bands.alias("b1")
         b2 = bands.alias("b2")
         return (

@@ -44,6 +44,13 @@ def session_external_dir(root: str, tag: str) -> str:
     """Reserve ``<root>/<tag>`` for this session's external table data."""
     path = os.path.join(root, tag)
     try:
+        # Liveness refresh FIRST: a directory's mtime only advances when
+        # direct children change, so a >24h session that merely READS its
+        # layout would otherwise look stale to a concurrent new session's
+        # prune below. Touching on every reservation call (queries re-call
+        # this on each run) keeps live sessions out of the stale window.
+        if os.path.isdir(path):
+            os.utime(path)
         now = time.time()
         for name in os.listdir(root):
             sib = os.path.join(root, name)

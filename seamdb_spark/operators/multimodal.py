@@ -1713,8 +1713,10 @@ def decode_media(payload: bytes) -> dict:
     """Decode a media payload by sniffing magic bytes.
 
     BMP, WAV, JPEG (baseline, progressive, and 4:2:0 — ``decode_jpeg``
-    routes by SOF marker and sampling factors), truecolor PNG, and
-    non-interlaced GIF decode for real (pure-Python parsers above);
+    routes by SOF marker and sampling factors), truecolor PNG (both
+    sequential and Adam7-interlaced), and GIF (both sequential and
+    4-pass interlaced layouts) decode for real (pure-Python parsers
+    above);
     MP4 gets a real container probe. What raises NotImplementedError
     is the codec-library boundary only: H.264/H.265 payloads inside
     mdat and non-4:2:0 chroma subsampling. Callers with synthetic
@@ -5643,10 +5645,11 @@ _M34_SCHEMA = (
     "m34_exif_metadata",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CASE WHEN (doc_id // 8) % 2 = 0 THEN 'II' ELSE 'MM' END
+             AS byte_order,
            CAST(5 AS BIGINT) AS n_entries,
-           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
-           (doc_id % 8) > 0 AS needs_rotation,
+           CAST(1 + (doc_id // 8) % 8 AS BIGINT) AS orientation,
+           ((doc_id // 8) % 8) > 0 AS needs_rotation,
            'CAM-' || CAST(doc_id % 5 AS VARCHAR) AS make,
            CAST(72 AS BIGINT) AS res_num,
            CAST(1 AS BIGINT) AS res_den,
@@ -5675,13 +5678,17 @@ def m34_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 raw = _ramp_rgb(d).tobytes()
                 year = 2020 + d % 6
+                # Variety source is d // 8: the sample filter keeps only
+                # d % 8 == 0, so d % 8 / d % 2 would pin orientation=1 and
+                # little-endian for EVERY gated row; d // 8 cycles all 8
+                # orientations AND both byte orders across the sample.
                 app1 = build_exif_app1(
-                    orientation=1 + d % 8,
+                    orientation=1 + (d // 8) % 8,
                     make=f"CAM-{d % 5}",
                     model=f"MODEL-{d % 3}",
                     datetime_str=f"{year}:01:01 00:00:00",
                     x_resolution=(72, 1),
-                    big_endian=bool(d % 2),
+                    big_endian=bool((d // 8) % 2),
                 )
                 payload = build_jpeg_with_exif(16, 16, raw, app1)
                 meta = parse_exif(payload)
@@ -5894,7 +5901,7 @@ _ORIENT_INVERSE = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
     "m36_orientation_normalize",
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, 1 + doc_id % 8 AS o,
+      SELECT doc_id, 1 + (doc_id // 8) % 8 AS o,
              doc_id % 64 AS d1, (doc_id * 7) % 64 AS d2,
              (doc_id * 13) % 64 AS d3
       FROM documents WHERE doc_id % {M15_SAMPLE_MOD} = 0
@@ -5946,7 +5953,10 @@ def m36_orientation_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                o = 1 + d % 8
+                # d // 8, not d % 8: the sample keeps d % 8 == 0 rows
+                # only, so o must derive from a source that still varies
+                # (cycles all 8 orientations across the gated sample).
+                o = 1 + (d // 8) % 8
                 stored = _ramp_rgb(d)
                 disp = orient_normalize(stored, o)
                 undo = orient_normalize(disp, _ORIENT_INVERSE[o])
@@ -6227,12 +6237,14 @@ _M40_SCHEMA = (
              (7 * doc_id) % 60000 AS lat_s,
              doc_id % 180 AS lon_d, (5 * doc_id) % 60 AS lon_m,
              (11 * doc_id) % 60000 AS lon_s,
-             CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+             CASE WHEN (doc_id // 16) % 2 = 0 THEN 'N' ELSE 'S' END
+               AS lat_ref,
              CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref
       FROM documents WHERE doc_id % {M15_SAMPLE_MOD} = 0
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CASE WHEN (doc_id // 8) % 2 = 0 THEN 'II' ELSE 'MM' END
+             AS byte_order,
            CAST(4 AS BIGINT) AS n_gps_entries,
            lat_ref, lon_ref,
            CAST((CASE WHEN lat_ref = 'S' THEN -1 ELSE 1 END)
@@ -6268,15 +6280,19 @@ def m40_exif_gps_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 lat = (d % 90, (3 * d) % 60, (7 * d) % 60000)
                 lon = (d % 180, (5 * d) % 60, (11 * d) % 60000)
-                lat_ref = "N" if d % 2 == 0 else "S"
+                # Variety sources must survive the d % 8 == 0 sample
+                # filter: d // 8 cycles orientation/byte order, d // 16
+                # flips the latitude hemisphere (decorrelated from the
+                # endian cycle so S-hemisphere rows hit BOTH byte orders).
+                lat_ref = "N" if (d // 16) % 2 == 0 else "S"
                 lon_ref = "E" if d % 3 == 0 else "W"
                 app1 = build_exif_app1(
-                    orientation=1 + d % 8,
+                    orientation=1 + (d // 8) % 8,
                     make=f"CAM-{d % 5}",
                     model=f"MODEL-{d % 3}",
                     datetime_str=f"{2020 + d % 6}:01:01 00:00:00",
                     x_resolution=(72, 1),
-                    big_endian=bool(d % 2),
+                    big_endian=bool((d // 8) % 2),
                     gps=(lat_ref, lat, lon_ref, lon),
                 )
                 payload = build_jpeg_with_exif(

@@ -1418,7 +1418,9 @@ def p12_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # does only if hashing happens AFTER orientation normalization. Per
 # sampled doc two variants exist: the upright ramp (tag 1) and the
 # same image stored pre-rotated by the tag's inverse (tag o =
-# 1 + doc_id % 8). Both run the REAL pipeline — build_bmp →
+# 1 + (doc_id // 8) % 8 — the // 8 survives the doc_id % 8 == 0
+# sample filter, so the gate exercises ALL 8 tags, not just tag 1).
+# Both run the REAL pipeline — build_bmp →
 # bmp_pixels parse → (naive) ahash_rgb on stored pixels vs
 # (normalized) ahash_rgb after orient_normalize(tag). The fixture
 # ramp's gray plane is c + 4x + 5y for EVERY doc, so the upright
@@ -1446,8 +1448,8 @@ P13_UPRIGHT_AHASH = 65152
     "p13_orientation_robust_dedup",
     oracle="""
     SELECT doc_id,
-           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
-           (doc_id % 8) = 0 AS naive_match,
+           CAST(1 + (doc_id // 8) % 8 AS BIGINT) AS orientation,
+           ((doc_id // 8) % 8) = 0 AS naive_match,
            TRUE AS normalized_match,
            CAST(65152 AS BIGINT) AS norm_hash
     FROM documents
@@ -1491,7 +1493,7 @@ def p13_orientation_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                o = 1 + d % 8
+                o = 1 + (d // 8) % 8
                 upright = _ramp_rgb(d)
                 stored = orient_normalize(upright, _ORIENT_INVERSE[o])
                 pix_a = decoded(upright)   # variant A: tag 1
@@ -1686,5 +1688,89 @@ def p15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         dround(F.col("sum_value"), 6).alias("sum_value"),
         dround(F.col("avg_value"), 6).alias("avg_value"),
+        F.lit(bool(incremental)).alias("second_refresh_incremental"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p16: incremental LSH index maintenance — the last engine layer that
+# was pytest-only (dedup_index.py) driven through the oracle gate the
+# way p14 did snapshots and p15 did rollups: the documents table is
+# committed to a snapshot-backed source in TWO batches (doc_id parity
+# split), an IncrementalLSHIndex refreshes after each (the second
+# MUST run in O(new-segments) incremental mode — pinned by the
+# second_refresh_incremental column, which would read false and fail
+# the gate on a rebuild fallback), and the maintained index's
+# candidate pairs are returned. Correctness identity: incremental
+# banding over any batch split equals full re-banding of the final
+# corpus (band rows are per-document and deterministic), so the
+# DuckDB oracle replays d02's full shingle→minhash→band→self-join
+# pipeline (_lsh_cand_ctes, byte-identical banding constants) with no
+# knowledge of the batching.
+#
+# Scale: per-refresh banding scans only newly appended segments; the
+# candidate join touches band rows only (N_BANDS per doc — tiny vs
+# the corpus); the source text never participates after indexing.
+# The snapshot layout is session-memoized and app-id-namespaced under
+# /tmp with j02/j03's reclamation discipline.
+# --------------------------------------------------------------------------
+def _p16_oracle() -> str:
+    from .dedup import _lsh_cand_ctes
+
+    return f"""
+    WITH {_lsh_cand_ctes()}
+    SELECT doc_a, doc_b, TRUE AS second_refresh_incremental
+    FROM cand
+    """
+
+
+@register("p16_incremental_lsh_index", oracle=_p16_oracle())
+def p16_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from ..dedup_index import IncrementalLSHIndex
+    from ..sources import load_table
+    from .materialize import materialized_value, session_external_dir
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def index_at(base: str) -> IncrementalLSHIndex:
+        return IncrementalLSHIndex.over_snapshots(
+            spark, base + "/docs", schema, "doc_id", "text", base + "/state"
+        )
+
+    def build() -> tuple[str, bool]:
+        from ..snapshots import TableSnapshots
+
+        base = session_external_dir("/tmp/seamdb_lshindex", tag)
+        snaps = TableSnapshots(base + "/docs")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        idx = index_at(base)
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+        first = idx.refresh()
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 1))
+        second = idx.refresh()
+        return base, (
+            first["mode"] == "incremental"
+            and second["mode"] == "incremental"
+            and idx.refresh()["mode"] == "noop"
+        )
+
+    base, incremental = materialized_value(spark, sf_dir, "p16_lsh_index", build)
+    return index_at(base).candidate_pairs().select(
+        "doc_a",
+        "doc_b",
         F.lit(bool(incremental)).alias("second_refresh_incremental"),
     )

@@ -119,6 +119,49 @@ def test_history_rewrite_triggers_rebuild(engine):
     assert got == _full_bands(engine)
 
 
+def test_over_snapshots_matches_engine_path(engine, spark, tmp_path):
+    """The p16 constructor (raw TableSnapshots source, no Engine) must
+    behave identically to the Engine-table path: incremental refreshes
+    per batch, noop when current, and a final index equal to full
+    re-banding of the committed corpus."""
+    from pyspark.sql import types as T
+
+    from seamdb_spark.snapshots import TableSnapshots
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("body", T.StringType()),
+        ]
+    )
+    base = str(tmp_path / "lsh")
+    snaps = TableSnapshots(base + "/docs")
+    idx = IncrementalLSHIndex.over_snapshots(
+        spark, base + "/docs", schema, "id", "body", base + "/state"
+    )
+    df1 = spark.createDataFrame(
+        list(enumerate(_BATCH1, start=1)), schema
+    )
+    snaps.commit(df1, mode="overwrite")
+    out = idx.refresh()
+    assert out["mode"] == "incremental" and out["n_new_docs"] == 3
+    df2 = spark.createDataFrame(
+        list(enumerate(_BATCH2, start=4)), schema
+    )
+    snaps.commit(df2)
+    out = idx.refresh()
+    assert out["mode"] == "incremental" and out["n_new_docs"] == 2
+    assert idx.refresh()["mode"] == "noop"
+    got = {(r.doc_id, r.band_id, r.band_key) for r in idx.index().collect()}
+    full = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in band_rows(df1.union(df2), "id", "body").collect()
+    }
+    assert got == full
+    pairs = {(r.doc_a, r.doc_b) for r in idx.candidate_pairs().collect()}
+    assert (1, 4) in pairs  # exact copy collides through the maintained index
+
+
 # ---------------------------------------------------------------- eval index
 from seamdb_spark.dedup_index import IncrementalEvalIndex, shingle_arrays
 

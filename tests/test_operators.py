@@ -3418,6 +3418,41 @@ def test_orient_normalize_group_properties():
         pass
 
 
+def test_p13_naive_hash_breaks_for_every_rotated_orientation():
+    """p13's headline property, pinned directly: on the fixture ramp,
+    the naive aHash of a camera-rotated stored variant differs from
+    the upright aHash for EVERY nontrivial orientation 2..8 (rotation
+    breaks naive dedup), while hashing after orient_normalize recovers
+    the upright constant 65152 for all 8 — the exact per-orientation
+    claim the p13 oracle now exercises via its d // 8 variety source."""
+    from seamdb_spark.operators.multimodal import (
+        _ORIENT_INVERSE,
+        _ramp_rgb,
+        ahash_rgb,
+        bmp_pixels,
+        build_bmp,
+        orient_normalize,
+    )
+    from seamdb_spark.operators.pipeline import P13_UPRIGHT_AHASH
+
+    import numpy as np
+
+    for doc_id in (0, 8, 24):  # distinct ramp constants
+        upright = _ramp_rgb(doc_id)
+        naive_upright = ahash_rgb(16, 16, upright.tobytes())
+        assert naive_upright == P13_UPRIGHT_AHASH
+        for o in range(1, 9):
+            stored = orient_normalize(upright, _ORIENT_INVERSE[o])
+            raw = bmp_pixels(build_bmp(16, 16, stored.tobytes()))
+            pix = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16, 3)
+            naive = ahash_rgb(16, 16, pix.tobytes())
+            normalized = ahash_rgb(
+                16, 16, orient_normalize(pix, o).tobytes()
+            )
+            assert normalized == P13_UPRIGHT_AHASH, (doc_id, o)
+            assert (naive == naive_upright) == (o == 1), (doc_id, o)
+
+
 def test_q68_q69_window_over_collapsed_table(spark, registry):
     """The round-8 frame emulations' defining physical property: the
     Window never runs over the raw fact table. q68/q69 collapse to
