@@ -1717,10 +1717,13 @@ def decode_media(payload: bytes) -> dict:
     sequential and Adam7-interlaced), and GIF (both sequential and
     4-pass interlaced layouts) decode for real (pure-Python parsers
     above);
-    MP4 gets a real container probe. What raises NotImplementedError
-    is the codec-library boundary only: H.264/H.265 payloads inside
-    mdat and non-4:2:0 chroma subsampling. Callers with synthetic
-    payloads use :func:`fake_decode` for the deterministic oracle path.
+    MP4 gets a real container probe; Motion-JPEG tracks (fourcc
+    'jpeg') additionally decode to real per-frame pixels via
+    :func:`extract_mp4_samples` + :func:`decode_jpeg` (the m41 path).
+    What raises NotImplementedError is the codec-library boundary
+    only: H.264/H.265 payloads inside mdat and non-4:2:0 chroma
+    subsampling. Callers with synthetic payloads use
+    :func:`fake_decode` for the deterministic oracle path.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -4533,12 +4536,23 @@ def build_mp4(
     sample_sizes: list[int],
     keyframes: list[int],
     fourcc: bytes = b"avc1",
+    samples: list[bytes] | None = None,
 ) -> bytes:
     """Assemble a minimal valid ISO-BMFF file: ftyp + moov(mvhd,
     trak(tkhd, mdia(mdhd, hdlr'vide', minf(stbl(stsd/stts/stsc/stsz/
     stco/stss))))) + mdat whose payload length equals Σsample_sizes.
-    Keyframe numbers are 1-indexed sample numbers (stss convention)."""
+    Keyframe numbers are 1-indexed sample numbers (stss convention).
+
+    ``samples``, when given, supplies the REAL per-sample mdat payloads
+    (e.g. whole JPEG files for a Motion-JPEG ``fourcc=b"jpeg"`` track —
+    the m41 path, where every sample is independently decodable and so
+    every sample number belongs in ``keyframes``); sizes must agree
+    with ``sample_sizes``. Without it, mdat is deterministic opaque
+    filler standing in for codec payloads (the m27/m30/m33 path)."""
     n = len(sample_sizes)
+    if samples is not None:
+        if [len(s) for s in samples] != list(sample_sizes):
+            raise ValueError("samples do not match sample_sizes")
     mvhd = _box(
         b"mvhd",
         struct.pack(">B3x4I", 0, 0, 0, timescale, duration)
@@ -4567,8 +4581,11 @@ def build_mp4(
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
-    # opaque codec payload: deterministic filler, length == sum(sizes)
-    mdat = _box(b"mdat", bytes(i & 0xFF for i in range(sum(sample_sizes))))
+    if samples is not None:
+        mdat = _box(b"mdat", b"".join(samples))
+    else:
+        # opaque codec payload: deterministic filler, length == Σsizes
+        mdat = _box(b"mdat", bytes(i & 0xFF for i in range(sum(sample_sizes))))
     return ftyp + moov + mdat
 
 
@@ -6310,3 +6327,153 @@ def m40_exif_gps_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, schema=_M40_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m41: Motion-JPEG video track — the first video path whose mdat
+# samples DECODE TO REAL PIXELS with no external codec: each sampled
+# doc builds an ISO-BMFF container (the m27 box tree, fourcc 'jpeg')
+# whose per-sample payloads are whole baseline JPEGs from the repo's
+# own encoder — the MJPEG layout (every frame intra-coded, so every
+# sample is a sync sample) that capture pipelines and some drones/
+# webcams actually emit. The full m33/m35 selection pipeline then
+# runs on DECODED FRAMES instead of opaque payload bytes:
+# extract_mp4_samples slices each sample out of mdat, decode_jpeg
+# turns the sliced bytes into pixels, inter-frame motion is the L1
+# delta of DECODED pixel arrays, scene cuts fall where motion > 0,
+# and a per-(doc, scene) window picks the peak-motion representative
+# (m33's argmax shape). The fixture gives every signal a closed form
+# the DuckDB oracle pins WITHOUT running a codec: frames within a
+# 3-frame scene reuse one encode (identical bytes -> identical decode
+# -> motion EXACTLY 0), scene heads switch the ramp constant by +17
+# (DC shift ~136 pre-quant >> the quantizer's DC step, so decoded
+# pixels MUST differ -> motion > 0). A codec bug anywhere — slicing,
+# entropy decode, dequant, IDCT — breaks a pinned boolean.
+#
+# Scale: row-local Arrow-batched mapInPandas carries all payload work
+# (encode/slice/decode/motion, zero shuffle); the selection window
+# shuffles only the exploded FRAME TABLE (<=8 rows/doc, ~50 bytes
+# each), partitioned by (doc_id, scene_no). 1-in-16 doc sample
+# (offset 14 — inside the video family's 1-in-8 offset-6 lane) bounds
+# the pure-Python entropy-coder cost; the kernel itself is the
+# production path for a real MJPEG column.
+# --------------------------------------------------------------------------
+_M41_SCHEMA = (
+    "doc_id long, frame_idx long, scene_no long, is_sync boolean,"
+    " valid_jpeg boolean, slice_intact boolean, is_cut boolean,"
+    " selected boolean"
+)
+M41_SAMPLE_MOD = 16
+M41_SCENE_LEN = 3
+
+
+@register(
+    "m41_mjpeg_scene_select",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS k
+      FROM documents WHERE doc_id % {M41_SAMPLE_MOD} = 14
+    ),
+    f AS (
+      SELECT doc_id, t.j + 1 AS frame_idx,
+             CAST(t.j // {M41_SCENE_LEN} AS BIGINT) AS scene_no
+      FROM d, unnest(range(0, k)) t(j)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, scene_no,
+           TRUE AS is_sync, TRUE AS valid_jpeg, TRUE AS slice_intact,
+           (frame_idx - 1) % {M41_SCENE_LEN} = 0 AS is_cut,
+           CASE WHEN scene_no = 0 THEN frame_idx = 2
+                ELSE frame_idx = {M41_SCENE_LEN} * scene_no + 1
+           END AS selected
+    FROM f
+    """,
+)
+def m41_mjpeg_scene_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M41_SAMPLE_MOD == 14)
+        .select("doc_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "scene_no": [],
+                "is_sync": [], "valid_jpeg": [], "slice_intact": [],
+                "motion": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 4 + d % 5
+                # one encode per SCENE, reused by its frames: identical
+                # bytes make within-scene motion exactly zero, which is
+                # what pins the oracle's closed-form cut structure
+                n_scenes = (k + M41_SCENE_LEN - 1) // M41_SCENE_LEN
+                scene_jpegs = [
+                    build_jpeg(16, 16, _ramp_rgb(d + 17 * s).tobytes())
+                    for s in range(n_scenes)
+                ]
+                frames = [
+                    scene_jpegs[j // M41_SCENE_LEN] for j in range(k)
+                ]
+                payload = build_mp4(
+                    1000, k * 40, [len(fb) for fb in frames],
+                    list(range(1, k + 1)),  # MJPEG: all samples sync
+                    fourcc=b"jpeg", samples=frames,
+                )
+                mstart = payload.rfind(b"mdat") + 4
+                mdat = payload[mstart:]
+                prev = None
+                for no, off, nb, kf, _bs in extract_mp4_samples(payload):
+                    chunk = mdat[off : off + nb]
+                    dec = decode_jpeg(chunk)  # REAL pixels, per sample
+                    pix = np.frombuffer(
+                        dec["pixels"], dtype=np.uint8
+                    ).astype(np.int64)
+                    motion = (
+                        None if prev is None
+                        else int(np.abs(pix - prev).sum())
+                    )
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(no)
+                    out["scene_no"].append((no - 1) // M41_SCENE_LEN)
+                    out["is_sync"].append(bool(kf))
+                    out["valid_jpeg"].append(
+                        chunk[:2] == b"\xff\xd8" and chunk[-2:] == b"\xff\xd9"
+                    )
+                    out["slice_intact"].append(chunk == frames[no - 1])
+                    out["motion"].append(motion)
+                    prev = pix
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "frame_idx", "scene_no", "is_sync",
+                    "valid_jpeg", "slice_intact", "motion",
+                ],
+            )
+
+    frames = docs.mapInPandas(
+        score, schema=_M41_SCHEMA.replace(
+            " is_cut boolean, selected boolean", " motion long"
+        ),
+    )
+    # scene representative = peak DECODED motion (NULL last, ties to
+    # the earliest frame) — m33's declarative argmax over the tiny
+    # frame table; the payloads never leave the mapInPandas stage
+    w = (
+        Window.partitionBy("doc_id", "scene_no")
+        .orderBy(F.col("motion").desc_nulls_last(), F.col("frame_idx").asc())
+    )
+    return (
+        frames.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id", "frame_idx", "scene_no", "is_sync", "valid_jpeg",
+            "slice_intact",
+            (F.col("motion").isNull() | (F.col("motion") > 0)).alias("is_cut"),
+            (F.col("rk") == 1).alias("selected"),
+        )
+    )

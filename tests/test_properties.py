@@ -656,3 +656,57 @@ def test_gif_interlace_property_roundtrip(w, h, data):
     rgb = bytes(v * 32 for v in vals)
     out = decode_gif(build_gif(w, h, rgb, interlaced=True))
     assert out["pixels"] == rgb
+
+
+@given(
+    k=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=15, deadline=None)
+def test_mjpeg_track_samples_decode_to_source_frames(k, seed):
+    """Motion-JPEG container identity (the m41 kernel): JPEG payloads
+    packed as mdat samples slice back byte-identically, every sample
+    is a sync sample, the 'jpeg' fourcc survives the probe, and each
+    sliced sample decodes to EXACTLY the pixels the same JPEG decodes
+    to outside the container — the container layer adds or loses
+    nothing."""
+    import random
+
+    from seamdb_spark.operators.multimodal import (
+        build_jpeg,
+        build_mp4,
+        decode_jpeg,
+        decode_mp4_probe,
+        extract_mp4_samples,
+    )
+
+    rng = random.Random(seed)
+    frames = []
+    for _ in range(k):
+        rgb = bytes(rng.randrange(0, 256) for _ in range(16 * 16 * 3))
+        frames.append(build_jpeg(16, 16, rgb))
+    payload = build_mp4(
+        1000, k * 40, [len(f) for f in frames],
+        list(range(1, k + 1)), fourcc=b"jpeg", samples=frames,
+    )
+    info = decode_mp4_probe(payload)
+    assert info["codec"] == "jpeg"
+    assert info["keyframes"] == list(range(1, k + 1))  # all-intra
+    mdat = payload[payload.rfind(b"mdat") + 4:]
+    samples = extract_mp4_samples(payload)
+    assert len(samples) == k
+    for no, off, nb, kf, _bs in samples:
+        chunk = mdat[off : off + nb]
+        assert kf and chunk == frames[no - 1]
+        assert decode_jpeg(chunk)["pixels"] == decode_jpeg(frames[no - 1])["pixels"]
+
+
+def test_mp4_samples_size_mismatch_raises():
+    """build_mp4 refuses sample payloads that disagree with the stsz
+    vector — a silent mismatch would corrupt every downstream slice."""
+    import pytest
+
+    from seamdb_spark.operators.multimodal import build_mp4
+
+    with pytest.raises(ValueError):
+        build_mp4(1000, 80, [3, 4], [1, 2], samples=[b"abc", b"de"])
