@@ -417,7 +417,8 @@ _R8_WINDOW = [
     "d26_containment_neardup", "d29_threshold_sensitivity",
     "s03_ann_ivf_topk", "d25_paragraph_neardup",
     # (c) oldest-green regression fill: _R2_GREEN order from d09,
-    # skipping s03 (above); these 37 queries' only driver row is r2
+    # skipping s03 (above); these 23 names (the first 23 _R2_GREEN
+    # entries whose only driver row was r2 at the time)
     "d09_dedup_clusters", "d10_decontaminate", "x01_approx_distinct",
     "x03_percentile_approx", "e07_funnel_steps", "e08_retention_cohorts",
     "e09_conversion_lag", "m02_media_features", "m04_image_resize",
@@ -429,9 +430,69 @@ _R8_WINDOW = [
 ]
 
 
+# Round-9 window, built per the ROUND-9 PROCEDURE above (round 8's
+# gate came back 50/50 green; the r1–r8 union covers all 300
+# then-registered queries with no latest-row red — recomputed from
+# the CORRECTNESS_r*.json files, latest-row histogram r2:26 r3:45
+# r4:45 r5:43 r6:44 r7:47 r8:50):
+# (a) slots 1-6: registered in round 9 — p16 incremental LSH index
+#     maintenance (the p14/p15 move applied to dedup_index.py), m41
+#     Motion-JPEG scene selection (real decoded frames, no external
+#     codec) — then plan/oracle changed in round 9: p13/m34/m36/m40
+#     now derive orientation / byte order / hemisphere from
+#     doc_id // 8 (coprime to the % 8 == 0 sample filter) so the gate
+#     exercises all 8 TIFF orientations and both endians instead of
+#     the degenerate orientation-1/little-endian row the old
+#     d % 8 / d % 2 formulas produced (round-8 ADVICE medium item);
+#     each hash-green at sf0.001+sf0.01+sf0.1 locally on registration;
+# (b) slots 7-32: regression fill, oldest-green-first — ALL 26
+#     queries whose latest driver row is round 2 (five-plus rounds of
+#     churn ago), in registry order: the t01-t12 text-analysis block,
+#     the s01/s02/s04/s05 ANN block, d05/d06 embedding near-dup,
+#     q43-q49, x05;
+# (c) slots 33-50: the first 18 latest-row-r3 queries in registry
+#     order (d15, t13-t23 block, x07, d11, d13, g01, d14, d16, e10).
+#
+# ROUND-10 PROCEDURE: after CORRECTNESS_r09 lands, pin (a) any
+# queries registered after _R9_WINDOW froze and any whose plan/oracle
+# changes in round 10, then (b) regression fill oldest-green-first:
+# the 27 remaining latest-row-r3 queries (as of the r9 freeze:
+# e11/e12/e13/e14/e16/e17, m05-m09, p01, s06/s07/s09/s10, d17, p02,
+# x06, and the q51-q59 block — but recompute the latest-green rows
+# from the r1–r9 union rather than trusting this list), then r4, r5,
+# r6, r7, r8 in their window orders.
+_R9_WINDOW = [
+    # (a) round-9 registrations + plan-changed
+    "p16_incremental_lsh_index", "m41_mjpeg_scene_select",
+    "p13_orientation_robust_dedup", "m34_exif_metadata",
+    "m36_orientation_normalize", "m40_exif_gps_extract",
+    # (b) all 26 latest-row-r2 queries (oldest driver evidence)
+    "t01_token_count", "t02_quality_score", "t03_lang_id",
+    "t04_fingerprint", "t05_wordcount", "t06_tfidf_top_terms",
+    "t07_heavy_hitters_salted", "t08_train_split",
+    "t09_stratified_sample", "t10_deterministic_shuffle",
+    "t11_repetition_signals", "t12_lm_quality_score",
+    "s01_ann_bruteforce_topk", "d05_embedding_neardup",
+    "s02_ann_lsh_topk", "d06_embedding_neardup_blocked",
+    "s04_ann_quantized_topk", "s05_ann_range_search",
+    "q43_cross_join", "q44_window_distribution",
+    "q45_pattern_matching", "q46_below_avg_quantity",
+    "q47_supplier_share", "q48_multiset_ops", "q49_lateral_join",
+    "x05_histogram",
+    # (c) latest-row-r3 fill, registry order
+    "d15_bloom_prefilter", "t13_sequence_pack", "t14_pii_redact",
+    "t15_domain_mixture", "t16_bigram_lm_score", "t17_doc_chunking",
+    "t18_ngram_novelty", "t19_vocab_profile", "t20_rule_filter",
+    "t22_safe_split", "t23_bpe_pair_stats", "x07_cms_heavy_hitters",
+    "d11_canonical_keeper", "d13_cross_source_audit",
+    "g01_neardup_pagerank", "d14_dedup_profile",
+    "d16_boilerplate_strip", "e10_last_touch_attribution",
+]
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R8_WINDOW if n in names]
+    window = [n for n in _R9_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 
