@@ -1724,15 +1724,10 @@ def _p16_oracle() -> str:
     """
 
 
-@register("p16_incremental_lsh_index", oracle=_p16_oracle())
-def p16_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re as _re
-
+def _p16_index_at(spark: SparkSession, base: str):
     from pyspark.sql import types as T
 
     from ..dedup_index import IncrementalLSHIndex
-    from ..sources import load_table
-    from .materialize import materialized_value, session_external_dir
 
     schema = T.StructType(
         [
@@ -1740,14 +1735,21 @@ def p16_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("text", T.StringType()),
         ]
     )
+    return IncrementalLSHIndex.over_snapshots(
+        spark, base + "/docs", schema, "doc_id", "text", base + "/state"
+    )
+
+
+def _p16_build_index(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    """The session-memoized two-batch index layout p16 and p17 share:
+    (layout base dir, every-refresh-ran-in-the-expected-mode flag)."""
+    import re as _re
+
+    from ..sources import load_table
+    from .materialize import materialized_value, session_external_dir
 
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
-
-    def index_at(base: str) -> IncrementalLSHIndex:
-        return IncrementalLSHIndex.over_snapshots(
-            spark, base + "/docs", schema, "doc_id", "text", base + "/state"
-        )
 
     def build() -> tuple[str, bool]:
         from ..snapshots import TableSnapshots
@@ -1757,7 +1759,7 @@ def p16_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("long"), "text"
         )
-        idx = index_at(base)
+        idx = _p16_index_at(spark, base)
         snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
         first = idx.refresh()
         snaps.commit(docs.filter(F.col("doc_id") % 2 == 1))
@@ -1768,8 +1770,65 @@ def p16_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             and idx.refresh()["mode"] == "noop"
         )
 
-    base, incremental = materialized_value(spark, sf_dir, "p16_lsh_index", build)
-    return index_at(base).candidate_pairs().select(
+    return materialized_value(spark, sf_dir, "p16_lsh_index", build)
+
+
+@register("p16_incremental_lsh_index", oracle=_p16_oracle())
+def p16_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, incremental = _p16_build_index(spark, sf_dir)
+    return _p16_index_at(spark, base).candidate_pairs().select(
+        "doc_a",
+        "doc_b",
+        F.lit(bool(incremental)).alias("second_refresh_incremental"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p17: per-batch candidate lookup against the maintained LSH index —
+# the OTHER half of the incremental-dedup API (p16 gates refresh +
+# full candidate_pairs; this gates new_candidate_pairs): when a new
+# insert batch arrives, a growing corpus does NOT re-join the whole
+# index against itself — it joins the new batch's band rows (small,
+# broadcast-sized) against the full index and asks only "which
+# existing or sibling documents does THIS batch collide with". The
+# identity pinned cross-engine: that per-batch lookup equals the full
+# banding self-join RESTRICTED to pairs touching the batch (the
+# tests/test_dedup_index.py equality, now against DuckDB's
+# batch-blind full re-banding replay with a parity filter).
+#
+# Scale: the new-batch doc-id set broadcasts into the index (band
+# rows only); existing documents are never re-banded and never pair
+# among themselves — per-batch cost is O(batch x collision rate),
+# independent of corpus size. Reuses p16's session-memoized index
+# layout, so the banding derivation runs once for both queries.
+# --------------------------------------------------------------------------
+def _p17_oracle() -> str:
+    from .dedup import _lsh_cand_ctes
+
+    return f"""
+    WITH {_lsh_cand_ctes()}
+    SELECT doc_a, doc_b, TRUE AS second_refresh_incremental
+    FROM cand
+    WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+    """
+
+
+@register("p17_incremental_batch_candidates", oracle=_p17_oracle())
+def p17_incremental_batch_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources import load_table
+
+    # build (or reuse) the two-batch index p16 materialized; the
+    # second insert batch (odd doc_ids) is "the batch being checked"
+    base, incremental = _p16_build_index(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(F.col("doc_id").cast("long"))
+    )
+    idx = _p16_index_at(spark, base)
+    return idx.new_candidate_pairs(batch).select(
         "doc_a",
         "doc_b",
         F.lit(bool(incremental)).alias("second_refresh_incremental"),

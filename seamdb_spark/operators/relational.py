@@ -3208,3 +3208,65 @@ def j04_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q70: DISTINCT window aggregates — the third query-surface behavior
+# Spark's window engine lacks outright (after q68 GROUPS frames and
+# q69 EXCLUDE clauses): COUNT(DISTINCT x) OVER (...) raises
+# "Distinct window functions are not supported" in Spark, while
+# DataFusion/DuckDB/Postgres evaluate it natively. Emulated exactly
+# by the collect-distinct identity: the frame's distinct count is
+# size(array_distinct(collect_list(x) over frame)) — the in-frame
+# value buffer deduplicated at read-off. Two shapes a CRM query
+# actually asks of orders: a rolling "how varied were this customer's
+# last 5 order priorities" (ROWS 4 PRECEDING) and a whole-history
+# "how many distinct order statuses does this customer have"
+# (unbounded partition frame). The oracle runs DuckDB's NATIVE distinct window
+# aggregates — true cross-engine semantics parity, not a replay of
+# the same emulation.
+#
+# Scale: the window partitions on o_custkey (cardinality grows with
+# the data — maximal parallelism, never a single-task window), and
+# the collect_list buffer is bounded by the FRAME (5 rows) / the
+# per-customer order count (the TPC-H fixture's ~10-40, a natural
+# per-entity bound). For unbounded-frame distinct counts over heavy
+# entities, the scale path is the x01 sketch (approx_count_distinct
+# per group) or the q68 collapse — this emulation is for the exact
+# frame-bounded form.
+# --------------------------------------------------------------------------
+@register(
+    "q70_distinct_window_count",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(DISTINCT o_orderpriority) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_prio_5,
+           CAST(COUNT(DISTINCT o_orderstatus) OVER (
+             PARTITION BY o_custkey
+           ) AS BIGINT) AS distinct_status_all
+    FROM orders
+    """,
+)
+def q70_distinct_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
+        "o_orderstatus"
+    )
+    w5 = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    wall = W.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(
+            F.array_distinct(F.collect_list("o_orderpriority").over(w5))
+        ).cast("long").alias("distinct_prio_5"),
+        F.size(
+            F.array_distinct(F.collect_list("o_orderstatus").over(wall))
+        ).cast("long").alias("distinct_status_all"),
+    )

@@ -466,3 +466,31 @@ def test_kmv_sketch_stream_matches_batch_x16(spark):
     row = x16_kmv_anotb(spark, SF_SMOKE).collect()[0]
     assert row.k_used == k_used and row.n_a_only == n_a_only
     assert abs(row.est_a_not_b - round(est_u * n_a_only / k_used, 6)) < 1e-6
+
+
+def test_lsh_candidates_stream_matches_batch_p17(spark):
+    """The streaming per-batch LSH candidate lookup must equal p17's
+    batch kernel exactly: stateless row-local banding on the feed side
+    (array_min over the shingle array) produces the same signatures as
+    the groupBy-based batch banding, and the stream-static band join
+    yields the same candidate pair set as new_candidate_pairs against
+    the maintained index."""
+    import __spark_entry__ as entry_mod
+    from seamdb_spark.streaming.events import (
+        lsh_candidates_stream,
+        run_stream_to_memory,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in run_stream_to_memory(
+            lsh_candidates_stream(spark, SF_SMOKE), "lsh_stream", "append"
+        ).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in entry_mod.queries()["p17_incremental_batch_candidates"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want and want  # non-empty: the fixture plants near-dups
