@@ -6477,3 +6477,110 @@ def m41_mjpeg_scene_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rk") == 1).alias("selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# m42: audio resampling — the canonical audio-preprocessing step a
+# speech corpus runs before feature extraction (16 kHz field
+# recordings down to the model's 8 kHz, or telephony audio back up),
+# executed over REAL RIFF/PCM round-trips at every stage: synthesize
+# a linear-ramp signal, write it through build_wav at 16 kHz, parse
+# the BYTES back, decimate 2:1 (every other sample — exact for a
+# ramp), write THE DECIMATED SIGNAL as a real 8 kHz WAV, parse it
+# back, then linear-midpoint upsample 1:2. The fixture makes every
+# stage closed-form: a ramp s_i = c + 3i decimates to c + 6j, and the
+# integer midpoint of consecutive decimated samples is exactly the
+# original odd sample (6j+3 — no rounding), so upsampling RECONSTRUCTS
+# the original first 2*ceil(n/2)-1 samples bit-exactly. The oracle
+# pins both arithmetic-series sums and the reconstruction flag; any
+# error in chunk framing, 16-bit packing, sample-rate bookkeeping, or
+# the resampler indexing breaks a pinned column.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle — the
+# m07/m37 shape; per-doc work is O(n_samples) integer numpy. At
+# deployment the same kernel maps over a real audio column with the
+# row-group-sized binary batching the family shares.
+# --------------------------------------------------------------------------
+M42_N = 256
+M42_SR = 16000
+_M42_SCHEMA = (
+    "doc_id long, n_in long, rate_in long, n_down long, rate_down long,"
+    " down_abs_sum long, n_up long, up_abs_sum long, up_reconstructs boolean"
+)
+
+
+@register(
+    "m42_audio_resample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({M42_N} AS BIGINT) AS n_in,
+           CAST({M42_SR} AS BIGINT) AS rate_in,
+           CAST({M42_N // 2} AS BIGINT) AS n_down,
+           CAST({M42_SR // 2} AS BIGINT) AS rate_down,
+           CAST({M42_N // 2} * (doc_id % 100)
+                + 6 * ({M42_N // 2 - 1} * {M42_N // 2} // 2)
+             AS BIGINT) AS down_abs_sum,
+           CAST({M42_N - 1} AS BIGINT) AS n_up,
+           CAST({M42_N - 1} * (doc_id % 100)
+                + 3 * ({M42_N - 2} * {M42_N - 1} // 2)
+             AS BIGINT) AS up_abs_sum,
+           TRUE AS up_reconstructs
+    FROM documents
+    WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    """,
+)
+def m42_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_in": [], "rate_in": [], "n_down": [],
+                "rate_down": [], "down_abs_sum": [], "n_up": [],
+                "up_abs_sum": [], "up_reconstructs": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = d % 100
+                orig = [c + 3 * i for i in range(M42_N)]
+                # stage 1: the source as real 16 kHz PCM bytes
+                src = np.array(
+                    wav_samples(build_wav(orig, M42_SR)), dtype=np.int64
+                )
+                # stage 2: 2:1 decimation, re-encoded as a REAL 8 kHz WAV
+                down_payload = build_wav(
+                    [int(v) for v in src[::2]], M42_SR // 2
+                )
+                down_meta = decode_wav(down_payload)
+                down = np.array(wav_samples(down_payload), dtype=np.int64)
+                # stage 3: 1:2 linear-midpoint upsample of the decimated
+                # signal (the exact-integer interpolation kernel),
+                # re-encoded and re-parsed once more
+                mids = (down[:-1] + down[1:]) // 2
+                up = np.empty(2 * len(down) - 1, dtype=np.int64)
+                up[0::2] = down
+                up[1::2] = mids
+                up = np.array(
+                    wav_samples(build_wav([int(v) for v in up], M42_SR)),
+                    dtype=np.int64,
+                )
+                out["doc_id"].append(d)
+                out["n_in"].append(len(src))
+                out["rate_in"].append(M42_SR)
+                out["n_down"].append(len(down))
+                out["rate_down"].append(down_meta["sample_rate"])
+                out["down_abs_sum"].append(int(np.abs(down).sum()))
+                out["n_up"].append(len(up))
+                out["up_abs_sum"].append(int(np.abs(up).sum()))
+                out["up_reconstructs"].append(
+                    bool((up == src[: len(up)]).all())
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(resample, schema=_M42_SCHEMA)

@@ -1833,3 +1833,92 @@ def p17_incremental_batch_candidates(
         "doc_b",
         F.lit(bool(incremental)).alias("second_refresh_incremental"),
     )
+
+
+# --------------------------------------------------------------------------
+# p18: compaction equivalence — the engine's OPTIMIZE layer
+# (engine.compact: fold accumulated small append segments into one
+# fresh overwrite commit) through the oracle gate, completing the
+# p14-p17 series over the snapshot machinery. The invariants a
+# warehouse relies on, each pinned as a checked column: (1) CONTENT —
+# the post-compaction read equals the oracle's view of the raw data
+# (the row set itself); (2) LAYOUT — the fixture's two insert
+# segments fold into a single segment (compacted_single_segment);
+# (3) HISTORY RETENTION — readers pinned to pre-compaction manifests
+# still see exactly what they saw before (v1 = first batch, 13 rows;
+# v2 = both batches, 25 rows), because compaction retains the files
+# older manifests reference until GC — the MVCC-analogue guarantee
+# p14 gates for time travel, here asserted ACROSS a history rewrite.
+#
+# Scale: compaction reads the current snapshot once and writes
+# ~128 MB output files (target = bytes/128MB, the maxPartitionBytes
+# match); old-version reads cost nothing beyond retaining the old
+# segments. The warehouse is session-memoized and app-id-namespaced
+# with j02/j03's reclamation discipline.
+# --------------------------------------------------------------------------
+_P18_SPLIT = 13
+
+
+@register(
+    "p18_compaction_equivalence",
+    oracle=f"""
+    SELECT n_nationkey, n_name,
+           TRUE AS compacted_single_segment,
+           CAST({_P18_SPLIT} AS BIGINT) AS v1_rows,
+           CAST(25 AS BIGINT) AS v2_rows
+    FROM nation
+    """,
+)
+def p18_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from ..engine import Engine
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import materialized_value, session_external_dir
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple[str, bool, int, int]:
+        warehouse = session_external_dir("/tmp/seamdb_compact", tag) + "/wh"
+        eng = Engine(spark, warehouse, database="p18db", user="pipeline")
+        eng.sql(
+            "CREATE TABLE nat (id serial PRIMARY KEY,"
+            " n_nationkey bigint, n_name text)"
+        )
+        rows = sorted(
+            (int(r.n_nationkey), str(r.n_name))
+            for r in load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .collect()
+        )
+
+        def insert(batch):
+            vals = ", ".join(f"({k}, '{n}')" for k, n in batch)
+            eng.sql(f"INSERT INTO nat (n_nationkey, n_name) VALUES {vals}")
+
+        insert([r for r in rows if r[0] < _P18_SPLIT])
+        insert([r for r in rows if r[0] >= _P18_SPLIT])
+        snaps = TableSnapshots(eng.store.table_dir("p18db", "nat"))
+        files_before = len(snaps.current_files())
+        eng.compact("nat")
+        files_after = len(snaps.current_files())
+        # history retention: versions 1 and 2 predate the rewrite
+        desc = eng.store.get_table("p18db", "nat")
+        v1 = snaps.read(spark, desc.spark_schema(), version=1).count()
+        v2 = snaps.read(spark, desc.spark_schema(), version=2).count()
+        single = files_after == 1 and files_after <= files_before
+        return warehouse, single, int(v1), int(v2)
+
+    warehouse, single, v1_rows, v2_rows = materialized_value(
+        spark, sf_dir, "p18_compaction", build
+    )
+    eng = Engine(spark, warehouse, database="p18db", user="pipeline")
+    return eng.table("nat").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.lit(bool(single)).alias("compacted_single_segment"),
+        F.lit(int(v1_rows)).cast("long").alias("v1_rows"),
+        F.lit(int(v2_rows)).cast("long").alias("v2_rows"),
+    )

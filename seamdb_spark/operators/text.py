@@ -3671,3 +3671,161 @@ def t48_nfc_normalization_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(normalize, schema=_T48_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# t49: normalization-robust decontamination — d10's exact-shingle
+# containment check misses contamination that differs only in
+# formatting (case, punctuation, whitespace), which is exactly how
+# eval text reappears in scraped corpora ("What is X?" vs "what is
+# x"). This variant decontaminates on shingles of CANONICALIZED text
+# — lowercase, punctuation stripped to spaces, whitespace collapsed —
+# and reports, per flagged training doc, the normalized hit count
+# NEXT TO the raw hit count, so caught_by_norm_only quantifies what
+# exact matching would have missed. The fixture's documents are
+# uniformly lowercase, so the formatting-variant case is SYNTHESIZED
+# deterministically on the train side (the m-family discipline):
+# even-doc_id training docs are uppercased before matching — their
+# raw shingles then miss the eval universe entirely while their
+# normalized shingles still hit, making the headline
+# caught-by-normalization-only property a checked result on roughly
+# half the flagged docs (odd docs stay unperturbed as the control
+# group where raw == normalized hits). Both engines run the same
+# perturbation and the same canonicalization (lower + regexp_replace
+# + trim; DuckDB needs the explicit 'g' flag where Spark replaces
+# globally by default).
+#
+# Scale: identical shuffle profile to d10 (two exploded-shingle
+# equi-joins against eval-sized universes); the production prefilter
+# shape is d15's Bloom bitmap, which composes with this by
+# canonicalizing before shingle-hashing on BOTH sides. The
+# normalization itself is a codegen'd row-local projection.
+# --------------------------------------------------------------------------
+def _t49_norm_sql(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}),"
+        " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def _t49_norm_col(col: "F.Column") -> "F.Column":
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def _t49_oracle() -> str:
+    from .dedup import DECONTAM_MIN_SHINGLES, EVAL_SET_MOD
+
+    def shingles(src: str, text_expr: str) -> str:
+        return f"""(
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(t, ' ')) - 1),
+               i -> concat_ws(' ', string_split(t, ' ')[i],
+                              string_split(t, ' ')[i+1],
+                              string_split(t, ' ')[i+2]))) AS shingles
+      FROM (SELECT doc_id, {text_expr} AS t FROM {src}) q
+      WHERE len(string_split(t, ' ')) >= 3
+    )"""
+
+    perturb = "CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END"
+    return f"""
+    WITH ev AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_SET_MOD} = 0
+    ),
+    tr AS (
+      SELECT doc_id, {perturb} AS text FROM documents
+      WHERE doc_id % {EVAL_SET_MOD} <> 0
+    ),
+    nuniv AS (
+      SELECT DISTINCT sh FROM (
+        SELECT doc_id, unnest(shingles) AS sh
+        FROM {shingles('ev', _t49_norm_sql('text'))} s
+      ) x
+    ),
+    runiv AS (
+      SELECT DISTINCT sh FROM (
+        SELECT doc_id, unnest(shingles) AS sh FROM {shingles('ev', 'text')} s
+      ) x
+    ),
+    nhits AS (
+      SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_norm_hits
+      FROM (
+        SELECT doc_id, unnest(shingles) AS sh
+        FROM {shingles('tr', _t49_norm_sql('text'))} s
+      ) e JOIN nuniv u ON e.sh = u.sh
+      GROUP BY e.doc_id
+    ),
+    rhits AS (
+      SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_raw_hits
+      FROM (
+        SELECT doc_id, unnest(shingles) AS sh FROM {shingles('tr', 'text')} s
+      ) e JOIN runiv u ON e.sh = u.sh
+      GROUP BY e.doc_id
+    )
+    SELECT n.doc_id, n.n_norm_hits,
+           COALESCE(r.n_raw_hits, 0) AS n_raw_hits,
+           (COALESCE(r.n_raw_hits, 0) = 0) AS caught_by_norm_only,
+           CAST(n.n_norm_hits >= {DECONTAM_MIN_SHINGLES} AS BIGINT)
+             AS drop_doc
+    FROM nhits n LEFT JOIN rhits r ON n.doc_id = r.doc_id
+    """
+
+
+@register("t49_normalized_decontaminate", oracle=_t49_oracle())
+def t49_normalized_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..dedup_index import shingle_arrays
+    from .dedup import DECONTAM_MIN_SHINGLES, EVAL_SET_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_SET_MOD == 0).select(
+        "doc_id", "text"
+    )
+    tr = docs.filter(F.col("doc_id") % EVAL_SET_MOD != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def exploded_of(src: DataFrame, text_col: "F.Column") -> DataFrame:
+        return (
+            shingle_arrays(src.select("doc_id", text_col.alias("t")), "doc_id", "t")
+            .select("doc_id", F.explode("shingles").alias("s"))
+            .select("doc_id", F.xxhash64("s").alias("gh"))
+        )
+
+    def hits(train_exp: DataFrame, univ_exp: DataFrame, name: str) -> DataFrame:
+        univ = univ_exp.select("gh").distinct()
+        return (
+            train_exp.join(univ, "gh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    nhits = hits(
+        exploded_of(tr, _t49_norm_col(F.col("text"))),
+        exploded_of(ev, _t49_norm_col(F.col("text"))),
+        "n_norm_hits",
+    )
+    rhits = hits(
+        exploded_of(tr, F.col("text")),
+        exploded_of(ev, F.col("text")),
+        "n_raw_hits",
+    )
+    return nhits.join(rhits, "doc_id", "left").select(
+        "doc_id",
+        "n_norm_hits",
+        F.coalesce(F.col("n_raw_hits"), F.lit(0)).alias("n_raw_hits"),
+        (F.coalesce(F.col("n_raw_hits"), F.lit(0)) == 0).alias(
+            "caught_by_norm_only"
+        ),
+        (F.col("n_norm_hits") >= DECONTAM_MIN_SHINGLES)
+        .cast("long")
+        .alias("drop_doc"),
+    )
