@@ -4626,3 +4626,109 @@ def x17_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_both").cast("double") / F.col("k_used"), 6
         ).alias("est_jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# e43: daily periodicity detection — does an event type's hourly
+# volume repeat on a 24-hour cycle? The classic seasonality screen an
+# analytics pipeline runs before fitting per-hour baselines (e14's
+# anomaly table assumes one; this measures whether the assumption
+# holds). Signal: the raw autocorrelation of the hourly count series
+# at lag 24 versus an off-cycle control lag (13 — coprime to 24, so
+# it catches no daily harmonic), computed EXACTLY in integers as
+# Σ c[t]·c[t-L] via a self-join on hour index. The join formulation
+# treats missing hours as zero counts natively (no row → no product —
+# identical to a dense series with c=0), so neither engine needs
+# gaps-and-islands densification. daily_periodic pins ac24 > ac13.
+#
+# Scale: one shuffle to collapse events to (type, hour) counts —
+# map-side combinable, ~|types|·|hours| rows, 3+ orders smaller than
+# events — then two self-joins ON THE COLLAPSED table keyed by
+# (type, hour±L): broadcast-sized here, co-partitioned equi-joins at
+# any scale. The raw-product form avoids float means entirely; a
+# mean-centered variant divides two exact sums at read-off time.
+# --------------------------------------------------------------------------
+E43_LAG_DAILY = 24
+E43_LAG_CONTROL = 13
+
+
+@register(
+    "e43_daily_periodicity",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            DATE_TRUNC('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ac AS (
+      SELECT a.event_type,
+             SUM(a.cnt * b24.cnt) AS ac24,
+             SUM(a.cnt * b13.cnt) AS ac13
+      FROM hourly a
+      LEFT JOIN hourly b24 ON b24.event_type = a.event_type
+                          AND b24.h = a.h - {E43_LAG_DAILY}
+      LEFT JOIN hourly b13 ON b13.event_type = a.event_type
+                          AND b13.h = a.h - {E43_LAG_CONTROL}
+      GROUP BY a.event_type
+    )
+    SELECT h.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(h.cnt) AS BIGINT) AS n_events,
+           CAST(COALESCE(MAX(ac.ac24), 0) AS BIGINT) AS ac_lag24,
+           CAST(COALESCE(MAX(ac.ac13), 0) AS BIGINT) AS ac_lag13,
+           COALESCE(MAX(ac.ac24), 0) > COALESCE(MAX(ac.ac13), 0)
+             AS daily_periodic
+    FROM hourly h LEFT JOIN ac ON ac.event_type = h.event_type
+    GROUP BY h.event_type
+    """,
+)
+def e43_daily_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("h"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def lag_products(lag: int, name: str) -> DataFrame:
+        b = hourly.select(
+            F.col("event_type").alias("bt"),
+            (F.col("h") + lag).alias("bh"),
+            F.col("cnt").alias("bcnt"),
+        )
+        return (
+            hourly.join(
+                b,
+                (F.col("event_type") == F.col("bt"))
+                & (F.col("h") == F.col("bh")),
+            )
+            .groupBy("event_type")
+            .agg(F.sum(F.col("cnt") * F.col("bcnt")).alias(name))
+        )
+
+    ac24 = lag_products(E43_LAG_DAILY, "ac_lag24")
+    ac13 = lag_products(E43_LAG_CONTROL, "ac_lag13")
+    totals = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"), F.sum("cnt").alias("n_events")
+    )
+    return (
+        totals.join(ac24, "event_type", "left")
+        .join(ac13, "event_type", "left")
+        .select(
+            "event_type",
+            "n_hours",
+            "n_events",
+            F.coalesce(F.col("ac_lag24"), F.lit(0)).alias("ac_lag24"),
+            F.coalesce(F.col("ac_lag13"), F.lit(0)).alias("ac_lag13"),
+            (
+                F.coalesce(F.col("ac_lag24"), F.lit(0))
+                > F.coalesce(F.col("ac_lag13"), F.lit(0))
+            ).alias("daily_periodic"),
+        )
+    )

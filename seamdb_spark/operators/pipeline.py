@@ -1922,3 +1922,104 @@ def p18_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(v1_rows)).cast("long").alias("v1_rows"),
         F.lit(int(v2_rows)).cast("long").alias("v2_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# p19: retention GC — the snapshot layer's garbage collector through
+# the oracle gate, closing the engine series (p14 time travel, p15
+# rollup refresh, p16/p17 index maintenance, p18 compaction): five
+# overwrite commits of growing nation prefixes (v_i = n_nationkey <
+# 5*i) leave, under KEEP_MANIFESTS=3, exactly manifests v3..v5 on
+# disk, exactly the three segment directories those manifests
+# reference (v1/v2's unreferenced segments are deleted — the leak
+# compaction/overwrite would otherwise create), the retained versions
+# still reading their exact historical contents (v3=15, v4=20 rows),
+# and the expired version raising the documented "not retained"
+# error rather than returning wrong data. Every one of those is a
+# pinned column; the row set itself is the current (v5) read.
+#
+# Scale: GC cost is a directory walk over ONE table's segment dirs at
+# commit time; retention is the KEEP_MANIFESTS knob, and pinned
+# readers of retained versions are unaffected by design. The layout
+# is session-memoized and app-id-namespaced with j02/j03's
+# reclamation discipline.
+# --------------------------------------------------------------------------
+@register(
+    "p19_retention_gc",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(5 AS BIGINT) AS current_version,
+           CAST(3 AS BIGINT) AS manifests_on_disk,
+           CAST(3 AS BIGINT) AS segment_dirs_on_disk,
+           CAST(15 AS BIGINT) AS v3_rows,
+           CAST(20 AS BIGINT) AS v4_rows,
+           TRUE AS expired_version_rejected
+    FROM nation
+    """,
+)
+def p19_retention_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import materialized_value, session_external_dir
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ]
+    )
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple[str, int, int, int, int, int, bool]:
+        base = session_external_dir("/tmp/seamdb_gc", tag)
+        path = base + "/nation"
+        snaps = TableSnapshots(path)
+        nat = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long"), "n_name"
+        )
+        for i in range(1, 6):
+            snaps.commit(
+                nat.filter(F.col("n_nationkey") < 5 * i), mode="overwrite"
+            )
+        manifests = sum(
+            1
+            for n in _os.listdir(path)
+            if n.startswith("manifest-v") and n.endswith(".json")
+        )
+        seg_dirs = sum(
+            1
+            for n in _os.listdir(path)
+            if n.startswith("seg-") and _os.path.isdir(_os.path.join(path, n))
+        )
+        v3 = snaps.read(spark, schema, version=3).count()
+        v4 = snaps.read(spark, schema, version=4).count()
+        try:
+            snaps.read(spark, schema, version=1)
+            rejected = False
+        except ValueError:
+            rejected = True
+        return (
+            path, snaps.current_version(), manifests, seg_dirs,
+            int(v3), int(v4), rejected,
+        )
+
+    path, cur, manifests, seg_dirs, v3, v4, rejected = materialized_value(
+        spark, sf_dir, "p19_retention_gc", build
+    )
+    return TableSnapshots(path).read(spark, schema).select(
+        "n_nationkey",
+        "n_name",
+        F.lit(int(cur)).cast("long").alias("current_version"),
+        F.lit(int(manifests)).cast("long").alias("manifests_on_disk"),
+        F.lit(int(seg_dirs)).cast("long").alias("segment_dirs_on_disk"),
+        F.lit(int(v3)).cast("long").alias("v3_rows"),
+        F.lit(int(v4)).cast("long").alias("v4_rows"),
+        F.lit(bool(rejected)).alias("expired_version_rejected"),
+    )

@@ -3708,6 +3708,12 @@ def _t49_norm_sql(expr: str) -> str:
     )
 
 
+_T49_NORM_SPARK_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', ' '), ' +', ' '))"
+)
+
+
 def _t49_norm_col(col: "F.Column") -> "F.Column":
     return F.trim(
         F.regexp_replace(
@@ -3779,7 +3785,6 @@ def _t49_oracle() -> str:
 def t49_normalized_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..dedup_index import shingle_arrays
     from .dedup import DECONTAM_MIN_SHINGLES, EVAL_SET_MOD
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3793,10 +3798,27 @@ def t49_normalized_decontaminate(
         .alias("text"),
     )
 
-    def exploded_of(src: DataFrame, text_col: "F.Column") -> DataFrame:
+    def exploded_of(src: DataFrame, text_sql: str) -> DataFrame:
+        # The one-element-array binding (the d02 _shingles_df trick):
+        # Catalyst's CollapseProject would otherwise inline the
+        # canonicalization chain into EVERY toks reference inside the
+        # shingle transform (~8 re-evaluations of two regexp passes per
+        # row — measured 38s vs 4.5s single-threaded at sf0.1), so the
+        # normalized-and-split text is bound ONCE per row inside the
+        # expression. The repartition parallelizes the row-local
+        # regexp+shingle work across cores: the source parquet is one
+        # ~file-sized partition, and this is the rare projection heavy
+        # enough to be worth one cheap shuffle of the raw text.
+        shingle_expr = (
+            "array_distinct(flatten(transform("
+            f" array(split({text_sql}, ' ')),"
+            " toks -> transform("
+            "  filter(sequence(0, size(toks) - 1), i -> i <= size(toks) - 3),"
+            "  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))))"
+        )
         return (
-            shingle_arrays(src.select("doc_id", text_col.alias("t")), "doc_id", "t")
-            .select("doc_id", F.explode("shingles").alias("s"))
+            src.repartition(32, "doc_id")
+            .select("doc_id", F.explode(F.expr(shingle_expr)).alias("s"))
             .select("doc_id", F.xxhash64("s").alias("gh"))
         )
 
@@ -3809,13 +3831,13 @@ def t49_normalized_decontaminate(
         )
 
     nhits = hits(
-        exploded_of(tr, _t49_norm_col(F.col("text"))),
-        exploded_of(ev, _t49_norm_col(F.col("text"))),
+        exploded_of(tr, _T49_NORM_SPARK_SQL),
+        exploded_of(ev, _T49_NORM_SPARK_SQL),
         "n_norm_hits",
     )
     rhits = hits(
-        exploded_of(tr, F.col("text")),
-        exploded_of(ev, F.col("text")),
+        exploded_of(tr, "text"),
+        exploded_of(ev, "text"),
         "n_raw_hits",
     )
     return nhits.join(rhits, "doc_id", "left").select(
