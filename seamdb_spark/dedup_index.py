@@ -49,30 +49,31 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, shingles) — distinct 3-word shingles per document, on
     an arbitrary (id, text) DataFrame; docs with <3 tokens are skipped
     (matches d02's ``_SHINGLES_SQL WHERE len >= 3``)."""
-    # The expression must be TOTAL — safe on short docs regardless of
-    # filter placement: a bare sequence(0, size - 3) auto-descends for
-    # size < 3 (ANSI-mode index error, or silent 1/2-gram
-    # pseudo-shingles with ANSI off), and Catalyst merges/reorders
-    # filters (InferFiltersFromGenerate + CombineFilters evaluate the
-    # downstream generate guard before a preceding size filter), so
-    # index positions are clamped inside the expression:
-    # sequence(0, size-1) is always ascending, and the i <= size-3
-    # filter empties it for short docs.
+    # Two non-obvious constraints shape this expression:
+    # (1) TOTALITY — safe on short docs regardless of filter placement:
+    #     a bare sequence(0, size - 3) auto-descends for size < 3
+    #     (ANSI-mode index error, or silent 1/2-gram pseudo-shingles
+    #     with ANSI off), and Catalyst merges/reorders filters, so
+    #     index positions are clamped INSIDE the expression: the
+    #     i <= size-3 filter empties the sequence for short docs.
+    # (2) SINGLE EVALUATION — the one-element-array binding
+    #     (transform(array(split(..)), toks -> ...), d02's idiom):
+    #     a two-step select would be collapsed by CollapseProject,
+    #     inlining split(text) into EVERY toks reference inside the
+    #     lambda — measured ~10x slower (4.5s -> 0.5s for the p16
+    #     refresh banding at sf0.1) because the text re-splits per
+    #     element access.
+    shingle_expr = (
+        "array_distinct(flatten(transform("
+        f" array(split(`{text_col}`, ' ')),"
+        " toks -> transform("
+        "  filter(sequence(0, size(toks) - 1), i -> i <= size(toks) - 3),"
+        "  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))))"
+    )
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.split(F.col(text_col), " ").alias("toks"),
-        )
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(
-                    "transform("
-                    " filter(sequence(0, size(toks) - 1),"
-                    "        i -> i <= size(toks) - 3),"
-                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                )
-            ).alias("shingles"),
+            F.expr(shingle_expr).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
     )
@@ -189,12 +190,43 @@ class _IncrementalTextIndex:
 
     def _derive_of(self, files: list[str]) -> DataFrame:
         spark = self._spark
+        if not files:
+            return self._derive(spark.createDataFrame([], self._source_schema()))
+        # Spread the new segments across cores BEFORE deriving: a small
+        # append batch is often one parquet file = one scan partition,
+        # and the expensive per-row work (shingle explode + md5 +
+        # minhash) sits UPSTREAM of the derivation's first shuffle, so
+        # without this it runs single-threaded (measured 5.5s -> ~1s
+        # per p16 refresh at sf0.1). One cheap shuffle of the raw batch
+        # text buys full parallelism; on a cluster it also spreads a
+        # hot append file across executors.
         df = (
-            spark.read.schema(self._source_schema()).parquet(*files)
-            if files
-            else spark.createDataFrame([], self._source_schema())
+            spark.read.schema(self._source_schema())
+            .parquet(*files)
+            .repartition(32, self.id_col)
         )
         return self._derive(df)
+
+    def _committed_doc_count(self, before: set[str]) -> int:
+        """Distinct doc_ids in the state segments a commit just added.
+
+        Counting from the WRITTEN parquet instead of the derivation
+        DataFrame matters: re-counting ``fresh`` would re-run the whole
+        derivation (shingle→minhash→banding — the expensive half of a
+        refresh) a second time, doubling refresh cost. The written band
+        rows are ~100x smaller than the source text, so this is a cheap
+        scan of exactly the new segments.
+        """
+        added = [f for f in self.state.current_files() if f not in before]
+        if not added:
+            return 0
+        return (
+            self._spark.read.schema(self._state_schema())
+            .parquet(*added)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
 
     # ------------------------------------------------------------- api
     def refresh(self) -> dict:
@@ -213,19 +245,25 @@ class _IncrementalTextIndex:
         new_files = [f for f in current if f not in processed]
 
         if vanished or unsound:
-            full = self._derive_of(current)
+            before: set[str] = set()
             self.state.commit(
-                full, mode="overwrite", extra={"processed": current}
+                self._derive_of(current),
+                mode="overwrite",
+                extra={"processed": current},
             )
-            n = full.select("doc_id").distinct().count()
+            n = self._committed_doc_count(before)
             return {"mode": "rebuild", "files_read": len(current), "n_new_docs": n}
 
         if not new_files:
             return {"mode": "noop", "files_read": 0, "n_new_docs": 0}
 
-        fresh = self._derive_of(new_files)
-        self.state.commit(fresh, mode="append", extra={"processed": current})
-        n = fresh.select("doc_id").distinct().count()
+        before = set(self.state.current_files())
+        self.state.commit(
+            self._derive_of(new_files),
+            mode="append",
+            extra={"processed": current},
+        )
+        n = self._committed_doc_count(before)
         return {"mode": "incremental", "files_read": len(new_files), "n_new_docs": n}
 
     def index(self) -> DataFrame:
