@@ -3482,6 +3482,39 @@ def test_q68_q69_window_over_collapsed_table(spark, registry):
     assert "SortMergeJoin" not in plan69
 
 
+def test_q70_windows_share_one_exchange(spark, registry):
+    """q70's physical property: both DISTINCT-window emulations
+    partition by o_custkey, so the planner inserts exactly ONE
+    shuffle — the second Window reuses the first's partitioning. A
+    second Exchange would mean the frames were accidentally keyed
+    differently (and would double the query's shuffle volume)."""
+    queries, _ = registry
+    plan = (
+        queries["q70_distinct_window_count"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges == 1, plan
+    assert plan.count("Window") >= 2
+
+
+def test_e43_joins_collapsed_table_broadcast(spark, registry):
+    """e43's physical property: the lag self-joins run on the
+    COLLAPSED hourly table and broadcast it — never a shuffled join
+    of (and certainly never a scan of) the raw events twice per lag."""
+    queries, _ = registry
+    plan = (
+        queries["e43_daily_periodicity"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_m33_selection_never_shuffles_payloads(spark, registry):
     """m33's physical property: the only Exchange in the plan moves
     the exploded SAMPLE table (post-mapInPandas rows), never binary
