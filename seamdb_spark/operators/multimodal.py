@@ -3,8 +3,9 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. BMP, WAV, JPEG (baseline SOF0, progressive SOF2 including AC
 successive-approximation refinement, and 4:2:0 chroma-subsampled — all
-with DRI/RSTn restart-marker support), truecolor PNG (sequential and
-Adam7-interlaced), and GIF (sequential and 4-pass interlaced) decode
+with DRI/RSTn restart-marker support), PNG (truecolor and
+palette/indexed, each sequential and Adam7-interlaced), and GIF
+(sequential and 4-pass interlaced) decode
 is REAL (pure-Python byte-layout parsers
 ``decode_bmp``/``decode_wav``, a pure-Python + numpy T.81 codec family
 ``build_jpeg``/``decode_jpeg``/``decode_jpeg_progressive``/
@@ -388,10 +389,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _png_filter_rows(rows: list[bytes]) -> bytearray:
+def _png_filter_rows(rows: list[bytes], bpp: int = 3) -> bytearray:
     """Filter a sub-image (list of equal-stride rows): per-row filter
     byte cycling y % 5 (None/Sub/Up/Average/Paeth), prior row starting
-    at zeros — the per-pass unit both interlace methods share."""
+    at zeros — the per-pass unit both interlace methods share. ``bpp``
+    is the filter unit (PNG spec: the "left" byte sits bpp bytes back
+    — 3 for truecolor, 1 for palette indices)."""
     filtered = bytearray()
     if not rows:
         return filtered
@@ -404,7 +407,7 @@ def _png_filter_rows(rows: list[bytes]) -> bytearray:
             filtered += row
         elif f == 1:
             filtered += bytes(
-                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
                 for i in range(stride)
             )
         elif f == 2:
@@ -413,16 +416,16 @@ def _png_filter_rows(rows: list[bytes]) -> bytearray:
             )
         elif f == 3:
             filtered += bytes(
-                (row[i] - (((row[i - 3] if i >= 3 else 0) + prior[i]) >> 1))
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prior[i]) >> 1))
                 & 0xFF
                 for i in range(stride)
             )
         else:
             filtered += bytes(
                 (row[i] - _paeth(
-                    row[i - 3] if i >= 3 else 0,
+                    row[i - bpp] if i >= bpp else 0,
                     prior[i],
-                    prior[i - 3] if i >= 3 else 0,
+                    prior[i - bpp] if i >= bpp else 0,
                 )) & 0xFF
                 for i in range(stride)
             )
@@ -430,11 +433,11 @@ def _png_filter_rows(rows: list[bytes]) -> bytearray:
     return filtered
 
 
-def _png_unfilter_rows(raw: bytes, width: int, height: int):
+def _png_unfilter_rows(raw: bytes, width: int, height: int, bpp: int = 3):
     """Inverse of _png_filter_rows over a (width x height) sub-image:
     returns (pixel bytes, per-row filter list). raw must be exactly
-    height * (width*3 + 1) bytes."""
-    stride = width * 3
+    height * (width*bpp + 1) bytes."""
+    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError("inflated length != height*(stride+1)")
     out = bytearray()
@@ -446,9 +449,9 @@ def _png_unfilter_rows(raw: bytes, width: int, height: int):
         line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
         rec = bytearray(stride)
         for i in range(stride):
-            left = rec[i - 3] if i >= 3 else 0
+            left = rec[i - bpp] if i >= bpp else 0
             up = prior[i]
-            ul = prior[i - 3] if i >= 3 else 0
+            ul = prior[i - bpp] if i >= bpp else 0
             if f == 0:
                 v = line[i]
             elif f == 1:
@@ -510,18 +513,72 @@ def build_png(width: int, height: int, rgb: bytes, interlace: int = 0) -> bytes:
     )
 
 
+def build_png_palette(
+    width: int, height: int, rgb: bytes, interlace: int = 0
+) -> bytes:
+    """Encode raw RGB bytes as an 8-bit PALETTE PNG (color type 3 —
+    the indexed form older tooling and pixel-art/screenshot corpora
+    emit): the distinct colors (must be <= 256) become the PLTE chunk
+    in first-appearance order, scanlines carry 1-byte indices, and
+    filtering runs with bpp=1 (the PNG spec's filter unit for indexed
+    images). ``interlace=1`` writes Adam7 with per-pass filter
+    restarts, same grid as truecolor."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    if interlace not in (0, 1):
+        raise ValueError("PNG interlace method must be 0 or 1")
+    palette: dict[bytes, int] = {}
+    idx = bytearray(width * height)
+    for p in range(width * height):
+        c = rgb[3 * p:3 * p + 3]
+        if c not in palette:
+            if len(palette) == 256:
+                raise ValueError("more than 256 distinct colors")
+            palette[c] = len(palette)
+        idx[p] = palette[c]
+    if interlace == 0:
+        rows = [bytes(idx[y * width:(y + 1) * width]) for y in range(height)]
+        filtered = _png_filter_rows(rows, bpp=1)
+    else:
+        filtered = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+            rows = [
+                bytes(idx[(y0 + j * dy) * width + x0 + i * dx] for i in range(pw))
+                for j in range(ph)
+            ]
+            filtered += _png_filter_rows(rows, bpp=1)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, interlace)
+    plte = b"".join(palette)
+    comp = zlib.compress(bytes(filtered), 6)
+    half = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> dict:
-    """Parse an 8-bit truecolor PNG: CRC-checked chunk walk, IDAT
-    inflate, per-row unfilter (all five filter types), both interlace
-    methods (sequential and Adam7 — each pass unfilters independently
-    and scatters back onto the 8x8 progressive grid). Returns kind,
-    dimensions, interlace flag, raw RGB pixels, and the per-row
-    filter types seen (concatenated in pass order for Adam7)."""
+    """Parse an 8-bit truecolor OR palette PNG: CRC-checked chunk
+    walk, IDAT inflate, per-row unfilter (all five filter types, bpp
+    per color type — 3 truecolor / 1 indexed), both interlace methods
+    (sequential and Adam7 — each pass unfilters independently and
+    scatters back onto the 8x8 progressive grid), and PLTE expansion
+    for color type 3. Returns kind, dimensions, color_type, interlace
+    flag, palette_size (0 for truecolor), raw RGB pixels, and the
+    per-row filter types seen (concatenated in pass order for
+    Adam7)."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG signature")
     pos, width, height, inter, idat = 8, None, None, 0, bytearray()
+    ctyp, plte = None, None
     while pos < len(payload):
         if pos + 12 > len(payload):
             raise ValueError("truncated PNG chunk header")
@@ -539,12 +596,19 @@ def decode_png(payload: bytes) -> dict:
             width, height, depth, ctyp, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, ctyp, comp, filt) != (8, 2, 0, 0) or inter not in (
-                0, 1,
+            if (
+                (depth, comp, filt) != (8, 0, 0)
+                or ctyp not in (2, 3)
+                or inter not in (0, 1)
             ):
                 raise ValueError(
-                    "only 8-bit truecolor PNG (interlace 0/1) supported"
+                    "only 8-bit truecolor/palette PNG (interlace 0/1)"
+                    " supported"
                 )
+        elif ctype == b"PLTE":
+            if clen % 3 or clen == 0 or clen > 768:
+                raise ValueError("PLTE length must be 3*n, n in 1..256")
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -552,36 +616,53 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + clen
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
+    if ctyp == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    bpp = 1 if ctyp == 3 else 3
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if inter == 0:
-        pixels, filters = _png_unfilter_rows(raw, width, height)
+        pixels, filters = _png_unfilter_rows(raw, width, height, bpp)
     else:  # Adam7: unfilter each pass, scatter to the full image
         passes = _adam7_pass_dims(width, height)
-        need = sum(ph * (pw * 3 + 1) for _x, _y, _dx, _dy, pw, ph in passes)
+        need = sum(
+            ph * (pw * bpp + 1) for _x, _y, _dx, _dy, pw, ph in passes
+        )
         if len(raw) != need:
             raise ValueError("inflated length != Adam7 pass total")
-        out = bytearray(width * height * 3)
+        out = bytearray(width * height * bpp)
         filters = []
         off = 0
         for x0, y0, dx, dy, pw, ph in passes:
-            plen = ph * (pw * 3 + 1)
-            sub, fs = _png_unfilter_rows(raw[off:off + plen], pw, ph)
+            plen = ph * (pw * bpp + 1)
+            sub, fs = _png_unfilter_rows(raw[off:off + plen], pw, ph, bpp)
             off += plen
             filters += fs
             for j in range(ph):
                 for i in range(pw):
-                    p = ((y0 + j * dy) * width + (x0 + i * dx)) * 3
-                    s = (j * pw + i) * 3
-                    out[p:p + 3] = sub[s:s + 3]
+                    p = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                    s = (j * pw + i) * bpp
+                    out[p:p + bpp] = sub[s:s + bpp]
         pixels = bytes(out)
+    if ctyp == 3:
+        n_colors = len(plte) // 3
+        expanded = bytearray(width * height * 3)
+        for p, ix in enumerate(pixels):
+            if ix >= n_colors:
+                raise ValueError(
+                    f"palette index {ix} out of range (PLTE has {n_colors})"
+                )
+            expanded[3 * p:3 * p + 3] = plte[3 * ix:3 * ix + 3]
+        pixels = bytes(expanded)
     return {
         "kind": "png",
         "width": width,
         "height": height,
+        "color_type": ctyp,
         "interlaced": inter == 1,
+        "palette_size": 0 if ctyp == 2 else len(plte) // 3,
         "pixels": pixels,
         "filters": filters,
     }
@@ -1713,10 +1794,10 @@ def decode_media(payload: bytes) -> dict:
     """Decode a media payload by sniffing magic bytes.
 
     BMP, WAV, JPEG (baseline, progressive, and 4:2:0 — ``decode_jpeg``
-    routes by SOF marker and sampling factors), truecolor PNG (both
-    sequential and Adam7-interlaced), and GIF (both sequential and
-    4-pass interlaced layouts) decode for real (pure-Python parsers
-    above);
+    routes by SOF marker and sampling factors), PNG (truecolor AND
+    palette/indexed, each in both sequential and Adam7-interlaced
+    layouts), and GIF (both sequential and 4-pass interlaced layouts)
+    decode for real (pure-Python parsers above);
     MP4 gets a real container probe; Motion-JPEG tracks (fourcc
     'jpeg') additionally decode to real per-frame pixels via
     :func:`extract_mp4_samples` + :func:`decode_jpeg` (the m41 path).
@@ -6584,3 +6665,83 @@ def m42_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(resample, schema=_M42_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m43: palette (indexed-color) PNG round-trip — the third PNG form
+# closed (after truecolor m22 and Adam7 m38): color type 3 is what
+# pixel-art, screenshots, and older tooling actually emit, and a
+# corpus decode path that rejects it drops those files. The encoder
+# builds the PLTE chunk from distinct colors in first-appearance
+# order and filters 1-byte index scanlines with bpp=1 (the PNG
+# spec's filter unit for indexed images — reusing the truecolor
+# filter kernel with the wrong bpp corrupts Sub/Average/Paeth rows,
+# which is exactly the bug class this round-trip pins). Each sampled
+# doc encodes its ramp BOTH sequential and Adam7-interlaced; the
+# fixture ramp provably has one distinct color per pixel (the
+# (6x+3y, 4x+5y) system only solves at dx=dy=0), so palette_size is
+# exactly 256 — a closed form the oracle pins along with
+# losslessness, cross-interlace equality, and the per-layout filter
+# row counts (16 sequential, 30 across the seven Adam7 passes of a
+# 16x16 grid).
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle — the
+# m22/m38 shape; the palette build is one dict pass per image.
+# --------------------------------------------------------------------------
+_M43_SCHEMA = (
+    "doc_id long, width long, height long, color_type long,"
+    " palette_size long, lossless boolean, interlace_match boolean,"
+    " seq_filter_rows long, adam7_filter_rows long"
+)
+
+
+@register(
+    "m43_png_palette_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS color_type,
+           CAST(256 AS BIGINT) AS palette_size,
+           TRUE AS lossless,
+           TRUE AS interlace_match,
+           CAST(16 AS BIGINT) AS seq_filter_rows,
+           CAST(30 AS BIGINT) AS adam7_filter_rows
+    FROM documents
+    WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    """,
+)
+def m43_png_palette_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "color_type": [],
+                "palette_size": [], "lossless": [], "interlace_match": [],
+                "seq_filter_rows": [], "adam7_filter_rows": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rgb = _ramp_rgb(d).tobytes()
+                seq = decode_png(build_png_palette(16, 16, rgb, 0))
+                ada = decode_png(build_png_palette(16, 16, rgb, 1))
+                out["doc_id"].append(d)
+                out["width"].append(seq["width"])
+                out["height"].append(seq["height"])
+                out["color_type"].append(seq["color_type"])
+                out["palette_size"].append(seq["palette_size"])
+                out["lossless"].append(seq["pixels"] == rgb)
+                out["interlace_match"].append(
+                    ada["pixels"] == seq["pixels"]
+                    and ada["palette_size"] == seq["palette_size"]
+                )
+                out["seq_filter_rows"].append(len(seq["filters"]))
+                out["adam7_filter_rows"].append(len(ada["filters"]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=_M43_SCHEMA)

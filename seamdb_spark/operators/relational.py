@@ -3270,3 +3270,66 @@ def q70_distinct_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.collect_list("o_orderstatus").over(wall))
         ).cast("long").alias("distinct_status_all"),
     )
+
+
+# --------------------------------------------------------------------------
+# q71: window FILTER clause — the fourth window-surface behavior the
+# q68/q69/q70 family closes: SQL:2003's `agg(x) FILTER (WHERE c)
+# OVER w` (DuckDB/Postgres/DataFusion evaluate it natively; Spark's
+# parser rejects FILTER on window functions). Emulated exactly by the
+# conditional-projection identity: agg(CASE WHEN c THEN x END) over
+# the same frame — NULLs vanish from SUM/COUNT/AVG, so the filtered
+# aggregate is the aggregate of the guarded expression. The shapes a
+# revenue dashboard actually asks: per customer in order, the running
+# count of URGENT-priority orders and the running sum of
+# high-value (>100k cents... >1000.00) order totals NEXT TO the
+# unfiltered running total — three aggregates, one frame, one pass.
+# COUNT guards with the CASE itself (COUNT skips NULLs); SUM keeps
+# exact cents. The oracle runs DuckDB's NATIVE FILTER clause — true
+# cross-engine semantics parity, not a replayed emulation.
+#
+# Scale: identical physical plan to any running window — ONE
+# exchange on the o_custkey partition key (cardinality grows with
+# data, maximal parallelism), all three aggregates sharing the frame;
+# the CASE guards are codegen'd row-local projections with zero extra
+# shuffle vs the unfiltered window.
+# --------------------------------------------------------------------------
+@register(
+    "q71_window_filter_clause",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+             OVER w AS BIGINT) AS urgent_so_far,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             FILTER (WHERE o_totalprice > 1000.0)
+             OVER w AS BIGINT) AS big_cents_so_far,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             OVER w AS BIGINT) AS cents_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q71_window_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+    big = F.when(F.col("price") > 1000.0, F.col("cents"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(urgent).over(w).alias("urgent_so_far"),
+        F.sum(big).over(w).alias("big_cents_so_far"),
+        F.sum("cents").over(w).alias("cents_so_far"),
+    )

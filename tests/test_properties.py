@@ -710,3 +710,74 @@ def test_mp4_samples_size_mismatch_raises():
 
     with pytest.raises(ValueError):
         build_mp4(1000, 80, [3, 4], [1, 2], samples=[b"abc", b"de"])
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    n_colors=st.integers(min_value=1, max_value=256),
+    interlace=st.integers(min_value=0, max_value=1),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_palette_png_roundtrip_any_size(w, h, n_colors, interlace, seed):
+    """Palette PNG (color type 3) round-trips bit-exactly for any
+    dimensions, any palette size 1..256, and both interlace methods —
+    including the odd-size Adam7 passes (empty and partial) and the
+    bpp=1 filter unit (a bpp=3 filter on index rows would corrupt
+    Sub/Average/Paeth scanlines)."""
+    import random
+
+    from seamdb_spark.operators.multimodal import (
+        build_png_palette,
+        decode_png,
+    )
+
+    rng = random.Random(seed)
+    colors = [
+        bytes(rng.randrange(0, 256) for _ in range(3)) for _ in range(n_colors)
+    ]
+    rgb = b"".join(rng.choice(colors) for _ in range(w * h))
+    for inter in (0, interlace):
+        d = decode_png(build_png_palette(w, h, rgb, inter))
+        assert d["pixels"] == rgb
+        assert d["color_type"] == 3
+        assert d["interlaced"] == (inter == 1)
+        # PLTE holds the image's distinct colors (<= n_colors: the
+        # random choice may not use them all)
+        assert d["palette_size"] == len({rgb[3*i:3*i+3] for i in range(w*h)})
+
+
+def test_palette_png_boundaries_are_explicit():
+    """>256 distinct colors refuses to encode; a palette index past
+    PLTE and a missing PLTE raise (never wrong pixels)."""
+    import pytest
+
+    from seamdb_spark.operators.multimodal import (
+        _PNG_SIG,
+        build_png_palette,
+        decode_png,
+    )
+
+    # 257 distinct colors on a 17x16 image
+    rgb = b"".join(
+        bytes((i % 256, i // 256, 7)) for i in range(17 * 16)
+    )
+    with pytest.raises(ValueError, match="256"):
+        build_png_palette(17, 16, rgb)
+    # missing PLTE: rebuild a type-3 payload without the PLTE chunk
+    ok = build_png_palette(2, 2, bytes([5, 6, 7] * 4))
+    chunks = []
+    pos = 8
+    import struct as _struct
+
+    while pos < len(ok):
+        (clen,) = _struct.unpack(">I", ok[pos:pos + 4])
+        ctype = ok[pos + 4:pos + 8]
+        chunks.append((ctype, ok[pos:pos + 12 + clen]))
+        pos += 12 + clen
+    stripped = _PNG_SIG + b"".join(
+        raw for ctype, raw in chunks if ctype != b"PLTE"
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(stripped)
