@@ -3,9 +3,9 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. BMP, WAV, JPEG (baseline SOF0, progressive SOF2 including AC
 successive-approximation refinement, and 4:2:0 chroma-subsampled — all
-with DRI/RSTn restart-marker support), PNG (truecolor and
-palette/indexed, each sequential and Adam7-interlaced), and GIF
-(sequential and 4-pass interlaced) decode
+with DRI/RSTn restart-marker support), PNG (grayscale, truecolor,
+and palette/indexed — every 8-bit color type — each sequential and
+Adam7-interlaced), and GIF (sequential and 4-pass interlaced) decode
 is REAL (pure-Python byte-layout parsers
 ``decode_bmp``/``decode_wav``, a pure-Python + numpy T.81 codec family
 ``build_jpeg``/``decode_jpeg``/``decode_jpeg_progressive``/
@@ -563,6 +563,45 @@ def build_png_palette(
     )
 
 
+def build_png_gray(
+    width: int, height: int, gray: bytes, interlace: int = 0
+) -> bytes:
+    """Encode raw 8-bit grayscale samples (len == width*height) as a
+    color-type-0 PNG — the form scanned-document and OCR corpora
+    carry. Scanlines are the samples themselves, filtered with bpp=1;
+    ``interlace=1`` writes Adam7 with per-pass filter restarts."""
+    import zlib
+
+    if len(gray) != width * height:
+        raise ValueError("gray length != width*height")
+    if interlace not in (0, 1):
+        raise ValueError("PNG interlace method must be 0 or 1")
+    if interlace == 0:
+        rows = [gray[y * width:(y + 1) * width] for y in range(height)]
+        filtered = _png_filter_rows(rows, bpp=1)
+    else:
+        filtered = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+            rows = [
+                bytes(
+                    gray[(y0 + j * dy) * width + x0 + i * dx]
+                    for i in range(pw)
+                )
+                for j in range(ph)
+            ]
+            filtered += _png_filter_rows(rows, bpp=1)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, interlace)
+    comp = zlib.compress(bytes(filtered), 6)
+    half = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> dict:
     """Parse an 8-bit truecolor OR palette PNG: CRC-checked chunk
     walk, IDAT inflate, per-row unfilter (all five filter types, bpp
@@ -598,12 +637,12 @@ def decode_png(payload: bytes) -> dict:
             )
             if (
                 (depth, comp, filt) != (8, 0, 0)
-                or ctyp not in (2, 3)
+                or ctyp not in (0, 2, 3)
                 or inter not in (0, 1)
             ):
                 raise ValueError(
-                    "only 8-bit truecolor/palette PNG (interlace 0/1)"
-                    " supported"
+                    "only 8-bit grayscale/truecolor/palette PNG"
+                    " (interlace 0/1) supported"
                 )
         elif ctype == b"PLTE":
             if clen % 3 or clen == 0 or clen > 768:
@@ -618,7 +657,7 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("missing IHDR or IDAT")
     if ctyp == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    bpp = 1 if ctyp == 3 else 3
+    bpp = 3 if ctyp == 2 else 1
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
@@ -646,7 +685,11 @@ def decode_png(payload: bytes) -> dict:
                     s = (j * pw + i) * bpp
                     out[p:p + bpp] = sub[s:s + bpp]
         pixels = bytes(out)
-    if ctyp == 3:
+    if ctyp == 0:
+        # grayscale: replicate each sample to RGB (the standard
+        # expansion a pixel pipeline applies before RGB-only kernels)
+        pixels = bytes(b for g in pixels for b in (g, g, g))
+    elif ctyp == 3:
         n_colors = len(plte) // 3
         expanded = bytearray(width * height * 3)
         for p, ix in enumerate(pixels):
@@ -662,7 +705,7 @@ def decode_png(payload: bytes) -> dict:
         "height": height,
         "color_type": ctyp,
         "interlaced": inter == 1,
-        "palette_size": 0 if ctyp == 2 else len(plte) // 3,
+        "palette_size": len(plte) // 3 if ctyp == 3 else 0,
         "pixels": pixels,
         "filters": filters,
     }
@@ -1794,10 +1837,11 @@ def decode_media(payload: bytes) -> dict:
     """Decode a media payload by sniffing magic bytes.
 
     BMP, WAV, JPEG (baseline, progressive, and 4:2:0 — ``decode_jpeg``
-    routes by SOF marker and sampling factors), PNG (truecolor AND
-    palette/indexed, each in both sequential and Adam7-interlaced
-    layouts), and GIF (both sequential and 4-pass interlaced layouts)
-    decode for real (pure-Python parsers above);
+    routes by SOF marker and sampling factors), PNG (grayscale,
+    truecolor, AND palette/indexed — every 8-bit color type — each in
+    both sequential and Adam7-interlaced layouts), and GIF (both
+    sequential and 4-pass interlaced layouts) decode for real
+    (pure-Python parsers above);
     MP4 gets a real container probe; Motion-JPEG tracks (fourcc
     'jpeg') additionally decode to real per-frame pixels via
     :func:`extract_mp4_samples` + :func:`decode_jpeg` (the m41 path).
@@ -6745,3 +6789,88 @@ def m43_png_palette_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(roundtrip, schema=_M43_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m44: grayscale PNG round-trip — color type 0 closes the last 8-bit
+# PNG form (after truecolor m22/m38 and palette m43): single-sample
+# scanlines are what scanned-document and OCR corpora carry, and the
+# decode path expands each sample to RGB (g,g,g) so every downstream
+# RGB kernel (aHash m09, resize m04, orientation m36) runs unchanged.
+# Scanlines filter with bpp=1 like palette indices — but here the
+# samples ARE intensities, so filters actually exercise arithmetic on
+# image data rather than on palette positions. Each sampled doc
+# encodes its ramp's GREEN plane (d2 + 4x + 5y, never clamps) both
+# sequential and Adam7; the oracle pins losslessness, the exact
+# replicated pixel sum 3·(256·d2 + 17280) in closed form, the
+# cross-interlace equality, and the per-layout filter row counts.
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle — the
+# m22/m38/m43 shape; grayscale halves the per-image byte volume vs
+# truecolor at identical plan shape.
+# --------------------------------------------------------------------------
+_M44_SCHEMA = (
+    "doc_id long, width long, height long, color_type long,"
+    " pixel_sum long, lossless boolean, interlace_match boolean,"
+    " seq_filter_rows long, adam7_filter_rows long"
+)
+
+
+@register(
+    "m44_png_grayscale_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(0 AS BIGINT) AS color_type,
+           CAST(3 * (256 * ((doc_id * 7) % 64) + 17280) AS BIGINT)
+             AS pixel_sum,
+           TRUE AS lossless,
+           TRUE AS interlace_match,
+           CAST(16 AS BIGINT) AS seq_filter_rows,
+           CAST(30 AS BIGINT) AS adam7_filter_rows
+    FROM documents
+    WHERE doc_id % {M15_SAMPLE_MOD} = 0
+    """,
+)
+def m44_png_grayscale_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M15_SAMPLE_MOD == 0)
+        .select("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "color_type": [],
+                "pixel_sum": [], "lossless": [], "interlace_match": [],
+                "seq_filter_rows": [], "adam7_filter_rows": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                gray = _ramp_rgb(d)[:, :, 1].copy().tobytes()  # green plane
+                expected = bytes(b for g in gray for b in (g, g, g))
+                seq = decode_png(build_png_gray(16, 16, gray, 0))
+                ada = decode_png(build_png_gray(16, 16, gray, 1))
+                psum = int(
+                    np.frombuffer(seq["pixels"], dtype=np.uint8)
+                    .astype(np.int64)
+                    .sum()
+                )
+                out["doc_id"].append(d)
+                out["width"].append(seq["width"])
+                out["height"].append(seq["height"])
+                out["color_type"].append(seq["color_type"])
+                out["pixel_sum"].append(psum)
+                out["lossless"].append(seq["pixels"] == expected)
+                out["interlace_match"].append(ada["pixels"] == seq["pixels"])
+                out["seq_filter_rows"].append(len(seq["filters"]))
+                out["adam7_filter_rows"].append(len(ada["filters"]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=_M44_SCHEMA)

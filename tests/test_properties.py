@@ -781,3 +781,24 @@ def test_palette_png_boundaries_are_explicit():
     )
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(stripped)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    interlace=st.integers(min_value=0, max_value=1),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_grayscale_png_roundtrip_any_size(w, h, interlace, seed):
+    """Grayscale PNG (color type 0) round-trips for any dimensions and
+    both interlace methods, expanding each sample to (g, g, g) RGB."""
+    import random
+
+    from seamdb_spark.operators.multimodal import build_png_gray, decode_png
+
+    rng = random.Random(seed)
+    gray = bytes(rng.randrange(0, 256) for _ in range(w * h))
+    d = decode_png(build_png_gray(w, h, gray, interlace))
+    assert d["color_type"] == 0 and d["palette_size"] == 0
+    assert d["pixels"] == bytes(b for g in gray for b in (g, g, g))
