@@ -3655,3 +3655,77 @@ def test_j04_plan_prunes_to_one_bucket(spark, registry):
         .toString()
     )
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:2000]
+
+
+def test_q71_single_exchange_shared_frame(spark, registry):
+    """q71's physical property: the three FILTER-emulated aggregates
+    share one o_custkey window frame, so exactly ONE shuffle appears —
+    the CASE guards are row-local projections, never a second
+    Exchange or join."""
+    queries, _ = registry
+    plan = (
+        queries["q71_window_filter_clause"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges == 1, plan
+
+
+def test_e43_flags_planted_daily_periodicity(spark):
+    """e43's semantic claim on a controlled signal: a type whose
+    hourly volume repeats every 24h scores ac24 > ac13, and a type
+    built to repeat every 13h scores the reverse — the lag-24 vs
+    control-lag comparison separates true daily cycles from the
+    off-cycle baseline."""
+    import datetime as dt
+
+    from seamdb_spark.operators.events import (
+        E43_LAG_CONTROL,
+        E43_LAG_DAILY,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24 * 14):  # two weeks of hours
+        # daily type: volume spikes at the same two hours every day
+        daily = 10 if h % E43_LAG_DAILY in (9, 20) else 1
+        # control type: spikes on a 13-hour cycle instead
+        offc = 10 if h % E43_LAG_CONTROL == 3 else 1
+        ts = base + dt.timedelta(hours=h)
+        rows += [("daily", ts)] * daily + [("offcycle", ts)] * offc
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    # run the e43 kernel on the synthetic frame (same code path as the
+    # registered query, source swapped)
+    from pyspark.sql import functions as F
+
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count("*").alias("cnt"))
+
+    def ac(lag):
+        b = hourly.select(
+            F.col("event_type").alias("bt"),
+            (F.col("h") + lag).alias("bh"),
+            F.col("cnt").alias("bcnt"),
+        )
+        return {
+            r.event_type: r.s
+            for r in hourly.join(
+                b,
+                (F.col("event_type") == F.col("bt"))
+                & (F.col("h") == F.col("bh")),
+            )
+            .groupBy("event_type")
+            .agg(F.sum(F.col("cnt") * F.col("bcnt")).alias("s"))
+            .collect()
+        }
+
+    ac24, ac13 = ac(E43_LAG_DAILY), ac(E43_LAG_CONTROL)
+    assert ac24["daily"] > ac13["daily"]
+    assert ac13["offcycle"] > ac24["offcycle"]

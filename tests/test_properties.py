@@ -802,3 +802,34 @@ def test_grayscale_png_roundtrip_any_size(w, h, interlace, seed):
     d = decode_png(build_png_gray(w, h, gray, interlace))
     assert d["color_type"] == 0 and d["palette_size"] == 0
     assert d["pixels"] == bytes(b for g in gray for b in (g, g, g))
+
+
+@given(
+    n=st.integers(min_value=2, max_value=512),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_resample_identities_on_arbitrary_signals(n, seed):
+    """The m42 resampler's structural identities hold for ANY int16
+    signal, not just the closed-form ramp: WAV round-trips are
+    bit-exact at both rates, decimation keeps exactly the even
+    samples, and the upsampled signal interleaves the decimated
+    samples with their integer midpoints (floor semantics)."""
+    import random
+
+    from seamdb_spark.operators.multimodal import build_wav, wav_samples
+
+    rng = random.Random(seed)
+    src = [rng.randrange(-32768, 32768) for _ in range(n)]
+    rt = wav_samples(build_wav(src, 16000))
+    assert list(rt) == src  # lossless PCM round-trip
+    down = list(rt)[::2]
+    rt_down = wav_samples(build_wav(down, 8000))
+    assert list(rt_down) == down
+    mids = [(down[i] + down[i + 1]) // 2 for i in range(len(down) - 1)]
+    up = [None] * (2 * len(down) - 1)
+    up[0::2] = down
+    up[1::2] = mids
+    rt_up = list(wav_samples(build_wav(up, 16000)))
+    assert rt_up[0::2] == down
+    assert rt_up[1::2] == mids
