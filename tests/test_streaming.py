@@ -494,3 +494,75 @@ def test_lsh_candidates_stream_matches_batch_p17(spark):
         ).collect()
     }
     assert got == want and want  # non-empty: the fixture plants near-dups
+
+
+def test_watermark_drops_late_events_across_microbatches(spark, tmp_path):
+    """True watermark semantics need MULTIPLE micro-batches — a
+    single availableNow replay of the fixture never advances the
+    watermark mid-stream, so the suite's watermarked queries only
+    exercised state bounding, not lateness. Spark's contract is
+    one-sided: in-watermark data is never dropped, beyond-watermark
+    data is dropped best-effort — deterministically only once the
+    window's state has been EVICTED. Three files delivered
+    one-per-trigger pin exactly that: batch 1 seeds an hour-0 cohort
+    plus an hour-10 event (watermark advances to hour 8 for batch 2);
+    batch 2 is a fresh event whose processing evicts-and-emits the
+    hour-0 window (end 01:00 < watermark 08:00); batch 3 is a LATE
+    hour-0 event arriving after eviction — the state operator's late
+    filter must drop it rather than re-open the window, so append
+    mode emits the hour-0 window EXACTLY ONCE with batch 1's count."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    src = tmp_path / "feed"
+    src.mkdir()
+    batches = [
+        [(base + dt.timedelta(minutes=m), 1) for m in (5, 10, 15)]
+        + [(base + dt.timedelta(hours=10), 2)],
+        [(base + dt.timedelta(hours=10, minutes=30), 2)],
+        [(base + dt.timedelta(minutes=30), 3)],  # late: hour 0
+    ]
+    for i, rows in enumerate(batches, start=1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"batch{i}")
+        )
+        time.sleep(1.1)  # distinct mtimes fix the file-source order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3  # one file per trigger, 3 triggers
+    rows = spark.sql("SELECT * FROM wm_late_test").collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.window_start, []).append(r.n)
+    # hour-0 window appended EXACTLY ONCE, with batch 1's three events:
+    # the batch-3 event, though in-window, arrived after eviction and
+    # was dropped by the late filter (not re-opened, not re-emitted)
+    assert got.get(base) == [3], got
+    # the hour-10 window stays open (watermark ends at hour 8:30)
+    assert (base + dt.timedelta(hours=10)) not in got
