@@ -435,7 +435,7 @@ _R8_WINDOW = [
 # then-registered queries with no latest-row red — recomputed from
 # the CORRECTNESS_r*.json files, latest-row histogram r2:26 r3:45
 # r4:45 r5:43 r6:44 r7:47 r8:50):
-# (a) slots 1-16: registered in round 9 — p16 incremental LSH index
+# (a) slots 1-17: registered in round 9 — p16 incremental LSH index
 #     maintenance (the p14/p15 move applied to dedup_index.py), p17
 #     per-batch candidate lookup (new_candidate_pairs vs the
 #     batch-blind full-rebanding replay, sharing p16's memoized
@@ -455,7 +455,9 @@ _R8_WINDOW = [
 #     DuckDB's NATIVE FILTER), m43 palette PNG round-trip (color
 #     type 3, bpp=1 filters, PLTE expansion, both interlace methods),
 #     m44 grayscale PNG round-trip (color type 0, sample->RGB
-#     expansion, closing the 8-bit PNG forms)
+#     expansion, closing the 8-bit PNG forms), s26 hybrid
+#     lexical+vector retrieval with Reciprocal Rank Fusion (both
+#     constituent ranks gate-checked, fusion arithmetic exact)
 #     — then plan/oracle changed in round 9: p13/m34/m36/m40
 #     now derive orientation / byte order / hemisphere from
 #     doc_id // 8 (coprime to the % 8 == 0 sample filter) so the gate
@@ -463,21 +465,21 @@ _R8_WINDOW = [
 #     the degenerate orientation-1/little-endian row the old
 #     d % 8 / d % 2 formulas produced (round-8 ADVICE medium item);
 #     each hash-green at sf0.001+sf0.01+sf0.1 locally on registration;
-# (b) slots 17-42: regression fill, oldest-green-first — ALL 26
+# (b) slots 18-43: regression fill, oldest-green-first — ALL 26
 #     queries whose latest driver row is round 2 (five-plus rounds of
 #     churn ago), in registry order: the t01-t12 text-analysis block,
 #     the s01/s02/s04/s05 ANN block, d05/d06 embedding near-dup,
 #     q43-q49, x05;
-# (c) slots 43-50: the first 8 latest-row-r3 queries in registry
-#     order (d15, t13-t19; t20/t22/t23/x07/d11/d13/g01/d14/d16/e10
-#     were displaced as round-9 registrations arrived and rejoin the
-#     r3 remainder).
+# (c) slots 44-50: the first 7 latest-row-r3 queries in registry
+#     order (d15, t13-t18; t19/t20/t22/t23/x07/d11/d13/g01/d14/d16/
+#     e10 were displaced as round-9 registrations arrived and rejoin
+#     the r3 remainder).
 #
 # ROUND-10 PROCEDURE: after CORRECTNESS_r09 lands, pin (a) any
 # queries registered after _R9_WINDOW froze and any whose plan/oracle
 # changes in round 10, then (b) regression fill oldest-green-first:
-# the 37 remaining latest-row-r3 queries (as of the r9 freeze:
-# t20/t22/t23/x07/d11/d13/g01/d14/d16/e10 — displaced as round-9
+# the 38 remaining latest-row-r3 queries (as of the r9 freeze:
+# t19/t20/t22/t23/x07/d11/d13/g01/d14/d16/e10 — displaced as round-9
 # registrations arrived — e11/e12/e13/e14/e16/e17, m05-m09, p01,
 # s06/s07/s09/s10, d17, p02, x06, and the q51-q59 block — but recompute the latest-green rows
 # from the r1–r9 union rather than trusting this list), then r4, r5,
@@ -490,6 +492,7 @@ _R9_WINDOW = [
     "p18_compaction_equivalence", "p19_retention_gc",
     "e43_daily_periodicity", "q71_window_filter_clause",
     "m43_png_palette_roundtrip", "m44_png_grayscale_roundtrip",
+    "s26_hybrid_rrf_fusion",
     "p13_orientation_robust_dedup", "m34_exif_metadata",
     "m36_orientation_normalize", "m40_exif_gps_extract",
     # (b) all 26 latest-row-r2 queries (oldest driver evidence)
@@ -508,7 +511,7 @@ _R9_WINDOW = [
     # (c) latest-row-r3 fill, registry order
     "d15_bloom_prefilter", "t13_sequence_pack", "t14_pii_redact",
     "t15_domain_mixture", "t16_bigram_lm_score", "t17_doc_chunking",
-    "t18_ngram_novelty", "t19_vocab_profile",
+    "t18_ngram_novelty",
 ]
 
 

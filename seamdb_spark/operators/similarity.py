@@ -3727,3 +3727,130 @@ def s24_prepost_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("postfilter_recall_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# s26: hybrid lexical+vector retrieval with Reciprocal Rank Fusion —
+# the combiner modern retrieval stacks actually ship (BM25/keyword
+# rank and embedding rank fused as Σ 1/(k + rank), k=60 per the
+# original RRF formulation): neither signal's raw score scale leaks
+# into the fusion, only ranks do, which is why RRF needs no score
+# normalization and is the default hybrid mode in production vector
+# stores. Per probe document (the s01 probe set, restricted to ids
+# carrying BOTH text and an embedding), candidates are ranked twice —
+# lexically by distinct-shared-token count against the probe's text,
+# and by embedding cosine (the s01 kernel) — and the fused top-k is
+# emitted with both constituent ranks, so the gate checks the full
+# fusion arithmetic, not just the final ordering. Ranks use the
+# rounded cosine and (score, id) tie-breaks so both engines compute
+# identical integers; the fused score is a two-term double from those
+# integers, bit-identical cross-engine.
+#
+# Scale: the probe set broadcasts (s01's shape) and each ranking is a
+# per-probe window — maximal parallelism in the probe dimension. At
+# corpus scale the two candidate lists come from indexes (inverted
+# index / ANN, s02-s03) instead of full scans, and RRF fuses the
+# RETRIEVED lists (size k each) — the fusion stage itself is O(k) per
+# probe regardless of corpus size.
+# --------------------------------------------------------------------------
+RRF_K = 60
+S26_TOP_K = 10
+
+
+@register(
+    "s26_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT d.doc_id AS id,
+             list_distinct(string_split(d.text, ' ')) AS toks,
+             e.embedding AS emb
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    probes AS (SELECT * FROM corpus WHERE id < {N_PROBES}),
+    scored AS (
+      SELECT p.id AS probe_id, c.id AS cand_id,
+             len(list_intersect(p.toks, c.toks)) AS lex_score,
+             ROUND({_cos_sql('p.emb', 'c.emb')}, 6) AS cosine
+      FROM probes p JOIN corpus c ON c.id <> p.id
+    ),
+    ranked AS (
+      SELECT probe_id, cand_id, lex_score, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY lex_score DESC, cand_id) AS lex_rank,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, cand_id) AS vec_rank
+      FROM scored
+    ),
+    fused AS (
+      SELECT probe_id, cand_id, lex_rank, vec_rank,
+             ROUND(1.0 / ({RRF_K} + lex_rank)
+                   + 1.0 / ({RRF_K} + vec_rank), 9) AS rrf_score
+      FROM ranked
+    )
+    SELECT probe_id, cand_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY rrf_score DESC, cand_id) AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {S26_TOP_K}
+    """,
+)
+def s26_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    corpus = docs.join(emb, "id")
+    probes = corpus.filter(F.col("id") < N_PROBES).select(
+        F.col("id").alias("probe_id"),
+        F.col("toks").alias("ptoks"),
+        F.col("emb").alias("pemb"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("id").alias("cand_id"),
+            F.size(F.array_intersect("ptoks", "toks")).alias("lex_score"),
+            dround(
+                _dot("pemb", "emb") / (_norm("pemb") * _norm("emb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w_lex = W.partitionBy("probe_id").orderBy(
+        F.col("lex_score").desc(), F.col("cand_id")
+    )
+    w_vec = W.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    ranked = scored.select(
+        "probe_id",
+        "cand_id",
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+        F.row_number().over(w_vec).cast("long").alias("vec_rank"),
+    )
+    fused = ranked.withColumn(
+        "rrf_score",
+        dround(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank"))
+            + F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")),
+            9,
+        ),
+    )
+    w_f = W.partitionBy("probe_id").orderBy(
+        F.col("rrf_score").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("fused_rank") <= S26_TOP_K)
+        .select(
+            "probe_id", "cand_id", "lex_rank", "vec_rank", "rrf_score",
+            "fused_rank",
+        )
+    )
