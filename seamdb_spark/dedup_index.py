@@ -79,6 +79,26 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _band_select(sigs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mhN) signatures -> exploded (doc_id, band_id,
+    band_key) band rows. ONE definition of the band layout, shared by
+    the batch and stateless-streaming signature paths so a banding
+    constant change can never silently break their pinned equality."""
+    band_structs = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        key = F.concat_ws(
+            "-",
+            *[F.col(f"mh{j}").cast("string") for j in range(lo, lo + ROWS_PER_BAND)],
+        )
+        band_structs.append(
+            F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+
+
 def band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, band_id, band_key) LSH band rows for each document —
     the same deterministic banding as d02 (hashing.py constants), on an
@@ -93,19 +113,37 @@ def band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for j, (a, b) in enumerate(MINHASH_PARAMS)
         ]
     )
-    band_structs = []
-    for band in range(N_BANDS):
-        lo = band * ROWS_PER_BAND
-        key = F.concat_ws(
-            "-",
-            *[F.col(f"mh{j}").cast("string") for j in range(lo, lo + ROWS_PER_BAND)],
+    return _band_select(sigs)
+
+
+def band_rows_stateless(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Row-local form of :func:`band_rows` for STREAMING inputs: each
+    minhash_j is array_min over per-element ``minhash_value(
+    md5_prefix_long(s))`` on the document's OWN shingle array —
+    identical values to the explode+groupBy batch kernel by the
+    min-over-elements identity, but with no aggregation, so it composes
+    under Structured Streaming's aggregate-then-join restriction.
+    Values are built from the SAME hashing helpers and the band layout
+    from the SAME _band_select as the batch path (one definition each;
+    the stream==batch equality test pins the identity end-to-end)."""
+    sh = shingle_arrays(df, id_col, text_col)
+
+    # closure factory, not lambda default-args: pyspark derives the
+    # higher-order function's arity from the Python signature, so
+    # `lambda s, a=a, b=b` would bind as a 3-arg (elem, index, ...) form
+    def _mh(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: minhash_value(md5_prefix_long(s), a, b),
+            )
         )
-        band_structs.append(
-            F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
-        )
-    return sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+
+    sigs = sh.select(
+        "doc_id",
+        *[_mh(a, b).alias(f"mh{j}") for j, (a, b) in enumerate(MINHASH_PARAMS)],
+    )
+    return _band_select(sigs)
 
 
 def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -4784,6 +4784,25 @@ def decode_mp4_probe(payload: bytes) -> dict:
     return info
 
 
+def mp4_mdat_offset(payload: bytes) -> int:
+    """Byte offset of the mdat BODY, found by walking top-level box
+    headers (size + fourcc) exactly as the probe/sample walkers do —
+    never by string-searching the payload: mdat holds concatenated
+    entropy-coded sample data that can itself contain the byte
+    sequence ``b"mdat"``, and a find()/rfind()-based slice base would
+    then land inside a sample and corrupt every frame slice."""
+    pos = 0
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        btype = payload[pos + 4 : pos + 8]
+        if size < 8 or pos + size > len(payload):
+            raise ValueError(f"bad MP4 box size for {btype!r}")
+        if btype == b"mdat":
+            return pos + 8
+        pos += size
+    raise ValueError("MP4 missing mdat box")
+
+
 def extract_mp4_samples(payload: bytes) -> list[tuple]:
     """Sample-level mdat access — the step a frame extractor performs
     before handing bytes to a codec: walk the container for the stsz
@@ -5494,7 +5513,7 @@ def m33_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # fourcc), as int64 for the vectorized deltas — motion
                 # is measured on real sliced payloads, not the formula
                 total = sum(s[2] for s in samples)
-                mstart = payload.rfind(b"mdat") + 4
+                mstart = mp4_mdat_offset(payload)
                 mdat = np.frombuffer(
                     payload[mstart : mstart + total], dtype=np.uint8
                 ).astype(np.int64)
@@ -6550,7 +6569,7 @@ def m41_mjpeg_scene_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                     list(range(1, k + 1)),  # MJPEG: all samples sync
                     fourcc=b"jpeg", samples=frames,
                 )
-                mstart = payload.rfind(b"mdat") + 4
+                mstart = mp4_mdat_offset(payload)
                 mdat = payload[mstart:]
                 prev = None
                 for no, off, nb, kf, _bs in extract_mp4_samples(payload):

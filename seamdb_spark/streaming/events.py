@@ -913,76 +913,47 @@ def lsh_candidates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     role) as each micro-batch lands.
 
     The banding on the stream side is STATELESS by construction —
-    the groupBy-based signature of the batch kernel
-    (dedup_index.band_rows) is refactored row-local: each document's
-    minhash_j is array_min(transform(shingles, s -> h_j(md5prefix(s))))
-    over its own shingle array, so no streaming aggregation (and no
-    aggregate-then-join restriction) is ever involved. Identical
-    values by the min-over-elements identity; the batch-equality test
-    pins stream == p17 kernel exactly.
+    dedup_index.band_rows_stateless computes each document's minhash_j
+    as array_min over its own shingle array, so no streaming
+    aggregation (and no aggregate-then-join restriction) is ever
+    involved. Identical values by the min-over-elements identity; the
+    signature expressions and band layout are SHARED definitions with
+    the batch kernel (dedup_index._band_select + hashing.py), so a
+    constant change cannot break one side silently; the batch-equality
+    test pins stream == p17 kernel exactly.
 
     Scale: per-batch work is shingle+signature projection (row-local,
     Arrow-free, all JVM expressions) + one stream-static join on
-    (band_id, band_key) against the persisted index — O(batch) per
+    (band_id, band_key) against the materialized index — O(batch) per
     trigger, index-size-independent on the stream side. The stateful
     bit is only the final dropDuplicates on the emitted pair key; in
     production the pair stream carries an ingest timestamp and this
     becomes dropDuplicatesWithinWatermark so state ages out.
     """
-    from ..dedup_index import band_rows, shingle_arrays
-    from ..operators.hashing import (
-        MINHASH_PARAMS,
-        MINHASH_PRIME,
-        N_BANDS,
-        ROWS_PER_BAND,
-    )
+    from ..dedup_index import band_rows, band_rows_stateless
+    from ..operators.materialize import materialized_df
     from ..sources import load_table
 
     # Static side: the maintained index's band rows over the FULL
     # corpus (what the IncrementalLSHIndex holds after its refreshes),
-    # persisted so every micro-batch joins the materialized table
-    # instead of re-deriving the banding.
-    static_bands = band_rows(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
-    ).persist()
+    # materialized through the session memo so every micro-batch — and
+    # every re-construction of this stream in the session — joins ONE
+    # localCheckpointed table instead of re-deriving the banding or
+    # stacking a new persist() per call; the memo's documented
+    # lifetime (pruned on session change, blocks die with the session)
+    # replaces the raw never-unpersisted cache flagged in ADVICE r9.
+    static_bands = materialized_df(
+        spark,
+        sf_dir,
+        "lsh_stream_static_bands",
+        lambda: band_rows(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        ),
+    )
 
     feed = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
-    sh = shingle_arrays(feed, "doc_id", "text")
-
-    def mh(a: int, b: int) -> str:
-        return (
-            "array_min(transform(shingles, s ->"
-            f" (CAST({a} AS BIGINT)"
-            " * CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"
-            f" + CAST({b} AS BIGINT)) % CAST({MINHASH_PRIME} AS BIGINT)))"
-        )
-
-    sigs = sh.select(
-        "doc_id",
-        *[
-            F.expr(mh(a, b)).alias(f"mh{j}")
-            for j, (a, b) in enumerate(MINHASH_PARAMS)
-        ],
-    )
-    band_structs = []
-    for band in range(N_BANDS):
-        lo = band * ROWS_PER_BAND
-        key = F.concat_ws(
-            "-",
-            *[
-                F.col(f"mh{j}").cast("string")
-                for j in range(lo, lo + ROWS_PER_BAND)
-            ],
-        )
-        band_structs.append(
-            F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
-        )
-    feed_bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select(
-        F.col("doc_id").alias("feed_doc"),
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_key").alias("band_key"),
+    feed_bands = band_rows_stateless(feed, "doc_id", "text").select(
+        F.col("doc_id").alias("feed_doc"), "band_id", "band_key"
     )
     return (
         feed_bands.join(static_bands, ["band_id", "band_key"])

@@ -678,6 +678,7 @@ def test_mjpeg_track_samples_decode_to_source_frames(k, seed):
         decode_jpeg,
         decode_mp4_probe,
         extract_mp4_samples,
+        mp4_mdat_offset,
     )
 
     rng = random.Random(seed)
@@ -692,7 +693,9 @@ def test_mjpeg_track_samples_decode_to_source_frames(k, seed):
     info = decode_mp4_probe(payload)
     assert info["codec"] == "jpeg"
     assert info["keyframes"] == list(range(1, k + 1))  # all-intra
-    mdat = payload[payload.rfind(b"mdat") + 4:]
+    # box-walked offset, not a byte search — JPEG entropy data inside
+    # mdat can itself contain b"mdat" and shift an rfind-based base
+    mdat = payload[mp4_mdat_offset(payload):]
     samples = extract_mp4_samples(payload)
     assert len(samples) == k
     for no, off, nb, kf, _bs in samples:
