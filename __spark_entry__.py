@@ -475,7 +475,66 @@ _R8_WINDOW = [
 #     e10 were displaced as round-9 registrations arrived and rejoin
 #     the r3 remainder).
 #
-# ROUND-10 PROCEDURE: after CORRECTNESS_r09 lands, pin (a) any
+# _R10_WINDOW rationale (round 10, executing the pinned procedure
+# below):
+# (a) slots 1-9: round-10 registrations + plan/oracle-changed —
+#     p20/s27 (incremental IVF index maintenance: snapshot-backed
+#     centroids+assignments, O(batch×K) append refresh, running-stat
+#     monoids, drift decision — oracle is the batch-blind DuckDB full
+#     replay trained on the even-vec_id seed snapshot), e44 (the
+#     lsh_candidates_stream==batch identity through the gate: the
+#     actual Structured Streaming pipeline runs inside the query body,
+#     equality pinned as a checked column — the last family with no
+#     driver row), j05 (zipf skew-stress salted join: harmonic-boundary
+#     integer inverse-CDF key, shuffle_hash-pinned salted join, plan-
+#     asserted in tests/test_bucketing.py); s03 (plan refactored to the
+#     shared assign_cells/_ivf_topk kernels), m41+m33 (mdat body offset
+#     now box-walked, not rfind — round-9 ADVICE), p16/p17 (banding
+#     shared-definition refactor: band_rows unchanged semantically,
+#     re-pinned out of caution). Each hash-green at sf0.001+sf0.01
+#     locally on registration.
+# (b) slots 10-47: regression fill, oldest-green-first — ALL 38
+#     queries whose latest driver row is round 3 (recomputed from the
+#     r1-r9 union), in their r3 window order.
+# (c) slots 48-50: the first 3 latest-row-r4 queries in their r4
+#     window order (e18, q60, m10).
+_R10_WINDOW = [
+    # (a) round-10 registrations + plan-changed
+    "p20_incremental_ivf_index", "s27_ann_incremental_index_topk",
+    "e44_lsh_stream_batch_parity", "j05_zipf_salted_join",
+    "s03_ann_ivf_topk", "m41_mjpeg_scene_select",
+    "m33_keyframe_selection", "p16_incremental_lsh_index",
+    "p17_incremental_batch_candidates",
+    # (b) all 38 latest-row-r3 queries, r3 window order
+    "t19_vocab_profile", "t20_rule_filter", "t22_safe_split",
+    "t23_bpe_pair_stats", "x07_cms_heavy_hitters",
+    "d11_canonical_keeper", "d13_cross_source_audit",
+    "g01_neardup_pagerank", "d14_dedup_profile", "d16_boilerplate_strip",
+    "e10_last_touch_attribution", "x06_sketch_merge_rollup",
+    "e11_event_transitions", "e12_trending_types",
+    "e13_rolling_active_users", "e14_hourly_anomalies",
+    "e16_hopping_windows", "e17_session_paths", "m05_binary_windows",
+    "m06_bmp_decode", "m07_wav_decode", "m08_audio_frame_energy",
+    "m09_image_ahash", "p01_curation_pipeline", "s06_ann_filtered_topk",
+    "s07_ann_rerank_topk", "s09_knn_graph", "s10_mips_topk",
+    "d17_semantic_dedup", "p02_semantic_dedup",
+    "q51_suppliers_kept_waiting", "q52_dormant_customers",
+    "q53_argmax_aggregates", "q54_bitwise_aggregates",
+    "q56_relational_division", "q57_ordered_set_aggs",
+    "q58_null_aware_not_in", "q59_min_cost_supplier",
+    # (c) latest-row-r4 fill, r4 window order
+    "e18_session_duration_bands", "q60_column_profile",
+    "m10_wav_resample",
+]
+
+# ROUND-11 PROCEDURE: after CORRECTNESS_r10 lands, pin (a) any queries
+# registered after _R10_WINDOW froze and any whose plan/oracle changes
+# in round 11, then (b) regression fill oldest-green-first: the
+# remaining latest-row-r4 queries (recompute from the r1-r10 union —
+# 42 as of the r10 freeze: m11 onward in r4 window order), then r5,
+# r6, r7, r8, r9 in their window orders.
+#
+# ROUND-10 PROCEDURE (executed above): after CORRECTNESS_r09 lands, pin (a) any
 # queries registered after _R9_WINDOW froze and any whose plan/oracle
 # changes in round 10, then (b) regression fill oldest-green-first:
 # the 38 remaining latest-row-r3 queries (as of the r9 freeze:
@@ -517,7 +576,7 @@ _R9_WINDOW = [
 
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R9_WINDOW if n in names]
+    window = [n for n in _R10_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 

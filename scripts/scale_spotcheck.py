@@ -1,0 +1,135 @@
+"""Spot-check the heaviest query families one order of magnitude above
+the driver's bench SF (sf0.1 → 10×, the sf1-equivalent), backing the
+100 TB design claims with a measured scale-up instead of extrapolation.
+
+The scaled fixture is derived from sf0.1 deterministically (no RNG):
+each replica k = 0..K-1 shifts ids by 10M·k and perturbs content with
+a STRUCTURE-PRESERVING transformation —
+
+- documents: every token after the first gets a ``k<k>_`` prefix for
+  k > 0 (a bijective token rename): within-replica Jaccard/shingle
+  relationships are IDENTICAL to the original (near-dup structure
+  scales exactly K×), while cross-replica token universes are disjoint
+  (no band collisions), so dedup candidate work scales ~K, not K².
+- embeddings: the vector is ROTATED by k positions — an orthogonal
+  transformation, so within-replica cosines are exactly preserved
+  while cross-replica cosines decorrelate.
+
+Usage: python scripts/scale_spotcheck.py [K]
+Prints one JSON line per query: name, rows, seconds at the scaled SF,
+plus the same query re-timed at sf0.1 in the SAME session for a
+like-for-like ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from seamdb_spark.session import build_session  # noqa: E402
+from seamdb_spark.sources import load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+QUERIES = [
+    "d02_dedup_minhash_lsh",
+    "d09_dedup_clusters",
+    "d17_semantic_dedup",
+    "s23_kmeans_stability_audit",
+    "p16_incremental_lsh_index",
+    "p20_incremental_ivf_index",
+]
+
+
+def build_scaled(spark, k_factor: int) -> str:
+    out = f"/tmp/seamdb_scale_x{k_factor}"
+    docs_done = os.path.exists(out + "/documents.parquet")
+    embs_done = os.path.exists(out + "/embeddings.parquet")
+    if docs_done and embs_done:
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, BASE_SF, "documents")
+    embs = load_table(spark, BASE_SF, "embeddings")
+    doc_parts = []
+    emb_parts = []
+    for k in range(k_factor):
+        if k == 0:
+            doc_parts.append(docs)
+            emb_parts.append(embs)
+            continue
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
+                F.regexp_replace("text", " ", f" k{k}_").alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            ).select(docs.columns)
+        )
+        dim_roll = f"""
+          concat(slice(embedding, {k} + 1, size(embedding) - {k}),
+                 slice(embedding, 1, {k}))
+        """
+        emb_parts.append(
+            embs.select(
+                (F.col("vec_id") + 10_000_000 * k).alias("vec_id"),
+                F.expr(dim_roll).alias("embedding"),
+                *[c for c in embs.columns if c not in ("vec_id", "embedding")],
+            ).select(embs.columns)
+        )
+    all_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        all_docs = all_docs.unionByName(p)
+    all_embs = emb_parts[0]
+    for p in emb_parts[1:]:
+        all_embs = all_embs.unionByName(p)
+    all_docs.repartition(32).write.mode("overwrite").parquet(
+        out + "/documents.parquet"
+    )
+    all_embs.repartition(32).write.mode("overwrite").parquet(
+        out + "/embeddings.parquet"
+    )
+    return out
+
+
+def main() -> None:
+    k_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = build_session("seamdb_scale_spotcheck")
+    scaled = build_scaled(spark, k_factor)
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    # warm the JVM/codegen/worker pool once
+    load_table(spark, scaled, "documents").count()
+    load_table(spark, scaled, "embeddings").count()
+
+    results = []
+    for name in QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        n_scaled = fn(spark, scaled).count()
+        t_scaled = round(time.time() - t0, 2)
+        t0 = time.time()
+        n_base = fn(spark, BASE_SF).count()
+        t_base = round(time.time() - t0, 2)
+        rec = {
+            "query": name,
+            "k_factor": k_factor,
+            "rows_scaled": n_scaled,
+            "sec_scaled": t_scaled,
+            "rows_sf01": n_base,
+            "sec_sf01": t_base,
+            "time_ratio": round(t_scaled / max(t_base, 0.001), 2),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    print(json.dumps({"spotcheck": results}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -4732,3 +4732,75 @@ def e43_daily_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("daily_periodic"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e44: streaming LSH candidate feed ≡ batch kernel — the stream==batch
+# equivalence that was pytest-only (test_streaming.py's p17 equality)
+# driven through the driver gate the e41 way: the query RUNS the
+# actual Structured Streaming pipeline (streaming/events.
+# lsh_candidates_stream — stateless row-local banding on the feed,
+# stream-static join against the materialized band index, availableNow
+# over the finite fixture) to completion inside the query body,
+# compares its emitted pair set against an INDEPENDENT batch
+# construction (groupBy-based band_rows on BOTH sides — the stream
+# side uses the row-local stateless signatures, so the two paths share
+# constants but not formulation), and pins the equality as the
+# stream_matches_batch column; the DuckDB oracle replays the full
+# banding self-join restricted to feed-touching pairs (p17's oracle
+# shape) with TRUE pinned. Any divergence — banding fork, micro-batch
+# boundary effect, join-state bug — flips the column and fails the
+# hash compare.
+#
+# Scale: the streaming plan is the production shape (O(batch) per
+# trigger, index-size-independent); the equality check is two
+# left-anti joins on the tiny candidate-pair sets. Stream run +
+# verdict are session-memoized so retimes don't restart the stream.
+# --------------------------------------------------------------------------
+def _e44_oracle() -> str:
+    from .dedup import _lsh_cand_ctes
+
+    return f"""
+    WITH {_lsh_cand_ctes()}
+    SELECT doc_a, doc_b, TRUE AS stream_matches_batch
+    FROM cand
+    WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+    """
+
+
+@register("e44_lsh_stream_batch_parity", oracle=_e44_oracle())
+def e44_lsh_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup_index import band_rows
+    from ..streaming.events import lsh_candidates_stream, run_stream_to_memory
+    from .materialize import materialized_value
+
+    def batch_pairs() -> DataFrame:
+        bands = band_rows(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        )
+        feed = bands.filter(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").alias("feed_doc"), "band_id", "band_key"
+        )
+        return (
+            feed.join(bands, ["band_id", "band_key"])
+            .filter(F.col("feed_doc") != F.col("doc_id"))
+            .select(
+                F.least("feed_doc", "doc_id").alias("doc_a"),
+                F.greatest("feed_doc", "doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    def run_and_compare() -> bool:
+        got = run_stream_to_memory(
+            lsh_candidates_stream(spark, sf_dir), "e44_lsh_stream", "append"
+        ).select("doc_a", "doc_b")
+        want = batch_pairs()
+        extra = got.join(want, ["doc_a", "doc_b"], "left_anti").count()
+        missing = want.join(got, ["doc_a", "doc_b"], "left_anti").count()
+        return extra == 0 and missing == 0
+
+    matches = materialized_value(spark, sf_dir, "e44_stream_parity", run_and_compare)
+    return batch_pairs().select(
+        "doc_a", "doc_b", F.lit(bool(matches)).alias("stream_matches_batch")
+    )

@@ -2242,6 +2242,115 @@ def j01_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# j05: zipf skew-stress salted join — j01 with a REALISTIC skew law.
+# j01's two-point key (90% on one key) demonstrates the mechanism; a
+# production corpus skews Zipf (domain counts, token frequencies, user
+# activity — the #1 scale-killer class), and the driver fixture is
+# deliberately uniform (the reason d07's prefix filter degenerates),
+# so the zipf key is DERIVED deterministically: h = md5(doc_id)
+# uniform in [0, 2^32) is inverse-CDF-mapped onto ranks 1..R with
+# P(rank) ∝ 1/rank via PRECOMPUTED integer harmonic boundaries — the
+# boundary literals are generated once in Python and pasted into BOTH
+# engines' SQL, so the mapping is exact integer comparison with no
+# cross-engine float math. Rank 1 carries ~24% of all documents
+# (~8× the uniform share at R=32). The salted kernel then runs j01's
+# shape over it: probe gains salt = md5(doc_id||'s') % S, the
+# dim-sized build side replicates S× under a broadcast, the join key
+# is (key, salt) so the hot rank fans out over S reducers, and the
+# final per-key aggregate merges the shards. Oracle = the UNSALTED
+# join — the rewrite must be result-identical. The salt fan-out is
+# plan-asserted in tests/test_bucketing.py (join keys include salt;
+# build side replicated R×S).
+#
+# Scale: replication multiplies only the R-row build dim by S; the
+# probe gains one 8-byte column; the hot rank's reducer load drops S×.
+# AQE's skew-join split is the automatic alternative; explicit salting
+# is the portable one that also covers aggregations (t07).
+# --------------------------------------------------------------------------
+J05_RANKS = 32
+J05_SALTS = 16
+
+
+def _j05_bounds() -> list[int]:
+    """Integer inverse-CDF boundaries for Zipf(s=1) over ranks 1..R:
+    bounds[r-1] = round(2^32 · H_r / H_R). Generated once; the same
+    literals feed the Spark expression and the DuckDB oracle, so the
+    key mapping is exact in both engines by construction."""
+    harmonics = []
+    acc = 0.0
+    for r in range(1, J05_RANKS + 1):
+        acc += 1.0 / r
+        harmonics.append(acc)
+    total = harmonics[-1]
+    return [int(round((1 << 32) * h / total)) for h in harmonics]
+
+
+def _j05_key_case(h_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {h_expr} < {b} THEN {r}"
+        for r, b in enumerate(_j05_bounds(), start=1)
+    )
+    return f"CAST(CASE {whens} ELSE {J05_RANKS} END AS BIGINT)"
+
+
+def _j05_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    key = _j05_key_case(md5_prefix_long_sql("CAST(doc_id AS VARCHAR)"))
+    return f"""
+    WITH probe AS (
+      SELECT {key} AS key, length(text) AS len FROM documents
+    ),
+    build AS (
+      SELECT CAST(r AS BIGINT) AS key,
+             CAST(1000000 // r AS BIGINT) AS budget
+      FROM range(1, {J05_RANKS + 1}) t(r)
+    )
+    SELECT p.key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.len) AS BIGINT) AS sum_len,
+           MAX(b.budget) AS budget
+    FROM probe p JOIN build b ON p.key = b.key
+    GROUP BY p.key
+    """
+
+
+@register("j05_zipf_salted_join", oracle=_j05_oracle())
+def j05_zipf_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # the md5 hash is bound ONCE via the one-element-array idiom — the
+    # 32-branch CASE references it per WHEN, and CollapseProject would
+    # otherwise inline the md5+conv chain into every branch (the
+    # round-9 re-evaluation trap, SCALING.md)
+    h_sql = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    key_sql = f"transform(array({h_sql}), h -> {_j05_key_case('h')})[0]"
+    probe = docs.select(
+        F.expr(key_sql).alias("key"),
+        F.length("text").cast("long").alias("len"),
+        (
+            md5_prefix_long(F.concat(F.col("doc_id").cast("string"), F.lit("s")))
+            % J05_SALTS
+        ).alias("salt"),
+    )
+    build = spark.range(1, J05_RANKS + 1).select(
+        F.col("id").alias("key"),
+        F.expr("CAST(1000000 div id AS BIGINT)").alias("budget"),
+    )
+    salts = spark.range(J05_SALTS).select(F.col("id").alias("salt"))
+    build_rep = build.crossJoin(F.broadcast(salts))  # dim × S replication
+    # shuffle_hash hint: the 512-row build side would otherwise
+    # auto-broadcast, and a broadcast join never shuffles the probe —
+    # the salt only matters on the SHUFFLE path, where (key, salt)
+    # spreads the hot rank over S reducers instead of one
+    joined = probe.join(build_rep.hint("shuffle_hash"), ["key", "salt"])
+    return joined.groupBy("key").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("len").alias("sum_len"),
+        F.max("budget").alias("budget"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q60: column profile — the data-quality summary every warehouse
 # ingestion runs first (Deequ/Great-Expectations shape): one pass over
 # the table computes count / null-count / distinct / min / max per

@@ -408,6 +408,39 @@ def _qd2(a: str | Column, b: str | Column) -> Column:
     return _isum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
 
 
+def assign_cells(quant: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(vec_id, cid, q) nearest-centroid assignment: argmin via
+    min(struct(d2, cid)) — a hash aggregate with map-side partial
+    combine instead of a corpus×K row_number window; lexicographic
+    struct-min == ORDER BY d2, cid (ties → lowest cid). ONE definition
+    shared by the Lloyd trainer, s03, and the incremental IVF index
+    (ivf_index.py) so assignment semantics can never fork."""
+    return (
+        quant.crossJoin(cdf)
+        .withColumn("d2", _qd2("q", "cvec"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("m"),
+            F.first("q").alias("q"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), "q")
+    )
+
+
+def lloyd_means(assigned: DataFrame) -> DataFrame:
+    """(cid, cvec) element-wise integer mean per cluster via posexplode
+    → sum div count → re-assemble (exact, order-independent; empty
+    cells simply yield no row — the _lloyd_means_sql twin)."""
+    return (
+        assigned.select("cid", F.posexplode("q").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.expr("sum(val) div count(*)").alias("cv"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pm"))
+        .select("cid", F.expr("transform(pm, x -> x.cv)").alias("cvec"))
+    )
+
+
 def _centroid_rows(quant: DataFrame) -> list[tuple[int, list[int]]]:
     """Deterministic Lloyd iterations over fixed-point vectors —
     the FINAL centroid table (see _centroid_history for all rounds)."""
@@ -444,32 +477,7 @@ def _centroid_history(
         cdf = F.broadcast(
             spark.createDataFrame(centroids, "cid int, cvec array<bigint>")
         )
-        # argmin via min(struct(d2, cid)) — a hash aggregate with map-side
-        # partial combine, instead of shuffling corpus×K rows through a
-        # row_number window. Lexicographic struct-min == ORDER BY d2, cid.
-        assigned = (
-            quant.crossJoin(cdf)
-            .withColumn("d2", _qd2("q", "cvec"))
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2", "cid")).alias("m"),
-                F.first("q").alias("q"),
-            )
-            .select("vec_id", F.col("m.cid").alias("cid"), "q")
-        )
-        # element-wise integer mean per cluster via posexplode →
-        # sum div count → re-assemble (exact, order-independent)
-        means = (
-            assigned.select("cid", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.expr("sum(val) div count(*)").alias("cv"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pm")
-            )
-            .select("cid", F.expr("transform(pm, x -> x.cv)").alias("cvec"))
-            .collect()
-        )
+        means = lloyd_means(assign_cells(quant, cdf)).collect()
         centroids = sorted((r.cid, [int(x) for x in r.cvec]) for r in means)
         history.append(centroids)
     return history
@@ -506,31 +514,44 @@ def _lloyd_means_sql(assigned: str) -> str:
     """
 
 
-def _s03_oracle() -> str:
+def _ivf_replay_ctes(train: str) -> str:
+    """The quant/train/seeds/a1..c2/cells CTE chain: Lloyd trained on
+    ``train`` (a relation over quant — 'quant' itself for s03, the
+    even-vec_id seed snapshot for the incremental-index oracles), with
+    the FINAL assignment over ALL vectors. One definition shared by the
+    s03, p20, and s27 oracles so the replayed trainer can never fork
+    from itself."""
     from .hashing import md5_prefix_long_sql
 
     seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
     assign = _lloyd_assign_sql
     means = _lloyd_means_sql
 
-    return f"""
-    WITH quant AS (
+    return f"""quant AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
       FROM embeddings
     ),
+    train AS (SELECT * FROM {train}),
     seeds AS (
       SELECT cid, q AS cvec FROM (
         SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
-        FROM quant
+        FROM train
       ) WHERE cid < {IVF_K}
     ),
-    a1 AS ({assign('quant', 'seeds')}),
+    a1 AS ({assign('train', 'seeds')}),
     c1 AS ({means('a1')}),
-    a2 AS ({assign('quant', 'c1')}),
+    a2 AS ({assign('train', 'c1')}),
     c2 AS ({means('a2')}),
-    cells AS ({assign('quant', 'c2')}),
+    cells AS ({assign('quant', 'c2')})"""
+
+
+def _ivf_topk_tail_sql() -> str:
+    """norms/probes/cand/scored/ranked + final SELECT over the replay's
+    ``cells``/``c2`` — the cell-probed exact re-rank, shared verbatim
+    by the s03 and s27 oracles."""
+    return f"""
     norms AS (
       SELECT vec_id, q, cid,
              {_ISUM_SQL.format(l='list_transform(q, v -> v * v)')} AS nq
@@ -570,31 +591,24 @@ def _s03_oracle() -> str:
     """
 
 
-@register("s03_ann_ivf_topk", oracle=_s03_oracle())
-def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pin the quantized corpus once: every Lloyd round and the final
-    # assignment/scoring reuse it instead of re-scanning the parquet
-    # (localCheckpoint also truncates lineage across iterations).
-    quant = _quant_corpus(spark, sf_dir)
-    centroids = _ivf_centroids(spark, sf_dir)
-    cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cvec array<bigint>"))
+def _s03_oracle() -> str:
+    return f"""
+    WITH {_ivf_replay_ctes('quant')},
+    {_ivf_topk_tail_sql()}
+    """
 
-    # Assign every vector to its cell: argmin via min(struct(d2, cid))
-    # hash aggregate (map-side combine) — no corpus×K window shuffle.
-    # Probes keep the window path (N_PROBES×K rows — trivial).
-    cells = (
-        quant.crossJoin(cdf)
-        .withColumn("d2", _qd2("q", "cvec"))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "cid")).alias("m"),
-            F.first("q").alias("q"),
-        )
-        .select("vec_id", F.col("m.cid").alias("cid"), "q")
-    )
+
+def _ivf_topk(cells: DataFrame, cdf: DataFrame, probe_src: DataFrame) -> DataFrame:
+    """Cell-probed exact top-k cosine re-rank over assigned (vec_id,
+    cid, q) rows: probe vectors (vec_id < N_PROBES, read from
+    ``probe_src`` — a cheap (vec_id, q) relation so the cells subtree
+    isn't recomputed per branch) rank the IVF_NPROBE nearest
+    centroids; candidates come only from those cells; exact cosine
+    re-ranks. Shared by s03 (cells assigned per run) and s27 (cells
+    READ from the maintained incremental index)."""
     with_norm = cells.withColumn("nq", _isum(F.transform("q", lambda v: v * v)))
     probes = (
-        quant.filter(F.col("vec_id") < N_PROBES)
+        probe_src.select("vec_id", "q").filter(F.col("vec_id") < N_PROBES)
         .crossJoin(cdf)
         .withColumn("d2", _qd2("q", "cvec"))
         .withColumn(
@@ -631,6 +645,20 @@ def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("probe_id", "neighbor_id", "cosine", "rk")
     )
+
+
+@register("s03_ann_ivf_topk", oracle=_s03_oracle())
+def s03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pin the quantized corpus once: every Lloyd round and the final
+    # assignment/scoring reuse it instead of re-scanning the parquet
+    # (localCheckpoint also truncates lineage across iterations).
+    quant = _quant_corpus(spark, sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
+    cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cvec array<bigint>"))
+    # Assign every vector to its cell (assign_cells: min(struct) hash
+    # aggregate, map-side combine — no corpus×K window shuffle); probes
+    # read from the checkpointed quant (N_PROBES×K rows — trivial).
+    return _ivf_topk(assign_cells(quant, cdf), cdf, quant)
 
 
 # --------------------------------------------------------------------------
@@ -3854,3 +3882,159 @@ def s26_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p20/s27: incremental IVF index maintenance through the oracle gate —
+# the p16 snapshot-backed-index move applied to the similarity family
+# (ivf_index.IncrementalIVFIndex). The embeddings table is committed to
+# a snapshot source in TWO batches (vec_id parity split); the index
+# trains Lloyd centroids on the seed batch (refresh #1, mode="train"),
+# then assigns ONLY the append batch against those persisted centroids
+# (refresh #2 — mode MUST be "incremental", pinned by the
+# second_refresh_incremental column) and folds per-cell (count, Σvec)
+# running stats into the manifest.
+#
+# Correctness identities pinned by the DuckDB full replay (batch-blind:
+# train Lloyd on even vec_ids, assign ALL vectors in one shot):
+#   1. incremental assignment over any batch split == one-shot
+#      assignment of the final corpus against seed-trained centroids
+#      (per-vector determinism given centroids) — n_vecs/n_new per cell;
+#   2. the running per-cell stat monoids == a full groupBy over all
+#      assignments (the p15 rollup identity): the candidate re-centered
+#      centroids come from the RUNNING SUMS on the Spark side but from
+#      a full-aggregate means() in the oracle, so the per-cell n_moved
+#      drift counts only match if the incremental sums are exact;
+#   3. the drift decision (exact integer compare) stays below the
+#      retrain threshold on same-distribution appends —
+#      retrain_triggered pinned FALSE (the retrain path itself is
+#      pinned in tests/test_dedup_index.py with retrain_permille=0).
+#
+# Scale: refresh #2 scans only the append batch (O(batch × K),
+# broadcast centroids); candidate centroids are O(K) from the running
+# stats; the drift count scans index rows × K broadcast (sampled at
+# full scale — ivf_index.py module notes). s27 then serves ANN top-k
+# straight FROM the maintained index rows (a parquet scan of vec_id/
+# cid/q — no training, no corpus re-assignment in the query path),
+# which is the warm-index read a 100 TB corpus actually runs;
+# its oracle is the s03 replay with even-trained centroids.
+# --------------------------------------------------------------------------
+_EVEN_TRAIN = "(SELECT * FROM quant WHERE vec_id % 2 = 0)"
+
+
+def _p20_index_at(spark: SparkSession, sf_dir: str, base: str):
+    from ..ivf_index import IncrementalIVFIndex
+
+    schema = (
+        _emb(spark, sf_dir)
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+        .schema
+    )
+    return IncrementalIVFIndex(
+        spark, base + "/vecs", schema, base + "/state"
+    )
+
+
+def _p20_build_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """The session-memoized two-batch IVF index layout p20 and s27
+    share: (layout base dir, modes-ran-as-expected flag, retrained)."""
+    import re as _re
+
+    from .materialize import materialized_value, session_external_dir
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple:
+        from ..snapshots import TableSnapshots
+
+        base = session_external_dir("/tmp/seamdb_ivfindex", tag)
+        snaps = TableSnapshots(base + "/vecs")
+        emb = _emb(spark, sf_dir).select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        idx = _p20_index_at(spark, sf_dir, base)
+        snaps.commit(emb.filter(F.col("vec_id") % 2 == 0), mode="overwrite")
+        first = idx.refresh()
+        snaps.commit(emb.filter(F.col("vec_id") % 2 == 1))
+        second = idx.refresh()
+        modes_ok = (
+            first["mode"] == "train"
+            and second["mode"] in ("incremental", "retrain")
+            and idx.refresh()["mode"] == "noop"
+        )
+        return base, modes_ok, second["mode"] == "retrain"
+
+    return materialized_value(spark, sf_dir, "p20_ivf_index", build)
+
+
+def _p20_oracle() -> str:
+    assign = _lloyd_assign_sql
+    means = _lloyd_means_sql
+    return f"""
+    WITH {_ivf_replay_ctes(_EVEN_TRAIN)},
+    cand_c AS ({means('cells')}),
+    recells AS ({assign('cells', 'cand_c')})
+    SELECT c.cid AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN c.vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN r.cid <> c.cid THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           TRUE AS second_refresh_incremental,
+           FALSE AS retrain_triggered
+    FROM cells c JOIN recells r ON r.vec_id = c.vec_id
+    GROUP BY c.cid
+    """
+
+
+@register("p20_incremental_ivf_index", oracle=_p20_oracle())
+def p20_incremental_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, modes_ok, retrained = _p20_build_index(spark, sf_dir)
+    idx = _p20_index_at(spark, sf_dir, base)
+    new_counts = (
+        idx.index()
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)
+            ).alias("n_new")
+        )
+    )
+    return (
+        idx.drift_report()
+        .join(new_counts, "cid")
+        .select(
+            "cid",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("n_moved").cast("long").alias("n_moved"),
+            F.lit(bool(modes_ok)).alias("second_refresh_incremental"),
+            F.lit(bool(retrained)).alias("retrain_triggered"),
+        )
+    )
+
+
+def _s27_oracle() -> str:
+    return f"""
+    WITH {_ivf_replay_ctes(_EVEN_TRAIN)},
+    {_ivf_topk_tail_sql()}
+    """
+
+
+@register("s27_ann_incremental_index_topk", oracle=_s27_oracle())
+def s27_ann_incremental_index_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base, _modes_ok, _retrained = _p20_build_index(spark, sf_dir)
+    idx = _p20_index_at(spark, sf_dir, base)
+    cells = idx.index()
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            idx.centroids(), "cid int, cvec array<bigint>"
+        )
+    )
+    # probes read from the index rows too — the whole query path is
+    # parquet scans of the maintained index; nothing re-trains or
+    # re-assigns (compare s03, which builds its index per run)
+    return _ivf_topk(cells, cdf, cells.select("vec_id", "q"))

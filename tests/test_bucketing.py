@@ -141,3 +141,60 @@ def test_legacy_unbucketed_segments_still_checked(engine):
     with pytest.raises(UniqueIndexError):
         engine.sql("INSERT INTO users VALUES (10, 'still-dup')")
     assert {r.id for r in engine.table("users").collect()} == {10, 11}
+
+
+def test_j05_salt_expansion_and_skew(spark):
+    """The j05 skew-stress plan must actually exercise the salted
+    SHUFFLE path: (1) the physical join is a shuffle join keyed on
+    (key, salt) — not a broadcast that would bypass the salt; (2) the
+    derived key is genuinely zipf-skewed (the hot rank holds several
+    times the uniform share); (3) per-(key, salt) shards split the hot
+    rank's rows S ways, none dominant."""
+    from seamdb_spark.operators.relational import (
+        J05_RANKS,
+        J05_SALTS,
+        j05_zipf_salted_join,
+        _j05_key_case,
+    )
+
+    out = j05_zipf_salted_join(spark, SF_SMOKE)
+    plan = _plan(out)
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin [key" not in plan
+    # formatted plans list join keys in the detail block: both key AND
+    # salt must participate, i.e. "Left keys [2]: [key#N, salt#M]"
+    import re
+
+    assert re.search(r"Left keys \[2\]: \[key#\d+L?, salt#\d+L?\]", plan), plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    h_sql = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    keyed = docs.select(
+        F.expr(
+            f"transform(array({h_sql}), h -> {_j05_key_case('h')})[0]"
+        ).alias("key"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), 's')),"
+                " 1, 8), 16, 10) AS BIGINT)"
+            )
+            % J05_SALTS
+        ).alias("salt"),
+    )
+    n_total = keyed.count()
+    by_key = {r.key: r.n for r in keyed.groupBy("key").count().withColumnRenamed("count", "n").collect()}
+    hot = max(by_key.values())
+    # zipf rank 1 expects ~24% of rows at R=32; uniform would be ~3%
+    assert by_key[1] == hot and hot > 4 * (n_total / J05_RANKS)
+    # the salt splits the hot key's rows across S shards, none dominant
+    shards = [
+        r.n
+        for r in keyed.filter(F.col("key") == 1)
+        .groupBy("salt")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    ]
+    assert len(shards) == J05_SALTS and max(shards) < hot / 2

@@ -261,3 +261,143 @@ def test_eval_index_contaminated_matches_direct_join(engine):
             assert n_exact == 0
     assert 1 in got and got[1].drop_doc == 1
     assert 2 not in got or got[2].n_exact_hits == 0
+
+
+# ---------------------------------------------------------------- IVF index
+
+
+def _ivf_fixture(spark, tmp_path, retrain_permille):
+    """Snapshot source + IncrementalIVFIndex over a tiny deterministic
+    2-cluster embedding set (dim 4): batch 1 sits near two well-
+    separated anchors; batch 2 is drawn from a SHIFTED distribution so
+    one exact Lloyd step moves a large fraction of vectors."""
+    from pyspark.sql import types as T
+
+    from seamdb_spark.ivf_index import IncrementalIVFIndex
+    from seamdb_spark.snapshots import TableSnapshots
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    base = str(tmp_path / "ivf")
+    snaps = TableSnapshots(base + "/vecs")
+    idx = IncrementalIVFIndex(
+        spark, base + "/vecs", schema, base + "/state",
+        retrain_permille=retrain_permille,
+    )
+    b1 = [
+        (i, [10.0 + (i % 3) * 0.25, 10.0, 0.0, 0.0]) for i in range(8)
+    ] + [
+        (8 + i, [-10.0 - (i % 3) * 0.25, -10.0, 0.0, 0.0]) for i in range(8)
+    ]
+    # shifted appends: midway between the anchors, biased positive —
+    # re-centered means pull hard enough to reassign a big fraction
+    b2 = [(100 + i, [1.0 + i * 0.5, 2.0, 0.0, 0.0]) for i in range(16)]
+    return snaps, idx, schema, b1, b2
+
+
+def test_ivf_refresh_modes_and_batch_blindness(spark, tmp_path):
+    """train → incremental → noop, and the incremental index equals
+    one-shot assignment of the full corpus against the seed-trained
+    centroids (the p20 batch-blindness identity), with the running
+    stats equal to a full groupBy over the index."""
+    from pyspark.sql import functions as F
+
+    from seamdb_spark.operators.similarity import _qemb, assign_cells
+
+    snaps, idx, schema, b1, b2 = _ivf_fixture(spark, tmp_path, 1000)
+
+    snaps.commit(spark.createDataFrame(b1, schema), mode="overwrite")
+    first = idx.refresh()
+    assert first["mode"] == "train" and first["n_new_vecs"] == len(b1)
+
+    snaps.commit(spark.createDataFrame(b2, schema))
+    second = idx.refresh()
+    assert second["mode"] == "incremental"
+    assert second["n_new_vecs"] == len(b2)
+    assert second["n_indexed"] == len(b1) + len(b2)
+    assert idx.refresh()["mode"] == "noop"
+
+    # batch-blindness: incremental state == one-shot assignment
+    cdf = idx._cdf(idx.centroids())
+    want = {
+        (r.vec_id, r.cid)
+        for r in assign_cells(
+            _qemb(spark.createDataFrame(b1 + b2, schema)), cdf
+        ).collect()
+    }
+    got = {(r.vec_id, r.cid) for r in idx.index().collect()}
+    assert got == want
+
+    # running stat monoids == full groupBy over the index rows
+    extra = idx.state.current_extra()
+    full = (
+        idx.index()
+        .select("cid", F.posexplode("q").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in full:
+        key = str(int(r.cid))
+        assert extra["cell_counts"][key] == r.n
+        assert extra["cell_sums"][key][r.pos] == r.s
+
+
+def test_ivf_drift_triggers_retrain(spark, tmp_path):
+    """With retrain_permille=0 any nonzero drift re-centers: the new
+    centroids must be the one-step means of the pre-retrain
+    assignments, every index row reassigned against them."""
+    from seamdb_spark.operators.similarity import (
+        _qemb,
+        assign_cells,
+        lloyd_means,
+    )
+
+    snaps, idx, schema, b1, b2 = _ivf_fixture(spark, tmp_path, 0)
+
+    snaps.commit(spark.createDataFrame(b1, schema), mode="overwrite")
+    seed_cents = None
+    assert idx.refresh()["mode"] == "train"
+    seed_cents = idx.centroids()
+
+    snaps.commit(spark.createDataFrame(b2, schema))
+    out = idx.refresh()
+    assert out["mode"] == "retrain" and out["n_moved"] > 0
+
+    # expected: assign all against seed centroids, take one exact
+    # Lloyd-step mean, reassign all — replayed independently here
+    quant = _qemb(spark.createDataFrame(b1 + b2, schema))
+    pre = assign_cells(quant, idx._cdf(seed_cents))
+    stepped = sorted(
+        (r.cid, [int(x) for x in r.cvec])
+        for r in lloyd_means(pre).collect()
+    )
+    assert sorted(idx.centroids()) == stepped
+    want = {
+        (r.vec_id, r.cid)
+        for r in assign_cells(quant, idx._cdf(stepped)).collect()
+    }
+    assert {(r.vec_id, r.cid) for r in idx.index().collect()} == want
+
+
+def test_ivf_vanished_segments_force_rebuild(spark, tmp_path):
+    """Compaction rewriting the source manifest must trigger a sound
+    retrain-from-current, not an incremental diff against files that
+    no longer exist."""
+    snaps, idx, schema, b1, b2 = _ivf_fixture(spark, tmp_path, 1000)
+
+    snaps.commit(spark.createDataFrame(b1, schema), mode="overwrite")
+    assert idx.refresh()["mode"] == "train"
+    snaps.commit(spark.createDataFrame(b2, schema))
+    assert idx.refresh()["mode"] == "incremental"
+
+    # history rewrite: everything folded into one fresh segment
+    snaps.commit(spark.createDataFrame(b1 + b2, schema), mode="overwrite")
+    out = idx.refresh()
+    assert out["mode"] == "rebuild"
+    assert out["n_indexed"] == len(b1) + len(b2)
+    assert idx.refresh()["mode"] == "noop"
