@@ -2023,3 +2023,93 @@ def p19_retention_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(v4)).cast("long").alias("v4_rows"),
         F.lit(bool(rejected)).alias("expired_version_rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# p21: incremental ingest-admission pipeline — the END-TO-END form of
+# the maintained-index story (p16/p17/p20 gate the index layers; this
+# gates the decision a growing corpus actually makes per ingest
+# batch): for every document in the new batch (the odd-doc_id half),
+# admit/drop with first-come-wins dedup against the MAINTAINED LSH
+# index and the t02 quality gate, in p01's precedence order (quality
+# first — the cheap row-local filter runs before any index lookup):
+#   - dropped_quality:   quality_score < QUALITY_MIN (t02's formula);
+#   - dropped_duplicate: the doc band-collides with any EARLIER
+#     document (partner doc_id < its own — first-come-wins is the
+#     deterministic batch analogue of d11's canonical keeper; a new
+#     doc colliding only with LATER docs is the keeper and stays);
+#   - admitted:          everything else.
+# n_earlier_collisions is emitted so the gate checks the collision
+# counting, not just the boolean. The oracle is batch-blind: DuckDB
+# re-bands the FULL corpus (d02's CTE chain), restricts to pairs whose
+# larger side is odd, and applies the same precedence — the maintained
+# index's per-batch lookup must agree exactly.
+#
+# Scale: quality is row-local on the batch; the dup check is p17's
+# O(batch × collision-rate) broadcast lookup against band rows only;
+# the verdict join is doc_id-keyed. Nothing rescans the indexed
+# corpus. Reuses p16's session-memoized index layout, so the banding
+# derivation runs once across p16/p17/p21.
+# --------------------------------------------------------------------------
+def _p21_oracle() -> str:
+    from .dedup import _lsh_cand_ctes
+    from .text import QUALITY_SQL
+
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    quality AS ({QUALITY_SQL}),
+    earlier AS (
+      SELECT doc_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cand WHERE doc_b % 2 = 1 GROUP BY doc_b
+    )
+    SELECT q.doc_id,
+           ROUND(q.quality_score, 6) AS quality_score,
+           COALESCE(e.n, 0) AS n_earlier_collisions,
+           CASE
+             WHEN q.quality_score < {QUALITY_MIN} THEN 'dropped_quality'
+             WHEN e.n IS NOT NULL THEN 'dropped_duplicate'
+             ELSE 'admitted'
+           END AS status
+    FROM quality q LEFT JOIN earlier e ON e.doc_id = q.doc_id
+    WHERE q.doc_id % 2 = 1
+    """
+
+
+@register("p21_incremental_admission", oracle=_p21_oracle())
+def p21_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    base, _incremental = _p16_build_index(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(F.col("doc_id").cast("long"))
+    )
+    idx = _p16_index_at(spark, base)
+    # first-come-wins: a batch doc is a duplicate iff it collides with
+    # any SMALLER doc_id — i.e. it appears as the pair's larger side
+    # (new_candidate_pairs emits doc_a < doc_b)
+    earlier = (
+        idx.new_candidate_pairs(batch)
+        .filter(F.col("doc_b") % 2 == 1)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    quality = t02_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    return (
+        quality.filter(F.col("doc_id") % 2 == 1)
+        .join(earlier, "doc_id", "left")
+        .select(
+            "doc_id",
+            dround(F.col("quality_score"), 6).alias("quality_score"),
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias(
+                "n_earlier_collisions"
+            ),
+            F.when(F.col("quality_score") < QUALITY_MIN, "dropped_quality")
+            .when(F.col("n").isNotNull(), "dropped_duplicate")
+            .otherwise("admitted")
+            .alias("status"),
+        )
+    )
