@@ -477,7 +477,7 @@ _R8_WINDOW = [
 #
 # _R10_WINDOW rationale (round 10, executing the pinned procedure
 # below):
-# (a) slots 1-10: round-10 registrations + plan/oracle-changed —
+# (a) slots 1-11: round-10 registrations + plan/oracle-changed —
 #     p20/s27 (incremental IVF index maintenance: snapshot-backed
 #     centroids+assignments, O(batch×K) append refresh, running-stat
 #     monoids, drift decision — oracle is the batch-blind DuckDB full
@@ -493,16 +493,16 @@ _R8_WINDOW = [
 #     shared-definition refactor: band_rows unchanged semantically,
 #     re-pinned out of caution). Each hash-green at sf0.001+sf0.01
 #     locally on registration.
-# (b) slots 11-48: regression fill, oldest-green-first — ALL 38
+# (b) slots 12-49: regression fill, oldest-green-first — ALL 38
 #     queries whose latest driver row is round 3 (recomputed from the
 #     r1-r9 union), in their r3 window order.
-# (c) slots 49-50: the first 2 latest-row-r4 queries in their r4
-#     window order (e18, q60).
+# (c) slot 50: the first latest-row-r4 query in its r4 window
+#     order (e18).
 _R10_WINDOW = [
     # (a) round-10 registrations + plan-changed
     "p20_incremental_ivf_index", "s27_ann_incremental_index_topk",
     "e44_lsh_stream_batch_parity", "j05_zipf_salted_join",
-    "p21_incremental_admission",
+    "p21_incremental_admission", "p22_ivf_drift_retrain",
     "s03_ann_ivf_topk", "m41_mjpeg_scene_select",
     "m33_keyframe_selection", "p16_incremental_lsh_index",
     "p17_incremental_batch_candidates",
@@ -524,7 +524,7 @@ _R10_WINDOW = [
     "q56_relational_division", "q57_ordered_set_aggs",
     "q58_null_aware_not_in", "q59_min_cost_supplier",
     # (c) latest-row-r4 fill, r4 window order
-    "e18_session_duration_bands", "q60_column_profile",
+    "e18_session_duration_bands",
 ]
 
 # ROUND-11 PROCEDURE: after CORRECTNESS_r10 lands, pin (a) any queries

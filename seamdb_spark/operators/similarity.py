@@ -4038,3 +4038,145 @@ def s27_ann_incremental_index_topk(
     # parquet scans of the maintained index; nothing re-trains or
     # re-assigns (compare s03, which builds its index per run)
     return _ivf_topk(cells, cdf, cells.select("vec_id", "q"))
+
+
+# --------------------------------------------------------------------------
+# p22: drift-triggered IVF re-center through the gate — p20 pins the
+# steady state (same-distribution appends, drift below threshold, no
+# retrain); this pins the OTHER branch with a deliberately shifted
+# append batch: the seed snapshot is the full original corpus, the
+# append is the same corpus SCALED ×64 (ids +10M) — raw floats scaled
+# BEFORE quantization (×64 is exact in binary floating point, so
+# floor(64x·S) is the same value in both engines). The scaled mass
+# dominates every cell's one-step re-centered mean (candidate |c|
+# grows ~32×), so nearly all ORIGINAL vectors flee to the candidate
+# with the smallest norm — drift is large by GEOMETRY, not fixture
+# luck, at any SF — and refresh() MUST take the retrain branch:
+# candidate centroids become the index centroids and every row is
+# reassigned. The oracle replays exactly that, batch-blind: train on
+# the originals, assign all, take one exact Lloyd-step mean, reassign
+# all — per-cell n_vecs/n_appended of the POST-RETRAIN state are the
+# checked columns, with retrain_triggered pinned TRUE (p20 pins it
+# FALSE — both branches of the drift decision now have driver rows).
+#
+# Scale: identical shapes to p20; the retrain itself is one extra
+# assignment pass over index rows (K×64 broadcast), the cost a
+# distribution shift legitimately buys.
+# --------------------------------------------------------------------------
+P22_RETRAIN_PERMILLE = 100
+
+
+def _p22_index_at(spark: SparkSession, sf_dir: str, base: str):
+    from ..ivf_index import IncrementalIVFIndex
+
+    schema = (
+        _emb(spark, sf_dir)
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+        .schema
+    )
+    return IncrementalIVFIndex(
+        spark, base + "/vecs", schema, base + "/state",
+        retrain_permille=P22_RETRAIN_PERMILLE,
+    )
+
+
+def _p22_build_index(spark: SparkSession, sf_dir: str) -> tuple:
+    import re as _re
+
+    from .materialize import materialized_value, session_external_dir
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple:
+        from ..snapshots import TableSnapshots
+
+        base = session_external_dir("/tmp/seamdb_ivfdrift", tag)
+        snaps = TableSnapshots(base + "/vecs")
+        emb = _emb(spark, sf_dir).select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        idx = _p22_index_at(spark, sf_dir, base)
+        snaps.commit(emb, mode="overwrite")
+        first = idx.refresh()
+        shifted = emb.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            # CAST back to float: ×64 is an exponent shift (exact in binary
+            # FP), but the int literal promotes to double and would break
+            # the snapshot's array<float> schema
+            F.expr(
+                "transform(embedding, x -> CAST(x * 64 AS FLOAT))"
+            ).alias("embedding"),
+        )
+        snaps.commit(shifted)
+        second = idx.refresh()
+        modes_ok = (
+            first["mode"] == "train"
+            and second["mode"] == "retrain"
+            and idx.refresh()["mode"] == "noop"
+        )
+        return base, modes_ok
+
+    return materialized_value(spark, sf_dir, "p22_ivf_drift", build)
+
+
+def _p22_oracle() -> str:
+    from .hashing import md5_prefix_long_sql
+
+    seed_hash = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)")
+    assign = _lloyd_assign_sql
+    means = _lloyd_means_sql
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    appq AS (
+      SELECT vec_id + 10000000 AS vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x * 64 AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    quant_all AS (SELECT * FROM quant UNION ALL SELECT * FROM appq),
+    seeds AS (
+      SELECT cid, q AS cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_hash}, vec_id) - 1 AS cid, q
+        FROM quant
+      ) WHERE cid < {IVF_K}
+    ),
+    a1 AS ({assign('quant', 'seeds')}),
+    c1 AS ({means('a1')}),
+    a2 AS ({assign('quant', 'c1')}),
+    c2 AS ({means('a2')}),
+    pre AS ({assign('quant_all', 'c2')}),
+    cand AS ({means('pre')}),
+    post AS ({assign('quant_all', 'cand')})
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN vec_id >= 10000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_appended,
+           TRUE AS retrain_triggered
+    FROM post GROUP BY cid
+    """
+
+
+@register("p22_ivf_drift_retrain", oracle=_p22_oracle())
+def p22_ivf_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, modes_ok = _p22_build_index(spark, sf_dir)
+    idx = _p22_index_at(spark, sf_dir, base)
+    return (
+        idx.index()
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("vec_id") >= 10_000_000, 1).otherwise(0)
+            ).cast("long").alias("n_appended"),
+        )
+        .select(
+            "cid", "n_vecs", "n_appended",
+            F.lit(bool(modes_ok)).alias("retrain_triggered"),
+        )
+    )
