@@ -477,7 +477,7 @@ _R8_WINDOW = [
 #
 # _R10_WINDOW rationale (round 10, executing the pinned procedure
 # below):
-# (a) slots 1-11: round-10 registrations + plan/oracle-changed —
+# (a) slots 1-12: round-10 registrations + plan/oracle-changed —
 #     p20/s27 (incremental IVF index maintenance: snapshot-backed
 #     centroids+assignments, O(batch×K) append refresh, running-stat
 #     monoids, drift decision — oracle is the batch-blind DuckDB full
@@ -493,16 +493,15 @@ _R8_WINDOW = [
 #     shared-definition refactor: band_rows unchanged semantically,
 #     re-pinned out of caution). Each hash-green at sf0.001+sf0.01
 #     locally on registration.
-# (b) slots 12-49: regression fill, oldest-green-first — ALL 38
+# (b) slots 13-50: regression fill, oldest-green-first — ALL 38
 #     queries whose latest driver row is round 3 (recomputed from the
 #     r1-r9 union), in their r3 window order.
-# (c) slot 50: the first latest-row-r4 query in its r4 window
-#     order (e18).
 _R10_WINDOW = [
     # (a) round-10 registrations + plan-changed
     "p20_incremental_ivf_index", "s27_ann_incremental_index_topk",
     "e44_lsh_stream_batch_parity", "j05_zipf_salted_join",
     "p21_incremental_admission", "p22_ivf_drift_retrain",
+    "p23_incremental_vector_neardup",
     "s03_ann_ivf_topk", "m41_mjpeg_scene_select",
     "m33_keyframe_selection", "p16_incremental_lsh_index",
     "p17_incremental_batch_candidates",
@@ -523,8 +522,6 @@ _R10_WINDOW = [
     "q53_argmax_aggregates", "q54_bitwise_aggregates",
     "q56_relational_division", "q57_ordered_set_aggs",
     "q58_null_aware_not_in", "q59_min_cost_supplier",
-    # (c) latest-row-r4 fill, r4 window order
-    "e18_session_duration_bands",
 ]
 
 # ROUND-11 PROCEDURE: after CORRECTNESS_r10 lands, pin (a) any queries

@@ -4180,3 +4180,80 @@ def p22_ivf_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(modes_ok)).alias("retrain_triggered"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p23: per-batch embedding near-dup against the maintained IVF index —
+# the VECTOR analogue of p21's admission check, completing the
+# batch-ingest story for both modalities: when an embedding batch
+# lands (the odd-vec_id half), a growing corpus does not brute-force
+# it against everything — it looks up each new vector's CELL in the
+# maintained index (p20's layout: the new rows are already assigned,
+# already carry q) and verifies exact cosine only within the cell
+# (d06's fixed-point arithmetic, so the score is bit-identical across
+# engines). Cell blocking is the documented approximation (cross-cell
+# near-dups are missed — s03's nprobe trade); the oracle replays the
+# SAME blocking batch-blind: DuckDB trains on the even seed corpus,
+# assigns everything one-shot, and joins cells-to-cells restricted to
+# pairs touching the batch — so the maintained index's per-batch
+# verdicts (including the blocking behavior itself) are pinned, not
+# idealized away.
+#
+# Scale: the batch's rows join the index on cid (shuffle on cell id,
+# K-bounded build side per cell); exact cosines only on same-cell
+# pairs — O(batch × cell occupancy), corpus-independent for a fixed
+# cell granularity. Existing vectors never pair among themselves.
+# --------------------------------------------------------------------------
+def _p23_oracle() -> str:
+    dot = "list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]))"
+    nrm = "sqrt(CAST(list_sum(list_transform({v}.q, x -> x * x)) AS DOUBLE))"
+    return f"""
+    WITH {_ivf_replay_ctes(_EVEN_TRAIN)}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.cid AS INTEGER) AS cid,
+           ROUND(CAST({dot} AS DOUBLE)
+                 / ({nrm.format(v='a')} * {nrm.format(v='b')}), 6) AS cosine
+    FROM cells a JOIN cells b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
+      AND CAST({dot} AS DOUBLE)
+          / ({nrm.format(v='a')} * {nrm.format(v='b')}) >= {NEARDUP_COSINE}
+    """
+
+
+@register("p23_incremental_vector_neardup", oracle=_p23_oracle())
+def p23_incremental_vector_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base, _modes_ok, _retrained = _p20_build_index(spark, sf_dir)
+    idx = _p20_index_at(spark, sf_dir, base)
+    rows = idx.index()
+    batch = rows.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("bid"), "cid", F.col("q").alias("bq")
+    )
+    # batch × same-cell index rows; exact fixed-point cosine verify
+    paired = (
+        batch.join(rows, "cid")
+        .filter(F.col("vec_id") != F.col("bid"))
+        .select(
+            F.least("bid", "vec_id").alias("vec_a"),
+            F.greatest("bid", "vec_id").alias("vec_b"),
+            "cid",
+            (
+                _isum(F.zip_with("bq", "q", lambda x, y: x * y)).cast("double")
+                / (
+                    F.sqrt(
+                        _isum(F.transform("bq", lambda v: v * v)).cast("double")
+                    )
+                    * F.sqrt(
+                        _isum(F.transform("q", lambda v: v * v)).cast("double")
+                    )
+                )
+            ).alias("raw_cosine"),
+        )
+        .filter(F.col("raw_cosine") >= NEARDUP_COSINE)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return paired.select(
+        "vec_a", "vec_b", "cid", dround(F.col("raw_cosine"), 6).alias("cosine")
+    )

@@ -401,3 +401,30 @@ def test_ivf_vanished_segments_force_rebuild(spark, tmp_path):
     assert out["mode"] == "rebuild"
     assert out["n_indexed"] == len(b1) + len(b2)
     assert idx.refresh()["mode"] == "noop"
+
+
+def test_ivf_three_uneven_batches_equal_one_shot(spark, tmp_path):
+    """Batch-split invariance beyond the 2-batch gate shape: three
+    UNEVEN appends (sizes 4/11/1 plus the 16-vector seed) must leave
+    the index identical to one-shot assignment of everything against
+    the seed-trained centroids, with every append incremental."""
+    from seamdb_spark.operators.similarity import _qemb, assign_cells
+
+    snaps, idx, schema, b1, b2 = _ivf_fixture(spark, tmp_path, 1000)
+    snaps.commit(spark.createDataFrame(b1, schema), mode="overwrite")
+    assert idx.refresh()["mode"] == "train"
+
+    batches = [b2[:4], b2[4:15], b2[15:]]
+    for b in batches:
+        snaps.commit(spark.createDataFrame(b, schema))
+        out = idx.refresh()
+        assert out["mode"] == "incremental" and out["n_new_vecs"] == len(b)
+
+    cdf = idx._cdf(idx.centroids())
+    want = {
+        (r.vec_id, r.cid)
+        for r in assign_cells(
+            _qemb(spark.createDataFrame(b1 + b2, schema)), cdf
+        ).collect()
+    }
+    assert {(r.vec_id, r.cid) for r in idx.index().collect()} == want
