@@ -489,9 +489,12 @@ _R8_WINDOW = [
 #     integer inverse-CDF key, shuffle_hash-pinned salted join, plan-
 #     asserted in tests/test_bucketing.py); s03 (plan refactored to the
 #     shared assign_cells/_ivf_topk kernels), m41+m33 (mdat body offset
-#     now box-walked, not rfind — round-9 ADVICE), p16/p17 (banding
+#     now box-walked, not rfind — round-9 ADVICE), p16 (banding
 #     shared-definition refactor: band_rows unchanged semantically,
-#     re-pinned out of caution). Each hash-green at sf0.001+sf0.01
+#     re-pinned out of caution; p17's kernel is separately covered by
+#     p21's new_candidate_pairs row, so e45 — the stream-STREAM join
+#     parity row, e44's move applied to the watermarked interval join
+#     — takes its slot). Each hash-green at sf0.001+sf0.01
 #     locally on registration.
 # (b) slots 13-50: regression fill, oldest-green-first — ALL 38
 #     queries whose latest driver row is round 3 (recomputed from the
@@ -504,7 +507,7 @@ _R10_WINDOW = [
     "p23_incremental_vector_neardup",
     "s03_ann_ivf_topk", "m41_mjpeg_scene_select",
     "m33_keyframe_selection", "p16_incremental_lsh_index",
-    "p17_incremental_batch_candidates",
+    "e45_stream_stream_join_parity",
     # (b) all 38 latest-row-r3 queries, r3 window order
     "t19_vocab_profile", "t20_rule_filter", "t22_safe_split",
     "t23_bpe_pair_stats", "x07_cms_heavy_hitters",

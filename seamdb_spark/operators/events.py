@@ -4804,3 +4804,95 @@ def e44_lsh_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_pairs().select(
         "doc_a", "doc_b", F.lit(bool(matches)).alias("stream_matches_batch")
     )
+
+
+# --------------------------------------------------------------------------
+# e45: stream-stream interval join ≡ batch interval join — the e44
+# move applied to the OTHER streaming join class: e44 gates the
+# stream-STATIC join; this gates the stream-STREAM join
+# (streaming/events.click_purchase_join_stream — purchases matched to
+# the same user's clicks in the preceding 30 minutes, watermarks on
+# BOTH sides bounding the buffered state, the canonical pattern). The
+# actual Structured Streaming query runs to completion inside the
+# query body; its emitted pair set is anti-join-compared against the
+# plain batch interval join, and the verdict is the
+# stream_matches_batch checked column against a DuckDB replay of the
+# same interval join. Any divergence — watermark mis-eviction dropping
+# an in-bound row, micro-batch buffering bug, interval boundary drift
+# — flips the column and fails the hash compare.
+#
+# Scale: the streaming plan is the production shape (state bounded by
+# the watermark + 30-minute range, keyed shuffle on user); the batch
+# twin shuffles once on user_id with the time predicate evaluated
+# join-local; the equality check is two anti-joins on the unique
+# (purchase_id, click_id) pair key. Stream run + verdict are
+# session-memoized so bench retimes don't restart the stream.
+# --------------------------------------------------------------------------
+@register(
+    "e45_stream_stream_join_parity",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           p.ts AS p_ts,
+           c.ts AS c_ts,
+           p.value,
+           TRUE AS stream_matches_batch
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def e45_stream_stream_join_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.events import (
+        click_purchase_join_stream,
+        run_stream_to_memory,
+    )
+    from .materialize import materialized_value
+
+    def batch_pairs() -> DataFrame:
+        ev = _events(spark, sf_dir)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        return purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+                " AND c_ts < p_ts"
+            ),
+        ).select(
+            "purchase_id", "click_id",
+            F.col("p_user").alias("user_id"), "p_ts", "c_ts", "value",
+        )
+
+    def run_and_compare() -> bool:
+        got = run_stream_to_memory(
+            click_purchase_join_stream(spark, sf_dir), "e45_ssj", "append"
+        ).select("purchase_id", "click_id")
+        want = batch_pairs().select("purchase_id", "click_id")
+        extra = got.join(want, ["purchase_id", "click_id"], "left_anti").count()
+        missing = want.join(got, ["purchase_id", "click_id"], "left_anti").count()
+        return extra == 0 and missing == 0
+
+    matches = materialized_value(
+        spark, sf_dir, "e45_stream_parity", run_and_compare
+    )
+    return batch_pairs().select(
+        "purchase_id", "click_id", "user_id", "p_ts", "c_ts", "value",
+        F.lit(bool(matches)).alias("stream_matches_batch"),
+    )
