@@ -527,12 +527,16 @@ _R10_WINDOW = [
     "q58_null_aware_not_in", "q59_min_cost_supplier",
 ]
 
-# ROUND-11 PROCEDURE: after CORRECTNESS_r10 lands, pin (a) any queries
+# ROUND-11 PROCEDURE: after CORRECTNESS_r10 lands, pin (a) the
+# round-10 registrations that did not fit the frozen window —
+# m45_raw_video_temporal and p17_incremental_batch_candidates (m45
+# hash-green locally at sf0.001+sf0.01 on registration; p17 displaced
+# by e45, its kernel covered by p16/p21 rows) — plus any queries
 # registered after _R10_WINDOW froze and any whose plan/oracle changes
 # in round 11, then (b) regression fill oldest-green-first: the
 # remaining latest-row-r4 queries (recompute from the r1-r10 union —
-# 42 as of the r10 freeze: m11 onward in r4 window order), then r5,
-# r6, r7, r8, r9 in their window orders.
+# ~45 as of the r10 freeze: e18/q60/m10 onward in r4 window order),
+# then r5, r6, r7, r8, r9 in their window orders.
 #
 # ROUND-10 PROCEDURE (executed above): after CORRECTNESS_r09 lands, pin (a) any
 # queries registered after _R9_WINDOW froze and any whose plan/oracle

@@ -6893,3 +6893,154 @@ def m44_png_grayscale_roundtrip(
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(roundtrip, schema=_M44_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m45: RAW (uncompressed) video track — the m41 pattern with packed
+# 8-bit RGB frames in mdat instead of JPEG samples, closing the last
+# optional video boundary that needs no codec library: archival /
+# intermediate pipelines (e.g. v308-style packed uncompressed tracks)
+# store exactly this, and "decode" is a reshape, so the frame pixels
+# are BIT-EXACT copies of the source ramps. That buys a strictly
+# stronger oracle than m41's: JPEG is lossy, so m41 could only pin
+# motion == 0 vs > 0; here every inter-frame motion value is an exact
+# closed-form INTEGER the gate hash-checks. Frame f's ramp constants
+# are (s%64, 7s%64, 13s%64) with s = doc_id + 11f, and a ramp minus a
+# ramp is constant across all 256 pixels, so L1 motion is exactly
+# 256·(|Δd1|+|Δd2|+|Δd3|). The kernel computes motion from the DECODED
+# mdat slices (np abs-diff over the reshaped bytes); the oracle
+# evaluates the formula — agreement requires correct box walk, stsz
+# slicing, AND bit-exact payloads. Two selection ops run on top:
+# temporal downsampling (keep every 3rd frame — the decoded-track
+# form of m03's byte-level frame sample) and the per-doc peak-motion
+# representative (argmax, ties -> earliest).
+#
+# Scale: row-local Arrow-batched mapInPandas, zero shuffle for the
+# payload work; the argmax window shuffles only the tiny frame table
+# partitioned by doc_id. 1-in-16 doc sample (offset 15, a fresh lane).
+# Raw tracks are bandwidth-heavy in production — the point of this
+# operator is that the PLUMBING (container walk, slice, exact frame
+# math) is identical whether samples are 768-byte raw frames or
+# megabyte codec payloads; only the decode call changes.
+# --------------------------------------------------------------------------
+_M45_SCHEMA = (
+    "doc_id long, frame_idx long, is_sync boolean, slice_intact boolean,"
+    " motion long, temporal_keep boolean, peak_motion boolean"
+)
+M45_SAMPLE_MOD = 16
+M45_FRAME_STEP = 3
+
+
+@register(
+    "m45_raw_video_temporal",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 5 + doc_id % 4 AS k
+      FROM documents WHERE doc_id % {M45_SAMPLE_MOD} = 15
+    ),
+    f AS (
+      SELECT doc_id, t.j + 1 AS frame_idx, doc_id + 11 * (t.j + 1) AS s
+      FROM d, unnest(range(0, k)) t(j)
+    ),
+    c AS (
+      SELECT doc_id, frame_idx,
+             s % 64 AS d1, (s * 7) % 64 AS d2, (s * 13) % 64 AS d3
+      FROM f
+    ),
+    m AS (
+      SELECT doc_id, frame_idx,
+             256 * (abs(d1 - LAG(d1) OVER w) + abs(d2 - LAG(d2) OVER w)
+                    + abs(d3 - LAG(d3) OVER w)) AS motion
+      FROM c
+      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    r AS (
+      SELECT doc_id, frame_idx, motion,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY motion DESC, frame_idx) AS rk
+      FROM m WHERE motion IS NOT NULL
+    )
+    SELECT m.doc_id, CAST(m.frame_idx AS BIGINT) AS frame_idx,
+           TRUE AS is_sync, TRUE AS slice_intact,
+           CAST(m.motion AS BIGINT) AS motion,
+           (m.frame_idx - 1) % {M45_FRAME_STEP} = 0 AS temporal_keep,
+           COALESCE(r.rk = 1, FALSE) AS peak_motion
+    FROM m LEFT JOIN r ON r.doc_id = m.doc_id AND r.frame_idx = m.frame_idx
+    """,
+)
+def m45_raw_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % M45_SAMPLE_MOD == 15)
+        .select("doc_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "is_sync": [],
+                "slice_intact": [], "motion": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 5 + d % 4
+                frames = [
+                    _ramp_rgb(d + 11 * f).tobytes() for f in range(1, k + 1)
+                ]
+                payload = build_mp4(
+                    1000, k * 40, [len(fb) for fb in frames],
+                    list(range(1, k + 1)),  # raw: every frame sync
+                    fourcc=b"v308", samples=frames,
+                )
+                mdat = payload[mp4_mdat_offset(payload):]
+                prev = None
+                for no, off, nb, kf, _bs in extract_mp4_samples(payload):
+                    chunk = mdat[off : off + nb]
+                    # "decode" = reshape; raw pixels are bit-exact
+                    pix = np.frombuffer(chunk, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    motion = (
+                        None if prev is None
+                        else int(np.abs(pix - prev).sum())
+                    )
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(no)
+                    out["is_sync"].append(bool(kf))
+                    out["slice_intact"].append(chunk == frames[no - 1])
+                    out["motion"].append(motion)
+                    prev = pix
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "frame_idx", "is_sync", "slice_intact",
+                    "motion",
+                ],
+            )
+
+    frames = docs.mapInPandas(
+        score,
+        schema=(
+            "doc_id long, frame_idx long, is_sync boolean,"
+            " slice_intact boolean, motion long"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("motion").desc_nulls_last(), F.col("frame_idx").asc()
+    )
+    return (
+        frames.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id", "frame_idx", "is_sync", "slice_intact", "motion",
+            ((F.col("frame_idx") - 1) % M45_FRAME_STEP == 0).alias(
+                "temporal_keep"
+            ),
+            ((F.col("rk") == 1) & F.col("motion").isNotNull()).alias(
+                "peak_motion"
+            ),
+        )
+    )
