@@ -529,8 +529,9 @@ _R10_WINDOW = [
 
 # ROUND-11 PROCEDURE: after CORRECTNESS_r10 lands, pin (a) the
 # round-10 registrations that did not fit the frozen window —
-# m45_raw_video_temporal and p17_incremental_batch_candidates (m45
-# hash-green locally at sf0.001+sf0.01 on registration; p17 displaced
+# m45_raw_video_temporal, p24_incremental_eval_decontam (each
+# hash-green locally at sf0.001+sf0.01 — p24 also at sf0.1 — on
+# registration) and p17_incremental_batch_candidates (displaced
 # by e45, its kernel covered by p16/p21 rows) — plus any queries
 # registered after _R10_WINDOW froze and any whose plan/oracle changes
 # in round 11, then (b) regression fill oldest-green-first: the

@@ -1055,21 +1055,26 @@ def bloom_hits_of(hashed: DataFrame, bitmap: list[int]) -> DataFrame:
     ).select("doc_id", "h")
 
 
-def _d15_oracle() -> str:
+def _decontam_oracle(eval_mod: int, extra_cols: str = "") -> str:
+    """The d15 Bloom-prefiltered decontamination replay, parameterized
+    on the eval-set rule (doc_id % eval_mod = 0) so the maintained
+    eval-index gate (p24, a 10% eval split that stays non-degenerate
+    at sf0.001) and d15 itself share ONE oracle definition.
+    ``extra_cols`` is appended verbatim to the final SELECT."""
     h = md5_prefix_long_sql("s")
     return f"""
     WITH sh AS ({_SHINGLES_SQL}),
     exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     hashed AS (SELECT doc_id, s, {h} AS h FROM exploded),
     epos AS (
-      SELECT h % {BLOOM_BITS} AS p FROM hashed WHERE doc_id % {EVAL_SET_MOD} = 0
+      SELECT h % {BLOOM_BITS} AS p FROM hashed WHERE doc_id % {eval_mod} = 0
       UNION
-      SELECT h // {BLOOM_BITS} FROM hashed WHERE doc_id % {EVAL_SET_MOD} = 0
+      SELECT h // {BLOOM_BITS} FROM hashed WHERE doc_id % {eval_mod} = 0
     ),
-    eunv AS (SELECT DISTINCT s FROM hashed WHERE doc_id % {EVAL_SET_MOD} = 0),
+    eunv AS (SELECT DISTINCT s FROM hashed WHERE doc_id % {eval_mod} = 0),
     hits AS (
       SELECT t.doc_id, t.s FROM hashed t
-      WHERE t.doc_id % {EVAL_SET_MOD} <> 0
+      WHERE t.doc_id % {eval_mod} <> 0
         AND t.h % {BLOOM_BITS} IN (SELECT p FROM epos)
         AND t.h // {BLOOM_BITS} IN (SELECT p FROM epos)
     ),
@@ -1085,9 +1090,13 @@ def _d15_oracle() -> str:
            COALESCE(ex.n_exact_hits, 0) AS n_exact_hits,
            a.n_bloom_hits - COALESCE(ex.n_exact_hits, 0) AS n_false_pos,
            CAST(COALESCE(ex.n_exact_hits, 0) >= {DECONTAM_MIN_SHINGLES}
-                AS BIGINT) AS drop_doc
+                AS BIGINT) AS drop_doc{extra_cols}
     FROM agg a LEFT JOIN ex ON a.doc_id = ex.doc_id
     """
+
+
+def _d15_oracle() -> str:
+    return _decontam_oracle(EVAL_SET_MOD)
 
 
 @register("d15_bloom_prefilter", oracle=_d15_oracle())

@@ -2113,3 +2113,107 @@ def p21_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p24: incremental EVAL-index decontamination through the gate — the
+# last index layer that was pytest-only (IncrementalEvalIndex,
+# dedup_index.py) driven through the oracle the way p16 did the LSH
+# index and p20 the IVF index, completing the maintained-index series:
+# an EVAL corpus (doc_id % 10 = 0 — a 10% rule, chosen over d15's
+# 1-in-97 so BOTH batches are non-empty even at sf0.001's 50-doc
+# fixture) is committed to a snapshot source in TWO batches (split on
+# doc_id % 20), the index refreshes after each (the second pinned
+# incremental via the checked column), and ``contaminated()`` then
+# decontaminates the full training side (doc_id % 10 <> 0) against the
+# MAINTAINED index: the Bloom bitmap is re-packed from index rows
+# (a 1024-word bit_or, never an eval re-scan) and shipped as a plan
+# literal; exact verification joins the maintained shingle universe.
+# The oracle is d15's replay (shared _decontam_oracle definition),
+# batch-blind — Bloom hit counts, exact hits, the false-positive gap,
+# and the drop verdict must all match an implementation that derived
+# the eval side in one shot.
+#
+# Scale: per-refresh shingle-hashing scans only new eval segments; the
+# decontamination probe is d15's scan-stage Bloom kill (non-candidate
+# train shingles die inside the scan); only Bloom survivors reach the
+# exact join. The snapshot layout is session-memoized and
+# app-id-namespaced with the j02/j03 reclamation discipline.
+# --------------------------------------------------------------------------
+P24_EVAL_MOD = 10
+
+
+def _p24_index_at(spark: SparkSession, base: str):
+    from pyspark.sql import types as T
+
+    from ..dedup_index import IncrementalEvalIndex
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return IncrementalEvalIndex.over_snapshots(
+        spark, base + "/docs", schema, "doc_id", "text", base + "/state"
+    )
+
+
+def _p24_build_index(spark: SparkSession, sf_dir: str) -> tuple:
+    import re as _re
+
+    from ..sources import load_table
+    from .materialize import materialized_value, session_external_dir
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple:
+        from ..snapshots import TableSnapshots
+
+        base = session_external_dir("/tmp/seamdb_evalindex", tag)
+        snaps = TableSnapshots(base + "/docs")
+        ev = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % P24_EVAL_MOD == 0)
+            .select(F.col("doc_id").cast("long"), "text")
+        )
+        idx = _p24_index_at(spark, base)
+        snaps.commit(ev.filter(F.col("doc_id") % 20 == 0), mode="overwrite")
+        first = idx.refresh()
+        snaps.commit(ev.filter(F.col("doc_id") % 20 != 0))
+        second = idx.refresh()
+        return base, (
+            first["mode"] == "incremental"
+            and second["mode"] == "incremental"
+            and idx.refresh()["mode"] == "noop"
+        )
+
+    return materialized_value(spark, sf_dir, "p24_eval_index", build)
+
+
+def _p24_oracle() -> str:
+    from .dedup import _decontam_oracle
+
+    return _decontam_oracle(
+        P24_EVAL_MOD, ",\n           TRUE AS second_refresh_incremental"
+    )
+
+
+@register("p24_incremental_eval_decontam", oracle=_p24_oracle())
+def p24_incremental_eval_decontam(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources import load_table
+
+    base, incremental = _p24_build_index(spark, sf_dir)
+    idx = _p24_index_at(spark, base)
+    train = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % P24_EVAL_MOD != 0)
+        .select(F.col("doc_id").cast("long"), "text")
+    )
+    return idx.contaminated(train, "doc_id", "text").select(
+        "doc_id", "n_bloom_hits", "n_exact_hits", "n_false_pos", "drop_doc",
+        F.lit(bool(incremental)).alias("second_refresh_incremental"),
+    )
