@@ -4896,3 +4896,83 @@ def e45_stream_stream_join_parity(
         "purchase_id", "click_id", "user_id", "p_ts", "c_ts", "value",
         F.lit(bool(matches)).alias("stream_matches_batch"),
     )
+
+
+# --------------------------------------------------------------------------
+# e46: streaming sessionization ≡ batch native session windows — the
+# third streaming class through the gate (e44 pinned the stream-static
+# join, e45 the stream-stream join; this pins stateful AGGREGATION):
+# the watermarked streaming session_window aggregation
+# (streaming/events.session_window_stream — merging session state
+# across micro-batches) runs to completion inside the query body in
+# COMPLETE mode (every window emitted regardless of watermark — no
+# append-tail truncation), and its (user, start, end, n_events) set is
+# anti-join-compared against e41's batch native session windows. The
+# verdict is the stream_matches_batch checked column against e41's
+# DuckDB islands-formulation oracle — so the chain pinned end-to-end
+# is: streaming state merge ≡ batch SessionWindow aggregate ≡ an
+# independent SQL islands construction. A session-merge bug across
+# micro-batch boundaries (the classic partial-session state error)
+# breaks the first equality; a boundary-convention drift breaks the
+# second.
+#
+# Scale: one keyed shuffle (user_id) in both plans; streaming state is
+# one row per OPEN session per user (bounded by the watermark in
+# production append mode; complete mode here is the finite-replay
+# verification harness). Stream run + verdict session-memoized.
+# --------------------------------------------------------------------------
+@register(
+    "e46_stream_sessionization_parity",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    lab AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS stream_matches_batch
+    FROM lab
+    GROUP BY user_id, sid
+    """,
+)
+def e46_stream_sessionization_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.events import run_stream_to_memory, session_window_stream
+    from .materialize import materialized_value
+    from .registry import QUERIES
+
+    keys = ["user_id", "session_start", "session_end", "n_events"]
+
+    def batch() -> DataFrame:
+        return QUERIES["e41_native_session_window"](spark, sf_dir)
+
+    def run_and_compare() -> bool:
+        got = run_stream_to_memory(
+            session_window_stream(spark, sf_dir), "e46_sessions", "complete"
+        ).select(*keys)
+        want = batch().select(*keys)
+        extra = got.join(want, keys, "left_anti").count()
+        missing = want.join(got, keys, "left_anti").count()
+        return extra == 0 and missing == 0
+
+    matches = materialized_value(
+        spark, sf_dir, "e46_stream_parity", run_and_compare
+    )
+    return batch().select(
+        *keys, F.lit(bool(matches)).alias("stream_matches_batch")
+    )

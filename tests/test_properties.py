@@ -836,3 +836,33 @@ def test_resample_identities_on_arbitrary_signals(n, seed):
     rt_up = list(wav_samples(build_wav(up, 16000)))
     assert rt_up[0::2] == down
     assert rt_up[1::2] == mids
+
+
+def test_mdat_offset_immune_to_mdat_bytes_inside_samples():
+    """Regression pin for the round-9 advisor finding: entropy-coded
+    (or arbitrary binary) sample data inside mdat can contain the
+    byte sequence b"mdat"; an rfind-based slice base then lands
+    INSIDE a sample and corrupts every frame slice. The box-walked
+    mp4_mdat_offset must return the true body offset, and the sliced
+    samples must round-trip bit-exact, even when every frame embeds
+    the adversarial fourcc."""
+    from seamdb_spark.operators.multimodal import (
+        build_mp4,
+        extract_mp4_samples,
+        mp4_mdat_offset,
+    )
+
+    # every sample deliberately contains b"mdat" (several times)
+    frames = [
+        b"xx" + b"mdat" + bytes([i]) * 7 + b"mdat" + b"tail" for i in range(4)
+    ]
+    payload = build_mp4(
+        1000, 160, [len(f) for f in frames], [1, 2, 3, 4], samples=frames
+    )
+    off = mp4_mdat_offset(payload)
+    # the old byte-search base would differ: rfind finds the LAST
+    # occurrence, which is inside frame 4's payload
+    assert payload.rfind(b"mdat") + 4 != off
+    mdat = payload[off:]
+    for no, s_off, nb, _kf, _bs in extract_mp4_samples(payload):
+        assert mdat[s_off : s_off + nb] == frames[no - 1]
