@@ -530,9 +530,9 @@ _R10_WINDOW = [
 # ROUND-11 PROCEDURE: after CORRECTNESS_r10 lands, pin (a) the
 # round-10 registrations that did not fit the frozen window —
 # m45_raw_video_temporal, p24_incremental_eval_decontam,
-# e46_stream_sessionization_parity (each hash-green locally at
-# sf0.001+sf0.01 — p24/e46 also at sf0.1 — on
-# registration) and p17_incremental_batch_candidates (displaced
+# e46_stream_sessionization_parity, e47_stateful_totals_parity
+# (each hash-green locally at sf0.001+sf0.01 — p24/e46/e47 also at
+# sf0.1 — on registration) and p17_incremental_batch_candidates (displaced
 # by e45, its kernel covered by p16/p21 rows) — plus any queries
 # registered after _R10_WINDOW froze and any whose plan/oracle changes
 # in round 11, then (b) regression fill oldest-green-first: the

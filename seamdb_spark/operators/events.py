@@ -4976,3 +4976,79 @@ def e46_stream_sessionization_parity(
     return batch().select(
         *keys, F.lit(bool(matches)).alias("stream_matches_batch")
     )
+
+
+# --------------------------------------------------------------------------
+# e47: custom stateful operator ≡ batch aggregate — the FOURTH and
+# last streaming class through the gate (e44 stream-static join, e45
+# stream-stream join, e46 built-in stateful aggregation; this pins
+# applyInPandasWithState, the escape hatch for operators Spark's
+# built-ins lack): the per-user running-totals stream
+# (streaming/events.user_running_totals_stream — explicit GroupState
+# carried across micro-batches, Arrow-batched update function) runs to
+# completion inside the query body in update mode; the LATEST update
+# per user (max n_events — the count strictly increases per update) is
+# anti-join-compared against the plain batch groupBy aggregate, both
+# sides' float totals bridged by dround(6) (the suite's standard
+# cross-order float bridge; counts compare exactly). The verdict is
+# the stream_matches_batch checked column vs a DuckDB replay of the
+# batch aggregate. A state-merge bug (lost batch, double-count,
+# stale-state read) breaks the count equality — no float slack there.
+#
+# Scale: state is two scalars per user; output is one row per user per
+# micro-batch touched. Stream run + verdict session-memoized.
+# --------------------------------------------------------------------------
+@register(
+    "e47_stateful_totals_parity",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value,
+           TRUE AS stream_matches_batch
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def e47_stateful_totals_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        run_stream_to_memory,
+        user_running_totals_stream,
+    )
+    from .materialize import materialized_value
+
+    def batch() -> DataFrame:
+        return (
+            _events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                dround(F.sum("value"), 6).alias("total_value"),
+            )
+        )
+
+    def run_and_compare() -> bool:
+        out = run_stream_to_memory(
+            user_running_totals_stream(spark, sf_dir), "e47_totals", "update"
+        )
+        w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        got = (
+            out.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id", "n_events",
+                dround(F.col("total_value"), 6).alias("total_value"),
+            )
+        )
+        want = batch()
+        keys = ["user_id", "n_events", "total_value"]
+        extra = got.join(want, keys, "left_anti").count()
+        missing = want.join(got, keys, "left_anti").count()
+        return extra == 0 and missing == 0
+
+    matches = materialized_value(
+        spark, sf_dir, "e47_stream_parity", run_and_compare
+    )
+    return batch().select(
+        "user_id", "n_events", "total_value",
+        F.lit(bool(matches)).alias("stream_matches_batch"),
+    )
