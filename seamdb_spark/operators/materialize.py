@@ -66,6 +66,21 @@ def session_external_dir(root: str, tag: str) -> str:
     return path
 
 
+def fresh_external_dir(root: str, tag: str) -> str:
+    """``session_external_dir``, wiped: stateful materializer ``build()``s
+    call this instead so a RE-ENTERED build — the bench gate-retime
+    evicts the memo and re-runs the builder inside the same session
+    (bench.py), exactly what crashed the round-10 driver bench with
+    ``TableAlreadyExistsError`` at p18's second ``CREATE TABLE`` — always
+    starts from an empty layout and reproduces the exact first-build
+    commit/refresh sequence (train→incremental for the index builders,
+    v1..vN for the snapshot builders). The path is applicationId-
+    namespaced, so wiping it can never touch another live session."""
+    path = session_external_dir(root, tag)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def _prune(app_id: str) -> None:
     for stale in [k for k in _MATERIALIZED if k[0] != app_id]:
         del _MATERIALIZED[stale]

@@ -1552,7 +1552,7 @@ def p14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..snapshots import TableSnapshots
     from ..sources import load_table
-    from .materialize import materialized_value, session_external_dir
+    from .materialize import fresh_external_dir, materialized_value
 
     schema = T.StructType(
         [
@@ -1565,7 +1565,7 @@ def p14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
 
     def build() -> str:
-        base = session_external_dir("/tmp/seamdb_snapdiff", tag)
+        base = fresh_external_dir("/tmp/seamdb_snapdiff", tag)
         path = base + "/nation"
         snaps = TableSnapshots(path)
         nat = load_table(spark, sf_dir, "nation").select(
@@ -1635,7 +1635,7 @@ def p15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import Engine
     from ..rollups import ContinuousRollup
     from ..sources import load_table
-    from .materialize import materialized_value, session_external_dir
+    from .materialize import fresh_external_dir, materialized_value
 
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
@@ -1648,7 +1648,7 @@ def p15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def build() -> tuple[str, bool]:
-        warehouse = session_external_dir("/tmp/seamdb_rollup", tag) + "/wh"
+        warehouse = fresh_external_dir("/tmp/seamdb_rollup", tag) + "/wh"
         eng = Engine(spark, warehouse, database="p15db", user="pipeline")
         eng.sql(
             "CREATE TABLE metrics (id serial PRIMARY KEY,"
@@ -1746,7 +1746,7 @@ def _p16_build_index(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
     import re as _re
 
     from ..sources import load_table
-    from .materialize import materialized_value, session_external_dir
+    from .materialize import fresh_external_dir, materialized_value
 
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
@@ -1754,7 +1754,7 @@ def _p16_build_index(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
     def build() -> tuple[str, bool]:
         from ..snapshots import TableSnapshots
 
-        base = session_external_dir("/tmp/seamdb_lshindex", tag)
+        base = fresh_external_dir("/tmp/seamdb_lshindex", tag)
         snaps = TableSnapshots(base + "/docs")
         docs = load_table(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("long"), "text"
@@ -1875,13 +1875,13 @@ def p18_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import Engine
     from ..snapshots import TableSnapshots
     from ..sources import load_table
-    from .materialize import materialized_value, session_external_dir
+    from .materialize import fresh_external_dir, materialized_value
 
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
 
     def build() -> tuple[str, bool, int, int]:
-        warehouse = session_external_dir("/tmp/seamdb_compact", tag) + "/wh"
+        warehouse = fresh_external_dir("/tmp/seamdb_compact", tag) + "/wh"
         eng = Engine(spark, warehouse, database="p18db", user="pipeline")
         eng.sql(
             "CREATE TABLE nat (id serial PRIMARY KEY,"
@@ -1965,7 +1965,7 @@ def p19_retention_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..snapshots import TableSnapshots
     from ..sources import load_table
-    from .materialize import materialized_value, session_external_dir
+    from .materialize import fresh_external_dir, materialized_value
 
     schema = T.StructType(
         [
@@ -1978,7 +1978,7 @@ def p19_retention_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
 
     def build() -> tuple[str, int, int, int, int, int, bool]:
-        base = session_external_dir("/tmp/seamdb_gc", tag)
+        base = fresh_external_dir("/tmp/seamdb_gc", tag)
         path = base + "/nation"
         snaps = TableSnapshots(path)
         nat = load_table(spark, sf_dir, "nation").select(
@@ -2163,7 +2163,7 @@ def _p24_build_index(spark: SparkSession, sf_dir: str) -> tuple:
     import re as _re
 
     from ..sources import load_table
-    from .materialize import materialized_value, session_external_dir
+    from .materialize import fresh_external_dir, materialized_value
 
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
@@ -2171,7 +2171,7 @@ def _p24_build_index(spark: SparkSession, sf_dir: str) -> tuple:
     def build() -> tuple:
         from ..snapshots import TableSnapshots
 
-        base = session_external_dir("/tmp/seamdb_evalindex", tag)
+        base = fresh_external_dir("/tmp/seamdb_evalindex", tag)
         snaps = TableSnapshots(base + "/docs")
         ev = (
             load_table(spark, sf_dir, "documents")

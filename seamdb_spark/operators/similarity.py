@@ -3940,7 +3940,7 @@ def _p20_build_index(spark: SparkSession, sf_dir: str) -> tuple:
     share: (layout base dir, modes-ran-as-expected flag, retrained)."""
     import re as _re
 
-    from .materialize import materialized_value, session_external_dir
+    from .materialize import fresh_external_dir, materialized_value
 
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
@@ -3948,7 +3948,7 @@ def _p20_build_index(spark: SparkSession, sf_dir: str) -> tuple:
     def build() -> tuple:
         from ..snapshots import TableSnapshots
 
-        base = session_external_dir("/tmp/seamdb_ivfindex", tag)
+        base = fresh_external_dir("/tmp/seamdb_ivfindex", tag)
         snaps = TableSnapshots(base + "/vecs")
         emb = _emb(spark, sf_dir).select(
             F.col("vec_id").cast("long").alias("vec_id"), "embedding"
@@ -4083,7 +4083,7 @@ def _p22_index_at(spark: SparkSession, sf_dir: str, base: str):
 def _p22_build_index(spark: SparkSession, sf_dir: str) -> tuple:
     import re as _re
 
-    from .materialize import materialized_value, session_external_dir
+    from .materialize import fresh_external_dir, materialized_value
 
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
@@ -4091,7 +4091,7 @@ def _p22_build_index(spark: SparkSession, sf_dir: str) -> tuple:
     def build() -> tuple:
         from ..snapshots import TableSnapshots
 
-        base = session_external_dir("/tmp/seamdb_ivfdrift", tag)
+        base = fresh_external_dir("/tmp/seamdb_ivfdrift", tag)
         snaps = TableSnapshots(base + "/vecs")
         emb = _emb(spark, sf_dir).select(
             F.col("vec_id").cast("long").alias("vec_id"), "embedding"

@@ -47,3 +47,80 @@ def test_improvements_never_flag():
     # the t49 case: a 60x improvement passes, and the next clean run
     # advances the baseline down so the bound tightens with it
     assert check_regressions({"q": 1.4}, baseline, 0.1) == []
+
+
+def test_materializer_entries_get_cold_build_bounds():
+    """Round-11 (VERDICT r10 #6): a materializer's recorded time is a
+    cold artifact build; first touch on a cold driver VM carries FS
+    noise the steady-state bound doesn't (p18: 2.6s local, 5.3s on the
+    driver's cold VM — flagged at bound 5.2, and the retime crash cost
+    round 10 its whole bench record). Materializer entries are bounded
+    by max(3x, +5s) of their own cold history instead."""
+    baseline = {"sf": 0.1, "queries": {"p18": 2.6}}
+    # the exact r10 driver scenario: 5.3s no longer flags
+    assert check_regressions(
+        {"p18": 5.3}, baseline, 0.1, materializer_names={"p18"}
+    ) == []
+    # but a real 3x+ regression still does (bound = max(7.8, 7.6))
+    out = check_regressions(
+        {"p18": 7.9}, baseline, 0.1, materializer_names={"p18"}
+    )
+    assert [r["query"] for r in out] == ["p18"] and out[0]["bound"] == 7.8
+    # non-materializers keep the strict bound
+    assert check_regressions({"p18": 5.3}, baseline, 0.1)
+
+
+def test_retime_crash_keeps_record_and_flags(tmp_path):
+    """Round-11 (VERDICT r10 #1/#2): a retime that raises must neither
+    kill the process nor lose the record — the flagged sample is kept,
+    the error is recorded, persist_results still lands the complete
+    file, and the query stays gate-flagged (a non-re-runnable build is
+    a real defect, visible instead of fatal)."""
+    import json
+
+    from bench import persist_results, run_gate_retimes
+
+    class Boom(Exception):
+        pass
+
+    def crashing_query(spark, sf_dir):
+        raise Boom("table nat already exists")
+
+    class FakeDF:
+        def count(self):
+            return 1
+
+    timings = {"good": 1.0, "bad": 9.0}
+    queries = {
+        "bad": crashing_query,
+        "good": lambda spark, sf_dir: FakeDF(),
+    }
+    regressions = [{"query": "bad", "prev": 3.0, "now": 9.0, "bound": 8.0}]
+    gate_retimes, retime_errors = run_gate_retimes(
+        regressions, queries, spark=None, sf_dir="/nowhere",
+        timings=timings, materializers={"bad": ["bad_layout"]},
+        materialized={},
+    )
+    # crash contained: flagged sample kept, error recorded
+    assert timings["bad"] == 9.0
+    assert "Boom" in retime_errors["bad"]
+    assert gate_retimes["bad"]["retime_error"] == retime_errors["bad"]
+    # the complete record still lands on disk
+    out = tmp_path / "results.json"
+    persist_results(
+        str(out), 0.1, timings, {}, {"bad": ["bad_layout"]},
+        gate_retimes, retime_errors, regressions, {},
+    )
+    rec = json.loads(out.read_text())
+    assert rec["queries"] == timings and rec["retime_errors"]["bad"]
+    assert rec["n_queries"] == 2 and rec["value"] == 10.0
+
+
+def test_persist_runs_before_retime_loop():
+    """The full record must be on disk before any retime executes —
+    round 10 lost 359s of timings to one retime crash because
+    persistence only happened at the end. Source-order guard: main()'s
+    first persist call precedes the run_gate_retimes call."""
+    src = open("/root/repo/bench.py").read()
+    body = src[src.index("def main(") :]
+    assert body.index("summary = persist(") < body.index("run_gate_retimes(")

@@ -1,0 +1,97 @@
+"""Evict-and-rerun sweep over every materializer query — the bench
+gate-retime path as a pinned invariant.
+
+Round 10's driver bench crashed (BENCH_r10 rc=1, record lost) because
+the gate retime evicts a flagged materializer's session memo and
+re-runs its ``build()`` in the same session, and four builders
+(p14/p15/p18/p19) were not re-runnable over their surviving on-disk
+layout: p18/p15 hit ``CREATE TABLE`` without IF NOT EXISTS
+(TableAlreadyExistsError — the exact driver crash), p14/p19 advanced
+the snapshot version chain so pinned historical reads raised "not
+retained". Round-9 ADVICE's related finding: the snapshot-index
+builders (p16/p20/p22/p24) re-entered over a surviving layout take the
+'rebuild' path instead of train→incremental, permanently flipping
+their parity flags.
+
+The fix is ``materialize.fresh_external_dir`` — every stateful
+``build()`` wipes its session-namespaced layout at entry, so re-entry
+reproduces the exact first-build sequence. This test pins that for ALL
+materializers (the full ``bench_results.json["materializers"]`` set,
+streaming memory-sink reruns included): run the query cold, evict
+exactly the memo keys it created (bench.py's retime eviction,
+bench.py run_gate_retimes), run it again, and require byte-identical
+collected rows. VERDICT r10 "Next round" #1: "a test, not an
+argument"."""
+
+import pytest
+
+from seamdb_spark.operators.materialize import _MATERIALIZED
+from seamdb_spark.operators.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+# The 29 materializer queries as recorded by the last clean bench run
+# (bench_results.json["materializers"]) — every query whose first timed
+# run adds session-memo keys, i.e. every query the bench gate-retime
+# can re-enter. The sweep below re-verifies membership mechanically:
+# a listed query that no longer materializes is skipped (not failed),
+# and test_materializer_list_is_current catches new materializers
+# missing from this list.
+MATERIALIZER_QUERIES = [
+    "d02_dedup_minhash_lsh",
+    "d03_dedup_simhash",
+    "d09_dedup_clusters",
+    "d17_semantic_dedup",
+    "d22_cosine_tfidf_neardup",
+    "d25_paragraph_neardup",
+    "e44_lsh_stream_batch_parity",
+    "e45_stream_stream_join_parity",
+    "e46_stream_sessionization_parity",
+    "e47_stateful_totals_parity",
+    "j02_bucketed_colocated_join",
+    "j03_partition_pruned_join",
+    "p08_tokenizer_readiness",
+    "p14_snapshot_diff",
+    "p15_incremental_rollup",
+    "p16_incremental_lsh_index",
+    "p18_compaction_equivalence",
+    "p19_retention_gc",
+    "p20_incremental_ivf_index",
+    "p22_ivf_drift_retrain",
+    "p24_incremental_eval_decontam",
+    "s08_ann_pq_topk",
+    "s09_knn_graph",
+    "s12_ann_ivfpq_topk",
+    "s13_graph_beam_search",
+    "s16_hnsw_layered_search",
+    "s17_ivf_drift_monitor",
+    "s19_ivf_probe_recall_curve",
+    "s23_kmeans_stability_audit",
+]
+
+
+def _rows(df):
+    return sorted(repr(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", MATERIALIZER_QUERIES)
+def test_materializer_build_is_idempotent(spark, name):
+    fn = QUERIES[name]
+    # Start truly cold at this SF: drop every smoke-fixture memo entry
+    # (earlier tests and earlier parametrize cases may have warmed
+    # shared artifacts), so the first run creates EVERY key the query
+    # needs and the eviction below reproduces bench.py's retime
+    # exactly — a full cold build re-entered in-session.
+    for key in [k for k in list(_MATERIALIZED) if k[1] == SF_SMOKE]:
+        del _MATERIALIZED[key]
+    before = set(_MATERIALIZED)
+    first = _rows(fn(spark, SF_SMOKE))
+    new_keys = {k[2] for k in set(_MATERIALIZED) - before}
+    if not new_keys:
+        pytest.skip(f"{name} no longer materializes (already warm or refactored)")
+    # bench.py's retime eviction, verbatim: drop exactly the keys this
+    # query's cold run created, then re-enter the builder in-session.
+    for key in [k for k in list(_MATERIALIZED) if k[2] in new_keys]:
+        del _MATERIALIZED[key]
+    second = _rows(fn(spark, SF_SMOKE))
+    assert first == second, f"{name} re-entered build changed its output"
