@@ -499,6 +499,51 @@ _R8_WINDOW = [
 # (b) slots 13-50: regression fill, oldest-green-first — ALL 38
 #     queries whose latest driver row is round 3 (recomputed from the
 #     r1-r9 union), in their r3 window order.
+# _R11_WINDOW (active, round 11): 50 slots.
+# (a) slots 1-5: the four queries with NO driver row ever —
+#     m45_raw_video_temporal, p24_incremental_eval_decontam,
+#     e46_stream_sessionization_parity, e47_stateful_totals_parity
+#     (registered after _R10_WINDOW froze; each green in the local
+#     325/325 sweep) — plus p17_incremental_batch_candidates (last
+#     driver row r9; displaced from the r10 window by e45, its kernel
+#     covered transitively by p16+p21 but not itself re-verified).
+# (b) slots 6-50: regression fill, oldest-green-first — ALL 45
+#     queries whose latest driver row is round 4 (recomputed from the
+#     r1-r10 union; the histogram after r10 is r10:50 r9:48 r7:47
+#     r4:45 r6:44 r8:44 r5:43), in their r4 window order. This
+#     advances the oldest-evidence tier from r4 to r5.
+_R11_WINDOW = [
+    # (a) rowless + displaced pins
+    "m45_raw_video_temporal", "p24_incremental_eval_decontam",
+    "e46_stream_sessionization_parity", "e47_stateful_totals_parity",
+    "p17_incremental_batch_candidates",
+    # (b) all 45 latest-row-r4 queries, r4 window order
+    "e18_session_duration_bands", "q60_column_profile",
+    "m10_wav_resample", "m11_bmp_downsample",
+    "x08_bitmap_distinct_rollup", "x09_sketch_intersection",
+    "s11_knn_graph_descent", "s12_ann_ivfpq_topk",
+    "t24_frequency_spectrum", "p03_dedup_decision_record",
+    "j01_salted_skew_join", "d19_substring_runs", "t25_bpe_apply",
+    "x10_kmv_distinct", "x11_kmv_set_ops",
+    "t26_trigram_backoff_score", "q55_ntile_deciles",
+    "e15_rfm_segments", "t21_weighted_sample", "s08_ann_pq_topk",
+    "d12_duplicated_spans", "d01_dedup_exact", "d04_dedup_ngram_jaccard",
+    "d07_dedup_jaccard_prefix_filtered", "d08_dedup_jaccard_blocked",
+    "e01_hourly_rollup", "e03_json_props", "x02_percentile",
+    "x04_array_agg", "e04_asof_join", "e05_range_join",
+    "q50_window_time_range", "e06_gapfill_rollup",
+    "m01_binary_metadata", "m03_frame_sample", "q01_pricing_summary",
+    "q02_filter_predicates", "q03_shipping_priority",
+    "q04_order_priority", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q07_left_join_nulls",
+    "q08_full_outer_join", "q09_anti_join", "q10_semi_join",
+]
+
+# ROUND-12 PROCEDURE: after CORRECTNESS_r11 lands, pin (a) any queries
+# registered after _R11_WINDOW froze and any whose plan/oracle changes
+# in round 12, then (b) regression fill oldest-green-first: the
+# latest-row-r5 queries (recompute from the r1-r11 union — 43 as of
+# the r11 freeze), then r6, r7, r8, r9, r10 in their window orders.
 _R10_WINDOW = [
     # (a) round-10 registrations + plan-changed
     "p20_incremental_ivf_index", "s27_ann_incremental_index_topk",
@@ -582,7 +627,7 @@ _R9_WINDOW = [
 
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R10_WINDOW if n in names]
+    window = [n for n in _R11_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 
