@@ -147,11 +147,20 @@ def band_rows_stateless(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, h) — per-doc distinct md5-prefix shingle hashes (the
-    d15 decontamination key), on an arbitrary (id, text) DataFrame."""
+    """(doc_id, h, h64) — per-doc distinct shingle hashes on an
+    arbitrary (id, text) DataFrame. ``h`` is the 32-bit md5-prefix (the
+    d15 decontamination key, which the DuckDB oracles replay
+    bit-for-bit in the Bloom arithmetic); ``h64`` is the full 64-bit
+    xxhash64 of the same shingle, carried for EXACT-verification joins:
+    at production shingle cardinalities a 32-bit space has real
+    birthday-collision odds (~50 % at ~77k distinct shingles), which
+    would inflate n_exact_hits/drop_doc vs a string-level replay, while
+    64 bits push the same odds below 2e-10 (ADVICE r10)."""
     sh = shingle_arrays(df, id_col, text_col)
     return sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", md5_prefix_long(F.col("s")).alias("h")
+        "doc_id",
+        md5_prefix_long(F.col("s")).alias("h"),
+        F.xxhash64(F.col("s")).alias("h64"),
     )
 
 
@@ -379,9 +388,17 @@ class IncrementalEvalIndex(_IncrementalTextIndex):
     training shingles die inside the scan stage; only Bloom survivors
     reach the exact join against the indexed universe.
 
-    ``index()`` rows: (doc_id, h) — per-doc distinct md5-prefix shingle
-    hashes (the d15 key); the universe is their distinct h set, so
-    append order and cross-batch duplicates cannot change it.
+    ``index()`` rows: (doc_id, h, h64) — per-doc distinct shingle
+    hashes; the universe is their distinct hash set, so append order
+    and cross-batch duplicates cannot change it. ``h`` (32-bit
+    md5-prefix, the d15 key) drives the Bloom bitmap — its arithmetic
+    is what the DuckDB oracle replays bit-for-bit; ``h64`` (xxhash64
+    of the shingle) drives the EXACT verification join, because a
+    32-bit space has ~50 % birthday-collision odds at ~77k distinct
+    shingles (a collision inflates n_exact_hits/drop_doc vs a
+    string-level replay), vs < 2e-10 at 64 bits. Storing both keeps
+    the persisted index string-verifiable later without re-reading
+    the eval corpus (ADVICE r10).
     """
 
     def _derive(self, df: DataFrame) -> DataFrame:
@@ -391,6 +408,11 @@ class IncrementalEvalIndex(_IncrementalTextIndex):
     def shingle_universe(self) -> DataFrame:
         """Distinct indexed shingle hashes (column ``h``)."""
         return self.index().select("h").distinct()
+
+    def shingle_universe_wide(self) -> DataFrame:
+        """Distinct indexed 64-bit shingle hashes (column ``h64``) —
+        the collision-safe key for exact-verification joins."""
+        return self.index().select("h64").distinct()
 
     def bloom_words(self) -> list[int]:
         """The d15 Bloom bitmap (BLOOM_BITS bits as m/64 packed int64
@@ -414,8 +436,11 @@ class IncrementalEvalIndex(_IncrementalTextIndex):
         hashed = shingle_hash_rows(train_df, id_col, text_col)
         hits = bloom_hits_of(hashed, bitmap)
         agg = hits.groupBy("doc_id").agg(F.count("*").alias("n_bloom_hits"))
+        # exact verification joins on the 64-bit hash, not the Bloom's
+        # 32-bit h — equivalent to a string-level join up to 2^-64
+        # collision odds (see class docstring)
         exact = (
-            hits.join(self.shingle_universe(), "h")
+            hits.join(self.shingle_universe_wide(), "h64")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_exact_hits"))
         )

@@ -1039,9 +1039,11 @@ def bloom_words_of(hashes: DataFrame) -> list[int]:
 
 
 def bloom_hits_of(hashed: DataFrame, bitmap: list[int]) -> DataFrame:
-    """Filter a (doc_id, h) stream to Bloom survivors: the bitmap ships
-    as ONE array literal in the plan and both probes are codegen'd bit
-    tests — the scan-stage kill that never shuffles the corpus."""
+    """Filter a (doc_id, h, ...) stream to Bloom survivors: the bitmap
+    ships as ONE array literal in the plan and both probes are
+    codegen'd bit tests — the scan-stage kill that never shuffles the
+    corpus. The input's own columns pass through unchanged (the eval
+    index carries its 64-bit exact-join key h64 alongside h)."""
     probe = (
         hashed.withColumn("bloom", F.lit(bitmap))
         .withColumn("p1", F.col("h") % BLOOM_BITS)
@@ -1052,7 +1054,7 @@ def bloom_hits_of(hashed: DataFrame, bitmap: list[int]) -> DataFrame:
             "((bloom[CAST(p1 DIV 64 AS INT)] >> CAST(p1 % 64 AS INT)) & 1) = 1"
             " AND ((bloom[CAST(p2 DIV 64 AS INT)] >> CAST(p2 % 64 AS INT)) & 1) = 1"
         )
-    ).select("doc_id", "h")
+    ).select(*hashed.columns)
 
 
 def _decontam_oracle(eval_mod: int, extra_cols: str = "") -> str:

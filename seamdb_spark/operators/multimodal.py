@@ -4790,15 +4790,30 @@ def mp4_mdat_offset(payload: bytes) -> int:
     never by string-searching the payload: mdat holds concatenated
     entropy-coded sample data that can itself contain the byte
     sequence ``b"mdat"``, and a find()/rfind()-based slice base would
-    then land inside a sample and corrupt every frame slice."""
+    then land inside a sample and corrupt every frame slice.
+
+    Handles all three ISO-BMFF size encodings (ADVICE r10): the common
+    32-bit size, ``size == 1`` (an 8-byte largesize follows the fourcc
+    — the normal encoding for >4 GiB mdat, exactly the case a 100 TB
+    video corpus hits), and ``size == 0`` (box extends to end of
+    payload, legal only for the final box). The body offset is pos+16
+    for the largesize form."""
     pos = 0
     while pos + 8 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos : pos + 4])
         btype = payload[pos + 4 : pos + 8]
-        if size < 8 or pos + size > len(payload):
+        header = 8
+        if size == 1:
+            if pos + 16 > len(payload):
+                raise ValueError(f"truncated largesize header for {btype!r}")
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            header = 16
+        elif size == 0:
+            size = len(payload) - pos
+        if size < header or pos + size > len(payload):
             raise ValueError(f"bad MP4 box size for {btype!r}")
         if btype == b"mdat":
-            return pos + 8
+            return pos + header
         pos += size
     raise ValueError("MP4 missing mdat box")
 

@@ -866,3 +866,37 @@ def test_mdat_offset_immune_to_mdat_bytes_inside_samples():
     mdat = payload[off:]
     for no, s_off, nb, _kf, _bs in extract_mp4_samples(payload):
         assert mdat[s_off : s_off + nb] == frames[no - 1]
+
+
+def test_mp4_mdat_offset_largesize_and_size_zero():
+    """ISO-BMFF size encodings beyond the 32-bit common case (ADVICE
+    r10): size==1 means an 8-byte largesize follows the fourcc (the
+    normal encoding for >4GiB mdat — what a real video corpus hits),
+    and size==0 means the box runs to end of payload (legal for the
+    final box). mp4_mdat_offset must resolve the same mdat body for
+    all three encodings, and reject a truncated largesize header."""
+    import struct
+
+    import pytest
+
+    from seamdb_spark.operators.multimodal import build_mp4, mp4_mdat_offset
+
+    payload = build_mp4(1000, 120, [10, 20], [1])
+    base = mp4_mdat_offset(payload)
+    body = payload[base:]
+
+    # rewrite the (final) mdat box into largesize form
+    head = payload[: base - 8]
+    largesize = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(body))
+    ls_payload = head + largesize + body
+    off = mp4_mdat_offset(ls_payload)
+    assert ls_payload[off:] == body
+
+    # size==0: mdat extends to end of payload
+    z_payload = head + struct.pack(">I", 0) + b"mdat" + body
+    off0 = mp4_mdat_offset(z_payload)
+    assert z_payload[off0:] == body
+
+    # largesize header cut off mid-field
+    with pytest.raises(ValueError):
+        mp4_mdat_offset(head + struct.pack(">I", 1) + b"mdat" + b"\x00\x00")
