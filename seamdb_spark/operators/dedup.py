@@ -209,6 +209,13 @@ def _lsh_candidate_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, (a, b) in enumerate(MINHASH_PARAMS)
         ]
     )
+    # Pin the signature table (N docs x N_MINHASH ints — corpus-count
+    # rows, never corpus-content) before the band self-join: the join's
+    # two sides do NOT share the exchange (AQE broadcasts one side), so
+    # without this the whole shingle→md5→minhash derivation — the
+    # expensive 60% of the build — runs TWICE. Measured at sf0.1:
+    # cold build 5.5-6.2s → 4.7-5.1s (r10 bench creep item).
+    sigs = sigs.localCheckpoint()
     # One explode pass builds every band row — a unionAll of per-band
     # projections would re-derive the whole signature pipeline N_BANDS
     # times (once per branch, twice more for the self-join sides).

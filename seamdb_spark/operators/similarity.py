@@ -458,6 +458,13 @@ def _centroid_history(
     untouched). Each table is K x 64 int64 — the only thing that ever
     reaches the driver. s03 consumes the last round; s17's drift
     monitor consumes the whole history."""
+    # The trainer loops bounded driver actions over a tiny corpus-count
+    # table; with the memo's 32 checkpoint partitions each Lloyd stage
+    # is overhead-dominated (32 near-empty tasks x 3 stages x rounds).
+    # coalesce (no shuffle) packs the reads into 4 tasks — ~0.5s/round
+    # at sf0.1 — and cannot change any result: every Lloyd step is
+    # exact integer arithmetic, order-independent by construction.
+    quant = quant.coalesce(4)
     seeds = (
         quant.select(
             "vec_id",
