@@ -513,10 +513,12 @@ _R8_WINDOW = [
 #     r4:45 r6:44 r8:44 r5:43), in their r4 window order. This
 #     advances the oldest-evidence tier from r4 to r5.
 _R11_WINDOW = [
-    # (a) rowless + displaced pins
+    # (a) rowless + displaced pins + round-11 registrations (e48
+    # checkpoint-restart parity — displaces q10_semi_join, which keeps
+    # its r4 row and rejoins the fill tier in round 12)
     "m45_raw_video_temporal", "p24_incremental_eval_decontam",
     "e46_stream_sessionization_parity", "e47_stateful_totals_parity",
-    "p17_incremental_batch_candidates",
+    "p17_incremental_batch_candidates", "e48_checkpoint_restart_parity",
     # (b) all 45 latest-row-r4 queries, r4 window order
     "e18_session_duration_bands", "q60_column_profile",
     "m10_wav_resample", "m11_bmp_downsample",
@@ -536,7 +538,7 @@ _R11_WINDOW = [
     "q02_filter_predicates", "q03_shipping_priority",
     "q04_order_priority", "q05_local_supplier_volume",
     "q06_forecast_revenue", "q07_left_join_nulls",
-    "q08_full_outer_join", "q09_anti_join", "q10_semi_join",
+    "q08_full_outer_join", "q09_anti_join",
 ]
 
 # ROUND-12 PROCEDURE: after CORRECTNESS_r11 lands, pin (a) any queries

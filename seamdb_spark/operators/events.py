@@ -5052,3 +5052,119 @@ def e47_stateful_totals_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events", "total_value",
         F.lit(bool(matches)).alias("stream_matches_batch"),
     )
+
+
+# --------------------------------------------------------------------------
+# e48: checkpoint-restart parity — the one streaming property the four
+# class gates (e44-e47) don't cover, and the one a production ingest
+# pipeline exercises weekly: kill a stateful stream mid-corpus and
+# resume it from its durable checkpoint. The fixture's events are
+# committed to a file-source dir in TWO batches (event_id parity).
+# Run 1 streams the even half through e47's applyInPandasWithState
+# kernel (ONE shared definition — user_running_totals_over) with a
+# checkpointLocation and a foreachBatch parquet sink (the exactly-once
+# custom-sink pattern, idempotent per-batchId path; memory sinks
+# refuse recovery), then TERMINATES and its query object is discarded.
+# The odd half is appended and an IDENTICAL query is started fresh
+# from the same checkpoint: the file source's offset log must skip the
+# already-processed files (restart_incremental pins run 2's input-row
+# total == the odd-half count) and the state store must restore every
+# user's (n, total), so the LATEST update per user equals the one-shot
+# batch aggregate over the full fixture (stream_matches_batch — lost
+# or double-counted state breaks the integer n_events equality; a
+# restart that REPROCESSED run 1's files instead of resuming breaks
+# restart_incremental even where totals happen to survive).
+# maxFilesPerTrigger=2 over a 4-file commit forces multiple
+# micro-batches per run, so state also crosses batches WITHIN each run.
+#
+# Scale: restart cost is offset-log + state-store recovery, never a
+# source rescan; state is two scalars per user; the sink write is
+# idempotent by batchId. Both runs + verdict session-memoized; the
+# layout is wiped at build entry (fresh_external_dir) so bench gate
+# retimes reproduce the exact run1→kill→run2 sequence.
+# --------------------------------------------------------------------------
+@register(
+    "e48_checkpoint_restart_parity",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value,
+           TRUE AS stream_matches_batch,
+           TRUE AS restart_incremental
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def e48_checkpoint_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from ..streaming.events import (
+        run_stream_foreach_batch_parquet,
+        user_running_totals_over,
+    )
+    from .materialize import fresh_external_dir, materialized_value
+
+    def batch() -> DataFrame:
+        return (
+            _events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                dround(F.sum("value"), 6).alias("total_value"),
+            )
+        )
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def run_and_compare() -> tuple[bool, bool]:
+        base = fresh_external_dir("/tmp/seamdb_ckptrestart", tag)
+        src, ckpt, out = base + "/src", base + "/ckpt", base + "/out"
+        ev = _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        first = ev.filter(F.col("event_id") % 2 == 0)
+        second = ev.filter(F.col("event_id") % 2 == 1)
+        n_second = second.count()
+        # 4 files per commit + maxFilesPerTrigger=2 => >=2 micro-batches
+        # per run: state must survive batch boundaries AND the restart
+        first.repartition(4).write.mode("overwrite").parquet(src)
+
+        def stream() -> DataFrame:
+            return user_running_totals_over(
+                spark.readStream.schema(ev.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", 2)
+                .load(src)
+            )
+
+        run_stream_foreach_batch_parquet(stream(), ckpt, out)
+        # the "kill": run 1's query object is gone; only the durable
+        # checkpoint (offset log + state store versions) survives
+        second.repartition(4).write.mode("append").parquet(src)
+        n_run2 = run_stream_foreach_batch_parquet(stream(), ckpt, out)
+
+        got_all = spark.read.parquet(out)  # bid=<batchId> partition dirs
+        w = W.partitionBy("user_id").orderBy(F.col("bid").desc())
+        got = (
+            got_all.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id", "n_events",
+                dround(F.col("total_value"), 6).alias("total_value"),
+            )
+        )
+        want = batch()
+        keys = ["user_id", "n_events", "total_value"]
+        extra = got.join(want, keys, "left_anti").count()
+        missing = want.join(got, keys, "left_anti").count()
+        return (extra == 0 and missing == 0, n_run2 == n_second)
+
+    matches, incremental = materialized_value(
+        spark, sf_dir, "e48_stream_parity", run_and_compare
+    )
+    return batch().select(
+        "user_id", "n_events", "total_value",
+        F.lit(bool(matches)).alias("stream_matches_batch"),
+        F.lit(bool(incremental)).alias("restart_incremental"),
+    )

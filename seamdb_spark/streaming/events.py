@@ -108,10 +108,16 @@ def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total carried in explicit state across
     micro-batches (the pattern for operators Spark's built-ins lack)."""
+    return user_running_totals_over(stream_events(spark, sf_dir))
+
+
+def user_running_totals_over(ev: DataFrame) -> DataFrame:
+    """The applyInPandasWithState running-totals kernel over ANY
+    events-shaped streaming DataFrame — ONE definition shared by e47
+    (full-fixture stream) and e48 (checkpoint-restart over a
+    two-commit source), so the stateful semantics can never fork."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    ev = stream_events(spark, sf_dir)
 
     out_schema = T.StructType(
         [
@@ -143,6 +149,37 @@ def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_foreach_batch_parquet(
+    df: DataFrame, checkpoint_dir: str, out_dir: str,
+    output_mode: str = "update",
+) -> int:
+    """Drive a streaming DataFrame to completion (availableNow) through
+    foreachBatch, writing each micro-batch to ``out_dir/bid=<batchId>``
+    as parquet — the production exactly-once custom-sink pattern
+    (idempotent per-batchId overwrite; a replayed batch lands on the
+    same path), and the sink class that supports RESTART from a
+    checkpoint (memory/console sinks refuse recovery). Returns the
+    number of input rows THIS run processed (summed over its progress
+    events) — a restarted run over an already-processed source must
+    report only the NEW rows, which is how e48 pins that recovery
+    resumed instead of reprocessing."""
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(f"{out_dir}/bid={batch_id}")
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return int(
+        sum(p["numInputRows"] for p in (q.recentProgress or []))
     )
 
 

@@ -48,6 +48,7 @@ MATERIALIZER_QUERIES = [
     "e45_stream_stream_join_parity",
     "e46_stream_sessionization_parity",
     "e47_stateful_totals_parity",
+    "e48_checkpoint_restart_parity",
     "j02_bucketed_colocated_join",
     "j03_partition_pruned_join",
     "p08_tokenizer_readiness",
