@@ -519,7 +519,8 @@ _R11_WINDOW = [
     "m45_raw_video_temporal", "p24_incremental_eval_decontam",
     "e46_stream_sessionization_parity", "e47_stateful_totals_parity",
     "p17_incremental_batch_candidates", "e48_checkpoint_restart_parity",
-    # (b) all 45 latest-row-r4 queries, r4 window order
+    # (b) 44 of the 45 latest-row-r4 queries, r4 window order (q10
+    # displaced by e48; it keeps its r4 row and refills in round 12)
     "e18_session_duration_bands", "q60_column_profile",
     "m10_wav_resample", "m11_bmp_downsample",
     "x08_bitmap_distinct_rollup", "x09_sketch_intersection",

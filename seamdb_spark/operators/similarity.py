@@ -458,13 +458,22 @@ def _centroid_history(
     untouched). Each table is K x 64 int64 — the only thing that ever
     reaches the driver. s03 consumes the last round; s17's drift
     monitor consumes the whole history."""
-    # The trainer loops bounded driver actions over a tiny corpus-count
+    # The trainer loops bounded driver actions over a corpus-count
     # table; with the memo's 32 checkpoint partitions each Lloyd stage
-    # is overhead-dominated (32 near-empty tasks x 3 stages x rounds).
-    # coalesce (no shuffle) packs the reads into 4 tasks — ~0.5s/round
-    # at sf0.1 — and cannot change any result: every Lloyd step is
-    # exact integer arithmetic, order-independent by construction.
-    quant = quant.coalesce(4)
+    # on the gate fixture is overhead-dominated (32 near-empty tasks x
+    # 3 stages x rounds). coalesce (no shuffle) packs the reads to
+    # ~10k vectors/task — ~0.5s/round at sf0.1 — while large corpora
+    # keep their parallelism (a flat coalesce(4) would serialize the
+    # corpus x K x dim arithmetic that dominates at 10x+, the exact
+    # superlinearity the scale spot-check exists to catch). Packing
+    # cannot change any result: every Lloyd step is exact integer
+    # arithmetic, order-independent by construction. The count is one
+    # fast action over the localCheckpointed memo, paid once per
+    # trainer invocation (itself session-memoized).
+    n_parts = quant.rdd.getNumPartitions()
+    target = max(4, min(n_parts, quant.count() // 10_000 + 1))
+    if target < n_parts:
+        quant = quant.coalesce(int(target))
     seeds = (
         quant.select(
             "vec_id",

@@ -29,9 +29,15 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     """File-stream sources need an explicit schema; fixture generations
     differ (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)), so sniff the parquet
     footer (metadata-only read) and return (schema, ts_is_nanos_long)."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    ts_arrow = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):  # directory layout: sniff any part file
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    ts_arrow = pq.read_schema(path).field("ts").type
     nanos = "ns" in str(ts_arrow)
     ts_field = T.LongType() if nanos else T.TimestampNTZType()
     return (
@@ -55,17 +61,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema, nanos = _events_raw_schema(sf_dir)
-    # The fixture is a single file; the file-stream source requires a
-    # directory, so stream the sf dir with a glob pinned to events.
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_table(spark, sf_dir, "events", schema)
     if nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _stream_table(spark: SparkSession, sf_dir: str, table: str, schema):
+    """File-source stream over ``<sf_dir>/<table>.parquet`` in EITHER
+    layout: a directory of part files (the normal production layout —
+    streamed directly, new part files are new stream input) or the
+    driver fixture's single file (the file-stream source requires a
+    directory, so stream the sf dir with a filename glob; the glob is
+    matched against leaf file NAMES, which is why it cannot also cover
+    the directory layout)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
 
 
 def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,13 +263,9 @@ _DOCS_RAW_SCHEMA = T.StructType(
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents fixture as a file-source stream (an ingestion pipeline's
-    view of a document feed)."""
-    return (
-        spark.readStream.schema(_DOCS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    view of a document feed). Directory or single-file layout — see
+    ``_stream_table``."""
+    return _stream_table(spark, sf_dir, "documents", _DOCS_RAW_SCHEMA)
 
 
 def doc_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
