@@ -519,8 +519,10 @@ _R11_WINDOW = [
     "m45_raw_video_temporal", "p24_incremental_eval_decontam",
     "e46_stream_sessionization_parity", "e47_stateful_totals_parity",
     "p17_incremental_batch_candidates", "e48_checkpoint_restart_parity",
-    # (b) 44 of the 45 latest-row-r4 queries, r4 window order (q10
-    # displaced by e48; it keeps its r4 row and refills in round 12)
+    "p25_index_compaction_rebuild",
+    # (b) 43 of the 45 latest-row-r4 queries, r4 window order (q09/q10
+    # displaced by e48/p25; they keep their r4 rows and refill in
+    # round 12)
     "e18_session_duration_bands", "q60_column_profile",
     "m10_wav_resample", "m11_bmp_downsample",
     "x08_bitmap_distinct_rollup", "x09_sketch_intersection",
@@ -539,7 +541,7 @@ _R11_WINDOW = [
     "q02_filter_predicates", "q03_shipping_priority",
     "q04_order_priority", "q05_local_supplier_volume",
     "q06_forecast_revenue", "q07_left_join_nulls",
-    "q08_full_outer_join", "q09_anti_join",
+    "q08_full_outer_join",
 ]
 
 # ROUND-12 PROCEDURE: after CORRECTNESS_r11 lands, pin (a) any queries

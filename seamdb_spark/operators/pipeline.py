@@ -2217,3 +2217,100 @@ def p24_incremental_eval_decontam(
         "doc_id", "n_bloom_hits", "n_exact_hits", "n_false_pos", "drop_doc",
         F.lit(bool(incremental)).alias("second_refresh_incremental"),
     )
+
+
+# --------------------------------------------------------------------------
+# p25: index rebuild across source compaction — the one
+# _IncrementalTextIndex transition p16/p21/p24 don't drive through the
+# oracle (it was pytest-only): when COMPACTION rewrites the indexed
+# source's history (p18's OPTIMIZE — every processed segment vanishes
+# from the manifest), the manifest diff can no longer prove which
+# documents are already indexed, so refresh() must take the REBUILD
+# branch (overwrite re-derivation of the full current file set) rather
+# than silently double-indexing or dropping documents. Sequence:
+# two-batch commit with an incremental refresh after each (same as
+# p16), then the source's full content is rewritten as ONE segment
+# (coalesce(1) overwrite — compaction's layout), then refresh must
+# report mode="rebuild" and a further refresh mode="noop". The
+# maintained index's candidate pairs after the rebuild must equal
+# DuckDB's batch-blind, compaction-blind full re-banding replay —
+# banding is per-document and deterministic, so a correct rebuild is
+# invisible in the result. rebuild_triggered and the pinned
+# single-segment count would read false/wrong on any other path.
+#
+# Scale: rebuild cost is one full derivation of the compacted table —
+# the same cost compaction itself just paid, amortized over the
+# O(new-segments) refreshes it re-enables; candidate reads are
+# unchanged. Own session-memoized layout (p16's stays two-segment so
+# p16/p17/p21 keep gating the incremental path).
+# --------------------------------------------------------------------------
+def _p25_oracle() -> str:
+    from .dedup import _lsh_cand_ctes
+
+    return f"""
+    WITH {_lsh_cand_ctes()}
+    SELECT doc_a, doc_b,
+           TRUE AS rebuild_triggered,
+           CAST(1 AS BIGINT) AS source_segments_after_compaction
+    FROM cand
+    """
+
+
+@register("p25_index_compaction_rebuild", oracle=_p25_oracle())
+def p25_index_compaction_rebuild(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import fresh_external_dir, materialized_value
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple[str, bool, int]:
+        base = fresh_external_dir("/tmp/seamdb_lshrebuild", tag)
+        snaps = TableSnapshots(base + "/docs")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        idx = _p16_index_at(spark, base)
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+        first = idx.refresh()
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 1))
+        second = idx.refresh()
+        # compaction: the table's full content rewritten as ONE segment
+        # (snapshot reads stay safe — the old segments survive under
+        # manifest retention while the new segment is written)
+        snaps.commit(snaps.read(spark, schema).coalesce(1), mode="overwrite")
+        n_segments = len(snaps.current_files())
+        third = idx.refresh()
+        modes_ok = (
+            first["mode"] == "incremental"
+            and second["mode"] == "incremental"
+            and third["mode"] == "rebuild"
+            and idx.refresh()["mode"] == "noop"
+        )
+        return base, modes_ok, n_segments
+
+    base, modes_ok, n_segments = materialized_value(
+        spark, sf_dir, "p25_lsh_rebuild", build
+    )
+    return _p16_index_at(spark, base).candidate_pairs().select(
+        "doc_a",
+        "doc_b",
+        F.lit(bool(modes_ok)).alias("rebuild_triggered"),
+        F.lit(int(n_segments)).cast("long").alias(
+            "source_segments_after_compaction"
+        ),
+    )

@@ -60,6 +60,7 @@ MATERIALIZER_QUERIES = [
     "p20_incremental_ivf_index",
     "p22_ivf_drift_retrain",
     "p24_incremental_eval_decontam",
+    "p25_index_compaction_rebuild",
     "s08_ann_pq_topk",
     "s09_knn_graph",
     "s12_ann_ivfpq_topk",

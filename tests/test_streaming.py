@@ -566,3 +566,54 @@ def test_watermark_drops_late_events_across_microbatches(spark, tmp_path):
     assert got.get(base) == [3], got
     # the hour-10 window stays open (watermark ends at hour 8:30)
     assert (base + dt.timedelta(hours=10)) not in got
+
+
+def test_stateful_totals_under_rocksdb_state_store(spark):
+    """The at-scale state backend: HDFS-backed (default) state stores
+    hold all state on the executor heap — fine for the fixture, a
+    memory wall at 100 TB (billions of keys). Production stateful
+    pipelines run RocksDBStateStoreProvider (native store, spill to
+    local disk, changelog checkpointing). The provider is a config
+    swap, not a semantics change — pinned here by running the e47
+    applyInPandasWithState kernel under RocksDB and requiring the
+    exact batch answer (counts integer-exact, totals to 1e-6)."""
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = st.run_stream_to_memory(
+            st.user_running_totals_stream(spark, SF_SMOKE),
+            "rocksdb_totals_test",
+            "update",
+        )
+        w = __import__("pyspark.sql", fromlist=["Window"]).Window
+        latest = (
+            out.withColumn(
+                "rk",
+                F.row_number().over(
+                    w.partitionBy("user_id").orderBy(F.col("n_events").desc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+        )
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in latest.collect()
+        }
+        batch = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in load_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+            .collect()
+        }
+        assert got == batch
+    finally:
+        if default is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, default)
