@@ -375,6 +375,76 @@ class IncrementalLSHIndex(_IncrementalTextIndex):
         )
 
 
+class IncrementalSimHashIndex(_IncrementalTextIndex):
+    """Persisted, incrementally-maintained SimHash signature index —
+    the p16 move applied to the THIRD dedup sketch family (after the
+    MinHash-LSH band index and the eval-shingle index): ``refresh()``
+    computes d03's 32-bit signatures for newly appended segments only
+    (signatures are per-document and deterministic — the manifest-diff
+    contract), and candidates come from the exclude-2-of-8 multi-index
+    blocking DERIVED from stored signatures at read time: the index
+    persists ONE row per document; the 28 (table, key) block rows are
+    cheap bit-arithmetic projections of the stored int, never stored.
+
+    ``index()`` rows: (doc_id, simhash).
+    """
+
+    def _derive(self, df: DataFrame) -> DataFrame:
+        from .operators.dedup import simhash_sigs
+
+        return simhash_sigs(df, self.id_col, self.text_col)
+
+    # ------------------------------------------------------------- api
+    def candidate_pairs(self) -> DataFrame:
+        """All verified near-dup pairs (doc_a < doc_b, hamming) from
+        the maintained signatures — d03's full blocking + hamming
+        verify, recall 1 for hamming <= SIMHASH_MAX_HAMMING by the
+        pigeonhole construction."""
+        from .operators.dedup import _simhash_block_pairs
+
+        return _simhash_block_pairs(self.index(), "simhash")
+
+    def new_candidate_pairs(self, new_doc_ids: DataFrame) -> DataFrame:
+        """Verified pairs INVOLVING the given new documents — the
+        per-batch check a growing corpus runs: the batch's 28-per-doc
+        block keys (broadcast-sized) join the full index's keys, so
+        existing documents never re-key and never pair among
+        themselves. O(batch x bucket occupancy), corpus-independent."""
+        from .operators.dedup import (
+            SIMHASH_MAX_HAMMING,
+            simhash_block_keys,
+        )
+
+        keyed = simhash_block_keys(self.index(), "simhash")
+        batch_keyed = keyed.join(
+            F.broadcast(
+                new_doc_ids.select(F.col(self.id_col).alias("doc_id"))
+            ),
+            "doc_id",
+        )
+        nb = batch_keyed.select(
+            F.col("doc_id").alias("nb_id"), F.col("simhash").alias("nb_sh"),
+            "c", "ck",
+        )
+        ib = keyed.select(
+            F.col("doc_id").alias("ib_id"), F.col("simhash").alias("ib_sh"),
+            "c", "ck",
+        )
+        hamming = F.bit_count(F.col("nb_sh").bitwiseXOR(F.col("ib_sh")))
+        return (
+            nb.join(ib, ["c", "ck"])
+            .filter(F.col("nb_id") != F.col("ib_id"))
+            .withColumn("hamming", hamming.cast("long"))
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+            .select(
+                F.least("nb_id", "ib_id").alias("doc_a"),
+                F.greatest("nb_id", "ib_id").alias("doc_b"),
+                "hamming",
+            )
+            .distinct()
+        )
+
+
 class IncrementalEvalIndex(_IncrementalTextIndex):
     """Persisted, incrementally-maintained EVAL-SHINGLE index — the
     operational form of d10/d15 decontamination for a growing eval

@@ -417,7 +417,17 @@ def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d03_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    return simhash_sigs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def simhash_sigs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) — the d03 32-bit SimHash signature on an
+    arbitrary (id, text) DataFrame. ONE definition shared by d03's
+    full-corpus build and the incremental SimHash index
+    (dedup_index.IncrementalSimHashIndex), so signature semantics can
+    never fork. Per-document and deterministic, which is what makes
+    the signature append-derivable over new segments."""
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tok_hash = toks.select("doc_id", md5_prefix_long(F.col("tok")).alias("h"))
     # One groupBy pass with 32 conditional sums (whole-stage codegen)
@@ -439,14 +449,12 @@ def _d03_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash_expr.alias("simhash"))
 
 
-def _simhash_block_candidates(sigs: DataFrame, col: str) -> DataFrame:
-    """Exclude-2-of-8 multi-index blocking over a 32-bit signature column
-    (see the construction/selectivity note at _SIMHASH_N_CHUNKS).
-
-    Candidate pairs must share at least one exact (table_id, 24-bit
-    key); guaranteed for hamming ≤ 2 (SIMHASH_MAX_HAMMING) because some
-    excluded chunk-pair covers every differing bit.
-    """
+def simhash_block_keys(sigs: DataFrame, col: str) -> DataFrame:
+    """(doc_id, simhash, c, ck) exclude-2-of-8 multi-index block keys
+    derived from a 32-bit signature column — cheap projections of the
+    one stored int (28 rows/doc), shared by the full self-join below
+    and the incremental index's per-batch lookup
+    (dedup_index.IncrementalSimHashIndex)."""
     from itertools import combinations
 
     w, m = _SIMHASH_CHUNK_W, _SIMHASH_N_CHUNKS
@@ -460,7 +468,7 @@ def _simhash_block_candidates(sigs: DataFrame, col: str) -> DataFrame:
         table_exprs.append(
             F.struct(F.lit(t).alias("c"), F.expr(key).alias("ck"))
         )
-    keyed = (
+    return (
         sigs.select(
             "doc_id",
             F.col(col).alias("simhash"),
@@ -474,6 +482,17 @@ def _simhash_block_candidates(sigs: DataFrame, col: str) -> DataFrame:
         # An explicit numPartitions survives AQE.
         .repartition(64, "c", "ck")
     )
+
+
+def _simhash_block_candidates(sigs: DataFrame, col: str) -> DataFrame:
+    """Exclude-2-of-8 multi-index blocking over a 32-bit signature column
+    (see the construction/selectivity note at _SIMHASH_N_CHUNKS).
+
+    Candidate pairs must share at least one exact (table_id, 24-bit
+    key); guaranteed for hamming ≤ 2 (SIMHASH_MAX_HAMMING) because some
+    excluded chunk-pair covers every differing bit.
+    """
+    keyed = simhash_block_keys(sigs, col)
     k1 = keyed.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "ck"
     )

@@ -2314,3 +2314,147 @@ def p25_index_compaction_rebuild(
             "source_segments_after_compaction"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# p26: incremental SimHash index maintenance — the p16/p20/p24 move
+# applied to the LAST dedup sketch family without a maintained index
+# (d03's 32-bit SimHash): documents committed to a snapshot source in
+# TWO batches (doc_id parity), IncrementalSimHashIndex refreshed
+# after each (both pinned incremental — signatures are per-document
+# and deterministic, so append-derivation is exact; a rebuild
+# fallback would flip the flag and fail the gate), and the maintained
+# index's verified near-dup pairs returned. The index persists ONE
+# row per document (the signature int); the 28-per-doc block keys are
+# derived at read time by bit arithmetic. Correctness identity:
+# signatures over any batch split equal full-corpus signatures, so
+# the DuckDB oracle replays d03's brute-force hamming verify
+# (_simhash_sig_sql — recall 1 vs the blocking by the pigeonhole
+# construction) with no knowledge of batching or blocking.
+#
+# Scale: per-refresh signature pass scans only new segments; the
+# candidate join touches 28-per-doc key rows (never text); per-batch
+# admission uses new_candidate_pairs' broadcast lookup. With LSH
+# (p16), IVF (p20), eval shingles (p24) and now SimHash, every sketch
+# family the dedup suite ships has a maintained O(new-data) index.
+# --------------------------------------------------------------------------
+def _p26_oracle() -> str:
+    from .dedup import SIMHASH_MAX_HAMMING, _simhash_sig_sql
+
+    return f"""
+    WITH {_simhash_sig_sql()}
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+           CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming,
+           TRUE AS second_refresh_incremental
+    FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+def _p26_index_at(spark: SparkSession, base: str):
+    from pyspark.sql import types as T
+
+    from ..dedup_index import IncrementalSimHashIndex
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return IncrementalSimHashIndex.over_snapshots(
+        spark, base + "/docs", schema, "doc_id", "text", base + "/state"
+    )
+
+
+def _p26_build_index(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    import re as _re
+
+    from ..sources import load_table
+    from .materialize import fresh_external_dir, materialized_value
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple[str, bool]:
+        from ..snapshots import TableSnapshots
+
+        base = fresh_external_dir("/tmp/seamdb_simhashindex", tag)
+        snaps = TableSnapshots(base + "/docs")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        idx = _p26_index_at(spark, base)
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+        first = idx.refresh()
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 1))
+        second = idx.refresh()
+        return base, (
+            first["mode"] == "incremental"
+            and second["mode"] == "incremental"
+            and idx.refresh()["mode"] == "noop"
+        )
+
+    return materialized_value(spark, sf_dir, "p26_simhash_index", build)
+
+
+@register("p26_incremental_simhash_index", oracle=_p26_oracle())
+def p26_incremental_simhash_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base, incremental = _p26_build_index(spark, sf_dir)
+    return _p26_index_at(spark, base).candidate_pairs().select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        F.lit(bool(incremental)).alias("second_refresh_incremental"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p27: per-batch candidate lookup against the maintained SimHash index
+# — p17's move for the SimHash family (p26 gates refresh + full
+# pairs; this gates new_candidate_pairs): a new insert batch asks
+# only "which existing or sibling documents is THIS batch within
+# hamming 2 of". The batch's 28-per-doc block keys broadcast into the
+# index's keys; existing documents never re-key and never pair among
+# themselves. Identity pinned cross-engine: the per-batch lookup
+# equals the batch-blind brute-force hamming verify RESTRICTED to
+# pairs touching the batch (odd doc_ids — the second insert batch).
+#
+# Scale: O(batch x bucket occupancy), independent of corpus size.
+# Reuses p26's session-memoized index layout, so the signature
+# derivation runs once for both queries.
+# --------------------------------------------------------------------------
+def _p27_oracle() -> str:
+    from .dedup import SIMHASH_MAX_HAMMING, _simhash_sig_sql
+
+    return f"""
+    WITH {_simhash_sig_sql()}
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+           CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming,
+           TRUE AS second_refresh_incremental
+    FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+      AND (s1.doc_id % 2 = 1 OR s2.doc_id % 2 = 1)
+    """
+
+
+@register("p27_simhash_batch_candidates", oracle=_p27_oracle())
+def p27_simhash_batch_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources import load_table
+
+    base, incremental = _p26_build_index(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(F.col("doc_id").cast("long"))
+    )
+    return _p26_index_at(spark, base).new_candidate_pairs(batch).select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        F.lit(bool(incremental)).alias("second_refresh_incremental"),
+    )

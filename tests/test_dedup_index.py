@@ -428,3 +428,71 @@ def test_ivf_three_uneven_batches_equal_one_shot(spark, tmp_path):
         ).collect()
     }
     assert {(r.vec_id, r.cid) for r in idx.index().collect()} == want
+
+
+# ---------------------------------------------------------------------------
+# IncrementalSimHashIndex (p26/p27): same contract as the LSH index —
+# incremental signatures equal full derivation, per-batch lookup equals
+# the full verify restricted to the batch, compaction triggers rebuild.
+# ---------------------------------------------------------------------------
+def _setup_simhash(engine):
+    from seamdb_spark.dedup_index import IncrementalSimHashIndex
+
+    engine.sql("CREATE TABLE sdocs (id serial PRIMARY KEY, body text)")
+    return IncrementalSimHashIndex(engine, "sdocs_sh", "sdocs", "id", "body")
+
+
+def _insert_sdocs(engine, texts):
+    vals = ", ".join(f"('{t}')" for t in texts)
+    engine.sql(f"INSERT INTO sdocs (body) VALUES {vals}")
+
+
+def _full_sigs(engine):
+    from seamdb_spark.operators.dedup import simhash_sigs
+
+    return {
+        (r.doc_id, r.simhash)
+        for r in simhash_sigs(engine.table("sdocs"), "id", "body").collect()
+    }
+
+
+def test_simhash_incremental_index_equals_full_derivation(engine):
+    idx = _setup_simhash(engine)
+    _insert_sdocs(engine, _BATCH1)
+    out = idx.refresh()
+    assert out["mode"] == "incremental" and out["n_new_docs"] == 3
+    assert {(r.doc_id, r.simhash) for r in idx.index().collect()} == _full_sigs(engine)
+    _insert_sdocs(engine, _BATCH2)
+    out = idx.refresh()
+    assert out["mode"] == "incremental" and out["n_new_docs"] == 2
+    assert {(r.doc_id, r.simhash) for r in idx.index().collect()} == _full_sigs(engine)
+    assert idx.refresh()["mode"] == "noop"
+
+
+def test_simhash_candidates_and_batch_lookup_agree(engine):
+    idx = _setup_simhash(engine)
+    _insert_sdocs(engine, _BATCH1)
+    idx.refresh()
+    _insert_sdocs(engine, _BATCH2)
+    idx.refresh()
+    pairs = {(r.doc_a, r.doc_b, r.hamming) for r in idx.candidate_pairs().collect()}
+    # doc 4 is an exact copy of doc 1 -> hamming 0 must be found
+    assert (1, 4, 0) in pairs
+    spark = engine.spark
+    batch_ids = spark.createDataFrame([(4,), (5,)], "id long")
+    got = {(r.doc_a, r.doc_b) for r in idx.new_candidate_pairs(batch_ids).collect()}
+    want = {(a, b) for a, b, _ in pairs if a in (4, 5) or b in (4, 5)}
+    assert got == want
+
+
+def test_simhash_rebuild_on_history_rewrite(engine):
+    idx = _setup_simhash(engine)
+    _insert_sdocs(engine, _BATCH1)
+    idx.refresh()
+    _insert_sdocs(engine, _BATCH2)
+    idx.refresh()
+    engine.compact("sdocs")
+    out = idx.refresh()
+    assert out["mode"] == "rebuild"
+    assert {(r.doc_id, r.simhash) for r in idx.index().collect()} == _full_sigs(engine)
+    assert idx.refresh()["mode"] == "noop"

@@ -61,6 +61,8 @@ MATERIALIZER_QUERIES = [
     "p22_ivf_drift_retrain",
     "p24_incremental_eval_decontam",
     "p25_index_compaction_rebuild",
+    "p26_incremental_simhash_index",
+    "p27_simhash_batch_candidates",
     "s08_ann_pq_topk",
     "s09_knn_graph",
     "s12_ann_ivfpq_topk",
