@@ -124,3 +124,26 @@ def test_persist_runs_before_retime_loop():
     src = open("/root/repo/bench.py").read()
     body = src[src.index("def main(") :]
     assert body.index("summary = persist(") < body.index("run_gate_retimes(")
+
+
+def test_bench_skip_list_names_registered_queries():
+    """Every bench skip entry must name a registered query — a renamed
+    or deleted query would otherwise leave a stale skip that silently
+    stops gating nothing (or, worse, lets a rename re-enter the bench
+    unnoticed as a 'new' query with no baseline)."""
+    import importlib
+    import inspect
+
+    import bench
+    from seamdb_spark.operators.registry import QUERIES
+
+    importlib.reload(bench)
+    src = inspect.getsource(bench.main)
+    # the skip dict's keys appear verbatim in main(); cross-check each
+    # quoted d/s/x-prefixed key-looking token against the registry
+    import re
+
+    keys = set(re.findall(r'"([a-z]\d{2}_[a-z0-9_]+)":', src))
+    assert keys, "skip dict not found in bench.main"
+    unknown = sorted(k for k in keys if k not in QUERIES)
+    assert not unknown, f"bench skip entries name unknown queries: {unknown}"
