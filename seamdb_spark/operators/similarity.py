@@ -4273,3 +4273,91 @@ def p23_incremental_vector_neardup(
     return paired.select(
         "vec_a", "vec_b", "cid", dround(F.col("raw_cosine"), 6).alias("cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# p28: IVF index rebuild across source compaction — p25's move for the
+# vector family (the ivf_index rebuild branch was pytest-only:
+# tests/test_dedup_index.py::test_ivf_vanished_segments_force_rebuild):
+# after the indexed vector source's history is rewritten as ONE
+# segment, the manifest diff can no longer prove which vectors are
+# assigned, so refresh() must RETRAIN on the full current corpus and
+# reassign — not double-assign or drop vectors. Sequence: even-half
+# commit → refresh (train), odd-half append → refresh (incremental),
+# coalesce(1)-overwrite compaction → refresh (rebuild), then noop —
+# all four modes pinned. The post-rebuild per-cell populations must
+# equal DuckDB's batch-blind replay that trains Lloyd on the FULL
+# corpus and assigns one-shot (_ivf_replay_ctes('quant') — the
+# rebuild's exact contract, vs p20/s27's even-seed replay).
+#
+# Scale: rebuild cost is one train+assign over the compacted table —
+# the same order of work compaction itself just paid, amortized over
+# the O(batch x K) refreshes it re-enables; steady-state reads (s27's
+# warm top-k) are unchanged. Own session-memoized layout so p20/s27
+# keep gating the incremental path on theirs.
+# --------------------------------------------------------------------------
+def _p28_oracle() -> str:
+    return f"""
+    WITH {_ivf_replay_ctes('quant')}
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           TRUE AS rebuild_triggered,
+           CAST(1 AS BIGINT) AS source_segments_after_compaction
+    FROM cells GROUP BY cid
+    """
+
+
+@register("p28_ivf_compaction_rebuild", oracle=_p28_oracle())
+def p28_ivf_compaction_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from .materialize import fresh_external_dir, materialized_value
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple[str, bool, int]:
+        from ..snapshots import TableSnapshots
+
+        base = fresh_external_dir("/tmp/seamdb_ivfrebuild", tag)
+        snaps = TableSnapshots(base + "/vecs")
+        emb = _emb(spark, sf_dir).select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        idx = _p20_index_at(spark, sf_dir, base)
+        snaps.commit(emb.filter(F.col("vec_id") % 2 == 0), mode="overwrite")
+        first = idx.refresh()
+        snaps.commit(emb.filter(F.col("vec_id") % 2 == 1))
+        second = idx.refresh()
+        # compaction: full content rewritten as ONE segment (old
+        # segments survive under manifest retention while it writes)
+        snaps.commit(
+            snaps.read(spark, emb.schema).coalesce(1), mode="overwrite"
+        )
+        n_segments = len(snaps.current_files())
+        third = idx.refresh()
+        modes_ok = (
+            first["mode"] == "train"
+            and second["mode"] == "incremental"
+            and third["mode"] == "rebuild"
+            and idx.refresh()["mode"] == "noop"
+        )
+        return base, modes_ok, n_segments
+
+    base, modes_ok, n_segments = materialized_value(
+        spark, sf_dir, "p28_ivf_rebuild", build
+    )
+    idx = _p20_index_at(spark, sf_dir, base)
+    return (
+        idx.index()
+        .groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_vecs",
+            F.lit(bool(modes_ok)).alias("rebuild_triggered"),
+            F.lit(int(n_segments)).cast("long").alias(
+                "source_segments_after_compaction"
+            ),
+        )
+    )

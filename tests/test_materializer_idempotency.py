@@ -63,6 +63,7 @@ MATERIALIZER_QUERIES = [
     "p25_index_compaction_rebuild",
     "p26_incremental_simhash_index",
     "p27_simhash_batch_candidates",
+    "p28_ivf_compaction_rebuild",
     "s08_ann_pq_topk",
     "s09_knn_graph",
     "s12_ann_ivfpq_topk",
