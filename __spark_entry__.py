@@ -521,10 +521,10 @@ _R11_WINDOW = [
     "p17_incremental_batch_candidates", "e48_checkpoint_restart_parity",
     "p25_index_compaction_rebuild", "p26_incremental_simhash_index",
     "p27_simhash_batch_candidates", "p28_ivf_compaction_rebuild",
-    # (b) 40 of the 45 latest-row-r4 queries, r4 window order
-    # (q06/q07/q08/q09/q10 displaced by the five round-11
-    # registrations e48/p25/p26/p27/p28; they keep their r4 rows and
-    # refill in round 12)
+    "p29_dual_detector_admission",
+    # (b) 39 of the 45 latest-row-r4 queries, r4 window order
+    # (q05-q10 displaced by the six round-11 registrations
+    # e48/p25-p29; they keep their r4 rows and refill in round 12)
     "e18_session_duration_bands", "q60_column_profile",
     "m10_wav_resample", "m11_bmp_downsample",
     "x08_bitmap_distinct_rollup", "x09_sketch_intersection",
@@ -541,7 +541,7 @@ _R11_WINDOW = [
     "q50_window_time_range", "e06_gapfill_rollup",
     "m01_binary_metadata", "m03_frame_sample", "q01_pricing_summary",
     "q02_filter_predicates", "q03_shipping_priority",
-    "q04_order_priority", "q05_local_supplier_volume",
+    "q04_order_priority",
 ]
 
 # ROUND-12 PROCEDURE: after CORRECTNESS_r11 lands, pin (a) any queries

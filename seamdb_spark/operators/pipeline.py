@@ -2458,3 +2458,120 @@ def p27_simhash_batch_candidates(
         "hamming",
         F.lit(bool(incremental)).alias("second_refresh_incremental"),
     )
+
+
+# --------------------------------------------------------------------------
+# p29: dual-detector incremental ingest admission — p21's pipeline
+# with BOTH maintained near-dup indexes stacked (d34 quantifies the
+# lexical/simhash detectors' complementarity offline; this is the
+# decision a production ingest actually makes with it): per new-batch
+# document, in precedence order —
+#   dropped_quality:      t02 quality below the floor (cheap,
+#                         row-local — runs before any index lookup);
+#   dropped_lexical_dup:  band-collides with any EARLIER doc in the
+#                         maintained LSH index (p21's rule);
+#   dropped_simhash_dup:  within hamming 2 of an EARLIER doc in the
+#                         maintained SimHash index — catches the
+#                         near-dups whose shingle sets drifted past
+#                         banding but whose token distribution didn't
+#                         (d34's simhash_only class);
+#   admitted:             everything else.
+# Both collision counts are emitted so the gate checks the counting
+# of each detector, not just the merged verdict. The oracle is
+# batch-blind and index-blind: DuckDB re-derives both detectors over
+# the full corpus (d02's banding CTEs + d03's signature CTEs, the
+# d34 composition) and applies the same precedence.
+#
+# Scale: quality is row-local on the batch; both dup checks are
+# O(batch)-broadcast lookups against maintained indexes (band rows /
+# 28 block keys — never the corpus text); the verdict join is
+# doc_id-keyed. Reuses p16's AND p26's session-memoized layouts, so
+# this query adds NO index build cost to a session that ran either.
+# --------------------------------------------------------------------------
+def _p29_oracle() -> str:
+    from .dedup import SIMHASH_MAX_HAMMING, _lsh_cand_ctes, _simhash_sig_sql
+    from .text import QUALITY_SQL
+
+    sim = _simhash_sig_sql("sh_").strip()
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    quality AS ({QUALITY_SQL}),
+    {sim},
+    earlier_lex AS (
+      SELECT doc_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cand WHERE doc_b % 2 = 1 GROUP BY doc_b
+    ),
+    earlier_sh AS (
+      SELECT s2.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM sh_sigs s1 JOIN sh_sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE s2.doc_id % 2 = 1
+        AND bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}
+      GROUP BY s2.doc_id
+    )
+    SELECT q.doc_id,
+           ROUND(q.quality_score, 6) AS quality_score,
+           COALESCE(l.n, 0) AS n_lexical_collisions,
+           COALESCE(h.n, 0) AS n_simhash_collisions,
+           CASE
+             WHEN q.quality_score < {QUALITY_MIN} THEN 'dropped_quality'
+             WHEN l.n IS NOT NULL THEN 'dropped_lexical_dup'
+             WHEN h.n IS NOT NULL THEN 'dropped_simhash_dup'
+             ELSE 'admitted'
+           END AS status
+    FROM quality q
+    LEFT JOIN earlier_lex l ON l.doc_id = q.doc_id
+    LEFT JOIN earlier_sh h ON h.doc_id = q.doc_id
+    WHERE q.doc_id % 2 = 1
+    """
+
+
+@register("p29_dual_detector_admission", oracle=_p29_oracle())
+def p29_dual_detector_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    lsh_base, _ = _p16_build_index(spark, sf_dir)
+    sh_base, _ = _p26_build_index(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(F.col("doc_id").cast("long"))
+    )
+    # first-come-wins per detector: the batch doc is the pair's larger
+    # side (both lookups emit doc_a < doc_b)
+    earlier_lex = (
+        _p16_index_at(spark, lsh_base)
+        .new_candidate_pairs(batch)
+        .filter(F.col("doc_b") % 2 == 1)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_lex"))
+    )
+    earlier_sh = (
+        _p26_index_at(spark, sh_base)
+        .new_candidate_pairs(batch)
+        .filter(F.col("doc_b") % 2 == 1)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_sh"))
+    )
+    quality = t02_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    return (
+        quality.filter(F.col("doc_id") % 2 == 1)
+        .join(earlier_lex, "doc_id", "left")
+        .join(earlier_sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            dround(F.col("quality_score"), 6).alias("quality_score"),
+            F.coalesce(F.col("n_lex"), F.lit(0).cast("long")).alias(
+                "n_lexical_collisions"
+            ),
+            F.coalesce(F.col("n_sh"), F.lit(0).cast("long")).alias(
+                "n_simhash_collisions"
+            ),
+            F.when(F.col("quality_score") < QUALITY_MIN, "dropped_quality")
+            .when(F.col("n_lex").isNotNull(), "dropped_lexical_dup")
+            .when(F.col("n_sh").isNotNull(), "dropped_simhash_dup")
+            .otherwise("admitted")
+            .alias("status"),
+        )
+    )

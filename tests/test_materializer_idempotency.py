@@ -64,6 +64,7 @@ MATERIALIZER_QUERIES = [
     "p26_incremental_simhash_index",
     "p27_simhash_batch_candidates",
     "p28_ivf_compaction_rebuild",
+    "p29_dual_detector_admission",
     "s08_ann_pq_topk",
     "s09_knn_graph",
     "s12_ann_ivfpq_topk",
