@@ -617,3 +617,34 @@ def test_stateful_totals_under_rocksdb_state_store(spark):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, default)
+
+
+def test_stream_sources_accept_directory_layout(spark, tmp_path):
+    """The stream sources take either fixture layout: the driver's
+    single file (filename-glob branch) or a DIRECTORY of part files —
+    the normal production layout, and what the 10x scale fixture uses
+    (scripts/scale_spotcheck.py). Pin the directory branch with a tiny
+    dir-layout sf_dir: the streamed totals must equal the batch
+    aggregate over the same rows."""
+    sf = str(tmp_path / "sfdir")
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    ev.repartition(3).write.parquet(sf + "/events.parquet")
+    import os
+
+    assert os.path.isdir(sf + "/events.parquet")
+    out = st.run_stream_to_memory(
+        st.stream_events(spark, sf)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v")),
+        "dir_layout_totals_test",
+        "complete",
+    )
+    got = {r.user_id: (r.n, round(r.v, 6)) for r in out.collect()}
+    want = {
+        r.user_id: (r.n, round(r.v, 6))
+        for r in spark.read.parquet(sf + "/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == want and got
