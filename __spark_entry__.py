@@ -630,9 +630,57 @@ _R9_WINDOW = [
 ]
 
 
+# ROUND-13 PROCEDURE: after CORRECTNESS_r12 lands, pin (a) any queries
+# registered after _R12_WINDOW froze and any whose plan/oracle changes
+# in round 13, then (b) regression fill oldest-driver-evidence-first:
+# recompute the latest-round-per-query union from CORRECTNESS_r1-r12
+# (after r12 the oldest tier is the 44 latest-row-r6 queries), filling
+# tiers r6, r7, r8, ... in their original window orders.
+# _R12_WINDOW (active, round 12): 50 slots.
+# (a) slots 1-7: the six queries whose latest driver row is ROUND 4
+#     (q05-q10 — displaced from the r11 window by the round-11
+#     registrations, seven rounds since their last driver check;
+#     VERDICT r11 "Next round" #3) plus p30_bucket_pruned_unique_clash
+#     (new this round: the bucket-pruned unique-clash engine branch,
+#     previously pytest-only — VERDICT r11 "Next round" #5; locally
+#     hash-green at sf0.001 + sf0.01 on registration).
+# (b) slots 8-50: regression fill, oldest-green-first — ALL 43
+#     queries whose latest driver row is round 5 (recomputed from the
+#     r1-r11 union; histogram after r11 is r11:50 r10:50 r9:47 r7:47
+#     r6:44 r8:44 r5:43 r4:6), in their r5 window order. This
+#     advances the oldest-evidence tier from r4/r5 to r6.
+_R12_WINDOW = [
+    # (a) stale-r4 pins + the round-12 registration
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_left_join_nulls", "q08_full_outer_join", "q09_anti_join",
+    "q10_semi_join", "p30_bucket_pruned_unique_clash",
+    # (b) all 43 latest-row-r5 queries, r5 window order
+    "d23_eval_contamination_report", "d24_frequency_downsample",
+    "t27_dsir_importance", "t28_temperature_sampling",
+    "g02_triangle_count", "m12_bmp_channel_stats", "m13_silence_runs",
+    "m14_modality_router", "e19_interarrival_profile",
+    "e20_cooccurrence_lift", "e21_sax_motifs", "e22_markov_attribution",
+    "q61_order_streaks", "p04_selection_pipeline", "s14_ann_recall_audit",
+    "s15_mmr_diversified_topk", "t29_hashed_classifier_score",
+    "p05_model_curation_report", "m15_jpeg_roundtrip",
+    "m16_jpeg_ahash_stability", "s13_graph_beam_search",
+    "t30_perplexity_buckets", "g03_degree_assortativity",
+    "t31_heldout_lm_eval", "d28_cluster_quality_audit",
+    "e23_hourly_seasonality", "m17_frame_motion_profile",
+    "s17_ivf_drift_monitor", "t32_source_vocab_divergence",
+    "e24_attribution_comparison", "p06_corpus_report_card",
+    "e25_user_concentration", "t33_lexical_diversity",
+    "s18_embedding_norm_screen", "m18_wav_peak_normalize",
+    "e26_transition_predictability", "t34_langid_confusion",
+    "q62_monotone_value_streaks", "e27_type_cross_correlation",
+    "t35_code_prose_profile", "x12_uniform_group_sample",
+    "m19_clipping_runs", "t36_zipf_doubling_ratio",
+]
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R11_WINDOW if n in names]
+    window = [n for n in _R12_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 

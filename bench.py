@@ -72,6 +72,32 @@ BASELINE_FILE = os.path.join(
 # after, once the new baseline reflects the change).
 GATE_ALLOW: dict[str, str] = {}
 
+# Round-12 addition — throttle canary (VERDICT r11 #1): the build VM's
+# CPU throttles after hours of sustained compute (four same-tree runs
+# drifted 352s -> 504s in round 11 with near-uniform per-query
+# inflation), and the baseline-advance on a clean pass wrote those
+# inflated numbers into bench_baseline.json twice, loosening the
+# trajectory gate ~45%. The canary times ONE fixed cheap query
+# (min-of-2) right after warm-up and again after the gate verdict; the
+# end/start ratio is recorded as `canary_drift` in the summary, and the
+# baseline NEVER advances when the drift exceeds CANARY_MAX_DRIFT — a
+# throttled run can still pass the gate (the gate bounds are generous)
+# but can no longer poison the next round's calibration.
+CANARY_QUERY = "q01_pricing_summary"
+CANARY_MAX_DRIFT = 1.25
+
+
+def time_canary(queries: dict, spark, sf_dir: str, n: int = 2) -> float:
+    """Min-of-n wall time of the fixed canary query on the warm session
+    (min-of-2 so single-sample GC noise can't masquerade as drift)."""
+    best: float | None = None
+    for _ in range(n):
+        t0 = time.time()
+        queries[CANARY_QUERY](spark, sf_dir).count()
+        t = time.time() - t0
+        best = t if best is None else min(best, t)
+    return round(best, 3)
+
 
 def check_regressions(
     timings: dict[str, float],
@@ -166,6 +192,7 @@ def persist_results(
     regressions: list[dict],
     skip: dict[str, str],
     snapshot_root: str | None = None,
+    canary: dict | None = None,
 ) -> dict:
     """Write the full bench record + the per-round details snapshot and
     return the compact summary. main() calls this BEFORE the gate-retime
@@ -184,12 +211,21 @@ def persist_results(
         "n_queries": len(timings),
         "mean_query_seconds": round(total / max(1, len(timings)), 3),
         "regressed": len(regressions),
+        # How many gate flags were adjudicated as noise via retime —
+        # a noise-dominated run (gate clean, many retimes) is visible
+        # from the one-line record (VERDICT r11 nit #3).
+        "n_retimed": len(gate_retimes),
+        # end/start wall ratio of the fixed canary query; None until
+        # the closing canary sample has run. >CANARY_MAX_DRIFT means
+        # the VM throttled mid-run and the baseline was NOT advanced.
+        "canary_drift": (canary or {}).get("drift"),
         "details_file": results_file,
     }
     with open(results_file, "w") as f:
         json.dump(
             {
                 **summary,
+                "canary": canary or {},
                 "queries": timings,
                 "first_runs": first_runs,
                 "materializers": materializers,
@@ -259,6 +295,9 @@ def main() -> None:
         schema="id long, np_ok long",
     ).count()
 
+    # Throttle canary, opening sample (on the now-warm session).
+    canary_start = time_canary(queries, spark, sf_dir)
+
     # Single-VM timing noise on heavy queries measured up to 4x (GC /
     # block-manager churn between queries); re-run anything slower than
     # RETIME_ABOVE once and record the MIN — the standard min-of-k
@@ -307,11 +346,12 @@ def main() -> None:
         except (OSError, ValueError):
             baseline = {}
 
-    def persist(regressions, gate_retimes, retime_errors):
+    def persist(regressions, gate_retimes, retime_errors, canary=None):
         return persist_results(
             RESULTS_FILE, sf_val, timings, first_runs, materializers,
             gate_retimes, retime_errors, regressions, skip,
             snapshot_root=os.path.dirname(os.path.abspath(__file__)),
+            canary=canary,
         )
 
     mat_names = set(materializers)
@@ -340,18 +380,38 @@ def main() -> None:
             if n not in {r["query"] for r in regressions}
         ]
         regressions = regressions + flagged_errors
-    if not regressions and (not baseline or baseline.get("sf") == sf_val):
-        # advance the baseline only on a clean pass, and never from a
-        # run at a different SF — a local sf0.01 iteration must not
-        # poison the sf0.1 trajectory (delete the file to re-seed at a
-        # new canonical SF)
+    # Throttle canary, closing sample: if the VM slowed mid-run the
+    # fixed query now takes materially longer than it did after warm-up.
+    try:
+        canary_end = time_canary(queries, spark, sf_dir)
+        canary_drift = round(canary_end / max(canary_start, 1e-9), 3)
+    except Exception as exc:  # noqa: BLE001 — canary failure must not kill the record
+        canary_end, canary_drift = None, None
+    canary = {
+        "query": CANARY_QUERY,
+        "start": canary_start,
+        "end": canary_end,
+        "drift": canary_drift,
+        "max_drift": CANARY_MAX_DRIFT,
+    }
+    if (
+        not regressions
+        and (not baseline or baseline.get("sf") == sf_val)
+        and canary_drift is not None
+        and canary_drift <= CANARY_MAX_DRIFT
+    ):
+        # advance the baseline only on a clean pass at the baseline's
+        # own SF AND only when the canary shows the VM did not throttle
+        # mid-run — round 11 advanced the baseline onto ~45%-inflated
+        # throttled timings twice, disarming the trajectory gate
+        # (delete the file to re-seed at a new canonical SF)
         with open(BASELINE_FILE, "w") as f:
             json.dump({"sf": sf_val, "queries": timings}, f, indent=1)
     # The final stdout line must stay TINY: the driver tail-captures
     # console output and truncates long lines from the head, which is
     # exactly how rounds 1-2 ended up with "parsed": null. Per-query
     # timings live only in the details file.
-    summary = persist(regressions, gate_retimes, retime_errors)
+    summary = persist(regressions, gate_retimes, retime_errors, canary)
     spark.stop()
     # The compact JSON summary must be the very last stdout line (the
     # driver tail-captures console output; Spark log noise goes first).

@@ -2575,3 +2575,178 @@ def p29_dual_detector_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p30: bucket-pruned unique-clash admission — the last engine branch
+# without a driver-gated oracle query (VERDICT r11 "What's missing" #3;
+# the same move p25/p28 made for the index rebuild branches). A
+# bucketed engine table (hash-clustered on the primary key,
+# engine.bucket_table) takes three INSERT statements end-to-end through
+# engine.sql: a seed batch (nations with n_nationkey < 13), a CLASH
+# batch whose three keys {7, 39, 45} all hash to ONE bucket
+# (pmod(xxhash64(k), 8) == 1 for each — precomputed constants,
+# re-derived Spark-side at build time) and whose key 7 already exists —
+# rejected atomically (UniqueIndexError; the two fresh keys 39/45 must
+# NOT land), then a clean batch (nations >= 13) — admitted. The pinned
+# columns replay each admission decision batch-blind in DuckDB from the
+# raw nation table, and pin the PHYSICAL pruning property: the clash
+# probe's snapshot read (snapshots.read(buckets={1}), the exact
+# construction execute_insert uses, dml.py:291-307) touches only
+# bucket-1 segment files — measured with input_file_name() against the
+# manifest's per-file bucket ids — and strictly fewer files than the
+# full table read.
+#
+# Scale: this is the 100 TB insert design (SCALING.md Engine §) — the
+# per-batch clash check reads O(touched buckets) of the table, not
+# O(table); a 3-key batch against a trillion-row table scans ~1/N of
+# it. The warehouse is session-memoized and app-id-namespaced with the
+# p18/p19 reclamation discipline; build() starts from
+# fresh_external_dir so bench gate-retimes re-enter the exact
+# first-build sequence.
+# --------------------------------------------------------------------------
+_P30_BUCKETS = 8
+_P30_CLASH_KEY = 7
+_P30_FRESH_KEYS = (39, 45)  # same xxhash64 bucket as key 7 (bucket 1)
+_P30_SPLIT = 13
+
+
+def _p30_oracle() -> str:
+    k1, k2 = _P30_FRESH_KEYS
+    return f"""
+    SELECT n_nationkey, n_name,
+           CAST((SELECT COUNT(*) FROM nation
+                 WHERE n_nationkey IN ({_P30_CLASH_KEY}, {k1}, {k2})
+                   AND n_nationkey < {_P30_SPLIT}) > 0
+                AS BOOLEAN) AS clash_batch_rejected,
+           CAST((SELECT COUNT(*) FROM nation
+                 WHERE n_nationkey IN ({k1}, {k2})) = 0
+                AS BOOLEAN) AS rejected_keys_absent,
+           CAST((SELECT COUNT(*) FROM nation
+                 WHERE n_nationkey >= {_P30_SPLIT}
+                   AND n_nationkey IN (SELECT n_nationkey FROM nation
+                                       WHERE n_nationkey < {_P30_SPLIT})) = 0
+                AS BOOLEAN) AS clean_batch_admitted,
+           CAST(1 AS BIGINT) AS probe_buckets,
+           TRUE AS probe_scans_only_matching_bucket
+    FROM nation
+    """
+
+
+@register("p30_bucket_pruned_unique_clash", oracle=_p30_oracle())
+def p30_bucket_pruned_unique_clash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import re as _re
+
+    from ..engine import Engine
+    from ..errors import UniqueIndexError
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import fresh_external_dir, materialized_value
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+    k1, k2 = _P30_FRESH_KEYS
+
+    def build() -> tuple[str, bool, bool, bool, int, bool]:
+        warehouse = fresh_external_dir("/tmp/seamdb_bucketclash", tag) + "/wh"
+        eng = Engine(spark, warehouse, database="p30db", user="pipeline")
+        eng.sql(
+            "CREATE TABLE nat (n_nationkey bigint PRIMARY KEY, n_name text)"
+        )
+        eng.bucket_table("nat", _P30_BUCKETS)
+        rows = sorted(
+            (int(r.n_nationkey), str(r.n_name))
+            for r in load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .collect()
+        )
+
+        def insert(batch) -> int:
+            vals = ", ".join(f"({k}, '{n}')" for k, n in batch)
+            return int(
+                eng.sql(f"INSERT INTO nat VALUES {vals}").collect()[0][0]
+            )
+
+        insert([r for r in rows if r[0] < _P30_SPLIT])
+        # the clash batch's bucket footprint, derived Spark-side with
+        # the exact expression execute_insert uses (dml.py:295-301)
+        clash_keys = [_P30_CLASH_KEY, k1, k2]
+        batch_buckets = {
+            r[0]
+            for r in spark.range(0, 1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.lit(k).cast("long")),
+                                F.lit(_P30_BUCKETS),
+                            ).cast("int")
+                            for k in clash_keys
+                        ]
+                    )
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        rejected = False
+        try:
+            insert([(k, "dup" if k == _P30_CLASH_KEY else f"u{k}") for k in clash_keys])
+        except UniqueIndexError:
+            rejected = True
+        # the physical pruning property: the clash probe's snapshot
+        # read touches ONLY segment files recorded under the batch's
+        # buckets, and strictly fewer than the full table's files
+        snaps = TableSnapshots(eng.store.table_dir("p30db", "nat"))
+        desc = eng.store.get_table("p30db", "nat")
+        pruned = snaps.read(spark, desc.spark_schema(), buckets=batch_buckets)
+        scanned = {
+            _os.path.basename(r[0].replace("file://", ""))
+            for r in pruned.select(F.input_file_name()).distinct().collect()
+        }
+        entries = snaps.current_file_entries()
+        matching = {
+            _os.path.basename(p) for p, b in entries if b in batch_buckets
+        }
+        all_files = {_os.path.basename(p) for p, _ in entries}
+        only_matching = (
+            bool(scanned)
+            and scanned <= matching
+            and len(matching) < len(all_files)
+        )
+        admitted = (
+            insert([r for r in rows if r[0] >= _P30_SPLIT])
+            == len([r for r in rows if r[0] >= _P30_SPLIT])
+        )
+        absent = (
+            eng.table("nat")
+            .filter(F.col("n_nationkey").isin(k1, k2))
+            .count()
+            == 0
+        )
+        return (
+            warehouse,
+            rejected,
+            absent,
+            admitted,
+            len(batch_buckets),
+            only_matching,
+        )
+
+    warehouse, rejected, absent, admitted, n_buckets, only_matching = (
+        materialized_value(spark, sf_dir, "p30_bucket_clash", build)
+    )
+    eng = Engine(spark, warehouse, database="p30db", user="pipeline")
+    return eng.table("nat").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.lit(bool(rejected)).alias("clash_batch_rejected"),
+        F.lit(bool(absent)).alias("rejected_keys_absent"),
+        F.lit(bool(admitted)).alias("clean_batch_admitted"),
+        F.lit(int(n_buckets)).cast("long").alias("probe_buckets"),
+        F.lit(bool(only_matching)).alias("probe_scans_only_matching_bucket"),
+    )

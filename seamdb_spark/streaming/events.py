@@ -36,7 +36,10 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
 
     path = f"{sf_dir}/events.parquet"
     if os.path.isdir(path):  # directory layout: sniff any part file
-        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:  # only _SUCCESS / interrupted write: diagnosable error
+            raise ValueError(f"no parquet part files under {path}")
+        path = parts[0]
     ts_arrow = pq.read_schema(path).field("ts").type
     nanos = "ns" in str(ts_arrow)
     ts_field = T.LongType() if nanos else T.TimestampNTZType()
@@ -181,7 +184,17 @@ def run_stream_foreach_batch_parquet(
     number of input rows THIS run processed (summed over its progress
     events) — a restarted run over an already-processed source must
     report only the NEW rows, which is how e48 pins that recovery
-    resumed instead of reprocessing."""
+    resumed instead of reprocessing.
+
+    The count comes from the run's progress events (the only place
+    INPUT rows are visible — ``df`` is typically a stateful
+    transformation, so the foreachBatch DataFrame holds its OUTPUT
+    rows, a different quantity). recentProgress is a ring buffer
+    capped at spark.sql.streaming.numRecentProgressUpdates (default
+    100): a run exceeding the cap would silently undercount, flipping
+    e48's restart verdict to a false failure (or masking a real
+    reprocess) on larger sources — so a saturated buffer is a LOUD
+    error here, with the config knob to raise (round-11 ADVICE)."""
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(f"{out_dir}/bid={batch_id}")
@@ -194,9 +207,18 @@ def run_stream_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination()
-    return int(
-        sum(p["numInputRows"] for p in (q.recentProgress or []))
+    progress = q.recentProgress or []
+    cap = int(
+        df.sparkSession.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
     )
+    if len(progress) >= cap:
+        raise RuntimeError(
+            f"recentProgress ring buffer saturated ({len(progress)} >= "
+            f"{cap}): the input-row total would silently undercount; raise "
+            f"spark.sql.streaming.numRecentProgressUpdates above the run's "
+            f"micro-batch count before trusting this sum"
+        )
+    return int(sum(p["numInputRows"] for p in progress))
 
 
 def run_stream_to_memory(

@@ -121,7 +121,9 @@ def test_persist_runs_before_retime_loop():
     round 10 lost 359s of timings to one retime crash because
     persistence only happened at the end. Source-order guard: main()'s
     first persist call precedes the run_gate_retimes call."""
-    src = open("/root/repo/bench.py").read()
+    import bench
+
+    src = open(bench.__file__).read()
     body = src[src.index("def main(") :]
     assert body.index("summary = persist(") < body.index("run_gate_retimes(")
 

@@ -65,6 +65,7 @@ MATERIALIZER_QUERIES = [
     "p27_simhash_batch_candidates",
     "p28_ivf_compaction_rebuild",
     "p29_dual_detector_admission",
+    "p30_bucket_pruned_unique_clash",
     "s08_ann_pq_topk",
     "s09_knn_graph",
     "s12_ann_ivfpq_topk",
@@ -78,6 +79,35 @@ MATERIALIZER_QUERIES = [
 
 def _rows(df):
     return sorted(repr(r) for r in df.collect())
+
+
+def test_materializer_list_is_current():
+    """Every materializer the last bench run DISCOVERED (a query whose
+    first timed run added session-memo keys — i.e. every query the
+    bench gate-retime can re-enter) must be in MATERIALIZER_QUERIES,
+    else a newly added materializer silently escapes the
+    evict-and-rerun sweep — exactly the failure class (non-re-runnable
+    build on gate retime) that destroyed the round-10 bench record.
+    Reads bench_results.json["materializers"] (the mechanical
+    discovery record bench.py writes every run); the reverse direction
+    — a listed query that no longer materializes — is handled by the
+    sweep's skip branch, because warm shared artifacts can legitimately
+    hide a materializer from any single bench ordering."""
+    import json
+    import os
+
+    import bench
+
+    results = os.path.join(os.path.dirname(bench.__file__), "bench_results.json")
+    if not os.path.exists(results):
+        pytest.skip("no bench_results.json yet (bench never run in this checkout)")
+    with open(results) as f:
+        discovered = set(json.load(f).get("materializers", {}))
+    missing = sorted(discovered - set(MATERIALIZER_QUERIES))
+    assert not missing, (
+        f"bench discovered materializers missing from MATERIALIZER_QUERIES: "
+        f"{missing} — add them so the idempotency sweep covers their builds"
+    )
 
 
 @pytest.mark.parametrize("name", MATERIALIZER_QUERIES)
