@@ -643,17 +643,24 @@ _R9_WINDOW = [
 #     VERDICT r11 "Next round" #3) plus p30_bucket_pruned_unique_clash
 #     (new this round: the bucket-pruned unique-clash engine branch,
 #     previously pytest-only — VERDICT r11 "Next round" #5; locally
-#     hash-green at sf0.001 + sf0.01 on registration).
-# (b) slots 8-50: regression fill, oldest-green-first — ALL 43
+#     hash-green at sf0.001 + sf0.01 on registration) and
+#     e49_streaming_admission_parity (new this round: p29's
+#     dual-detector admission as a foreachBatch consumer of a real
+#     readStream — VERDICT r11 "Next round" #7; locally hash-green at
+#     both SFs on registration).
+# (b) slots 9-50: regression fill, oldest-green-first — 42 of the 43
 #     queries whose latest driver row is round 5 (recomputed from the
 #     r1-r11 union; histogram after r11 is r11:50 r10:50 r9:47 r7:47
 #     r6:44 r8:44 r5:43 r4:6), in their r5 window order. This
-#     advances the oldest-evidence tier from r4/r5 to r6.
+#     advances the oldest-evidence tier from r4/r5 to r6
+#     (t36_zipf_doubling_ratio, the tier's tail slot, is displaced by
+#     e49 — it keeps its r5 row and refills first in round 13).
 _R12_WINDOW = [
     # (a) stale-r4 pins + the round-12 registration
     "q05_local_supplier_volume", "q06_forecast_revenue",
     "q07_left_join_nulls", "q08_full_outer_join", "q09_anti_join",
     "q10_semi_join", "p30_bucket_pruned_unique_clash",
+    "e49_streaming_admission_parity",
     # (b) all 43 latest-row-r5 queries, r5 window order
     "d23_eval_contamination_report", "d24_frequency_downsample",
     "t27_dsir_importance", "t28_temperature_sampling",
@@ -674,7 +681,7 @@ _R12_WINDOW = [
     "e26_transition_predictability", "t34_langid_confusion",
     "q62_monotone_value_streaks", "e27_type_cross_correlation",
     "t35_code_prose_profile", "x12_uniform_group_sample",
-    "m19_clipping_runs", "t36_zipf_doubling_ratio",
+    "m19_clipping_runs",
 ]
 
 

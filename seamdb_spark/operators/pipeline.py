@@ -2750,3 +2750,196 @@ def p30_bucket_pruned_unique_clash(
         F.lit(int(n_buckets)).cast("long").alias("probe_buckets"),
         F.lit(bool(only_matching)).alias("probe_scans_only_matching_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# e49: STREAMING ingest admission — p29's dual-detector decision as a
+# foreachBatch consumer of a real readStream (the production ingest
+# shape the maintained-index story implies but no other query runs:
+# micro-batch → snapshot commit → index refresh (O(new segment)) →
+# per-batch index lookup → admit/reject decision written to a durable
+# per-batchId sink). The even half of documents is pre-indexed (the
+# existing corpus); the odd half arrives as four id-ordered parquet
+# files consumed one per micro-batch (maxFilesPerTrigger=1;
+# production ingest arrives id/time-ordered, and id-ordering is what
+# makes every per-batch decision FINAL: a pair's larger side doc_b
+# always arrives with or after its smaller side, so doc_b's collision
+# count is complete at doc_b's own micro-batch). The union of the
+# per-batch decisions must equal p29's one-shot batch answer EXACTLY
+# (anti-join both directions + cardinality), pinned as
+# stream_matches_batch; ran_multiple_batches pins that the stream
+# actually split (>=2 micro-batches), so the equality is a real
+# incremental-vs-batch identity, not a one-batch tautology. Oracle =
+# p29's batch-blind index-blind DuckDB replay + the two TRUE columns.
+#
+# Scale: each micro-batch pays O(batch) quality scoring + O(new
+# segment) index refresh + O(batch x collision rate) lookups — never
+# a corpus rescan; decisions land in an idempotent per-batchId
+# parquet sink (e48's exactly-once pattern), so a replayed batch
+# overwrites its own directory. Own snapshot/index layout (p16/p26's
+# memoized two-batch layouts keep gating the non-streaming path);
+# build() starts from fresh_external_dir so bench gate-retimes
+# re-enter the exact first-build sequence.
+# --------------------------------------------------------------------------
+def _e49_oracle() -> str:
+    return f"""
+    SELECT t.*, TRUE AS stream_matches_batch, TRUE AS ran_multiple_batches
+    FROM ({_p29_oracle()}) t
+    """
+
+
+@register("e49_streaming_admission_parity", oracle=_e49_oracle())
+def e49_streaming_admission_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import re as _re
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from ..dedup_index import IncrementalLSHIndex, IncrementalSimHashIndex
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import fresh_external_dir, materialized_value
+    from .text import quality_frame
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple[str, bool, bool]:
+        base = fresh_external_dir("/tmp/seamdb_streamadmit", tag)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        snaps = TableSnapshots(base + "/docs")
+        lsh = IncrementalLSHIndex.over_snapshots(
+            spark, base + "/docs", schema, "doc_id", "text",
+            base + "/lsh_state",
+        )
+        sh = IncrementalSimHashIndex.over_snapshots(
+            spark, base + "/docs", schema, "doc_id", "text",
+            base + "/sh_state",
+        )
+        # the existing corpus: evens committed and indexed up front
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+        lsh.refresh()
+        sh.refresh()
+
+        # the ingest feed: odds as two contiguous-id-range files
+        # written sequentially (strictly increasing mtimes), so the
+        # file source replays them oldest-first == id-ordered (two
+        # micro-batches are the minimum that makes the identity
+        # incremental-vs-batch rather than a one-batch tautology; each
+        # extra micro-batch costs a full refresh+lookup round, so the
+        # gate pays the smallest non-degenerate count)
+        odds = docs.filter(F.col("doc_id") % 2 == 1)
+        (mid,) = odds.approxQuantile("doc_id", [0.5], 0.0)
+        src = base + "/src"
+        slices = [
+            F.col("doc_id") <= mid,
+            F.col("doc_id") > mid,
+        ]
+        for cond in slices:
+            odds.filter(cond).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(0.05)
+
+        def consume(bdf: DataFrame, bid: int) -> None:
+            batch = bdf.select("doc_id", "text").persist()
+            ids = batch.select("doc_id")
+            snaps.commit(batch)  # append one segment
+            lsh.refresh()        # O(new segment) by the manifest diff
+            sh.refresh()
+            batch_b = ids.withColumnRenamed("doc_id", "doc_b")
+            lex = (
+                lsh.new_candidate_pairs(ids)
+                .join(F.broadcast(batch_b), "doc_b", "left_semi")
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.count("*").cast("long").alias("n_lex"))
+            )
+            shc = (
+                sh.new_candidate_pairs(ids)
+                .join(F.broadcast(batch_b), "doc_b", "left_semi")
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.count("*").cast("long").alias("n_sh"))
+            )
+            (
+                quality_frame(batch)
+                .select("doc_id", "quality_score")
+                .join(lex, "doc_id", "left")
+                .join(shc, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    dround(F.col("quality_score"), 6).alias("quality_score"),
+                    F.coalesce(F.col("n_lex"), F.lit(0).cast("long")).alias(
+                        "n_lexical_collisions"
+                    ),
+                    F.coalesce(F.col("n_sh"), F.lit(0).cast("long")).alias(
+                        "n_simhash_collisions"
+                    ),
+                    F.when(
+                        F.col("quality_score") < QUALITY_MIN, "dropped_quality"
+                    )
+                    .when(F.col("n_lex").isNotNull(), "dropped_lexical_dup")
+                    .when(F.col("n_sh").isNotNull(), "dropped_simhash_dup")
+                    .otherwise("admitted")
+                    .alias("status"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{base}/decisions/bid={bid}")
+            )
+            batch.unpersist()
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(consume)
+            .option("checkpointLocation", base + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        multi = (
+            len(
+                [
+                    d
+                    for d in _os.listdir(base + "/decisions")
+                    if d.startswith("bid=")
+                ]
+            )
+            >= 2
+        )
+        cols = [
+            "doc_id", "quality_score", "n_lexical_collisions",
+            "n_simhash_collisions", "status",
+        ]
+        streamed = spark.read.parquet(base + "/decisions").select(*cols)
+        batch_ans = p29_dual_detector_admission(spark, sf_dir).select(*cols)
+        matches = (
+            streamed.join(batch_ans, cols, "left_anti").count() == 0
+            and batch_ans.join(streamed, cols, "left_anti").count() == 0
+            and streamed.count() == batch_ans.count()
+        )
+        return base, bool(matches), bool(multi)
+
+    base, matches, multi = materialized_value(
+        spark, sf_dir, "e49_stream_admission", build
+    )
+    return spark.read.parquet(base + "/decisions").select(
+        "doc_id",
+        "quality_score",
+        "n_lexical_collisions",
+        "n_simhash_collisions",
+        "status",
+        F.lit(bool(matches)).alias("stream_matches_batch"),
+        F.lit(bool(multi)).alias("ran_multiple_batches"),
+    )

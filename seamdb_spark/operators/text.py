@@ -105,8 +105,12 @@ QUALITY_SQL = f"""
     FROM feats f JOIN scored s ON f.doc_id = s.doc_id
     """,
 )
-def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """t02's quality kernel over an arbitrary (doc_id, text) frame —
+    row-local, so it applies unchanged to a streaming micro-batch
+    (e49 computes per-batch admission quality with exactly this
+    expression tree, guaranteeing bitwise-equal scores to the batch
+    t02 run)."""
     stop_list = _in_list_sql(STOPWORDS)
     feats = docs.select(
         "doc_id",
@@ -131,6 +135,10 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality_score"),
     )
+
+
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_frame(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

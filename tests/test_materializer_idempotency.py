@@ -49,6 +49,7 @@ MATERIALIZER_QUERIES = [
     "e46_stream_sessionization_parity",
     "e47_stateful_totals_parity",
     "e48_checkpoint_restart_parity",
+    "e49_streaming_admission_parity",
     "j02_bucketed_colocated_join",
     "j03_partition_pruned_join",
     "p08_tokenizer_readiness",
