@@ -68,6 +68,39 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Quality scoring: length / punctuation / stopword ratios
 # --------------------------------------------------------------------------
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """t02's quality kernel over an arbitrary (doc_id, text) frame —
+    row-local, so it applies unchanged to a streaming micro-batch
+    (e49 computes per-batch admission quality with exactly this
+    expression tree, guaranteeing bitwise-equal scores to the batch
+    t02 run)."""
+    stop_list = _in_list_sql(STOPWORDS)
+    feats = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens_i"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
+        F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))").alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct") / F.col("n_chars")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens_i")
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        F.col("n_tokens_i").cast("long").alias("n_tokens"),
+        dround(punct_ratio, 6).alias("punct_ratio"),
+        dround(stop_ratio, 6).alias("stopword_ratio"),
+        dround(F.col("n_chars") / F.col("n_tokens_i"), 6).alias("avg_token_len"),
+        dround(
+            F.least(F.lit(1.0), F.col("n_tokens_i") / 100.0)
+            * (1.0 - punct_ratio)
+            * (0.5 + stop_ratio),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+
 # doc_id + the composite quality score, as a standalone SELECT — reused
 # by the d11 canonical-keeper oracle so both engines rank by the exact
 # same formula (single source of truth for the DuckDB side).
@@ -105,38 +138,6 @@ QUALITY_SQL = f"""
     FROM feats f JOIN scored s ON f.doc_id = s.doc_id
     """,
 )
-def quality_frame(docs: DataFrame) -> DataFrame:
-    """t02's quality kernel over an arbitrary (doc_id, text) frame —
-    row-local, so it applies unchanged to a streaming micro-batch
-    (e49 computes per-batch admission quality with exactly this
-    expression tree, guaranteeing bitwise-equal scores to the batch
-    t02 run)."""
-    stop_list = _in_list_sql(STOPWORDS)
-    feats = docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens_i"),
-        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
-        F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))").alias("n_stop"),
-    )
-    punct_ratio = F.col("n_punct") / F.col("n_chars")
-    stop_ratio = F.col("n_stop") / F.col("n_tokens_i")
-    return feats.select(
-        "doc_id",
-        "n_chars",
-        F.col("n_tokens_i").cast("long").alias("n_tokens"),
-        dround(punct_ratio, 6).alias("punct_ratio"),
-        dround(stop_ratio, 6).alias("stopword_ratio"),
-        dround(F.col("n_chars") / F.col("n_tokens_i"), 6).alias("avg_token_len"),
-        dround(
-            F.least(F.lit(1.0), F.col("n_tokens_i") / 100.0)
-            * (1.0 - punct_ratio)
-            * (0.5 + stop_ratio),
-            6,
-        ).alias("quality_score"),
-    )
-
-
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_frame(_docs(spark, sf_dir))
 
