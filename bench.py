@@ -85,6 +85,13 @@ GATE_ALLOW: dict[str, str] = {}
 # but can no longer poison the next round's calibration.
 CANARY_QUERY = "q01_pricing_summary"
 CANARY_MAX_DRIFT = 1.25
+# Symmetric lower bound (round-12 measurement): the first post-fix run
+# recorded drift 0.429 — the VM was SLOW AT START and recovered, which
+# inflated the early-alphabet queries' times just as surely as an
+# end-of-run throttle inflates the tail. Any drift outside
+# [CANARY_MIN_DRIFT, CANARY_MAX_DRIFT] means the run was not
+# steady-state and must not rewrite per-query history.
+CANARY_MIN_DRIFT = 0.8
 
 
 def time_canary(queries: dict, spark, sf_dir: str, n: int = 2) -> float:
@@ -398,11 +405,12 @@ def main() -> None:
         not regressions
         and (not baseline or baseline.get("sf") == sf_val)
         and canary_drift is not None
-        and canary_drift <= CANARY_MAX_DRIFT
+        and CANARY_MIN_DRIFT <= canary_drift <= CANARY_MAX_DRIFT
     ):
         # advance the baseline only on a clean pass at the baseline's
-        # own SF AND only when the canary shows the VM did not throttle
-        # mid-run — round 11 advanced the baseline onto ~45%-inflated
+        # own SF AND only when the canary shows the VM held steady
+        # through the run (neither a mid-run throttle nor a slow-start
+        # recovery) — round 11 advanced the baseline onto ~45%-inflated
         # throttled timings twice, disarming the trajectory gate
         # (delete the file to re-seed at a new canonical SF)
         with open(BASELINE_FILE, "w") as f:

@@ -55,6 +55,19 @@ QUERIES = [
     "e46_stream_sessionization_parity",
     "e47_stateful_totals_parity",
     "e48_checkpoint_restart_parity",
+    # rebuild/admission family (round 12, VERDICT r11 #8): the round-11
+    # registrations without a 10x row — index rebuild-on-compaction for
+    # the LSH and IVF families, the maintained SimHash index pair, the
+    # dual-detector batch admission, and the round-12 streaming
+    # admission composition (e49). p30 is omitted: it runs on the
+    # 25-row nation table (absent from the scaled fixture) and its
+    # scale story is the bucket-count knob, not corpus growth.
+    "p25_index_compaction_rebuild",
+    "p26_incremental_simhash_index",
+    "p27_simhash_batch_candidates",
+    "p28_ivf_compaction_rebuild",
+    "p29_dual_detector_admission",
+    "e49_streaming_admission_parity",
 ]
 
 

@@ -2922,8 +2922,25 @@ def e49_streaming_admission_parity(
             "doc_id", "quality_score", "n_lexical_collisions",
             "n_simhash_collisions", "status",
         ]
-        streamed = spark.read.parquet(base + "/decisions").select(*cols)
-        batch_ans = p29_dual_detector_admission(spark, sf_dir).select(*cols)
+        # One-shot batch answer = p29's query (its p16/p26 memoized
+        # layouts hold exactly the content these streamed indexes now
+        # hold, and p16/p17/p26/p27/p29 reuse them afterwards — so the
+        # corpus-wide signature derivation is paid ONCE per family per
+        # session, attributed here as the first toucher).
+        # localCheckpoint both sides: four comparison actions over
+        # tiny decision sets must not replay the quality+lookup
+        # lineage each time (this alone was ~3 recomputations of the
+        # full p29 plan before round 12's profile).
+        batch_ans = (
+            p29_dual_detector_admission(spark, sf_dir)
+            .select(*cols)
+            .localCheckpoint()
+        )
+        streamed = (
+            spark.read.parquet(base + "/decisions")
+            .select(*cols)
+            .localCheckpoint()
+        )
         matches = (
             streamed.join(batch_ans, cols, "left_anti").count() == 0
             and batch_ans.join(streamed, cols, "left_anti").count() == 0
