@@ -154,6 +154,9 @@ def build_scaled(spark, k_factor: int) -> str:
 
 def main() -> None:
     k_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # optional argv[2]: comma-separated subset of QUERIES to run (new
+    # families get their 10x rows without re-running the whole table)
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = build_session("seamdb_scale_spotcheck")
     scaled = build_scaled(spark, k_factor)
 
@@ -166,6 +169,8 @@ def main() -> None:
 
     results = []
     for name in QUERIES:
+        if only is not None and name not in only:
+            continue
         fn = queries[name]
         t0 = time.time()
         n_scaled = fn(spark, scaled).count()
