@@ -457,6 +457,11 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         # dedup_index: the per-refresh ingest batch — bounded by batch
         # size (operator input), not the corpus
         "new_doc_ids",
+        # e49: the streaming micro-batch's doc-id set — bounded by
+        # micro-batch size (maxFilesPerTrigger), not the corpus; the
+        # admission lookup's whole design is batch-keys-broadcast
+        # (same argument as new_doc_ids above)
+        "batch_b",
         # t34: per-language labeled/predicted totals — |langs| rows
         "lab", "pr",
         # e27: distinct event types — |types| rows
