@@ -149,3 +149,20 @@ def test_bench_skip_list_names_registered_queries():
     assert keys, "skip dict not found in bench.main"
     unknown = sorted(k for k in keys if k not in QUERIES)
     assert not unknown, f"bench skip entries name unknown queries: {unknown}"
+
+
+def test_merge_baseline_steady_vs_unsteady():
+    """Round-12 (VERDICT r11 #1 follow-through): a steady clean run
+    rewrites history verbatim; an unsteady clean run must keep every
+    existing entry untouched (no poisoning) while still seeding
+    entries for never-seen queries (no permanently ungated query), and
+    drops entries for queries no longer benched."""
+    from bench import merge_baseline
+
+    timings = {"old": 2.0, "new": 5.0}
+    baseline = {"sf": 0.1, "queries": {"old": 1.0, "gone": 9.9}}
+    assert merge_baseline(timings, baseline, steady=True) == timings
+    out = merge_baseline(timings, baseline, steady=False)
+    assert out == {"old": 1.0, "new": 5.0}
+    # empty/missing baseline: unsteady still seeds everything
+    assert merge_baseline(timings, {}, steady=False) == timings
