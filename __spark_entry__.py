@@ -631,8 +631,11 @@ _R9_WINDOW = [
 
 
 # ROUND-13 PROCEDURE: after CORRECTNESS_r12 lands, pin (a) any queries
-# registered after _R12_WINDOW froze and any whose plan/oracle changes
-# in round 13, then (b) regression fill oldest-driver-evidence-first:
+# registered after _R12_WINDOW froze (as of the round-12 close:
+# p31_legacy_bucket_migration, locally hash-green at both SFs, plus
+# t36_zipf_doubling_ratio displaced by e49) and any whose plan/oracle
+# changes in round 13, then (b) regression fill
+# oldest-driver-evidence-first:
 # recompute the latest-round-per-query union from CORRECTNESS_r1-r12
 # (after r12 the oldest tier is the 44 latest-row-r6 queries), filling
 # tiers r6, r7, r8, ... in their original window orders.

@@ -2704,15 +2704,17 @@ def p30_bucket_pruned_unique_clash(
         snaps = TableSnapshots(eng.store.table_dir("p30db", "nat"))
         desc = eng.store.get_table("p30db", "nat")
         pruned = snaps.read(spark, desc.spark_schema(), buckets=batch_buckets)
+        # full normalized paths, never basenames: a bucketed commit
+        # writes per-__bucket=K files that SHARE one part-file basename
         scanned = {
-            _os.path.basename(r[0].replace("file://", ""))
+            _os.path.normpath(r[0].replace("file://", ""))
             for r in pruned.select(F.input_file_name()).distinct().collect()
         }
         entries = snaps.current_file_entries()
         matching = {
-            _os.path.basename(p) for p, b in entries if b in batch_buckets
+            _os.path.normpath(p) for p, b in entries if b in batch_buckets
         }
-        all_files = {_os.path.basename(p) for p, _ in entries}
+        all_files = {_os.path.normpath(p) for p, _ in entries}
         only_matching = (
             bool(scanned)
             and scanned <= matching
@@ -2959,4 +2961,204 @@ def e49_streaming_admission_parity(
         "status",
         F.lit(bool(matches)).alias("stream_matches_batch"),
         F.lit(bool(multi)).alias("ran_multiple_batches"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p31: legacy-segment safety + compaction migration for the bucketed
+# unique-index path — the branch p30 doesn't reach (tests
+# tests/test_bucketing.py::test_legacy_unbucketed_segments_still_checked,
+# previously pytest-only): rows inserted BEFORE bucketing was declared
+# live in segments with NO bucket id, and the pruned clash probe must
+# ALWAYS scan them (they might hold any key — skipping them would
+# admit duplicates), while compact() migrates them into hash-clustered
+# prunable segments. Sequence: seed (nation < 13) into a LEGACY
+# segment → declare bucketing → insert nation >= 13 (clustered
+# segments) → clash batch {7, 39, 45} (single-bucket footprint, key 7
+# exists in the LEGACY segment) rejected, with the probe's physical
+# scan pinned to INCLUDE the legacy file despite the bucket
+# restriction (safety) → compact() → every manifest entry now carries
+# a bucket id (migration) → the SAME probe now touches only
+# matching-bucket files, strictly fewer than all (prunability
+# restored) → the clash re-attempt still rejected. Decisions replayed
+# batch-blind in DuckDB from raw nation; physical properties pinned as
+# measured booleans (p30's input_file_name() audit).
+#
+# Scale: this is the schema-evolution story at 100 TB — declaring
+# bucketing on an existing petabyte table must not require an
+# immediate rewrite (legacy segments stay correct, just unpruned), and
+# one OPTIMIZE pass restores O(touched buckets) clash checks. The
+# warehouse is session-memoized; build() starts from
+# fresh_external_dir so bench gate-retimes re-enter the exact
+# first-build sequence.
+# --------------------------------------------------------------------------
+def _p31_oracle() -> str:
+    k1, k2 = _P30_FRESH_KEYS
+    return f"""
+    SELECT n_nationkey, n_name,
+           CAST((SELECT COUNT(*) FROM nation
+                 WHERE n_nationkey IN ({_P30_CLASH_KEY}, {k1}, {k2})
+                   AND n_nationkey < {_P30_SPLIT}) > 0
+                AS BOOLEAN) AS legacy_clash_rejected,
+           CAST((SELECT COUNT(*) FROM nation
+                 WHERE n_nationkey IN ({k1}, {k2})) = 0
+                AS BOOLEAN) AS rejected_keys_absent,
+           TRUE AS pre_compact_probe_includes_legacy,
+           TRUE AS migrated_all_bucketed,
+           TRUE AS post_compact_probe_pruned,
+           CAST((SELECT COUNT(*) FROM nation
+                 WHERE n_nationkey IN ({_P30_CLASH_KEY}, {k1}, {k2})
+                   AND n_nationkey < {_P30_SPLIT}) > 0
+                AS BOOLEAN) AS post_compact_clash_rejected
+    FROM nation
+    """
+
+
+@register("p31_legacy_bucket_migration", oracle=_p31_oracle())
+def p31_legacy_bucket_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import re as _re
+
+    from ..engine import Engine
+    from ..errors import UniqueIndexError
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import fresh_external_dir, materialized_value
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+    k1, k2 = _P30_FRESH_KEYS
+    clash_keys = [_P30_CLASH_KEY, k1, k2]
+
+    def build() -> tuple[str, bool, bool, bool, bool, bool, bool]:
+        warehouse = fresh_external_dir("/tmp/seamdb_legacybucket", tag) + "/wh"
+        eng = Engine(spark, warehouse, database="p31db", user="pipeline")
+        eng.sql(
+            "CREATE TABLE nat (n_nationkey bigint PRIMARY KEY, n_name text)"
+        )
+        rows = sorted(
+            (int(r.n_nationkey), str(r.n_name))
+            for r in load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .collect()
+        )
+
+        def insert(batch) -> int:
+            vals = ", ".join(f"({k}, '{n}')" for k, n in batch)
+            return int(
+                eng.sql(f"INSERT INTO nat VALUES {vals}").collect()[0][0]
+            )
+
+        def try_clash() -> bool:
+            try:
+                insert(
+                    [
+                        (k, "dup" if k == _P30_CLASH_KEY else f"u{k}")
+                        for k in clash_keys
+                    ]
+                )
+                return False
+            except UniqueIndexError:
+                return True
+
+        snaps = TableSnapshots(eng.store.table_dir("p31db", "nat"))
+        desc = eng.store.get_table("p31db", "nat")
+
+        def probe_files(buckets: set[int]) -> set[str]:
+            pruned = snaps.read(spark, desc.spark_schema(), buckets=buckets)
+            # full normalized paths, never basenames: a bucketed
+            # commit writes per-__bucket=K files that SHARE one
+            # part-file basename
+            return {
+                _os.path.normpath(r[0].replace("file://", ""))
+                for r in pruned.select(F.input_file_name())
+                .distinct()
+                .collect()
+            }
+
+        # seed BEFORE bucketing: one legacy segment, no bucket ids
+        insert([r for r in rows if r[0] < _P30_SPLIT])
+        eng.bucket_table("nat", _P30_BUCKETS)
+        insert([r for r in rows if r[0] >= _P30_SPLIT])
+
+        batch_buckets = {
+            r[0]
+            for r in spark.range(0, 1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.lit(k).cast("long")),
+                                F.lit(_P30_BUCKETS),
+                            ).cast("int")
+                            for k in clash_keys
+                        ]
+                    )
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        rejected = try_clash()
+        entries = snaps.current_file_entries()
+        legacy = {_os.path.normpath(p) for p, b in entries if b is None}
+        scanned = probe_files(batch_buckets)
+        # safety: the bucket-restricted probe still reads every legacy
+        # (unbucketed) file — key 7 lives there and nowhere else
+        includes_legacy = bool(legacy) and legacy <= scanned
+
+        eng.compact("nat")
+        entries2 = snaps.current_file_entries()
+        migrated = bool(entries2) and all(b is not None for _, b in entries2)
+        scanned2 = probe_files(batch_buckets)
+        matching2 = {
+            _os.path.normpath(p) for p, b in entries2 if b in batch_buckets
+        }
+        all2 = {_os.path.normpath(p) for p, _ in entries2}
+        pruned_after = (
+            bool(scanned2)
+            and scanned2 <= matching2
+            and len(matching2) < len(all2)
+        )
+        rejected_after = try_clash()
+        absent = (
+            eng.table("nat")
+            .filter(F.col("n_nationkey").isin(k1, k2))
+            .count()
+            == 0
+        )
+        return (
+            warehouse,
+            rejected,
+            absent,
+            includes_legacy,
+            migrated,
+            pruned_after,
+            rejected_after,
+        )
+
+    (
+        warehouse,
+        rejected,
+        absent,
+        includes_legacy,
+        migrated,
+        pruned_after,
+        rejected_after,
+    ) = materialized_value(spark, sf_dir, "p31_legacy_bucket", build)
+    eng = Engine(spark, warehouse, database="p31db", user="pipeline")
+    return eng.table("nat").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.lit(bool(rejected)).alias("legacy_clash_rejected"),
+        F.lit(bool(absent)).alias("rejected_keys_absent"),
+        F.lit(bool(includes_legacy)).alias(
+            "pre_compact_probe_includes_legacy"
+        ),
+        F.lit(bool(migrated)).alias("migrated_all_bucketed"),
+        F.lit(bool(pruned_after)).alias("post_compact_probe_pruned"),
+        F.lit(bool(rejected_after)).alias("post_compact_clash_rejected"),
     )

@@ -67,6 +67,7 @@ MATERIALIZER_QUERIES = [
     "p28_ivf_compaction_rebuild",
     "p29_dual_detector_admission",
     "p30_bucket_pruned_unique_clash",
+    "p31_legacy_bucket_migration",
     "s08_ann_pq_topk",
     "s09_knn_graph",
     "s12_ann_ivfpq_topk",
