@@ -639,8 +639,8 @@ _R9_WINDOW = [
 # recompute the latest-round-per-query union from CORRECTNESS_r1-r12
 # (after r12 the oldest tier is the 44 latest-row-r6 queries), filling
 # tiers r6, r7, r8, ... in their original window orders.
-# _R12_WINDOW (active, round 12): 50 slots.
-# (a) slots 1-7: the six queries whose latest driver row is ROUND 4
+# _R12_WINDOW (round 12): 50 slots.
+# (a) slots 1-8: the six queries whose latest driver row is ROUND 4
 #     (q05-q10 — displaced from the r11 window by the round-11
 #     registrations, seven rounds since their last driver check;
 #     VERDICT r11 "Next round" #3) plus p30_bucket_pruned_unique_clash
@@ -664,7 +664,8 @@ _R12_WINDOW = [
     "q07_left_join_nulls", "q08_full_outer_join", "q09_anti_join",
     "q10_semi_join", "p30_bucket_pruned_unique_clash",
     "e49_streaming_admission_parity",
-    # (b) all 43 latest-row-r5 queries, r5 window order
+    # (b) 42 of the 43 latest-row-r5 queries, r5 window order (t36
+    # displaced by e49; it refills first in round 13)
     "d23_eval_contamination_report", "d24_frequency_downsample",
     "t27_dsir_importance", "t28_temperature_sampling",
     "g02_triangle_count", "m12_bmp_channel_stats", "m13_silence_runs",
@@ -688,9 +689,64 @@ _R12_WINDOW = [
 ]
 
 
+# ROUND-14 PROCEDURE: after CORRECTNESS_r13 lands, pin (a) any queries
+# registered after _R13_WINDOW froze and any whose plan/oracle changes
+# in round 14, then (b) regression fill oldest-driver-evidence-first:
+# recompute the latest-round-per-query union from CORRECTNESS_r1-r13
+# (after r13 the oldest tier is the 44 remaining latest-row-r7
+# queries — m21/t41/g07 advance to r13 with this window), filling
+# tiers r7, r8, r9, ... in their original window orders.
+# _R13_WINDOW (active, round 13): 50 slots.
+# (a) slots 1-3: p31_legacy_bucket_migration (registered at the
+#     round-12 close, no driver row yet — VERDICT r12 "Next round" #1),
+#     t36_zipf_doubling_ratio (the lone r5-evidence straggler,
+#     displaced from the r12 window by e49), and
+#     e50_outoforder_admission (new this round: out-of-order streaming
+#     ingest admission — per-batch pair logging + finalization sweep
+#     over a deliberately interleaved two-file source; VERDICT r12
+#     "Next round" #5).
+# (b) slots 4-47: all 44 queries whose latest driver row is round 6
+#     (recomputed from the r1-r12 union; histogram after r12 is
+#     r12:50 r11:50 r10:50 r9:47 r8:44 r7:47 r6:44 r5:1), in their r6
+#     window order. This includes s16_hnsw_layered_search, whose plan
+#     changed this round (closure-edge builds prefilter the self-join
+#     inputs by the layer hash — VERDICT r12 "Next round" #2).
+# (c) slots 48-50: the first 3 latest-row-r7 queries in r7 window
+#     order (m21/t41/g07); the remaining 44 r7 rows refill in round 14.
+_R13_WINDOW = [
+    # (a) rowless / new / displaced straggler
+    "p31_legacy_bucket_migration", "t36_zipf_doubling_ratio",
+    "e50_outoforder_admission",
+    # (b) all 44 latest-row-r6 queries, r6 window order
+    "t37_oov_rate_audit", "e28_session_concurrency",
+    "s19_ivf_probe_recall_curve", "g04_component_size_distribution",
+    "p07_attrition_funnel", "m20_image_neardup_pairs",
+    "e29_conversion_survival", "e31_adjusted_anomalies",
+    "t38_kneser_ney_score", "e30_cusum_changepoints",
+    "g05_kcore_peel", "s20_ivf_purity_audit", "e32_bot_screening",
+    "q63_robust_outliers", "x13_decayed_popularity",
+    "t39_k_anonymity_audit", "e33_stickiness_ratio",
+    "s21_label_separability", "q64_yearly_price_drift",
+    "d03_dedup_simhash", "d27_weighted_simhash",
+    "d22_cosine_tfidf_neardup", "s16_hnsw_layered_search",
+    "m22_png_roundtrip", "m23_cross_codec_consistency",
+    "x14_log2_histogram_quantiles", "q11_theta_band_join",
+    "q12_having_distinct", "q13_stats_aggregates", "q14_rollup",
+    "q15_cube", "q16_grouping_sets", "q17_window_rank",
+    "q18_window_running", "q19_window_range_frame",
+    "q20_set_operations", "q21_scalar_subquery",
+    "q22_correlated_subquery", "q23_cte_max_revenue",
+    "q24_string_functions", "q26_datetime_functions",
+    "q27_date_diff_interval", "q28_case_cast", "q29_distinct",
+    # (c) r7-tier head, r7 window order
+    "m21_image_flatness", "t41_bpe_compression_eval",
+    "g07_modularity_audit",
+]
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R12_WINDOW if n in names]
+    window = [n for n in _R13_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 

@@ -94,19 +94,29 @@ CANARY_MAX_DRIFT = 1.25
 CANARY_MIN_DRIFT = 0.8
 
 
-def merge_baseline(timings: dict[str, float], baseline: dict, steady: bool) -> dict:
+def merge_baseline(
+    timings: dict[str, float],
+    baseline: dict,
+    steady: bool,
+    skipped: set[str] = frozenset(),
+) -> dict:
     """Next baseline 'queries' map after a CLEAN gate pass. Steady run
     (canary inside [CANARY_MIN_DRIFT, CANARY_MAX_DRIFT]): this run's
     timings verbatim. Unsteady run: never overwrite existing history
     (that is how round 11's gate got poisoned) but fill entries for
     queries the baseline has never seen — a missing entry is a
     permanently ungated query, worse than a first entry recorded on an
-    unsteady box (the next steady run tightens it)."""
-    if steady:
-        return dict(timings)
+    unsteady box (the next steady run tightens it).
+
+    Either way, entries for queries in THIS run's skip dict are carried
+    forward unchanged: a temporarily-skipped query keeps its gate
+    history instead of re-seeding later from whatever run re-includes
+    it (ADVICE r12). Queries absent from both the run and the skip dict
+    are retired for real and their entries drop."""
     prev_q = baseline.get("queries", {}) if baseline else {}
-    merged = {**timings, **prev_q}
-    return {n: merged[n] for n in timings}
+    merged = {**timings, **prev_q} if not steady else {**prev_q, **timings}
+    keep = set(timings) | (skipped & set(prev_q))
+    return {n: merged[n] for n in keep}
 
 
 def time_canary(queries: dict, spark, sf_dir: str, n: int = 2) -> float:
@@ -431,7 +441,12 @@ def main() -> None:
         # canonical SF)
         with open(BASELINE_FILE, "w") as f:
             json.dump(
-                {"sf": sf_val, "queries": merge_baseline(timings, baseline, steady)},
+                {
+                    "sf": sf_val,
+                    "queries": merge_baseline(
+                        timings, baseline, steady, set(skip)
+                    ),
+                },
                 f,
                 indent=1,
             )

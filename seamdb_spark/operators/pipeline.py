@@ -2665,7 +2665,9 @@ def p30_bucket_pruned_unique_clash(
         )
 
         def insert(batch) -> int:
-            vals = ", ".join(f"({k}, '{n}')" for k, n in batch)
+            vals = ", ".join(
+                "({}, '{}')".format(k, n.replace("'", "''")) for k, n in batch
+            )
             return int(
                 eng.sql(f"INSERT INTO nat VALUES {vals}").collect()[0][0]
             )
@@ -2761,7 +2763,7 @@ def p30_bucket_pruned_unique_clash(
 # micro-batch → snapshot commit → index refresh (O(new segment)) →
 # per-batch index lookup → admit/reject decision written to a durable
 # per-batchId sink). The even half of documents is pre-indexed (the
-# existing corpus); the odd half arrives as four id-ordered parquet
+# existing corpus); the odd half arrives as two id-ordered parquet
 # files consumed one per micro-batch (maxFilesPerTrigger=1;
 # production ingest arrives id/time-ordered, and id-ordering is what
 # makes every per-batch decision FINAL: a pair's larger side doc_b
@@ -2855,7 +2857,20 @@ def e49_streaming_admission_parity(
         def consume(bdf: DataFrame, bid: int) -> None:
             batch = bdf.select("doc_id", "text").persist()
             ids = batch.select("doc_id")
-            snaps.commit(batch)  # append one segment
+            # Exactly-once commit: the last-committed batch id rides in
+            # the manifest's extra blob, which publishes in the SAME
+            # os.replace as the file list — so a micro-batch retry
+            # (task failure after commit, before the decisions write)
+            # sees its own bid already recorded and skips the append
+            # instead of duplicating the segment and double-counting
+            # collisions. The index refreshes stay unconditional: they
+            # diff the manifest, so they are no-ops when the commit was
+            # skipped and they complete an interrupted refresh when it
+            # wasn't (mirrors the decisions sink's per-batchId
+            # idempotency below).
+            last = snaps.current_extra().get("last_bid")
+            if last is None or bid > int(last):
+                snaps.commit(batch, extra={"last_bid": bid})
             lsh.refresh()        # O(new segment) by the manifest diff
             sh.refresh()
             batch_b = ids.withColumnRenamed("doc_id", "doc_b")
@@ -3046,7 +3061,9 @@ def p31_legacy_bucket_migration(
         )
 
         def insert(batch) -> int:
-            vals = ", ".join(f"({k}, '{n}')" for k, n in batch)
+            vals = ", ".join(
+                "({}, '{}')".format(k, n.replace("'", "''")) for k, n in batch
+            )
             return int(
                 eng.sql(f"INSERT INTO nat VALUES {vals}").collect()[0][0]
             )
@@ -3161,4 +3178,293 @@ def p31_legacy_bucket_migration(
         F.lit(bool(migrated)).alias("migrated_all_bucketed"),
         F.lit(bool(pruned_after)).alias("post_compact_probe_pruned"),
         F.lit(bool(rejected_after)).alias("post_compact_clash_rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e50: OUT-OF-ORDER streaming ingest admission — e49 with its one
+# acknowledged assumption removed (SCALING.md round-12 §, VERDICT r12
+# "Next round" #5). e49's per-batch decisions are FINAL only because
+# arrival is id-ordered: a pair's larger side doc_b always arrives
+# with or after its smaller side, so doc_b's collision count is
+# complete at doc_b's own micro-batch. Production ingest is not
+# id-ordered. The documented variant, now actually run:
+#   per micro-batch: snapshot commit (exactly-once via the manifest
+#     extra's last_bid — e49's replay guard) → O(new-segment) LSH +
+#     SimHash refresh → log EVERY candidate pair involving the batch
+#     (both detectors, no larger-side restriction) to an idempotent
+#     per-batchId pair log, plus the batch's row-local quality scores;
+#   finalization sweep (the periodic reconciler, run once after the
+#     feed drains): distinct-union the pair logs, count per odd
+#     larger-side doc, join the quality log, apply p29's precedence —
+#     decisions are emitted HERE, never per batch.
+# The feed is deliberately interleaved: file 1 = odd docs with
+# doc_id % 4 == 3, file 2 = odd docs with doc_id % 4 == 1 — so the
+# second micro-batch carries ids BELOW the first batch's (pinned as
+# out_of_order_observed), and some pairs' smaller side arrives a full
+# batch after their larger side (pinned as finalization_reconciled —
+# data-derived in BOTH engines as "a candidate pair with doc_a%4==1
+# and doc_b%4==3 exists", the exact shape a per-batch-final consumer
+# like e49's would miscount). Pair-log completeness is structural:
+# new_candidate_pairs emits a pair exactly once, at the LATER
+# endpoint's batch (the earlier endpoint is already in the index, the
+# later one is in the batch), whatever the id order — so the sweep's
+# distinct union equals the one-shot pair universe. The final
+# decision set must equal p29's batch answer EXACTLY (anti-join both
+# directions + cardinality), pinned as stream_matches_batch. Oracle =
+# p29's batch-blind index-blind DuckDB replay + the two TRUE arrival
+# pins + the data-derived reconciliation pin.
+#
+# Scale: per-batch cost is unchanged from e49 (O(batch) scoring +
+# O(new segment) refresh + O(batch x collision rate) pair logging —
+# never a corpus rescan); the sweep reads only the pair/quality logs
+# (O(pairs + docs), key-grouped), not the corpus, and in production
+# runs periodically over the not-yet-finalized bid range. Decisions
+# for a doc finalize once its arrival epoch is sealed — the lateness
+# bound is the sweep period, the same contract as a watermark.
+# --------------------------------------------------------------------------
+def _e50_oracle() -> str:
+    from .dedup import SIMHASH_MAX_HAMMING, _lsh_cand_ctes, _simhash_sig_sql
+
+    sim = _simhash_sig_sql("sh_").strip()
+    return f"""
+    SELECT t.*,
+           TRUE AS stream_matches_batch,
+           TRUE AS ran_multiple_batches,
+           TRUE AS out_of_order_observed,
+           (WITH {_lsh_cand_ctes()},
+            {sim},
+            allp AS (
+              SELECT doc_a, doc_b FROM cand
+              UNION
+              SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+              FROM sh_sigs s1 JOIN sh_sigs s2 ON s1.doc_id < s2.doc_id
+              WHERE bit_count(xor(s1.simhash, s2.simhash))
+                      <= {SIMHASH_MAX_HAMMING}
+            )
+            SELECT COUNT(*) > 0 FROM allp
+            WHERE doc_a % 4 = 1 AND doc_b % 4 = 3
+           ) AS finalization_reconciled
+    FROM ({_p29_oracle()}) t
+    """
+
+
+@register("e50_outoforder_admission", oracle=_e50_oracle())
+def e50_outoforder_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import re as _re
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from ..dedup_index import IncrementalLSHIndex, IncrementalSimHashIndex
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import fresh_external_dir, materialized_value
+    from .text import quality_frame
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple[str, bool, bool, bool, bool]:
+        base = fresh_external_dir("/tmp/seamdb_ooo_admit", tag)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        snaps = TableSnapshots(base + "/docs")
+        lsh = IncrementalLSHIndex.over_snapshots(
+            spark, base + "/docs", schema, "doc_id", "text",
+            base + "/lsh_state",
+        )
+        sh = IncrementalSimHashIndex.over_snapshots(
+            spark, base + "/docs", schema, "doc_id", "text",
+            base + "/sh_state",
+        )
+        # the existing corpus: evens committed and indexed up front
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+        lsh.refresh()
+        sh.refresh()
+
+        # the ingest feed, deliberately NOT id-ordered: the first file
+        # (oldest mtime -> first micro-batch) holds the doc_id%4==3
+        # odds, the second the %4==1 odds — every %4==1 id is below
+        # some %4==3 id, so batch 2 arrives "late" relative to batch 1
+        odds = docs.filter(F.col("doc_id") % 2 == 1)
+        src = base + "/src"
+        for cond in [
+            F.col("doc_id") % 4 == 3,
+            F.col("doc_id") % 4 == 1,
+        ]:
+            odds.filter(cond).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(0.05)
+
+        def consume(bdf: DataFrame, bid: int) -> None:
+            batch = bdf.select("doc_id", "text").persist()
+            ids = batch.select("doc_id")
+            # e49's exactly-once commit guard: the last-committed bid
+            # rides in the manifest extra (atomic with the file list),
+            # so a micro-batch retry skips the append; the refreshes
+            # stay unconditional (manifest-diff no-ops on replay).
+            last = snaps.current_extra().get("last_bid")
+            if last is None or bid > int(last):
+                snaps.commit(batch, extra={"last_bid": bid})
+            lsh.refresh()
+            sh.refresh()
+            # Log EVERYTHING involving the batch — including pairs
+            # whose larger side arrived in an EARLIER batch (the
+            # out-of-order case e49 cannot see) and pairs against the
+            # pre-indexed evens. No decision is taken here.
+            (
+                lsh.new_candidate_pairs(ids)
+                .write.mode("overwrite")
+                .parquet(f"{base}/pairs_lex/bid={bid}")
+            )
+            (
+                sh.new_candidate_pairs(ids)
+                .select("doc_a", "doc_b")
+                .write.mode("overwrite")
+                .parquet(f"{base}/pairs_sh/bid={bid}")
+            )
+            (
+                quality_frame(batch)
+                .select("doc_id", "quality_score")
+                .write.mode("overwrite")
+                .parquet(f"{base}/quality/bid={bid}")
+            )
+            batch.unpersist()
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(consume)
+            .option("checkpointLocation", base + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        multi = (
+            len(
+                [
+                    d
+                    for d in _os.listdir(base + "/quality")
+                    if d.startswith("bid=")
+                ]
+            )
+            >= 2
+        )
+        # arrival-order audit from the quality log's bid partitions:
+        # out-of-order iff some later batch carries an id below an
+        # earlier batch's max (bounded collect: one row per batch)
+        spans = sorted(
+            (int(r["bid"]), int(r["lo"]), int(r["hi"]))
+            for r in spark.read.parquet(base + "/quality")
+            .groupBy("bid")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .collect()
+        )
+        ooo = any(
+            lo < max(h for _, _, h in spans[:i])
+            for i, (_, lo, _) in enumerate(spans)
+            if i > 0
+        )
+
+        # ---- finalization sweep: pair logs -> decisions (one shot)
+        lex_pairs = (
+            spark.read.parquet(base + "/pairs_lex")
+            .select("doc_a", "doc_b")
+            .distinct()
+            .localCheckpoint()
+        )
+        sh_pairs = (
+            spark.read.parquet(base + "/pairs_sh")
+            .select("doc_a", "doc_b")
+            .distinct()
+            .localCheckpoint()
+        )
+        reconciled = (
+            lex_pairs.unionByName(sh_pairs)
+            .filter((F.col("doc_a") % 4 == 1) & (F.col("doc_b") % 4 == 3))
+            .limit(1)
+            .count()
+            > 0
+        )
+        lex = (
+            lex_pairs.filter(F.col("doc_b") % 2 == 1)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.count("*").cast("long").alias("n_lex"))
+        )
+        shc = (
+            sh_pairs.filter(F.col("doc_b") % 2 == 1)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.count("*").cast("long").alias("n_sh"))
+        )
+        (
+            spark.read.parquet(base + "/quality")
+            .select("doc_id", "quality_score")
+            .join(lex, "doc_id", "left")
+            .join(shc, "doc_id", "left")
+            .select(
+                "doc_id",
+                dround(F.col("quality_score"), 6).alias("quality_score"),
+                F.coalesce(F.col("n_lex"), F.lit(0).cast("long")).alias(
+                    "n_lexical_collisions"
+                ),
+                F.coalesce(F.col("n_sh"), F.lit(0).cast("long")).alias(
+                    "n_simhash_collisions"
+                ),
+                F.when(
+                    F.col("quality_score") < QUALITY_MIN, "dropped_quality"
+                )
+                .when(F.col("n_lex").isNotNull(), "dropped_lexical_dup")
+                .when(F.col("n_sh").isNotNull(), "dropped_simhash_dup")
+                .otherwise("admitted")
+                .alias("status"),
+            )
+            .write.mode("overwrite")
+            .parquet(base + "/decisions")
+        )
+
+        cols = [
+            "doc_id", "quality_score", "n_lexical_collisions",
+            "n_simhash_collisions", "status",
+        ]
+        batch_ans = (
+            p29_dual_detector_admission(spark, sf_dir)
+            .select(*cols)
+            .localCheckpoint()
+        )
+        swept = (
+            spark.read.parquet(base + "/decisions")
+            .select(*cols)
+            .localCheckpoint()
+        )
+        matches = (
+            swept.join(batch_ans, cols, "left_anti").count() == 0
+            and batch_ans.join(swept, cols, "left_anti").count() == 0
+            and swept.count() == batch_ans.count()
+        )
+        return base, bool(matches), bool(multi), bool(ooo), bool(reconciled)
+
+    base, matches, multi, ooo, reconciled = materialized_value(
+        spark, sf_dir, "e50_ooo_admission", build
+    )
+    return spark.read.parquet(base + "/decisions").select(
+        "doc_id",
+        "quality_score",
+        "n_lexical_collisions",
+        "n_simhash_collisions",
+        "status",
+        F.lit(bool(matches)).alias("stream_matches_batch"),
+        F.lit(bool(multi)).alias("ran_multiple_batches"),
+        F.lit(bool(ooo)).alias("out_of_order_observed"),
+        F.lit(bool(reconciled)).alias("finalization_reconciled"),
     )

@@ -2670,7 +2670,6 @@ def s16_hnsw_layered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
     nodes = quant.select(F.col("vec_id").alias("node"), F.col("q").alias("nq"))
-    layer_hash = md5_prefix_long(F.col("node").cast("string"))
     qdot = _isum(F.zip_with("pq", "nq", lambda x, y: x * y))
     qcos = qdot.cast("double") / (
         F.sqrt(_isum(F.transform("pq", lambda x: x * x)).cast("double"))
@@ -2729,31 +2728,38 @@ def s16_hnsw_layered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry2 = scored_entry.filter(F.col("rk") <= S16_ENTRIES).select(
         "probe_id", "node"
     ).localCheckpoint()
-    # Member sets for the restricted layer walks
-    l1_members = nodes.filter(layer_hash % S16_L1_MOD == 0).select("node")
-    l2_members = nodes.filter(layer_hash % S16_L2_MOD == 0).select("node")
 
     # 2-hop closure through any layer-0 node (see oracle note): the
     # member-restricted 1-hop subgraph is near-empty at K=3.
     # Materialized: the walk re-reads it every hop.
-    def _closure_edges(members: DataFrame) -> DataFrame:
-        mid = edges.select(F.col("src").alias("mid"), F.col("dst"))
+    #
+    # Membership (md5(v) % mod == 0) is an expression, not a table, so
+    # it prefilters BOTH self-join inputs before the join — the left
+    # side keeps only member sources (n*K/mod edges), the right only
+    # member destinations — instead of joining the full K^2*n closure
+    # and then member-joining it down (the round-12 shape: 2.4s+1.8s
+    # build -> 0.9s+0.6s, identical outputs; at scale the prejoin
+    # volume drops mod^2-fold for the mid-join's probe side).
+    def _closure_edges(mod: int) -> DataFrame:
+        h = lambda c: md5_prefix_long(F.col(c).cast("string"))  # noqa: E731
+        left = edges.filter(h("src") % mod == 0).select(
+            "src", F.col("dst").alias("mid")
+        )
+        right = edges.filter(h("dst") % mod == 0).select(
+            F.col("src").alias("mid"), "dst"
+        )
         return (
-            edges.select("src", F.col("dst").alias("mid"))
-            .join(mid, "mid")
+            left.join(right, "mid")
             .filter(F.col("src") != F.col("dst"))
-            .select("src", "dst")
-            .join(members.withColumnRenamed("node", "src"), "src")
-            .join(members.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
             .distinct()
         )
 
     edges1 = materialized_df(
-        spark, sf_dir, "s16_l1_edges", lambda: _closure_edges(l1_members)
+        spark, sf_dir, "s16_l1_edges", lambda: _closure_edges(S16_L1_MOD)
     )
     edges2 = materialized_df(
-        spark, sf_dir, "s16_l2_edges", lambda: _closure_edges(l2_members)
+        spark, sf_dir, "s16_l2_edges", lambda: _closure_edges(S16_L2_MOD)
     )
     # Layer 2: walk the sparsest member subgraph from the fixed sample
     scored2 = walk(entry2, edges2, S16_L2_HOPS, S16_L2_BEAM)

@@ -30,7 +30,7 @@ from seamdb_spark.operators.registry import QUERIES
 
 from tests.conftest import SF_SMOKE
 
-# The 29 materializer queries as recorded by the last clean bench run
+# The 39 materializer queries as recorded by the last clean bench run
 # (bench_results.json["materializers"]) — every query whose first timed
 # run adds session-memo keys, i.e. every query the bench gate-retime
 # can re-enter. The sweep below re-verifies membership mechanically:
@@ -50,6 +50,7 @@ MATERIALIZER_QUERIES = [
     "e47_stateful_totals_parity",
     "e48_checkpoint_restart_parity",
     "e49_streaming_admission_parity",
+    "e50_outoforder_admission",
     "j02_bucketed_colocated_join",
     "j03_partition_pruned_join",
     "p08_tokenizer_readiness",
