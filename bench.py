@@ -131,6 +131,41 @@ def time_canary(queries: dict, spark, sf_dir: str, n: int = 2) -> float:
     return round(best, 3)
 
 
+def stable_canary_start(
+    queries: dict,
+    spark,
+    sf_dir: str,
+    max_rounds: int = 12,
+    tol: float = 0.08,
+) -> tuple[float, int]:
+    """Opening canary sample, taken only once the canary has STOPPED
+    improving: run it until two consecutive samples sit within ``tol``
+    of the running min (or ``max_rounds``), then return (min, samples).
+
+    Round-13 finding: a fixed min-of-3 start still read 1.5-1.6x the
+    end sample on every run (r12-r13 drifts 0.429/0.513/0.593/0.636) —
+    the JVM's C2 compiler keeps optimizing the shared execution paths
+    (shuffle, parquet reader, whole-stage codegen harness) well past
+    three samples, so the "slow start" the canary kept reporting was
+    JIT warm-up, not host throttle, and it permanently blocked baseline
+    advance. Anchoring the start at stabilization measures the machine,
+    not the JIT curve; a genuinely slow host still reads slow AFTER
+    stabilizing and still blocks the advance."""
+    samples: list[float] = []
+    for _ in range(max_rounds):
+        t0 = time.time()
+        queries[CANARY_QUERY](spark, sf_dir).count()
+        samples.append(time.time() - t0)
+        m = min(samples)
+        if (
+            len(samples) >= 3
+            and samples[-1] <= m * (1 + tol)
+            and samples[-2] <= m * (1 + tol)
+        ):
+            break
+    return round(min(samples), 3), len(samples)
+
+
 def check_regressions(
     timings: dict[str, float],
     baseline: dict,
@@ -327,12 +362,13 @@ def main() -> None:
         schema="id long, np_ok long",
     ).count()
 
-    # Throttle canary, opening sample (on the now-warm session).
-    # min-of-3: both round-12 benches measured the first post-warm-up
-    # samples ~1.7-2.3x the steady-state time (JIT C2 still compiling),
-    # which read as false "slow start" drift — a third sample lets the
-    # min reach compiled-code territory before the ratio is anchored.
-    canary_start = time_canary(queries, spark, sf_dir, n=3)
+    # Throttle canary, opening sample — taken only after the canary
+    # stabilizes (see stable_canary_start: a fixed min-of-3 still
+    # anchored the ratio on the JIT warm-up curve and read every run
+    # as a false "slow start").
+    canary_start, canary_warm_rounds = stable_canary_start(
+        queries, spark, sf_dir
+    )
 
     # Single-VM timing noise on heavy queries measured up to 4x (GC /
     # block-manager churn between queries); re-run anything slower than
@@ -426,6 +462,7 @@ def main() -> None:
     canary = {
         "query": CANARY_QUERY,
         "start": canary_start,
+        "warm_rounds": canary_warm_rounds,
         "end": canary_end,
         "drift": canary_drift,
         "max_drift": CANARY_MAX_DRIFT,
