@@ -68,6 +68,9 @@ QUERIES = [
     "p28_ivf_compaction_rebuild",
     "p29_dual_detector_admission",
     "e49_streaming_admission_parity",
+    # round 13: the out-of-order admission composition — e49's shape
+    # plus the pair-log finalization sweep
+    "e50_outoforder_admission",
 ]
 
 

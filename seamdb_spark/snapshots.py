@@ -157,8 +157,21 @@ class TableSnapshots:
                 F.xxhash64(*[F.col(c) for c in bucketing["cols"]]),
                 F.lit(int(bucketing["n"])),
             ).cast("int")
+            # Cluster rows onto their bucket BEFORE the partitioned
+            # write: without the repartition every upstream task writes
+            # one file into every bucket directory it touches, so a
+            # uniform batch emits tasks x n_buckets files per segment
+            # (measured 16k files for a 100k-row 8-segment table in the
+            # bucket spot-check) — the classic small-files explosion.
+            # Repartitioning on __bucket lands each bucket's rows in
+            # exactly one task: n_buckets files per segment, and the
+            # pruned clash probe's file count becomes
+            # segments x touched_buckets exactly. The shuffle is the
+            # price of a clustered layout — same trade as any bucketed
+            # table write.
             (
                 df.withColumn("__bucket", bucket_col)
+                .repartition(int(bucketing["n"]), "__bucket")
                 .write.mode("overwrite")
                 .partitionBy("__bucket")
                 .parquet(seg_dir)
