@@ -152,13 +152,69 @@ def build_scaled(spark, k_factor: int) -> str:
     all_embs.repartition(32).write.mode("overwrite").parquet(
         out + "/embeddings.parquet"
     )
+    build_scaled_tpch(spark, k_factor, out)
     return out
+
+
+# Key-column shift per replica — larger than any sf0.1 key, so replica
+# key spaces are disjoint and FKs stay consistent WITHIN a replica
+# (orders.o_custkey shifts exactly like customer.c_custkey, etc.).
+TPCH_SHIFT = 10_000_000
+
+# TPC-H scales exactly this way by spec: region/nation are FIXED
+# dimensions at every scale factor; the fact/dim tables grow linearly.
+# Replicating with shifted keys and unchanged nationkeys reproduces
+# that: each nation's customer/supplier fan-out grows k_factor-fold,
+# within-replica join structure is identical, dates/prices unchanged.
+TPCH_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+
+
+def build_scaled_tpch(spark, k_factor: int, out: str) -> None:
+    """Replicate the TPC-H side into the scaled fixture (round 13:
+    needed to run the FULL driver window at 10×, not just the
+    document/vector/event families)."""
+    if os.path.exists(out + "/lineitem.parquet"):
+        return
+    for tbl in ("region", "nation"):
+        load_table(spark, BASE_SF, tbl).write.mode("overwrite").parquet(
+            out + f"/{tbl}.parquet"
+        )
+    for tbl, keys in TPCH_KEYS.items():
+        df = load_table(spark, BASE_SF, tbl)
+        parts = [df]
+        for k in range(1, k_factor):
+            parts.append(
+                df.select(
+                    *[
+                        (F.col(c) + TPCH_SHIFT * k).alias(c)
+                        if c in keys
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            )
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        allp.repartition(32).write.mode("overwrite").parquet(
+            out + f"/{tbl}.parquet"
+        )
 
 
 def main() -> None:
     k_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # optional argv[2]: comma-separated subset of QUERIES to run (new
-    # families get their 10x rows without re-running the whole table)
+    # families get their 10x rows without re-running the whole table),
+    # or the literal "window" — the FIRST 50 of queries(), i.e. the
+    # driver's active correctness window (round 13, VERDICT r12 #7:
+    # upgrade the scale evidence from heaviest-families to the whole
+    # window).
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = build_session("seamdb_scale_spotcheck")
     scaled = build_scaled(spark, k_factor)
@@ -166,12 +222,19 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+    run_list = QUERIES
+    if only == {"window"}:
+        run_list, only = list(queries)[:50], None
+    elif only is not None:
+        # explicit subsets may name ANY registered query, not just the
+        # standing QUERIES table
+        run_list, only = [n for n in queries if n in only], None
     # warm the JVM/codegen/worker pool once
     load_table(spark, scaled, "documents").count()
     load_table(spark, scaled, "embeddings").count()
 
     results = []
-    for name in QUERIES:
+    for name in run_list:
         if only is not None and name not in only:
             continue
         fn = queries[name]

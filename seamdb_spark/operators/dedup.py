@@ -2179,14 +2179,30 @@ def d20_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -exact — and one division) is a fixed expression, dround(6)-guarded.
 #
 # Scale: df table is vocabulary-sized (map-side combine); the
-# candidate join fans out <= C(RARE_DF_CAP, 2) pairs per indexed term
-# by construction; verification joins only candidate pairs against
-# the term stream. Like every sketch-recall operator here (s02/s03),
-# the candidate stage trades recall for scale; the pytest audit
-# measures it against the all-pairs baseline.
+# candidate join fans out <= C(D22_RARE_DF_CAP, 2) pairs per indexed
+# term by construction (a CONSTANT — see the D22_RARE_DF_CAP note:
+# the cap must not grow with n or the self-join goes quadratic, the
+# round-13 10x finding); verification joins only candidate pairs
+# against the term stream. Like every sketch-recall operator here
+# (s02/s03), the candidate stage trades recall for scale; the pytest
+# audit measures it against the all-pairs baseline.
 # --------------------------------------------------------------------------
 D22_COS_THRESHOLD = 0.75
 D22_IDF_CAP = 1_000_000
+# Posting-length bound for the rare-term index. The rarity rule is
+# df <= max(2, min(D22_RARE_DF_CAP, n_docs div 50)): the n/50 ramp
+# keeps tiny fixtures from indexing nothing, and the CONSTANT cap is
+# what makes the candidate self-join linear in corpus size — without
+# it the "rare" threshold grows with n, and terms that are stop-terms
+# at one scale become indexed at 10x that scale with C(df,2) pair
+# fan-out each (measured: the 10x spot-check's d22 spilled >50 GB and
+# died before this cap existed; with it, per-term fan-out is
+# <= C(100,2) at ANY corpus size). 100 == n/50 exactly at the sf0.1
+# gate fixture, so results at every test SF are bit-identical; at
+# larger corpora the cap trades candidate recall for boundedness —
+# the same knob every sketch-recall operator here exposes (d02's
+# bands, s03's nprobe), audited by the pytest recall floor.
+D22_RARE_DF_CAP = 100
 
 
 def _d22_oracle() -> str:
@@ -2215,7 +2231,7 @@ def _d22_oracle() -> str:
     rare AS (
       SELECT w.doc_id, w.t FROM weighted w
       JOIN dfreq d ON d.t = w.t CROSS JOIN n_docs n
-      WHERE d.df <= GREATEST(2, n.n // 50)
+      WHERE d.df <= GREATEST(2, LEAST({D22_RARE_DF_CAP}, n.n // 50))
     ),
     cand AS (
       SELECT DISTINCT r1.doc_id AS doc_a, r2.doc_id AS doc_b
@@ -2297,7 +2313,10 @@ def _d22_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs the cosine verify then scores."""
     weighted = _d22_weighted(spark, sf_dir)
     rare = weighted.filter(
-        F.col("df") <= F.greatest(F.lit(2), F.expr("n div 50"))
+        F.col("df")
+        <= F.greatest(
+            F.lit(2), F.least(F.lit(D22_RARE_DF_CAP), F.expr("n div 50"))
+        )
     ).select("doc_id", "th")
     r1 = rare.select(F.col("doc_id").alias("doc_a"), "th")
     r2 = rare.select(F.col("doc_id").alias("doc_b"), "th")

@@ -2857,20 +2857,15 @@ def e49_streaming_admission_parity(
         def consume(bdf: DataFrame, bid: int) -> None:
             batch = bdf.select("doc_id", "text").persist()
             ids = batch.select("doc_id")
-            # Exactly-once commit: the last-committed batch id rides in
-            # the manifest's extra blob, which publishes in the SAME
-            # os.replace as the file list — so a micro-batch retry
-            # (task failure after commit, before the decisions write)
-            # sees its own bid already recorded and skips the append
-            # instead of duplicating the segment and double-counting
-            # collisions. The index refreshes stay unconditional: they
-            # diff the manifest, so they are no-ops when the commit was
-            # skipped and they complete an interrupted refresh when it
-            # wasn't (mirrors the decisions sink's per-batchId
-            # idempotency below).
-            last = snaps.current_extra().get("last_bid")
-            if last is None or bid > int(last):
-                snaps.commit(batch, extra={"last_bid": bid})
+            # Exactly-once commit (snapshots.commit_once): a micro-batch
+            # retry — task failure after commit, before the decisions
+            # write — skips the append instead of duplicating the
+            # segment and double-counting collisions. The index
+            # refreshes stay unconditional: they diff the manifest, so
+            # they are no-ops when the commit was skipped and they
+            # complete an interrupted refresh when it wasn't (mirrors
+            # the decisions sink's per-batchId idempotency below).
+            snaps.commit_once(batch, bid)
             lsh.refresh()        # O(new segment) by the manifest diff
             sh.refresh()
             batch_b = ids.withColumnRenamed("doc_id", "doc_b")
@@ -3307,13 +3302,10 @@ def e50_outoforder_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         def consume(bdf: DataFrame, bid: int) -> None:
             batch = bdf.select("doc_id", "text").persist()
             ids = batch.select("doc_id")
-            # e49's exactly-once commit guard: the last-committed bid
-            # rides in the manifest extra (atomic with the file list),
-            # so a micro-batch retry skips the append; the refreshes
-            # stay unconditional (manifest-diff no-ops on replay).
-            last = snaps.current_extra().get("last_bid")
-            if last is None or bid > int(last):
-                snaps.commit(batch, extra={"last_bid": bid})
+            # e49's exactly-once commit guard (snapshots.commit_once):
+            # a micro-batch retry skips the append; the refreshes stay
+            # unconditional (manifest-diff no-ops on replay).
+            snaps.commit_once(batch, bid)
             lsh.refresh()
             sh.refresh()
             # Log EVERYTHING involving the batch — including pairs

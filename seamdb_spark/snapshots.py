@@ -203,6 +203,26 @@ class TableSnapshots:
         self._publish(new_manifest)
         return v
 
+    def commit_once(self, df: DataFrame, bid: int, mode: str = "append") -> bool:
+        """Exactly-once micro-batch commit: guarded by the last-committed
+        batch id riding in the manifest's ``extra`` blob, which publishes
+        in the SAME os.replace as the file list — so a replayed
+        micro-batch (task failure after commit, before the consumer's
+        sink write) sees its own bid already recorded and skips the
+        append instead of duplicating the segment. Returns True when the
+        commit happened, False on a replay skip. Other extra keys are
+        carried forward (merged), not clobbered. Used by the streaming
+        ingest consumers (e49/e50)."""
+        last = self.current_extra().get("last_bid")
+        if last is not None and int(bid) <= int(last):
+            return False
+        self.commit(
+            df,
+            mode=mode,
+            extra={**self.current_extra(), "last_bid": int(bid)},
+        )
+        return True
+
     def set_extra(self, updates: dict) -> int:
         """Publish a new manifest version with ``updates`` merged into
         extra — same file list, one atomic swap (used to declare

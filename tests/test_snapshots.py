@@ -199,3 +199,29 @@ def test_orc_source_roundtrip(spark, tmp_path):
     back = spark.read.orc(odir)
     assert dict(back.dtypes)["ts"] == "timestamp"
     assert tally(back) == want
+
+
+def test_commit_once_replay_guard(spark, tmp_path):
+    """Exactly-once micro-batch commits (e49/e50's consume): a replayed
+    bid is skipped (no duplicate segment, version unchanged), a newer
+    bid commits, and other extra keys survive the merge."""
+    snaps = TableSnapshots(str(tmp_path / "t"))
+    schema = _desc().spark_schema()
+    snaps.commit(
+        spark.createDataFrame([(0, "seed")], schema),
+        mode="overwrite",
+        extra={"keep": "me"},
+    )
+    b1 = spark.createDataFrame([(1, "a")], schema)
+    assert snaps.commit_once(b1, 0) is True
+    v = snaps.current_version()
+    # replay of the SAME micro-batch: skipped, nothing changes
+    assert snaps.commit_once(b1, 0) is False
+    assert snaps.current_version() == v
+    assert snaps.read(spark, schema).count() == 2
+    # an OLDER bid (late replay after a newer commit) is also skipped
+    assert snaps.commit_once(spark.createDataFrame([(2, "b")], schema), 1)
+    assert snaps.commit_once(b1, 0) is False
+    assert snaps.read(spark, schema).count() == 3
+    # unrelated extra metadata is carried through every guard commit
+    assert snaps.current_extra() == {"keep": "me", "last_bid": 1}
