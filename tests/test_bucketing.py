@@ -198,3 +198,24 @@ def test_j05_salt_expansion_and_skew(spark):
         .collect()
     ]
     assert len(shards) == J05_SALTS and max(shards) < hot / 2
+
+
+def test_bucketed_segment_writes_one_file_per_bucket(engine):
+    """The clustered-write guarantee (round 13): a bucketed commit
+    repartitions rows onto their bucket before the partitioned write,
+    so a segment holds at most ONE file per touched bucket — without
+    it every upstream task wrote a file into every bucket directory
+    (tasks x n_buckets small files per segment, measured 16k files on
+    a 100k-row table in the bucket spot-check)."""
+    snaps = _setup_bucketed(engine)
+    # a many-partition batch spanning every bucket: the pre-fix shape
+    # would write ~tasks x buckets files
+    engine.sql("INSERT INTO users VALUES " + ", ".join(
+        f"({i}, 'u{i}')" for i in range(256)
+    ))
+    entries = snaps.current_file_entries()
+    buckets_present = {b for _, b in entries}
+    assert len(buckets_present) > 1, "fixture should span several buckets"
+    # one file per (segment, bucket): no bucket id repeats within the
+    # single committed segment
+    assert len(entries) == len(buckets_present)
