@@ -486,6 +486,9 @@ def main() -> None:
                 },
                 f,
                 indent=1,
+                # stable key order so a values-identical advance (e.g.
+                # the fill-missing path) produces an empty git diff
+                sort_keys=True,
             )
     # The final stdout line must stay TINY: the driver tail-captures
     # console output and truncates long lines from the head, which is
