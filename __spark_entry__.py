@@ -690,8 +690,11 @@ _R12_WINDOW = [
 
 
 # ROUND-14 PROCEDURE: after CORRECTNESS_r13 lands, pin (a) any queries
-# registered after _R13_WINDOW froze and any whose plan/oracle changes
-# in round 14, then (b) regression fill oldest-driver-evidence-first:
+# registered after _R13_WINDOW froze (as of the round-13 close:
+# d35_cosine_prefix_filtered, the lossless prefix-filter audit —
+# locally hash-green at both SFs, twice) and any whose plan/oracle
+# changes in round 14, then (b) regression fill
+# oldest-driver-evidence-first:
 # recompute the latest-round-per-query union from CORRECTNESS_r1-r13
 # (after r13 the oldest tier is the 44 remaining latest-row-r7
 # queries — m21/t41/g07 advance to r13 with this window), filling

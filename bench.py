@@ -345,6 +345,7 @@ def main() -> None:
         "d04_dedup_ngram_jaccard": "exact pairwise formulation kept as the correctness twin of d08 (identical output, oracle-checked); d08 is the production kernel and the benched one",
         "d05_embedding_neardup": "O(n^2) brute-force verifier kept oracle-checked as the correctness twin; d06 (block-matrix int64 kernel) is the production path and the benched one",
         "s14_ann_recall_audit": "audit composition re-running s01+s02+s03 end-to-end; each constituent pipeline is individually benched, so timing the audit double-counts them",
+        "d35_cosine_prefix_filtered": "lossless prefix-filter AUDIT kept oracle-checked against the all-pairs truth; degenerates to ~all-pairs on this flat-weight fixture (2868*N candidates at sf0.1 — pruning needs skewed weight mass); d22 is the production kernel and the benched one",
     }
     spark = build_session("seamdb_spark_bench")
 

@@ -2357,6 +2357,164 @@ def d22_cosine_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# d35: LOSSLESS cosine prefix-filtered similarity join — Bayardo et
+# al. 2007 / ssjoin prefix filtering, added after the round-13 10×
+# run showed d22's df-capped index is the LOSSY trade at scale (the
+# constant cap bounds work but can miss pairs whose shared terms are
+# all commoner than the cap). Prefix filtering is recall-1 BY THEOREM:
+# sort each doc's terms by weight descending and index the minimal
+# head whose complement ("suffix") has squared norm < t · ‖x‖² —
+# then for any pair with NO shared term indexed on EITHER side,
+#   dot(x,y) ≤ ‖x_suffix‖·‖y_suffix‖ < √t·√t·‖x‖‖y‖ = t·‖x‖‖y‖,
+# i.e. cos < t strictly, so candidates (pairs sharing an indexed
+# term of either side) ⊇ every pair with cos ≥ t. At t = 3/4 the
+# prefix rule is EXACT INTEGER arithmetic: suffix² < t·norm² ⟺
+# 4·(norm2 − headsum) < 3·norm2 ⟺ 4·headsum > norm2 — no floats in
+# candidate generation at all. Verification is d22's exact weighted
+# cosine; same idf² weighting, same threshold, so d35's OUTPUT equals
+# the all-pairs truth — which is exactly what the oracle computes
+# (brute force over every term-sharing pair, candidate-blind), making
+# the driver row a losslessness proof, not a twin-plan echo. The
+# weight-tie order (Spark breaks ties by xxhash64(term), DuckDB by the
+# term string) can produce different PREFIXES, but the theorem holds
+# for any descending-weight order, so the verified output is
+# tie-order-independent.
+#
+# Scale — measured, and the honest verdict: prefix filtering's
+# pruning power comes from SKEWED weight mass (real corpora, where a
+# few rare terms carry most of a doc's idf² norm, so the 25%-mass head
+# is a handful of rare short-posting terms). This fixture's bigram
+# weights are near-uniform, so the head spans ~25% of every doc's
+# terms INCLUDING common ones, and the filter degenerates toward
+# all-pairs: 164·N candidates at N=500, 2868·N at N=5000 (≈ C(N,2)) —
+# pruning ~nothing. d35 is therefore kept as the LOSSLESS AUDIT of the
+# family (the driver row pins recall-1 against the candidate-blind
+# all-pairs truth; its candidate stage is deliberately NOT in the
+# CANDIDATE_STAGES k·N budget registry, whose purpose is gating
+# production enumerations), and it is bench-skipped on the d04/d07
+# precedent: d22 (capped, bounded, lossy-by-construction, empirically
+# recall-1 here — both emit the same 1038 pairs at sf0.1) stays the
+# production kernel on this corpus shape, and a skewed-weight corpus
+# is where a production pipeline would flip to the prefix filter.
+# --------------------------------------------------------------------------
+def _d35_oracle() -> str:
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                string_split(text, ' ')[i+1])))) AS t
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM terms),
+    dfreq AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY t
+    ),
+    weighted AS (
+      SELECT x.doc_id, x.t,
+             LEAST((n.n * 1000) // d.df, {D22_IDF_CAP}) AS idf
+      FROM terms x JOIN dfreq d ON d.t = x.t CROSS JOIN n_docs n
+    ),
+    norms AS (
+      SELECT doc_id, CAST(SUM(idf * idf) AS BIGINT) AS norm2
+      FROM weighted GROUP BY doc_id
+    ),
+    -- candidate-BLIND truth: every pair sharing at least one term,
+    -- scored exactly (the all-pairs baseline d35's prefix filter must
+    -- not lose a single above-threshold pair of)
+    dots AS (
+      SELECT wa.doc_id AS doc_a, wb.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(wa.idf * wb.idf) AS BIGINT) AS dot
+      FROM weighted wa JOIN weighted wb
+        ON wb.t = wa.t AND wa.doc_id < wb.doc_id
+      GROUP BY wa.doc_id, wb.doc_id
+    )
+    SELECT d.doc_a, d.doc_b, d.n_common,
+           ROUND(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine_sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {D22_COS_THRESHOLD}
+    """
+
+
+def _d35_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless prefix-filter candidates: pairs sharing a term indexed
+    in EITHER side's top-weight prefix (4·headsum > norm2 rule).
+    Deliberately NOT a registered candidate stage — see the header's
+    Scale note: this is the audit path, not a budgeted production
+    enumeration (it degenerates to ~all-pairs on flat-weight data)."""
+    weighted = _d22_weighted(spark, sf_dir)
+    w_doc = W.partitionBy("doc_id").orderBy(
+        F.col("idf").desc(), F.col("th")
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("idf") * F.col("idf")).alias("norm2")
+    )
+    # minimal head whose cumulative idf² pushes 4·headsum past norm2:
+    # keep every term whose PRECEDING cumulative sum still fails the
+    # bound (the crossing term itself is included)
+    cum = weighted.withColumn(
+        "headsum", F.sum(F.col("idf") * F.col("idf")).over(w_doc)
+    )
+    prefix = (
+        cum.join(norms, "doc_id")
+        .filter(
+            4 * (F.col("headsum") - F.col("idf") * F.col("idf"))
+            <= F.col("norm2")
+        )
+        .select("doc_id", "th")
+    )
+    p1 = prefix.select(F.col("doc_id").alias("doc_a"), "th")
+    p2 = prefix.select(F.col("doc_id").alias("doc_b"), "th")
+    a1 = weighted.select(F.col("doc_id").alias("doc_a"), "th")
+    a2 = weighted.select(F.col("doc_id").alias("doc_b"), "th")
+    # prefix(x) ⋈ all(y) in both roles covers "indexed on EITHER side"
+    return (
+        p1.join(a2, "th")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .unionByName(
+            a1.join(p2, "th").filter(F.col("doc_a") < F.col("doc_b"))
+        )
+    )
+
+
+@register("d35_cosine_prefix_filtered", oracle=_d35_oracle())
+def d35_cosine_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weighted = _d22_weighted(spark, sf_dir)
+    cand = _d35_candidates(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("idf") * F.col("idf")).alias("norm2")
+    )
+    wa = weighted.select(
+        F.col("doc_id").alias("doc_a"), "th", F.col("idf").alias("idf_a")
+    )
+    wb = weighted.select(
+        F.col("doc_id").alias("doc_b"), "th", F.col("idf").alias("idf_b")
+    )
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "th"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.col("idf_a") * F.col("idf_b")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb2"))
+    cos = F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= D22_COS_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", dround(cos, 6).alias("cosine_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
 # d23: eval-side contamination report — the reverse direction of d10:
 # for each EVAL document, what fraction of its distinct shingles
 # appears anywhere in the training split. This is the per-benchmark-
