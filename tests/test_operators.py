@@ -1455,6 +1455,19 @@ def test_cosine_neardup_recall_and_exactness(spark, registry):
     # df-capped inverted-index candidate generation (Bayardo-style
     # rare-term pruning) measures 1.0 on the fixture
     assert recall >= 0.9, f"d22 candidate recall {recall:.2f}"
+    # d35: the LOSSLESS prefix-filter audit must equal the exact truth
+    # EXACTLY (recall 1 by theorem, precision 1 by the verify stage) —
+    # and therefore bound d22 from above
+    d35 = {
+        (r.doc_a, r.doc_b)
+        for r in queries["d35_cosine_prefix_filtered"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert d35 == truth, (
+        f"d35 lossless audit diverged: missing {truth - d35}, "
+        f"extra {d35 - truth}"
+    )
 
 
 def test_eval_contamination_consistent_with_d10(spark, registry):
