@@ -747,9 +747,63 @@ _R13_WINDOW = [
 ]
 
 
+# ROUND-15 PROCEDURE: after CORRECTNESS_r14 lands, pin (a) any queries
+# registered after _R14_WINDOW froze and any whose plan/oracle changes
+# in round 15, then (b) regression fill oldest-driver-evidence-first:
+# recompute the latest-round-per-query union from CORRECTNESS_r1-r14
+# (after r14 the oldest tier is the 40 remaining latest-row-r8
+# queries — m35/q68/q69/m37 advance to r14 with this window), filling
+# tiers r8, r9, r10, ... in their original window orders.
+# _R14_WINDOW (active, round 14): 50 slots.
+# (a) slots 1-2: d35_cosine_prefix_filtered (registered at the
+#     round-13 close, the only query without a driver row — VERDICT
+#     r13 "Next round" #1; its row is a recall-1 proof of the lossless
+#     prefix filter against the candidate-blind all-pairs oracle) and
+#     e51_periodic_finalization (new this round: e50's production
+#     shape — periodic finalization sweeps over the not-yet-finalized
+#     bid range with per-epoch decision sealing — VERDICT r13 "Next
+#     round" #5).
+# (b) slots 3-46: all 44 queries whose latest driver row is round 7
+#     (recomputed from the r1-r13 union; histogram after r13 is
+#     r13:50 r12:50 r11:50 r10:50 r9:47 r8:44 r7:44), in their r7
+#     window order.
+# (c) slots 47-50: the first 4 latest-row-r8 queries in r8 window
+#     order (m35/q68/q69/m37); the remaining 40 r8 rows refill in
+#     round 15.
+_R14_WINDOW = [
+    # (a) rowless + new
+    "d35_cosine_prefix_filtered", "e51_periodic_finalization",
+    # (b) all 44 latest-row-r7 queries, r7 window order
+    "p08_tokenizer_readiness", "s22_pq_distortion_audit",
+    "e34_periodicity_autocorrelation", "t42_mixture_independence_audit",
+    "e35_anomaly_incidents", "q65_distinct_on",
+    "d31_neardup_explanations", "m24_ahash_invariance",
+    "x15_frequency_cap_sample", "t43_intra_doc_repetition",
+    "s23_kmeans_stability_audit", "e38_session_funnel",
+    "d32_normalized_exact_dedup", "t44_chars_per_token_profile",
+    "p09_dedup_invariants", "m25_gif_roundtrip",
+    "g08_transitive_candidates", "p10_mixture_quota_allocation",
+    "m26_gif_frame_extract", "d33_bbit_minhash_audit",
+    "e36_type_burstiness", "m27_mp4_probe", "t45_gopher_repetition",
+    "s24_prepost_filter_audit", "p11_quota_sampler",
+    "m28_audio_fingerprint_dedup", "q66_ordered_string_agg",
+    "q67_locf_forward_fill", "x16_kmv_anotb", "e37_transition_latency",
+    "g09_edge_embeddedness", "m29_image_patches",
+    "d34_detector_disagreement", "t46_vocab_coverage_curve",
+    "e39_time_decay_attribution", "t40_bpe_train",
+    "g06_label_propagation", "e02_sessionization",
+    "d20_cdc_chunk_dedup", "t47_bpe_fertility_by_lang",
+    "m30_mp4_sample_extract", "m32_jpeg_420_roundtrip",
+    "p12_cluster_balanced_sample", "d02_dedup_minhash_lsh",
+    # (c) r8-tier head, r8 window order
+    "m35_scene_segmentation", "q68_groups_frame", "q69_window_exclude",
+    "m37_pitch_detection",
+]
+
+
 def _ordered() -> list[str]:
     names = list(QUERIES)
-    window = [n for n in _R13_WINDOW if n in names]
+    window = [n for n in _R14_WINDOW if n in names]
     rest = [n for n in names if n not in window]
     return window + rest
 

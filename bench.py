@@ -131,16 +131,18 @@ def time_canary(queries: dict, spark, sf_dir: str, n: int = 2) -> float:
     return round(best, 3)
 
 
-def stable_canary_start(
+def stable_canary_sample(
     queries: dict,
     spark,
     sf_dir: str,
-    max_rounds: int = 12,
-    tol: float = 0.08,
-) -> tuple[float, int]:
-    """Opening canary sample, taken only once the canary has STOPPED
-    improving: run it until two consecutive samples sit within ``tol``
-    of the running min (or ``max_rounds``), then return (min, samples).
+    max_rounds: int = 16,
+    tol: float = 0.05,
+    consecutive: int = 3,
+) -> tuple[float, int, bool]:
+    """Canary sample, taken only once the canary has STOPPED improving:
+    run it until ``consecutive`` consecutive samples all sit within
+    ``tol`` of the running min (or ``max_rounds``), then return
+    (min, samples_taken, stabilized).
 
     Round-13 finding: a fixed min-of-3 start still read 1.5-1.6x the
     end sample on every run (r12-r13 drifts 0.429/0.513/0.593/0.636) —
@@ -150,20 +152,32 @@ def stable_canary_start(
     JIT warm-up, not host throttle, and it permanently blocked baseline
     advance. Anchoring the start at stabilization measures the machine,
     not the JIT curve; a genuinely slow host still reads slow AFTER
-    stabilizing and still blocks the advance."""
+    stabilizing and still blocks the advance.
+
+    Round-14 tightening (VERDICT r13 #4 + ADVICE): the driver's r13 run
+    exited after 4 samples under the old 2-consecutive/8% rule yet the
+    end canary was 1.65x faster (drift 0.605) — the rule under-waited
+    on a cold driver VM. Now 3 consecutive within 5% of the running
+    min (the last of which is by construction ~the min), max_rounds 16
+    (q01 needed all 12 under the looser rule — do not shrink), and the
+    ``stabilized`` bool (stopped before the cap) is recorded in the
+    canary blob so a cap-exit can't silently masquerade as a clean
+    anchor. The SAME sampler now also takes the closing sample
+    (smaller cap — the JVM is warm) so drift compares like with like
+    instead of stabilized-start vs min-of-2-end."""
     samples: list[float] = []
+    stabilized = False
     for _ in range(max_rounds):
         t0 = time.time()
         queries[CANARY_QUERY](spark, sf_dir).count()
         samples.append(time.time() - t0)
         m = min(samples)
-        if (
-            len(samples) >= 3
-            and samples[-1] <= m * (1 + tol)
-            and samples[-2] <= m * (1 + tol)
+        if len(samples) >= consecutive and all(
+            s <= m * (1 + tol) for s in samples[-consecutive:]
         ):
+            stabilized = True
             break
-    return round(min(samples), 3), len(samples)
+    return round(min(samples), 3), len(samples), stabilized
 
 
 def check_regressions(
@@ -364,11 +378,11 @@ def main() -> None:
     ).count()
 
     # Throttle canary, opening sample — taken only after the canary
-    # stabilizes (see stable_canary_start: a fixed min-of-3 still
+    # stabilizes (see stable_canary_sample: a fixed min-of-3 still
     # anchored the ratio on the JIT warm-up curve and read every run
     # as a false "slow start").
-    canary_start, canary_warm_rounds = stable_canary_start(
-        queries, spark, sf_dir
+    canary_start, canary_warm_rounds, canary_start_stable = (
+        stable_canary_sample(queries, spark, sf_dir)
     )
 
     # Single-VM timing noise on heavy queries measured up to 4x (GC /
@@ -389,9 +403,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
     materializers: dict[str, list[str]] = {}
-    for name, fn in sorted(queries.items()):
-        if name in skip:
-            continue
+    # Mid-run canary sample (VERDICT r13 #4): lets a drift verdict
+    # distinguish "the whole first half ran slow" (mid ≈ start ≫ end:
+    # under-waited anchor or early-VM throttle) from "the box slowed
+    # late" (mid ≈ start ≪ end). Observability only — the steady/
+    # advance decision stays on end/start.
+    canary_mid: float | None = None
+    run_list = [(n, f) for n, f in sorted(queries.items()) if n not in skip]
+    mid_index = len(run_list) // 2
+    for i, (name, fn) in enumerate(run_list):
+        if i == mid_index and i > 0:
+            try:
+                canary_mid = time_canary(queries, spark, sf_dir)
+            except Exception:  # noqa: BLE001 — observability only
+                canary_mid = None
         before = set(_MATERIALIZED)
         t0 = time.time()
         fn(spark, sf_dir).count()
@@ -455,16 +480,30 @@ def main() -> None:
         regressions = regressions + flagged_errors
     # Throttle canary, closing sample: if the VM slowed mid-run the
     # fixed query now takes materially longer than it did after warm-up.
+    # Same stabilized sampler as the start (smaller cap — warm JVM) so
+    # the drift ratio compares like with like (ADVICE r13).
     try:
-        canary_end = time_canary(queries, spark, sf_dir)
+        canary_end, canary_end_rounds, canary_end_stable = (
+            stable_canary_sample(queries, spark, sf_dir, max_rounds=8)
+        )
         canary_drift = round(canary_end / max(canary_start, 1e-9), 3)
     except Exception as exc:  # noqa: BLE001 — canary failure must not kill the record
         canary_end, canary_drift = None, None
+        canary_end_rounds, canary_end_stable = None, None
     canary = {
         "query": CANARY_QUERY,
         "start": canary_start,
         "warm_rounds": canary_warm_rounds,
+        "start_stabilized": canary_start_stable,
+        "mid": canary_mid,
+        "mid_drift": (
+            round(canary_mid / max(canary_start, 1e-9), 3)
+            if canary_mid is not None
+            else None
+        ),
         "end": canary_end,
+        "end_rounds": canary_end_rounds,
+        "end_stabilized": canary_end_stable,
         "drift": canary_drift,
         "max_drift": CANARY_MAX_DRIFT,
     }

@@ -76,10 +76,14 @@ QUERIES = [
 
 def build_scaled(spark, k_factor: int) -> str:
     out = f"/tmp/seamdb_scale_x{k_factor}"
-    docs_done = os.path.exists(out + "/documents.parquet")
-    embs_done = os.path.exists(out + "/embeddings.parquet")
-    evs_done = os.path.exists(out + "/events.parquet")
-    if docs_done and embs_done and evs_done:
+    # Completion sentinel (ADVICE r13): _DOCS_DONE is written only
+    # after documents/embeddings/events ALL land — per-file exists
+    # checks silently reused a partial directory left by a run killed
+    # mid-write. build_scaled_tpch always runs (own sentinel), so a
+    # pre-round-13 fixture that predates the TPC-H replication gets
+    # backfilled instead of skipped.
+    if os.path.exists(os.path.join(out, "_DOCS_DONE")):
+        build_scaled_tpch(spark, k_factor, out)
         return out
     os.makedirs(out, exist_ok=True)
     docs = load_table(spark, BASE_SF, "documents")
@@ -152,6 +156,8 @@ def build_scaled(spark, k_factor: int) -> str:
     all_embs.repartition(32).write.mode("overwrite").parquet(
         out + "/embeddings.parquet"
     )
+    with open(os.path.join(out, "_DOCS_DONE"), "w") as f:
+        f.write("ok\n")
     build_scaled_tpch(spark, k_factor, out)
     return out
 
@@ -178,8 +184,15 @@ TPCH_KEYS = {
 def build_scaled_tpch(spark, k_factor: int, out: str) -> None:
     """Replicate the TPC-H side into the scaled fixture (round 13:
     needed to run the FULL driver window at 10×, not just the
-    document/vector/event families)."""
-    if os.path.exists(out + "/lineitem.parquet"):
+    document/vector/event families).
+
+    Completion sentinel (ADVICE r13): guard on _TPCH_DONE, written only
+    after EVERY table lands — the old lineitem.parquet-exists guard let
+    a run killed mid-lineitem-write leave a partial directory that
+    later runs silently reused (and it skipped region/nation, which
+    are written before the table it checked)."""
+    sentinel = os.path.join(out, "_TPCH_DONE")
+    if os.path.exists(sentinel):
         return
     for tbl in ("region", "nation"):
         load_table(spark, BASE_SF, tbl).write.mode("overwrite").parquet(
@@ -205,6 +218,8 @@ def build_scaled_tpch(spark, k_factor: int, out: str) -> None:
         allp.repartition(32).write.mode("overwrite").parquet(
             out + f"/{tbl}.parquet"
         )
+    with open(sentinel, "w") as f:
+        f.write("ok\n")
 
 
 def main() -> None:

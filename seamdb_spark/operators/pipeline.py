@@ -2785,6 +2785,36 @@ def p30_bucket_pruned_unique_clash(
 # build() starts from fresh_external_dir so bench gate-retimes
 # re-enter the exact first-build sequence.
 # --------------------------------------------------------------------------
+def _write_ordered_feed(df: DataFrame, src: str, conds: list) -> None:
+    """Write one single-file parquet per condition into ``src`` with a
+    GUARANTEED replay order: slice i becomes ``src/{i:02d}_slice.parquet``
+    with an explicit mtime i*2 seconds apart (os.utime). FileStreamSource
+    orders micro-batches by file modification time, and the previous
+    append-then-sleep(0.05) scheme relied on sub-second mtime
+    granularity — on a coarse-mtime filesystem the two feed files could
+    tie and fall back to listing order over random UUID part names
+    (ADVICE r13). Each slice stages into a scratch dir and its part
+    file is renamed into place, so the name is deterministic too."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    _os.makedirs(src, exist_ok=True)
+    base_ts = _time.time() - 60  # firmly in the past; stream starts later
+    for i, cond in enumerate(conds):
+        stage = f"{src}__stage{i}"
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = [
+            f for f in _os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        dest = _os.path.join(src, f"{i:02d}_slice.parquet")
+        _shutil.move(_os.path.join(stage, part), dest)
+        _shutil.rmtree(stage, ignore_errors=True)
+        ts = base_ts + 2.0 * i
+        _os.utime(dest, (ts, ts))
+
+
 def _e49_oracle() -> str:
     return f"""
     SELECT t.*, TRUE AS stream_matches_batch, TRUE AS ran_multiple_batches
@@ -2798,7 +2828,6 @@ def e49_streaming_admission_parity(
 ) -> DataFrame:
     import os as _os
     import re as _re
-    import time as _time
 
     from pyspark.sql import types as T
 
@@ -2836,9 +2865,10 @@ def e49_streaming_admission_parity(
         lsh.refresh()
         sh.refresh()
 
-        # the ingest feed: odds as two contiguous-id-range files
-        # written sequentially (strictly increasing mtimes), so the
-        # file source replays them oldest-first == id-ordered (two
+        # the ingest feed: odds as two contiguous-id-range files with
+        # explicit 2s-apart mtimes + deterministic names
+        # (_write_ordered_feed), so the file source replays them
+        # oldest-first == id-ordered on any filesystem (two
         # micro-batches are the minimum that makes the identity
         # incremental-vs-batch rather than a one-batch tautology; each
         # extra micro-batch costs a full refresh+lookup round, so the
@@ -2846,13 +2876,9 @@ def e49_streaming_admission_parity(
         odds = docs.filter(F.col("doc_id") % 2 == 1)
         (mid,) = odds.approxQuantile("doc_id", [0.5], 0.0)
         src = base + "/src"
-        slices = [
-            F.col("doc_id") <= mid,
-            F.col("doc_id") > mid,
-        ]
-        for cond in slices:
-            odds.filter(cond).coalesce(1).write.mode("append").parquet(src)
-            _time.sleep(0.05)
+        _write_ordered_feed(
+            odds, src, [F.col("doc_id") <= mid, F.col("doc_id") > mid]
+        )
 
         def consume(bdf: DataFrame, bid: int) -> None:
             batch = bdf.select("doc_id", "text").persist()
@@ -3248,7 +3274,6 @@ def _e50_oracle() -> str:
 def e50_outoforder_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import re as _re
-    import time as _time
 
     from pyspark.sql import types as T
 
@@ -3287,17 +3312,21 @@ def e50_outoforder_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.refresh()
 
         # the ingest feed, deliberately NOT id-ordered: the first file
-        # (oldest mtime -> first micro-batch) holds the doc_id%4==3
-        # odds, the second the %4==1 odds — every %4==1 id is below
-        # some %4==3 id, so batch 2 arrives "late" relative to batch 1
+        # (explicit oldest mtime + deterministic name via
+        # _write_ordered_feed -> first micro-batch) holds the
+        # doc_id%4==3 odds, the second the %4==1 odds — every %4==1 id
+        # is below some %4==3 id, so batch 2 arrives "late" relative to
+        # batch 1. The pins below are ORDER-INDEPENDENT either way
+        # (the residues interleave, so whichever file replays first,
+        # some pair's larger id arrives before its smaller one and the
+        # sweep reconciles it); the explicit mtimes just make which
+        # batch is "late" reproducible on coarse-mtime filesystems.
         odds = docs.filter(F.col("doc_id") % 2 == 1)
         src = base + "/src"
-        for cond in [
-            F.col("doc_id") % 4 == 3,
-            F.col("doc_id") % 4 == 1,
-        ]:
-            odds.filter(cond).coalesce(1).write.mode("append").parquet(src)
-            _time.sleep(0.05)
+        _write_ordered_feed(
+            odds, src,
+            [F.col("doc_id") % 4 == 3, F.col("doc_id") % 4 == 1],
+        )
 
         def consume(bdf: DataFrame, bid: int) -> None:
             batch = bdf.select("doc_id", "text").persist()

@@ -34,6 +34,14 @@ from pyspark.sql import types as T
 
 MANIFEST = "manifest.json"
 KEEP_MANIFESTS = 3
+# Rotate a bucketed segment's output file once a single bucket exceeds
+# this many rows (spark.sql.files.maxRecordsPerFile per-write option):
+# a skew-hot bucket then lands as several normally-sized files instead
+# of one monster, while typical segments keep exactly one file per
+# touched bucket. CONSTANT, corpus-independent (round-13 rule: caps
+# that grow with n go quadratic where you least expect it); 1M rows
+# x O(100B) rows ≈ a parquet file in the 100 MB class.
+SEG_MAX_RECORDS_PER_FILE = 1_000_000
 
 
 class TableSnapshots:
@@ -164,15 +172,26 @@ class TableSnapshots:
             # (measured 16k files for a 100k-row 8-segment table in the
             # bucket spot-check) — the classic small-files explosion.
             # Repartitioning on __bucket lands each bucket's rows in
-            # exactly one task: n_buckets files per segment, and the
-            # pruned clash probe's file count becomes
+            # exactly one task: n_buckets files per segment (typical),
+            # and the pruned clash probe's file count becomes
             # segments x touched_buckets exactly. The shuffle is the
             # price of a clustered layout — same trade as any bucketed
             # table write.
+            # Skew caveat (ADVICE r13): the repartition concentrates a
+            # bucket's ENTIRE row set in one writer task, so one
+            # pathologically hot bucket key serializes in a single task
+            # (memory + parallelism risk at scale) — choose bucket
+            # counts so the hottest key's rows fit a task, the same
+            # sizing rule as any hash-clustered layout. The
+            # maxRecordsPerFile cap below at least keeps a huge
+            # bucket's OUTPUT split across rotated files (readers take
+            # every parquet under the bucket dir, so multi-file
+            # buckets read identically); it does not split the task.
             (
                 df.withColumn("__bucket", bucket_col)
                 .repartition(int(bucketing["n"]), "__bucket")
                 .write.mode("overwrite")
+                .option("maxRecordsPerFile", SEG_MAX_RECORDS_PER_FILE)
                 .partitionBy("__bucket")
                 .parquet(seg_dir)
             )

@@ -217,5 +217,34 @@ def test_bucketed_segment_writes_one_file_per_bucket(engine):
     buckets_present = {b for _, b in entries}
     assert len(buckets_present) > 1, "fixture should span several buckets"
     # one file per (segment, bucket): no bucket id repeats within the
-    # single committed segment
+    # single committed segment (typical segments sit far below the
+    # SEG_MAX_RECORDS_PER_FILE rotation cap — see the test below for
+    # the skew-split path)
     assert len(entries) == len(buckets_present)
+
+
+def test_bucketed_segment_splits_oversized_bucket(engine, monkeypatch):
+    """Skew guard (ADVICE r13): a bucket whose row set exceeds
+    SEG_MAX_RECORDS_PER_FILE rotates across several files instead of
+    one monster file, the manifest records every file under its bucket
+    id, and reads are unchanged — one-file-per-bucket is the typical
+    shape, not an invariant."""
+    import seamdb_spark.snapshots as snapshots_mod
+
+    monkeypatch.setattr(snapshots_mod, "SEG_MAX_RECORDS_PER_FILE", 10)
+    snaps = _setup_bucketed(engine)
+    # 256 rows over 8 buckets ≈ 32/bucket, far over the patched cap of
+    # 10 — every populated bucket must rotate into multiple files
+    engine.sql("INSERT INTO users VALUES " + ", ".join(
+        f"({i}, 'u{i}')" for i in range(256)
+    ))
+    entries = snaps.current_file_entries()
+    assert all(b is not None for _, b in entries)
+    per_bucket: dict[int, int] = {}
+    for _, b in entries:
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) > 1
+    # and the table still reads back complete through the manifest —
+    # multi-file buckets are invisible to readers
+    schema = engine.store.get_table(engine.database, "users").spark_schema()
+    assert snaps.read(engine.spark, schema).count() == 256
