@@ -3489,3 +3489,390 @@ def e50_outoforder_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(ooo)).alias("out_of_order_observed"),
         F.lit(bool(reconciled)).alias("finalization_reconciled"),
     )
+
+
+# --------------------------------------------------------------------------
+# e51 — PERIODIC finalization sweeps: e50's production shape (VERDICT
+# r13 "Next round" #5). e50 proved the pair-log/sweep design with ONE
+# post-drain sweep; a production ingest never drains, so decisions must
+# seal per epoch — a sweep every SEAL_EVERY micro-batches finalizes the
+# docs that arrived in that epoch's bid range using every pair logged
+# so far, and a pair that lands AFTER its doc's seal (the smaller-id
+# endpoint arriving a full epoch later) is reconciled by the NEXT
+# sweep as an amendment record. Scale properties (SCALING.md): each
+# sweep reads only the pair/quality logs, key-grouped — O(pairs +
+# epoch docs), never a corpus rescan; the lateness bound is the sweep
+# period (the watermark contract); amendments are idempotent per-epoch
+# overwrites, so a replayed micro-batch re-runs its sweep
+# deterministically. The feed interleaves residues mod 8 across FOUR
+# micro-batches (order 7,3,5,1) so late pairs span a seal boundary:
+# epoch 0 seals bids 0-1 (residues 7,3), epoch 1 seals bids 2-3
+# (residues 5,1), and any near-dup pair whose smaller side has residue
+# 5/1 and larger side residue 3/7 is logged after its doc_b sealed —
+# the amendment case, pinned data-derived in BOTH engines.
+# --------------------------------------------------------------------------
+E51_SEAL_EVERY = 2  # micro-batches per seal epoch (the sweep period)
+
+
+def _e51_oracle() -> str:
+    from .dedup import SIMHASH_MAX_HAMMING, _lsh_cand_ctes, _simhash_sig_sql
+
+    sim = _simhash_sig_sql("sh_").strip()
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    {sim},
+    allp AS (
+      SELECT doc_a, doc_b FROM cand
+      UNION
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sh_sigs s1 JOIN sh_sigs s2 ON s1.doc_id < s2.doc_id
+      WHERE bit_count(xor(s1.simhash, s2.simhash))
+              <= {SIMHASH_MAX_HAMMING}
+    ),
+    -- a doc's sealed decision is amended iff some pair's smaller-id
+    -- endpoint arrives an epoch AFTER the doc sealed: feed order
+    -- 7,3,5,1 (mod 8) puts residues 7/3 in seal epoch 0 and 5/1 in
+    -- epoch 1, so the late pairs are exactly (doc_a%8 IN (5,1),
+    -- doc_b%8 IN (3,7)) — doc_b sealed at epoch 0, pair logged at the
+    -- later endpoint's bid in epoch 1
+    amended_docs AS (
+      SELECT DISTINCT doc_b AS doc_id FROM allp
+      WHERE doc_b % 8 IN (3, 7) AND doc_a % 8 IN (1, 5)
+    )
+    SELECT t.doc_id, t.quality_score, t.n_lexical_collisions,
+           t.n_simhash_collisions, t.status,
+           CAST(CASE WHEN t.doc_id % 8 IN (3, 7) THEN 0 ELSE 1 END
+                AS INTEGER) AS seal_epoch,
+           (a.doc_id IS NOT NULL) AS amended,
+           TRUE AS stream_matches_batch,
+           TRUE AS ran_multiple_epochs,
+           (SELECT COUNT(*) > 0 FROM amended_docs)
+             AS late_pairs_amended,
+           TRUE AS out_of_order_observed
+    FROM ({_p29_oracle()}) t
+    LEFT JOIN amended_docs a ON a.doc_id = t.doc_id
+    """
+
+
+@register("e51_periodic_finalization", oracle=_e51_oracle())
+def e51_periodic_finalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from ..dedup_index import IncrementalLSHIndex, IncrementalSimHashIndex
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import fresh_external_dir, materialized_value
+    from .text import quality_frame
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple[str, bool, bool, bool, bool]:
+        base = fresh_external_dir("/tmp/seamdb_epoch_seal", tag)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        snaps = TableSnapshots(base + "/docs")
+        lsh = IncrementalLSHIndex.over_snapshots(
+            spark, base + "/docs", schema, "doc_id", "text",
+            base + "/lsh_state",
+        )
+        sh = IncrementalSimHashIndex.over_snapshots(
+            spark, base + "/docs", schema, "doc_id", "text",
+            base + "/sh_state",
+        )
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+        lsh.refresh()
+        sh.refresh()
+
+        # four micro-batches, residues mod 8 in order 7,3,5,1: each
+        # later file interleaves BELOW earlier ids, and the 5/1 files
+        # land in seal epoch 1 while their 3/7 near-dup partners sealed
+        # in epoch 0 — the cross-epoch lateness this gate exists for
+        odds = docs.filter(F.col("doc_id") % 2 == 1)
+        src = base + "/src"
+        _write_ordered_feed(
+            odds, src,
+            [
+                F.col("doc_id") % 8 == 7,
+                F.col("doc_id") % 8 == 3,
+                F.col("doc_id") % 8 == 5,
+                F.col("doc_id") % 8 == 1,
+            ],
+        )
+
+        def read_pairs(upto_bid: int) -> DataFrame:
+            lex = (
+                spark.read.parquet(base + "/pairs_lex")
+                .filter(F.col("bid") <= upto_bid)
+                .select("doc_a", "doc_b")
+            )
+            shp = (
+                spark.read.parquet(base + "/pairs_sh")
+                .filter(F.col("bid") <= upto_bid)
+                .select("doc_a", "doc_b")
+            )
+            return lex, shp
+
+        def decisions_for(qual: DataFrame, upto_bid: int) -> DataFrame:
+            """Admission records for the docs in ``qual`` (doc_id,
+            quality_score), counting every pair logged in bids <=
+            upto_bid — key-grouped over the logs only, O(pairs+docs)."""
+            lex_p, sh_p = read_pairs(upto_bid)
+            lex = (
+                lex_p.distinct()
+                .filter(F.col("doc_b") % 2 == 1)
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.count("*").cast("long").alias("n_lex"))
+            )
+            shc = (
+                sh_p.distinct()
+                .filter(F.col("doc_b") % 2 == 1)
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.count("*").cast("long").alias("n_sh"))
+            )
+            return (
+                qual.select("doc_id", "quality_score")
+                .join(lex, "doc_id", "left")
+                .join(shc, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    dround(F.col("quality_score"), 6).alias("quality_score"),
+                    F.coalesce(F.col("n_lex"), F.lit(0).cast("long")).alias(
+                        "n_lexical_collisions"
+                    ),
+                    F.coalesce(F.col("n_sh"), F.lit(0).cast("long")).alias(
+                        "n_simhash_collisions"
+                    ),
+                    F.when(
+                        F.col("quality_score") < QUALITY_MIN,
+                        "dropped_quality",
+                    )
+                    .when(F.col("n_lex").isNotNull(), "dropped_lexical_dup")
+                    .when(F.col("n_sh").isNotNull(), "dropped_simhash_dup")
+                    .otherwise("admitted")
+                    .alias("status"),
+                )
+            )
+
+        def run_sweep(epoch: int, upto_bid: int) -> None:
+            """Seal epoch ``epoch`` (docs arriving in its bid range)
+            and amend earlier-sealed docs hit by newly-logged pairs.
+            Idempotent: per-epoch overwrite dirs, deterministic from
+            the logs — a replayed micro-batch re-runs it bit-identically."""
+            lo = epoch * E51_SEAL_EVERY
+            quality = spark.read.parquet(base + "/quality")
+            seal_docs = quality.filter(
+                (F.col("bid") >= lo) & (F.col("bid") <= upto_bid)
+            )
+            (
+                decisions_for(seal_docs, upto_bid)
+                .write.mode("overwrite")
+                .parquet(f"{base}/sealed/epoch={epoch}")
+            )
+            if epoch == 0:
+                return
+            # late pairs: LOGGED in this epoch's bid range (each pair
+            # is logged exactly once, at its later endpoint's bid, so
+            # a bid-range filter is exactly "newly logged") whose
+            # doc_b ARRIVED before this epoch — arrival bid comes from
+            # the quality log, never assumed from the id
+            new_lex = (
+                spark.read.parquet(base + "/pairs_lex")
+                .filter((F.col("bid") >= lo) & (F.col("bid") <= upto_bid))
+                .select("doc_a", "doc_b")
+            )
+            new_sh = (
+                spark.read.parquet(base + "/pairs_sh")
+                .filter((F.col("bid") >= lo) & (F.col("bid") <= upto_bid))
+                .select("doc_a", "doc_b")
+            )
+            hit_docs = (
+                new_lex.unionByName(new_sh)
+                .filter(F.col("doc_b") % 2 == 1)
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            earlier_arrivals = quality.filter(F.col("bid") < lo).select(
+                "doc_id", "quality_score"
+            )
+            late_docs = hit_docs.join(earlier_arrivals, "doc_id")
+            (
+                decisions_for(late_docs, upto_bid)
+                .write.mode("overwrite")
+                .parquet(f"{base}/amendments/epoch={epoch}")
+            )
+
+        def consume(bdf: DataFrame, bid: int) -> None:
+            batch = bdf.select("doc_id", "text").persist()
+            ids = batch.select("doc_id")
+            snaps.commit_once(batch, bid)
+            lsh.refresh()
+            sh.refresh()
+            (
+                lsh.new_candidate_pairs(ids)
+                .select("doc_a", "doc_b")
+                .write.mode("overwrite")
+                .parquet(f"{base}/pairs_lex/bid={bid}")
+            )
+            (
+                sh.new_candidate_pairs(ids)
+                .select("doc_a", "doc_b")
+                .write.mode("overwrite")
+                .parquet(f"{base}/pairs_sh/bid={bid}")
+            )
+            (
+                quality_frame(batch)
+                .select("doc_id", "quality_score")
+                .write.mode("overwrite")
+                .parquet(f"{base}/quality/bid={bid}")
+            )
+            # the PERIODIC sweep: every E51_SEAL_EVERY batches, inside
+            # the stream — not a post-drain pass
+            if (bid + 1) % E51_SEAL_EVERY == 0:
+                run_sweep((bid + 1) // E51_SEAL_EVERY - 1, bid)
+            batch.unpersist()
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(consume)
+            .option("checkpointLocation", base + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # drain-time safety sweep: seal any bid range the periodic
+        # cadence left open (none when the batch count divides evenly)
+        all_bids = sorted(
+            int(d.split("=", 1)[1])
+            for d in _os.listdir(base + "/quality")
+            if d.startswith("bid=")
+        )
+        max_bid = all_bids[-1]
+        n_sealed = len(
+            [
+                d
+                for d in _os.listdir(base + "/sealed")
+                if d.startswith("epoch=")
+            ]
+        )
+        if n_sealed * E51_SEAL_EVERY <= max_bid:
+            run_sweep(n_sealed, max_bid)
+            n_sealed += 1
+
+        # arrival-order audit, as e50: out-of-order iff a later batch
+        # carries an id below an earlier batch's max (one row per batch)
+        spans = sorted(
+            (int(r["bid"]), int(r["lo"]), int(r["hi"]))
+            for r in spark.read.parquet(base + "/quality")
+            .groupBy("bid")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .collect()
+        )
+        ooo = any(
+            lo < max(h for _, _, h in spans[:i])
+            for i, (_, lo, _) in enumerate(spans)
+            if i > 0
+        )
+
+        # final assembly: latest record per doc (amendment over seal),
+        # plus the doc's seal epoch and whether it was amended
+        rec_cols = [
+            "doc_id", "quality_score", "n_lexical_collisions",
+            "n_simhash_collisions", "status",
+        ]
+        sealed = spark.read.parquet(base + "/sealed").withColumnRenamed(
+            "epoch", "seal_epoch"
+        )
+        amend_dir = base + "/amendments"
+        if _os.path.isdir(amend_dir) and any(
+            d.startswith("epoch=") for d in _os.listdir(amend_dir)
+        ):
+            from pyspark.sql import Window as W
+
+            am = spark.read.parquet(amend_dir)
+            latest_am = (
+                am.withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        W.partitionBy("doc_id").orderBy(F.desc("epoch"))
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .select(*rec_cols)
+            )
+        else:
+            latest_am = sealed.select(*rec_cols).limit(0)
+        amended_ids = latest_am.select("doc_id")
+        final = (
+            sealed.join(amended_ids, "doc_id", "left_anti")
+            .select(*rec_cols, "seal_epoch")
+            .unionByName(
+                latest_am.join(
+                    sealed.select("doc_id", "seal_epoch"), "doc_id"
+                ).select(*rec_cols, "seal_epoch")
+            )
+            .join(
+                amended_ids.withColumn("amended", F.lit(True)),
+                "doc_id",
+                "left",
+            )
+            .select(
+                *rec_cols,
+                F.col("seal_epoch").cast("int").alias("seal_epoch"),
+                F.coalesce("amended", F.lit(False)).alias("amended"),
+            )
+        )
+        final.write.mode("overwrite").parquet(base + "/final")
+
+        multi_epochs = n_sealed >= 2
+        n_amended = latest_am.count()
+
+        batch_ans = (
+            p29_dual_detector_admission(spark, sf_dir)
+            .select(*rec_cols)
+            .localCheckpoint()
+        )
+        fin = spark.read.parquet(base + "/final").select(*rec_cols)
+        matches = (
+            fin.join(batch_ans, rec_cols, "left_anti").count() == 0
+            and batch_ans.join(fin, rec_cols, "left_anti").count() == 0
+            and fin.count() == batch_ans.count()
+        )
+        return (
+            base,
+            bool(matches),
+            bool(multi_epochs),
+            bool(n_amended > 0),
+            bool(ooo),
+        )
+
+    base, matches, multi_epochs, amended_any, ooo = materialized_value(
+        spark, sf_dir, "e51_epoch_seal", build
+    )
+    return spark.read.parquet(base + "/final").select(
+        "doc_id",
+        "quality_score",
+        "n_lexical_collisions",
+        "n_simhash_collisions",
+        "status",
+        "seal_epoch",
+        "amended",
+        F.lit(bool(matches)).alias("stream_matches_batch"),
+        F.lit(bool(multi_epochs)).alias("ran_multiple_epochs"),
+        F.lit(bool(amended_any)).alias("late_pairs_amended"),
+        F.lit(bool(ooo)).alias("out_of_order_observed"),
+    )

@@ -51,6 +51,7 @@ MATERIALIZER_QUERIES = [
     "e48_checkpoint_restart_parity",
     "e49_streaming_admission_parity",
     "e50_outoforder_admission",
+    "e51_periodic_finalization",
     "j02_bucketed_colocated_join",
     "j03_partition_pruned_join",
     "p08_tokenizer_readiness",
