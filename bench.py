@@ -136,13 +136,14 @@ def stable_canary_sample(
     spark,
     sf_dir: str,
     max_rounds: int = 16,
-    tol: float = 0.05,
-    consecutive: int = 3,
+    tol: float = 0.03,
+    window: int = 4,
+    warm=None,
 ) -> tuple[float, int, bool]:
     """Canary sample, taken only once the canary has STOPPED improving:
-    run it until ``consecutive`` consecutive samples all sit within
-    ``tol`` of the running min (or ``max_rounds``), then return
-    (min, samples_taken, stabilized).
+    sample until the running min goes ``window`` consecutive samples
+    without improving by more than ``tol`` (or ``max_rounds``), then
+    return (min, samples_taken, stabilized).
 
     Round-13 finding: a fixed min-of-3 start still read 1.5-1.6x the
     end sample on every run (r12-r13 drifts 0.429/0.513/0.593/0.636) —
@@ -154,29 +155,39 @@ def stable_canary_sample(
     not the JIT curve; a genuinely slow host still reads slow AFTER
     stabilizing and still blocks the advance.
 
-    Round-14 tightening (VERDICT r13 #4 + ADVICE): the driver's r13 run
-    exited after 4 samples under the old 2-consecutive/8% rule yet the
-    end canary was 1.65x faster (drift 0.605) — the rule under-waited
-    on a cold driver VM. Now 3 consecutive within 5% of the running
-    min (the last of which is by construction ~the min), max_rounds 16
-    (q01 needed all 12 under the looser rule — do not shrink), and the
-    ``stabilized`` bool (stopped before the cap) is recorded in the
-    canary blob so a cap-exit can't silently masquerade as a clean
-    anchor. The SAME sampler now also takes the closing sample
-    (smaller cap — the JVM is warm) so drift compares like with like
-    instead of stabilized-start vs min-of-2-end."""
+    Round-14 rework (VERDICT r13 #4 + ADVICE): two fixes. (1) The old
+    consecutive-samples-near-min rule conflated noise with
+    non-stabilization — r14's first run burned all 16 rounds without
+    3-within-5% because the min kept creeping (0.544 start min vs
+    0.371 end) while individual samples jittered; the criterion is now
+    the direct question "did the running min stop improving":
+    stabilized when the last ``window`` samples improve the
+    pre-window min by less than ``tol``. (2) The warm-up that matters
+    is not the canary query itself — 16 back-to-back q01 runs are ~8
+    seconds, far too little when the slow phase is minutes of
+    box-level settling — so the caller passes ``warm``, a callable
+    doing REAL mixed work (parquet scans + a shuffle), run between
+    start samples to spread them across genuine warm-up. The
+    ``stabilized`` bool is recorded in the canary blob so a cap-exit
+    can't masquerade as a clean anchor, and the closing sample uses
+    the SAME sampler (no warm; the JVM is hot) so drift compares like
+    with like."""
     samples: list[float] = []
     stabilized = False
-    for _ in range(max_rounds):
+    for i in range(max_rounds):
+        if warm is not None and i > 0:
+            try:
+                warm()
+            except Exception:  # noqa: BLE001 — warm-up must not kill the bench
+                pass
         t0 = time.time()
         queries[CANARY_QUERY](spark, sf_dir).count()
         samples.append(time.time() - t0)
-        m = min(samples)
-        if len(samples) >= consecutive and all(
-            s <= m * (1 + tol) for s in samples[-consecutive:]
-        ):
-            stabilized = True
-            break
+        if len(samples) > window:
+            prev_min = min(samples[:-window])
+            if min(samples[-window:]) > prev_min * (1 - tol):
+                stabilized = True
+                break
     return round(min(samples), 3), len(samples), stabilized
 
 
@@ -380,9 +391,24 @@ def main() -> None:
     # Throttle canary, opening sample — taken only after the canary
     # stabilizes (see stable_canary_sample: a fixed min-of-3 still
     # anchored the ratio on the JIT warm-up curve and read every run
-    # as a false "slow start").
+    # as a false "slow start"). Between samples, run real mixed work —
+    # parquet scans over every table family plus a 4M-row shuffle — so
+    # the anchor spreads across genuine box/JIT warm-up instead of 8
+    # seconds of back-to-back canary runs.
+    from pyspark.sql import functions as _F
+
+    def _canary_warm() -> None:
+        for t in ("lineitem", "documents", "events"):
+            load_table(spark, sf_dir, t).count()
+        (
+            spark.range(1 << 22)
+            .groupBy((_F.col("id") % 97).alias("k"))
+            .count()
+            .count()
+        )
+
     canary_start, canary_warm_rounds, canary_start_stable = (
-        stable_canary_sample(queries, spark, sf_dir)
+        stable_canary_sample(queries, spark, sf_dir, warm=_canary_warm)
     )
 
     # Single-VM timing noise on heavy queries measured up to 4x (GC /
