@@ -3747,3 +3747,94 @@ def test_e43_flags_planted_daily_periodicity(spark):
     ac24, ac13 = ac(E43_LAG_DAILY), ac(E43_LAG_CONTROL)
     assert ac24["daily"] > ac13["daily"]
     assert ac13["offcycle"] > ac24["offcycle"]
+
+
+def test_d35_prefix_filter_prunes_on_skewed_weights(spark, tmp_path):
+    """Round-14 pin for the OTHER half of the d35 story: round 13
+    proved losslessness but measured ~all-pairs degeneration on the
+    flat-weight fixture; on a Zipf-weighted corpus (the data shape the
+    Bayardo prefix filter exists for) the candidate stage must PRUNE —
+    ≪5% of C(N,2) — while the output still equals the brute-force
+    truth exactly. Guards _d35_candidates against a change that keeps
+    losslessness (easy to keep: emit everything) but silently loses
+    the pruning that justifies the operator at scale."""
+    import importlib.util
+    import math
+
+    from seamdb_spark.operators.dedup import (
+        D22_COS_THRESHOLD,
+        D22_IDF_CAP,
+        _d35_candidates,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "d35spot", "/root/repo/scripts/d35_pruning_spotcheck.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    n_docs = 1000
+    corpus = str(tmp_path / "zipf")
+    mod.build_corpus(n_docs, corpus)
+
+    all_pairs = n_docs * (n_docs - 1) // 2
+    cand = (
+        _d35_candidates(spark, corpus)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    assert cand < 0.05 * all_pairs, (
+        f"prefix filter stopped pruning on skewed weights: "
+        f"{cand} candidates vs C(N,2)={all_pairs}"
+    )
+
+    # brute-force truth in plain Python from the written texts — the
+    # same integer idf² arithmetic as the flat-fixture test above
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(corpus + "/documents.parquet")
+    texts = dict(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    )
+    tsets = {
+        d: {
+            f"{t[i]} {t[i+1]}"
+            for i in range(len(t) - 1)
+        }
+        for d, t in ((d, s.split(" ")) for d, s in texts.items())
+        if len(t) >= 2
+    }
+    n = len(tsets)
+    df: dict = {}
+    for ts in tsets.values():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    idf = {t: min((n * 1000) // d, D22_IDF_CAP) for t, d in df.items()}
+    norms = {
+        d: math.sqrt(sum(idf[t] ** 2 for t in ts))
+        for d, ts in tsets.items()
+    }
+    ids = sorted(tsets)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = tsets[a] & tsets[b]
+            if not shared:
+                continue
+            if (
+                sum(idf[t] ** 2 for t in shared) / (norms[a] * norms[b])
+                >= D22_COS_THRESHOLD
+            ):
+                truth.add((a, b))
+    assert truth, "skewed fixture must plant above-threshold pairs"
+
+    from seamdb_spark.operators.dedup import d35_cosine_prefix_filtered
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in d35_cosine_prefix_filtered(spark, corpus).collect()
+    }
+    assert got == truth, (
+        f"lossless audit diverged on skewed corpus: "
+        f"missing {truth - got}, extra {got - truth}"
+    )
