@@ -748,8 +748,11 @@ _R13_WINDOW = [
 
 
 # ROUND-15 PROCEDURE: after CORRECTNESS_r14 lands, pin (a) any queries
-# registered after _R14_WINDOW froze and any whose plan/oracle changes
-# in round 15, then (b) regression fill oldest-driver-evidence-first:
+# registered after _R14_WINDOW froze (as of the round-14 close:
+# e52_compaction_during_ingest, the online-compaction-during-ingest
+# composition — locally hash-green at both SFs on registration) and
+# any whose plan/oracle changes in round 15, then (b) regression fill
+# oldest-driver-evidence-first:
 # recompute the latest-round-per-query union from CORRECTNESS_r1-r14
 # (after r14 the oldest tier is the 40 remaining latest-row-r8
 # queries — m35/q68/q69/m37 advance to r14 with this window), filling

@@ -3876,3 +3876,240 @@ def e51_periodic_finalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(amended_any)).alias("late_pairs_amended"),
         F.lit(bool(ooo)).alias("out_of_order_observed"),
     )
+
+
+# --------------------------------------------------------------------------
+# e52 — ONLINE COMPACTION DURING STREAMING INGEST: the one untested
+# production interaction between the maintained-index family and the
+# snapshot layout. A week-old ingest table has accumulated hundreds of
+# small per-batch segments; OPTIMIZE (engine.compact's rewrite-as-one-
+# segment) runs while the stream keeps consuming. Two things must
+# survive: (1) the incremental indexes' manifest diff sees every
+# pre-compaction file VANISH and must take the REBUILD branch
+# (p25/p28's contract) rather than double-index or drop documents —
+# and the post-rebuild batch's admission decisions must be exactly
+# what they would have been without the compaction; (2) the
+# exactly-once admission guard (commit_once's last_bid riding the
+# manifest extra) must be carried through the compaction's overwrite
+# commit, else a micro-batch replay arriving just after OPTIMIZE
+# would double-commit. Sequence: evens pre-indexed; odds in three
+# id-ordered micro-batches (per-batch decisions final, e49
+# semantics); after batch 1's decisions land, the table is compacted
+# to ONE segment with extra carried forward; batch 2 then refreshes
+# (both indexes must report mode="rebuild"), decides, and the full
+# decision union must equal p29's one-shot batch answer. Scale: the
+# rebuild is the p25/p28 cost (two corpus passes, amortized over the
+# compaction interval); per-batch cost before and after is unchanged.
+# --------------------------------------------------------------------------
+def _e52_oracle() -> str:
+    return f"""
+    SELECT t.*,
+           TRUE AS stream_matches_batch,
+           TRUE AS ran_multiple_batches,
+           TRUE AS compaction_rebuilt,
+           TRUE AS guard_preserved
+    FROM ({_p29_oracle()}) t
+    """
+
+
+@register("e52_compaction_during_ingest", oracle=_e52_oracle())
+def e52_compaction_during_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from ..dedup_index import IncrementalLSHIndex, IncrementalSimHashIndex
+    from ..snapshots import TableSnapshots
+    from ..sources import load_table
+    from .materialize import fresh_external_dir, materialized_value
+    from .text import quality_frame
+
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> tuple[str, bool, bool, bool, bool]:
+        base = fresh_external_dir("/tmp/seamdb_online_compact", tag)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        snaps = TableSnapshots(base + "/docs")
+        lsh = IncrementalLSHIndex.over_snapshots(
+            spark, base + "/docs", schema, "doc_id", "text",
+            base + "/lsh_state",
+        )
+        sh = IncrementalSimHashIndex.over_snapshots(
+            spark, base + "/docs", schema, "doc_id", "text",
+            base + "/sh_state",
+        )
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+        lsh.refresh()
+        sh.refresh()
+
+        # three id-ordered micro-batches (terciles), so per-batch
+        # decisions are final (e49 semantics; e50/e51 own the
+        # out-of-order story) and the compaction lands BETWEEN
+        # decided batches
+        odds = docs.filter(F.col("doc_id") % 2 == 1)
+        q1, q2 = odds.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
+        src = base + "/src"
+        _write_ordered_feed(
+            odds, src,
+            [
+                F.col("doc_id") <= q1,
+                (F.col("doc_id") > q1) & (F.col("doc_id") <= q2),
+                F.col("doc_id") > q2,
+            ],
+        )
+
+        # driver-side audit state (foreachBatch runs on the driver):
+        # per-bid refresh modes + the two compaction-site checks
+        audit = {"modes": {}, "compacted_to_one": False, "guard": False}
+
+        def consume(bdf: DataFrame, bid: int) -> None:
+            batch = bdf.select("doc_id", "text").persist()
+            ids = batch.select("doc_id")
+            snaps.commit_once(batch, bid)
+            m_lsh = lsh.refresh()
+            m_sh = sh.refresh()
+            audit["modes"][int(bid)] = (m_lsh["mode"], m_sh["mode"])
+            batch_b = ids.withColumnRenamed("doc_id", "doc_b")
+            lex = (
+                lsh.new_candidate_pairs(ids)
+                .join(F.broadcast(batch_b), "doc_b", "left_semi")
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.count("*").cast("long").alias("n_lex"))
+            )
+            shc = (
+                sh.new_candidate_pairs(ids)
+                .join(F.broadcast(batch_b), "doc_b", "left_semi")
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.count("*").cast("long").alias("n_sh"))
+            )
+            (
+                quality_frame(batch)
+                .select("doc_id", "quality_score")
+                .join(lex, "doc_id", "left")
+                .join(shc, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    dround(F.col("quality_score"), 6).alias("quality_score"),
+                    F.coalesce(F.col("n_lex"), F.lit(0).cast("long")).alias(
+                        "n_lexical_collisions"
+                    ),
+                    F.coalesce(F.col("n_sh"), F.lit(0).cast("long")).alias(
+                        "n_simhash_collisions"
+                    ),
+                    F.when(
+                        F.col("quality_score") < QUALITY_MIN,
+                        "dropped_quality",
+                    )
+                    .when(F.col("n_lex").isNotNull(), "dropped_lexical_dup")
+                    .when(F.col("n_sh").isNotNull(), "dropped_simhash_dup")
+                    .otherwise("admitted")
+                    .alias("status"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{base}/decisions/bid={bid}")
+            )
+            if bid == 1:
+                # ONLINE OPTIMIZE: fold the table (evens + two decided
+                # batches) into one segment. extra is carried forward
+                # EXPLICITLY — the overwrite would otherwise drop the
+                # commit_once guard and a post-compaction replay could
+                # double-commit (engine.compact preserves bucketing the
+                # same way).
+                snaps.commit(
+                    snaps.read(spark, schema).coalesce(1),
+                    mode="overwrite",
+                    extra=snaps.current_extra(),
+                )
+                audit["compacted_to_one"] = (
+                    len(snaps.current_files()) == 1
+                )
+                audit["guard"] = (
+                    int(snaps.current_extra().get("last_bid", -1)) == 1
+                )
+            batch.unpersist()
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(consume)
+            .option("checkpointLocation", base + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        multi = (
+            len(
+                [
+                    d
+                    for d in _os.listdir(base + "/decisions")
+                    if d.startswith("bid=")
+                ]
+            )
+            >= 3
+        )
+        # pre-compaction batches refresh incrementally; the first
+        # post-compaction batch must REBUILD (both index families)
+        modes = audit["modes"]
+        rebuilt = (
+            modes.get(0) == ("incremental", "incremental")
+            and modes.get(1) == ("incremental", "incremental")
+            and modes.get(2) == ("rebuild", "rebuild")
+            and audit["compacted_to_one"]
+        )
+
+        cols = [
+            "doc_id", "quality_score", "n_lexical_collisions",
+            "n_simhash_collisions", "status",
+        ]
+        batch_ans = (
+            p29_dual_detector_admission(spark, sf_dir)
+            .select(*cols)
+            .localCheckpoint()
+        )
+        streamed = (
+            spark.read.parquet(base + "/decisions")
+            .select(*cols)
+            .localCheckpoint()
+        )
+        matches = (
+            streamed.join(batch_ans, cols, "left_anti").count() == 0
+            and batch_ans.join(streamed, cols, "left_anti").count() == 0
+            and streamed.count() == batch_ans.count()
+        )
+        return (
+            base,
+            bool(matches),
+            bool(multi),
+            bool(rebuilt),
+            bool(audit["guard"]),
+        )
+
+    base, matches, multi, rebuilt, guard = materialized_value(
+        spark, sf_dir, "e52_online_compact", build
+    )
+    return spark.read.parquet(base + "/decisions").select(
+        "doc_id",
+        "quality_score",
+        "n_lexical_collisions",
+        "n_simhash_collisions",
+        "status",
+        F.lit(bool(matches)).alias("stream_matches_batch"),
+        F.lit(bool(multi)).alias("ran_multiple_batches"),
+        F.lit(bool(rebuilt)).alias("compaction_rebuilt"),
+        F.lit(bool(guard)).alias("guard_preserved"),
+    )

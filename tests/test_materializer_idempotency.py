@@ -52,6 +52,7 @@ MATERIALIZER_QUERIES = [
     "e49_streaming_admission_parity",
     "e50_outoforder_admission",
     "e51_periodic_finalization",
+    "e52_compaction_during_ingest",
     "j02_bucketed_colocated_join",
     "j03_partition_pruned_join",
     "p08_tokenizer_readiness",
