@@ -34,6 +34,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
 
 from .operators.hashing import (
     MINHASH_PARAMS,
@@ -43,6 +44,11 @@ from .operators.hashing import (
     minhash_value,
 )
 from .snapshots import TableSnapshots
+
+# Target input bytes per written index-state file (see _derive_of): a
+# micro-batch lands as one file; a full-corpus (re)build writes
+# ~bytes/64MB files in parallel. Constant, corpus-independent.
+SEG_TARGET_BYTES = 64 * 1024 * 1024
 
 
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -246,13 +252,49 @@ class _IncrementalTextIndex:
         # without this it runs single-threaded (measured 5.5s -> ~1s
         # per p16 refresh at sf0.1). One cheap shuffle of the raw batch
         # text buys full parallelism; on a cluster it also spreads a
-        # hot append file across executors.
+        # hot append file across executors. The count tracks the
+        # session's core budget instead of a hard-coded 32.
+        from .session import default_parallelism
+
         df = (
             spark.read.schema(self._source_schema())
             .parquet(*files)
-            .repartition(32, self.id_col)
+            .repartition(default_parallelism(), self.id_col)
         )
-        return self._derive(df)
+        derived = self._derive(df)
+        # Cluster the derivation's OUTPUT into size-targeted segment
+        # files before the snapshot write: the derive parallelism above
+        # leaves ~core-count near-empty output partitions (measured 32
+        # files / 231 KiB per LSH state segment at sf0.1), and every
+        # downstream index() read, candidate lookup, and manifest GC
+        # then pays per-file listing+open cost times segments. One
+        # cheap extra shuffle of the (tiny vs source text) index rows
+        # buys segments of ~SEG_TARGET_BYTES files — derived from the
+        # INPUT byte size, so a 100 TB rebuild still writes thousands
+        # of full files in parallel while a micro-batch writes one.
+        in_bytes = 0
+        for f in files:
+            try:
+                in_bytes += os.path.getsize(f)
+            except OSError:
+                in_bytes = -1
+                break
+        if in_bytes >= 0:
+            n_out = max(1, min(
+                default_parallelism(), in_bytes // SEG_TARGET_BYTES + 1
+            ))
+            derived = derived.repartition(int(n_out))
+        return derived
+
+    def _rows_per_doc(self) -> int | None:
+        """Exact state rows emitted per indexed document, when the
+        derivation has a fixed per-doc fan-out — lets ``refresh()``
+        compute n_new_docs for free from an ``observe`` row count piggy-
+        backed on the commit write instead of a second job that re-reads
+        the written segments (measured ~0.9 s/refresh at sf0.1, ~1/3 of
+        a micro-batch refresh). ``None`` = variable fan-out; fall back
+        to the post-write distinct count."""
+        return None
 
     def _committed_doc_count(self, before: set[str]) -> int:
         """Distinct doc_ids in the state segments a commit just added.
@@ -262,7 +304,8 @@ class _IncrementalTextIndex:
         derivation (shingle→minhash→banding — the expensive half of a
         refresh) a second time, doubling refresh cost. The written band
         rows are ~100x smaller than the source text, so this is a cheap
-        scan of exactly the new segments.
+        scan of exactly the new segments. (Only the variable-fan-out
+        indexes take this path; see _rows_per_doc.)
         """
         added = [f for f in self.state.current_files() if f not in before]
         if not added:
@@ -274,6 +317,21 @@ class _IncrementalTextIndex:
             .distinct()
             .count()
         )
+
+    def _commit_counted(self, files: list[str], mode: str, extra: dict) -> int:
+        """Derive ``files``, commit the result, and return the number of
+        documents the commit indexed — via the observe metric when the
+        fan-out is fixed (no extra job), else via the post-write scan."""
+        rows_per_doc = self._rows_per_doc()
+        derived = self._derive_of(files)
+        if rows_per_doc:
+            obs = Observation()
+            derived = derived.observe(obs, F.count(F.lit(1)).alias("rows"))
+            self.state.commit(derived, mode=mode, extra=extra)
+            return int(obs.get["rows"]) // rows_per_doc
+        before = set(self.state.current_files()) if mode == "append" else set()
+        self.state.commit(derived, mode=mode, extra=extra)
+        return self._committed_doc_count(before)
 
     # ------------------------------------------------------------- api
     def refresh(self) -> dict:
@@ -292,25 +350,17 @@ class _IncrementalTextIndex:
         new_files = [f for f in current if f not in processed]
 
         if vanished or unsound:
-            before: set[str] = set()
-            self.state.commit(
-                self._derive_of(current),
-                mode="overwrite",
-                extra={"processed": current},
+            n = self._commit_counted(
+                current, mode="overwrite", extra={"processed": current}
             )
-            n = self._committed_doc_count(before)
             return {"mode": "rebuild", "files_read": len(current), "n_new_docs": n}
 
         if not new_files:
             return {"mode": "noop", "files_read": 0, "n_new_docs": 0}
 
-        before = set(self.state.current_files())
-        self.state.commit(
-            self._derive_of(new_files),
-            mode="append",
-            extra={"processed": current},
+        n = self._commit_counted(
+            new_files, mode="append", extra={"processed": current}
         )
-        n = self._committed_doc_count(before)
         return {"mode": "incremental", "files_read": len(new_files), "n_new_docs": n}
 
     def index(self) -> DataFrame:
@@ -324,6 +374,12 @@ class IncrementalLSHIndex(_IncrementalTextIndex):
 
     def _derive(self, df: DataFrame) -> DataFrame:
         return band_rows(df, self.id_col, self.text_col)
+
+    def _rows_per_doc(self) -> int | None:
+        # band_rows emits exactly N_BANDS rows per doc with >=1 shingle
+        # and none otherwise — the same doc set the old distinct count
+        # saw (docs with no state rows were never counted).
+        return N_BANDS
 
     def candidate_pairs(self) -> DataFrame:
         """All near-dup candidate pairs (doc_a < doc_b) from the index."""
@@ -358,7 +414,13 @@ class IncrementalLSHIndex(_IncrementalTextIndex):
             F.broadcast(new_doc_ids.select(F.col(self.id_col).alias("doc_id"))),
             "doc_id",
         )
-        nb = new_bands.alias("nb")
+        # The batch's band rows are bounded (N_BANDS x micro-batch), so
+        # broadcast them explicitly: Catalyst can't estimate a
+        # post-join size and picks a sort-merge join that shuffles the
+        # FULL index per batch — the broadcast keeps the index scan
+        # exchange-free, which is the O(batch) contract this lookup
+        # advertises (guide §3.1: hint when you know a side is small).
+        nb = F.broadcast(new_bands).alias("nb")
         ib = bands.alias("ib")
         return (
             nb.join(
@@ -394,6 +456,11 @@ class IncrementalSimHashIndex(_IncrementalTextIndex):
 
         return simhash_sigs(df, self.id_col, self.text_col)
 
+    def _rows_per_doc(self) -> int | None:
+        # simhash_sigs emits exactly one signature row per document
+        # (split('') yields [''], so even an empty text votes 32 bits).
+        return 1
+
     # ------------------------------------------------------------- api
     def candidate_pairs(self) -> DataFrame:
         """All verified near-dup pairs (doc_a < doc_b, hamming) from
@@ -415,17 +482,23 @@ class IncrementalSimHashIndex(_IncrementalTextIndex):
             simhash_block_keys,
         )
 
-        keyed = simhash_block_keys(self.index(), "simhash")
+        # No blocking-key repartition here: that exchange exists for the
+        # full SELF-join's bucket parallelism (candidate_pairs); in the
+        # per-batch lookup it re-shuffled the entire 28x-corpus key
+        # table on every micro-batch. The batch side (28 x micro-batch
+        # rows) is broadcast instead, so the index side is a bare
+        # scan+project — no exchange at all, O(batch) per lookup.
+        keyed = simhash_block_keys(self.index(), "simhash", repartition=False)
         batch_keyed = keyed.join(
             F.broadcast(
                 new_doc_ids.select(F.col(self.id_col).alias("doc_id"))
             ),
             "doc_id",
         )
-        nb = batch_keyed.select(
+        nb = F.broadcast(batch_keyed.select(
             F.col("doc_id").alias("nb_id"), F.col("simhash").alias("nb_sh"),
             "c", "ck",
-        )
+        ))
         ib = keyed.select(
             F.col("doc_id").alias("ib_id"), F.col("simhash").alias("ib_sh"),
             "c", "ck",

@@ -449,12 +449,18 @@ def simhash_sigs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("doc_id", simhash_expr.alias("simhash"))
 
 
-def simhash_block_keys(sigs: DataFrame, col: str) -> DataFrame:
+def simhash_block_keys(
+    sigs: DataFrame, col: str, repartition: bool = True
+) -> DataFrame:
     """(doc_id, simhash, c, ck) exclude-2-of-8 multi-index block keys
     derived from a 32-bit signature column — cheap projections of the
     one stored int (28 rows/doc), shared by the full self-join below
     and the incremental index's per-batch lookup
-    (dedup_index.IncrementalSimHashIndex)."""
+    (dedup_index.IncrementalSimHashIndex). ``repartition=False`` skips
+    the blocking-key exchange for consumers that broadcast-join the
+    keys instead of self-joining them (the per-batch lookup — the
+    exchange there re-shuffled the whole keyed corpus per micro-batch
+    for no parallelism gain)."""
     from itertools import combinations
 
     w, m = _SIMHASH_CHUNK_W, _SIMHASH_N_CHUNKS
@@ -468,20 +474,19 @@ def simhash_block_keys(sigs: DataFrame, col: str) -> DataFrame:
         table_exprs.append(
             F.struct(F.lit(t).alias("c"), F.expr(key).alias("ck"))
         )
-    return (
-        sigs.select(
-            "doc_id",
-            F.col(col).alias("simhash"),
-            F.explode(F.array(*table_exprs)).alias("k"),
-        )
-        .select("doc_id", "simhash", "k.c", "k.ck")
-        # Explicit partition count on the blocking key: the keyed table is
-        # small (docs × 28 tables) so AQE would coalesce the shuffle to ONE
-        # partition — and then the self-join's candidate-pair generation
-        # (quadratic in bucket size, the real work) runs single-threaded.
-        # An explicit numPartitions survives AQE.
-        .repartition(64, "c", "ck")
-    )
+    keyed = sigs.select(
+        "doc_id",
+        F.col(col).alias("simhash"),
+        F.explode(F.array(*table_exprs)).alias("k"),
+    ).select("doc_id", "simhash", "k.c", "k.ck")
+    if not repartition:
+        return keyed
+    # Explicit partition count on the blocking key: the keyed table is
+    # small (docs × 28 tables) so AQE would coalesce the shuffle to ONE
+    # partition — and then the self-join's candidate-pair generation
+    # (quadratic in bucket size, the real work) runs single-threaded.
+    # An explicit numPartitions survives AQE.
+    return keyed.repartition(64, "c", "ck")
 
 
 def _simhash_block_candidates(sigs: DataFrame, col: str) -> DataFrame:
