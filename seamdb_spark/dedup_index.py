@@ -188,6 +188,7 @@ class _IncrementalTextIndex:
         self._spark = engine.spark
         self._source_path = None
         self._schema = None
+        self._derive_hint = None
         base = os.path.join(
             engine.store.warehouse_dir, "_dedup_index", engine.database, name
         )
@@ -195,11 +196,23 @@ class _IncrementalTextIndex:
 
     @classmethod
     def over_snapshots(cls, spark, source_path: str, source_schema,
-                       id_col: str, text_col: str, state_path: str):
+                       id_col: str, text_col: str, state_path: str,
+                       derive_hint=None):
         """Index a raw :class:`TableSnapshots` directory instead of an
         Engine table — the same manifest-diff refresh over any
         snapshot-backed parquet layout (p16 drives this path through
-        the oracle gate; Engine tables route through ``__init__``)."""
+        the oracle gate; Engine tables route through ``__init__``).
+
+        ``derive_hint``: optional zero-arg callable returning a
+        DataFrame holding THIS index's derivation for a superset of
+        every row the source table will ever hold (e.g. the session-
+        memoized banding of the full fixture corpus that several gate
+        layouts slice). When set, ``refresh()`` computes a new
+        segment's rows by semi-joining the hint on the segment's ids
+        instead of re-deriving text — identical rows (the derivation
+        is per-document and deterministic), a fraction of the cost.
+        The CALLER owns the superset guarantee; leave unset for
+        arbitrary sources."""
         self = cls.__new__(cls)
         self.engine = None
         self.name = os.path.basename(state_path)
@@ -209,6 +222,7 @@ class _IncrementalTextIndex:
         self._spark = spark
         self._source_path = source_path
         self._schema = source_schema
+        self._derive_hint = derive_hint
         self.state = TableSnapshots(state_path)
         return self
 
@@ -245,6 +259,21 @@ class _IncrementalTextIndex:
         spark = self._spark
         if not files:
             return self._derive(spark.createDataFrame([], self._source_schema()))
+        if self._derive_hint is not None:
+            # The caller provided the derivation of a superset corpus
+            # (session-memoized, localCheckpointed): slice it by the new
+            # segments' ids instead of re-deriving their text — an
+            # id-projected scan plus a broadcast semi-join of index-
+            # sized rows replaces the shingle/md5/minhash pass
+            # (measured ~1.5-3 s -> ~0.3 s per refresh at sf0.1, and
+            # the e52 compaction rebuild re-derives the whole table).
+            ids = (
+                spark.read.schema(self._source_schema())
+                .parquet(*files)
+                .select(F.col(self.id_col).alias("doc_id"))
+                .distinct()
+            )
+            return self._derive_hint().join(F.broadcast(ids), "doc_id")
         # Spread the new segments across cores BEFORE deriving: a small
         # append batch is often one parquet file = one scan partition,
         # and the expensive per-row work (shingle explode + md5 +
