@@ -50,6 +50,14 @@ from .snapshots import TableSnapshots
 # ~bytes/64MB files in parallel. Constant, corpus-independent.
 SEG_TARGET_BYTES = 64 * 1024 * 1024
 
+# _derive_of only force-broadcasts a new segment set's id list while
+# the SOURCE input stays under this constant — the id projection of
+# 1 GiB of source text is a few MB, safely inside any broadcast
+# budget. Beyond it (a compaction rebuild re-deriving the whole
+# table), the join is left to the planner: the id set grows with the
+# corpus and a forced broadcast would OOM at 100 TB.
+HINT_IDS_BROADCAST_MAX_BYTES = 1024 * 1024 * 1024
+
 
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, shingles) — distinct 3-word shingles per document, on
@@ -259,21 +267,39 @@ class _IncrementalTextIndex:
         spark = self._spark
         if not files:
             return self._derive(spark.createDataFrame([], self._source_schema()))
+        in_bytes = 0
+        for f in files:
+            try:
+                in_bytes += os.path.getsize(f)
+            except OSError:
+                in_bytes = -1
+                break
         if self._derive_hint is not None:
             # The caller provided the derivation of a superset corpus
             # (session-memoized, localCheckpointed): slice it by the new
             # segments' ids instead of re-deriving their text — an
-            # id-projected scan plus a broadcast semi-join of index-
-            # sized rows replaces the shingle/md5/minhash pass
-            # (measured ~1.5-3 s -> ~0.3 s per refresh at sf0.1, and
-            # the e52 compaction rebuild re-derives the whole table).
+            # id-projected scan plus a semi-join of index-sized rows
+            # replaces the shingle/md5/minhash pass (measured
+            # ~1.5-3 s -> ~0.3 s per refresh at sf0.1, and the e52
+            # compaction rebuild re-derives the whole table).
             ids = (
                 spark.read.schema(self._source_schema())
                 .parquet(*files)
                 .select(F.col(self.id_col).alias("doc_id"))
                 .distinct()
             )
-            return self._derive_hint().join(F.broadcast(ids), "doc_id")
+            if 0 <= in_bytes <= HINT_IDS_BROADCAST_MAX_BYTES:
+                # A micro-batch-sized segment set: its id list is a
+                # fraction of the CONSTANT input-byte bound, so the
+                # broadcast is scale-safe and keeps the hint side
+                # exchange-free.
+                seg_ids = ids
+                return self._derive_hint().join(F.broadcast(seg_ids), "doc_id")
+            # Rebuild-sized input (e.g. compaction rewrote the whole
+            # table): the id set grows with the corpus — no forced
+            # broadcast; the planner/AQE picks the join from actual
+            # sizes.
+            return self._derive_hint().join(ids, "doc_id")
         # Spread the new segments across cores BEFORE deriving: a small
         # append batch is often one parquet file = one scan partition,
         # and the expensive per-row work (shingle explode + md5 +
@@ -301,13 +327,6 @@ class _IncrementalTextIndex:
         # buys segments of ~SEG_TARGET_BYTES files — derived from the
         # INPUT byte size, so a 100 TB rebuild still writes thousands
         # of full files in parallel while a micro-batch writes one.
-        in_bytes = 0
-        for f in files:
-            try:
-                in_bytes += os.path.getsize(f)
-            except OSError:
-                in_bytes = -1
-                break
         if in_bytes >= 0:
             n_out = max(1, min(
                 default_parallelism(), in_bytes // SEG_TARGET_BYTES + 1
@@ -433,23 +452,35 @@ class IncrementalLSHIndex(_IncrementalTextIndex):
             .distinct()
         )
 
-    def new_candidate_pairs(self, new_doc_ids: DataFrame) -> DataFrame:
+    def new_candidate_pairs(
+        self, new_doc_ids: DataFrame, bounded: bool = False
+    ) -> DataFrame:
         """Candidate pairs INVOLVING the given new documents — the
         per-batch dedup check a growing corpus actually runs: the new
         batch's band rows (small) join the full index, so existing
-        documents are never re-banded and never pair among themselves."""
+        documents are never re-banded and never pair among themselves.
+
+        ``bounded``: the caller asserts ``new_doc_ids`` is a true
+        micro-batch (bounded by ingest trigger size, NOT a corpus
+        slice). Then the batch's band rows — N_BANDS x batch, a
+        constant multiple of an already-bounded input — are broadcast
+        so the index side stays exchange-free (guide §3.1: hint when
+        you KNOW a side is small; Catalyst can't estimate the
+        post-join size and would shuffle the full index per batch).
+        Leave False for corpus-proportional id sets (the one-shot
+        admission queries p17/p21/p27/p29 pass half the corpus): the
+        planner/AQE then picks the join from actual sizes — a forced
+        broadcast there would grow with the table and OOM at scale."""
         bands = self.index()
         new_bands = bands.join(
             F.broadcast(new_doc_ids.select(F.col(self.id_col).alias("doc_id"))),
             "doc_id",
         )
-        # The batch's band rows are bounded (N_BANDS x micro-batch), so
-        # broadcast them explicitly: Catalyst can't estimate a
-        # post-join size and picks a sort-merge join that shuffles the
-        # FULL index per batch — the broadcast keeps the index scan
-        # exchange-free, which is the O(batch) contract this lookup
-        # advertises (guide §3.1: hint when you know a side is small).
-        nb = F.broadcast(new_bands).alias("nb")
+        if bounded:
+            batch_bands = new_bands
+            nb = F.broadcast(batch_bands).alias("nb")
+        else:
+            nb = new_bands.alias("nb")
         ib = bands.alias("ib")
         return (
             nb.join(
@@ -500,34 +531,43 @@ class IncrementalSimHashIndex(_IncrementalTextIndex):
 
         return _simhash_block_pairs(self.index(), "simhash")
 
-    def new_candidate_pairs(self, new_doc_ids: DataFrame) -> DataFrame:
+    def new_candidate_pairs(
+        self, new_doc_ids: DataFrame, bounded: bool = False
+    ) -> DataFrame:
         """Verified pairs INVOLVING the given new documents — the
         per-batch check a growing corpus runs: the batch's 28-per-doc
-        block keys (broadcast-sized) join the full index's keys, so
-        existing documents never re-key and never pair among
-        themselves. O(batch x bucket occupancy), corpus-independent."""
+        block keys join the full index's keys, so existing documents
+        never re-key and never pair among themselves.
+
+        ``bounded``: caller-asserted micro-batch contract, as
+        :meth:`IncrementalLSHIndex.new_candidate_pairs`. When True the
+        batch's block keys (28 x batch, a constant multiple of a
+        bounded input) are broadcast and the blocking-key repartition
+        is skipped — the exchange exists for the full SELF-join's
+        bucket parallelism (candidate_pairs); in the per-batch lookup
+        it re-shuffled the entire 28x-corpus key table on every
+        micro-batch for no parallelism gain. When False (corpus-
+        proportional id sets, e.g. p27/p29's half-corpus admission
+        batch) the shuffle path is the scale-correct plan."""
         from .operators.dedup import (
             SIMHASH_MAX_HAMMING,
             simhash_block_keys,
         )
 
-        # No blocking-key repartition here: that exchange exists for the
-        # full SELF-join's bucket parallelism (candidate_pairs); in the
-        # per-batch lookup it re-shuffled the entire 28x-corpus key
-        # table on every micro-batch. The batch side (28 x micro-batch
-        # rows) is broadcast instead, so the index side is a bare
-        # scan+project — no exchange at all, O(batch) per lookup.
-        keyed = simhash_block_keys(self.index(), "simhash", repartition=False)
+        keyed = simhash_block_keys(
+            self.index(), "simhash", repartition=not bounded
+        )
         batch_keyed = keyed.join(
             F.broadcast(
                 new_doc_ids.select(F.col(self.id_col).alias("doc_id"))
             ),
             "doc_id",
         )
-        nb = F.broadcast(batch_keyed.select(
+        batch_keys = batch_keyed.select(
             F.col("doc_id").alias("nb_id"), F.col("simhash").alias("nb_sh"),
             "c", "ck",
-        ))
+        )
+        nb = F.broadcast(batch_keys) if bounded else batch_keys
         ib = keyed.select(
             F.col("doc_id").alias("ib_id"), F.col("simhash").alias("ib_sh"),
             "c", "ck",

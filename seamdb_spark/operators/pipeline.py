@@ -2949,13 +2949,13 @@ def e49_streaming_admission_parity(
             sh.refresh()
             batch_b = ids.withColumnRenamed("doc_id", "doc_b")
             lex = (
-                lsh.new_candidate_pairs(ids)
+                lsh.new_candidate_pairs(ids, bounded=True)
                 .join(F.broadcast(batch_b), "doc_b", "left_semi")
                 .groupBy(F.col("doc_b").alias("doc_id"))
                 .agg(F.count("*").cast("long").alias("n_lex"))
             )
             shc = (
-                sh.new_candidate_pairs(ids)
+                sh.new_candidate_pairs(ids, bounded=True)
                 .join(F.broadcast(batch_b), "doc_b", "left_semi")
                 .groupBy(F.col("doc_b").alias("doc_id"))
                 .agg(F.count("*").cast("long").alias("n_sh"))
@@ -3397,12 +3397,12 @@ def e50_outoforder_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             # out-of-order case e49 cannot see) and pairs against the
             # pre-indexed evens. No decision is taken here.
             (
-                lsh.new_candidate_pairs(ids)
+                lsh.new_candidate_pairs(ids, bounded=True)
                 .write.mode("overwrite")
                 .parquet(f"{base}/pairs_lex/bid={bid}")
             )
             (
-                sh.new_candidate_pairs(ids)
+                sh.new_candidate_pairs(ids, bounded=True)
                 .select("doc_a", "doc_b")
                 .write.mode("overwrite")
                 .parquet(f"{base}/pairs_sh/bid={bid}")
@@ -3776,13 +3776,13 @@ def e51_periodic_finalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsh.refresh()
             sh.refresh()
             (
-                lsh.new_candidate_pairs(ids)
+                lsh.new_candidate_pairs(ids, bounded=True)
                 .select("doc_a", "doc_b")
                 .write.mode("overwrite")
                 .parquet(f"{base}/pairs_lex/bid={bid}")
             )
             (
-                sh.new_candidate_pairs(ids)
+                sh.new_candidate_pairs(ids, bounded=True)
                 .select("doc_a", "doc_b")
                 .write.mode("overwrite")
                 .parquet(f"{base}/pairs_sh/bid={bid}")
@@ -4042,13 +4042,13 @@ def e52_compaction_during_ingest(
             audit["modes"][int(bid)] = (m_lsh["mode"], m_sh["mode"])
             batch_b = ids.withColumnRenamed("doc_id", "doc_b")
             lex = (
-                lsh.new_candidate_pairs(ids)
+                lsh.new_candidate_pairs(ids, bounded=True)
                 .join(F.broadcast(batch_b), "doc_b", "left_semi")
                 .groupBy(F.col("doc_b").alias("doc_id"))
                 .agg(F.count("*").cast("long").alias("n_lex"))
             )
             shc = (
-                sh.new_candidate_pairs(ids)
+                sh.new_candidate_pairs(ids, bounded=True)
                 .join(F.broadcast(batch_b), "doc_b", "left_semi")
                 .groupBy(F.col("doc_b").alias("doc_id"))
                 .agg(F.count("*").cast("long").alias("n_sh"))

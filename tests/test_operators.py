@@ -457,6 +457,17 @@ def test_no_forced_broadcast_on_scale_variant_tables():
         # dedup_index: the per-refresh ingest batch — bounded by batch
         # size (operator input), not the corpus
         "new_doc_ids",
+        # dedup_index new_candidate_pairs(bounded=True): the batch's
+        # band rows / block keys — a CONSTANT multiple (N_BANDS / 28)
+        # of a caller-asserted micro-batch; the broadcast only exists
+        # inside the `if bounded:` branch, and corpus-proportional
+        # callers (p17/p21/p27/p29) take the shuffle path
+        "batch_bands", "batch_keys",
+        # dedup_index _derive_of: the new segment set's id projection,
+        # broadcast only under the HINT_IDS_BROADCAST_MAX_BYTES input
+        # guard (constant bytes, corpus-independent); rebuild-sized
+        # inputs take the planner-decided join
+        "seg_ids",
         # e49: the streaming micro-batch's doc-id set — bounded by
         # micro-batch size (maxFilesPerTrigger), not the corpus; the
         # admission lookup's whole design is batch-keys-broadcast
