@@ -47,7 +47,10 @@ def main() -> None:
     ):
         for m in meths:
             if hasattr(cls, m):
-                setattr(cls, m, timed(f"{cls.__name__}.{m}", getattr(cls, m)))
+                wrapped = timed(f"{cls.__name__}.{m}", getattr(cls, m))
+                if isinstance(cls.__dict__.get(m), staticmethod):
+                    wrapped = staticmethod(wrapped)
+                setattr(cls, m, wrapped)
 
     queries = entrymod.queries()
     spark = build_session("seamdb_phase_profile")

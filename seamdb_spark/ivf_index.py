@@ -108,11 +108,12 @@ class IncrementalIVFIndex:
         upstream of the first shuffle (the dedup_index._derive_of
         lesson)."""
         from .operators.similarity import _qemb
+        from .session import default_parallelism
 
         df = (
             self._spark.read.schema(self._source_schema)
             .parquet(*files)
-            .repartition(32, "vec_id")
+            .repartition(default_parallelism(), "vec_id")
         )
         return _qemb(df)
 
@@ -161,22 +162,34 @@ class IncrementalIVFIndex:
     def drift_report(self) -> DataFrame:
         """(cid, n_vecs, n_moved) per current cell: how many of its
         vectors would move under the candidate re-centered centroids
-        (s17's reassignment metric against the index's own next step)."""
+        (s17's reassignment metric against the index's own next step).
+
+        Single pass over the index: the stored cid rides the
+        re-assignment aggregate (assign_cells ``carry``) instead of a
+        second index scan joined back on vec_id — the join was 1:1 by
+        construction (both sides the same index rows), so dropping it
+        removes one full index scan plus a vec_id shuffle join per
+        drift evaluation while producing identical rows."""
         from .operators.similarity import assign_cells
 
         re_assigned = assign_cells(
-            self.index().select("vec_id", "q"), self.candidate_centroids()
-        ).select("vec_id", F.col("cid").alias("recid"))
+            self.index().select(
+                "vec_id", F.col("cid").alias("prev_cid"), "q"
+            ),
+            self.candidate_centroids(),
+            carry=("prev_cid",),
+        )
         return (
-            self.index()
-            .select("vec_id", "cid")
-            .join(re_assigned, "vec_id")
-            .groupBy("cid")
+            re_assigned.select(
+                "prev_cid",
+                F.when(F.col("cid") != F.col("prev_cid"), 1)
+                .otherwise(0)
+                .alias("moved"),
+            )
+            .groupBy(F.col("prev_cid").alias("cid"))
             .agg(
                 F.count("*").alias("n_vecs"),
-                F.sum(
-                    F.when(F.col("recid") != F.col("cid"), 1).otherwise(0)
-                ).alias("n_moved"),
+                F.sum("moved").alias("n_moved"),
             )
         )
 

@@ -408,13 +408,21 @@ def _qd2(a: str | Column, b: str | Column) -> Column:
     return _isum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
 
 
-def assign_cells(quant: DataFrame, cdf: DataFrame) -> DataFrame:
+def assign_cells(
+    quant: DataFrame, cdf: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(vec_id, cid, q) nearest-centroid assignment: argmin via
     min(struct(d2, cid)) — a hash aggregate with map-side partial
     combine instead of a corpus×K row_number window; lexicographic
     struct-min == ORDER BY d2, cid (ties → lowest cid). ONE definition
     shared by the Lloyd trainer, s03, and the incremental IVF index
-    (ivf_index.py) so assignment semantics can never fork."""
+    (ivf_index.py) so assignment semantics can never fork.
+
+    ``carry``: extra per-vector columns of ``quant`` passed through the
+    aggregation (single-valued per vec_id, so F.first is exact) — lets
+    a caller that already holds per-vector state (e.g. the index's
+    previous cid in drift_report) keep it WITHOUT a second scan + join
+    back on vec_id."""
     return (
         quant.crossJoin(cdf)
         .withColumn("d2", _qd2("q", "cvec"))
@@ -422,8 +430,9 @@ def assign_cells(quant: DataFrame, cdf: DataFrame) -> DataFrame:
         .agg(
             F.min(F.struct("d2", "cid")).alias("m"),
             F.first("q").alias("q"),
+            *[F.first(c).alias(c) for c in carry],
         )
-        .select("vec_id", F.col("m.cid").alias("cid"), "q")
+        .select("vec_id", F.col("m.cid").alias("cid"), "q", *carry)
     )
 
 
