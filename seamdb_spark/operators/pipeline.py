@@ -1726,45 +1726,90 @@ def _p16_oracle() -> str:
 
 # ---------------------------------------------------------------------
 # Session-memoized derivation hints for the snapshot-backed text
-# indexes. Six gate layouts (p16/p26 and the four streaming ingest
-# gates e49-e52) index id-subsets of the SAME fixture `documents`
-# table, and the per-document derivations (LSH band rows, SimHash
-# signatures) are deterministic — so the session derives each ONCE
-# over the full table (paid inside the first toucher's timed run, the
-# p29/quant_corpus memo discipline) and every index refresh slices the
-# memo by the new segment's ids instead of re-running the
-# shingle/md5/minhash pass (dedup_index._derive_of). Rows are
-# identical by per-doc determinism; every consuming gate stays
-# oracle-checked end-to-end.
-def _docs_id_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import default_parallelism
+# indexes — now defined in dedup.py (the batch kernels d02/d03 and
+# e44's batch twin share the same memos, so the derivation lives with
+# the family that owns the kernels); re-imported here for the six gate
+# layouts (p16/p26 and the streaming ingest gates e49-e52).
+from .dedup import (  # noqa: E402
+    _docs_band_rows_hint,
+    _docs_simhash_hint,
+)
+
+
+def _stream_gate_layout(spark: SparkSession, sf_dir: str, base: str):
+    """(snaps, lsh, sh) handles over a gate layout rooted at ``base`` —
+    the one layout shape all four streaming ingest gates use
+    (/docs + /lsh_state + /sh_state, hint-backed indexes)."""
+    from pyspark.sql import types as T
+
+    from ..dedup_index import IncrementalLSHIndex, IncrementalSimHashIndex
+    from ..snapshots import TableSnapshots
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    snaps = TableSnapshots(base + "/docs")
+    lsh = IncrementalLSHIndex.over_snapshots(
+        spark, base + "/docs", schema, "doc_id", "text",
+        base + "/lsh_state",
+        derive_hint=_docs_band_rows_hint(spark, sf_dir),
+    )
+    sh = IncrementalSimHashIndex.over_snapshots(
+        spark, base + "/docs", schema, "doc_id", "text",
+        base + "/sh_state",
+        derive_hint=_docs_simhash_hint(spark, sf_dir),
+    )
+    return snaps, lsh, sh
+
+
+def _stream_gate_base(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized pre-stream corpus layout shared by the four
+    streaming ingest gates (e49-e52): the evens half committed as
+    /docs v1 and both incremental text indexes refreshed over it —
+    the byte-identical prologue every gate previously rebuilt for
+    itself. Each gate CLONES this layout into its own fresh dir
+    (snapshots.clone_layout: segment byte-copy + manifest path
+    rewrite) and runs its feed/stream sequence there, so gates stay
+    mutation-isolated (e52's compaction rewrites only its clone)
+    while the corpus build is paid once per session."""
+    import re as _re
+
     from ..sources import load_table
+    from .materialize import fresh_external_dir, materialized_value
 
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select(F.col("doc_id").cast("long"), "text")
-        .repartition(default_parallelism(), "doc_id")
-    )
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
+
+    def build() -> str:
+        base = fresh_external_dir("/tmp/seamdb_sgbase", tag)
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        snaps, lsh, sh = _stream_gate_layout(spark, sf_dir, base)
+        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+        lsh.refresh()
+        sh.refresh()
+        return base
+
+    return materialized_value(spark, sf_dir, "stream_gate_base", build)
 
 
-def _docs_band_rows_hint(spark: SparkSession, sf_dir: str):
-    from ..dedup_index import band_rows
-    from .materialize import materialized_df
+def _clone_stream_gate_base(
+    spark: SparkSession, sf_dir: str, root: str, tag: str
+):
+    """Fresh gate layout at ``<root>/<tag>`` cloned from the shared
+    base; returns (base, snaps, lsh, sh)."""
+    from ..snapshots import clone_layout
+    from .materialize import fresh_external_dir
 
-    return lambda: materialized_df(
-        spark, sf_dir, "docs_band_rows_hint",
-        lambda: band_rows(_docs_id_text(spark, sf_dir), "doc_id", "text"),
-    )
-
-
-def _docs_simhash_hint(spark: SparkSession, sf_dir: str):
-    from .dedup import simhash_sigs
-    from .materialize import materialized_df
-
-    return lambda: materialized_df(
-        spark, sf_dir, "docs_simhash_hint",
-        lambda: simhash_sigs(_docs_id_text(spark, sf_dir), "doc_id", "text"),
-    )
+    src = _stream_gate_base(spark, sf_dir)
+    base = fresh_external_dir(root, tag)
+    clone_layout(src, base)
+    snaps, lsh, sh = _stream_gate_layout(spark, sf_dir, base)
+    return base, snaps, lsh, sh
 
 
 def _p16_index_at(spark: SparkSession, base: str, derive_hint=None):
@@ -2892,31 +2937,15 @@ def e49_streaming_admission_parity(
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
 
     def build() -> tuple[str, bool, bool]:
-        base = fresh_external_dir("/tmp/seamdb_streamadmit", tag)
-        schema = T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("text", T.StringType()),
-            ]
+        # the existing corpus (evens committed and indexed up front):
+        # cloned from the shared pre-stream base instead of rebuilt —
+        # see _stream_gate_base
+        base, snaps, lsh, sh = _clone_stream_gate_base(
+            spark, sf_dir, "/tmp/seamdb_streamadmit", tag
         )
         docs = load_table(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("long"), "text"
         )
-        snaps = TableSnapshots(base + "/docs")
-        lsh = IncrementalLSHIndex.over_snapshots(
-            spark, base + "/docs", schema, "doc_id", "text",
-            base + "/lsh_state",
-            derive_hint=_docs_band_rows_hint(spark, sf_dir),
-        )
-        sh = IncrementalSimHashIndex.over_snapshots(
-            spark, base + "/docs", schema, "doc_id", "text",
-            base + "/sh_state",
-            derive_hint=_docs_simhash_hint(spark, sf_dir),
-        )
-        # the existing corpus: evens committed and indexed up front
-        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
-        lsh.refresh()
-        sh.refresh()
 
         # the ingest feed: odds as two contiguous-id-range files with
         # explicit 2s-apart mtimes + deterministic names
@@ -3340,31 +3369,14 @@ def e50_outoforder_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
 
     def build() -> tuple[str, bool, bool, bool, bool]:
-        base = fresh_external_dir("/tmp/seamdb_ooo_admit", tag)
-        schema = T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("text", T.StringType()),
-            ]
+        # the existing corpus (evens committed and indexed up front):
+        # cloned from the shared pre-stream base (_stream_gate_base)
+        base, snaps, lsh, sh = _clone_stream_gate_base(
+            spark, sf_dir, "/tmp/seamdb_ooo_admit", tag
         )
         docs = load_table(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("long"), "text"
         )
-        snaps = TableSnapshots(base + "/docs")
-        lsh = IncrementalLSHIndex.over_snapshots(
-            spark, base + "/docs", schema, "doc_id", "text",
-            base + "/lsh_state",
-            derive_hint=_docs_band_rows_hint(spark, sf_dir),
-        )
-        sh = IncrementalSimHashIndex.over_snapshots(
-            spark, base + "/docs", schema, "doc_id", "text",
-            base + "/sh_state",
-            derive_hint=_docs_simhash_hint(spark, sf_dir),
-        )
-        # the existing corpus: evens committed and indexed up front
-        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
-        lsh.refresh()
-        sh.refresh()
 
         # the ingest feed, deliberately NOT id-ordered: the first file
         # (explicit oldest mtime + deterministic name via
@@ -3626,30 +3638,14 @@ def e51_periodic_finalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
 
     def build() -> tuple[str, bool, bool, bool, bool]:
-        base = fresh_external_dir("/tmp/seamdb_epoch_seal", tag)
-        schema = T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("text", T.StringType()),
-            ]
+        # evens committed and indexed up front: cloned from the shared
+        # pre-stream base (_stream_gate_base)
+        base, snaps, lsh, sh = _clone_stream_gate_base(
+            spark, sf_dir, "/tmp/seamdb_epoch_seal", tag
         )
         docs = load_table(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("long"), "text"
         )
-        snaps = TableSnapshots(base + "/docs")
-        lsh = IncrementalLSHIndex.over_snapshots(
-            spark, base + "/docs", schema, "doc_id", "text",
-            base + "/lsh_state",
-            derive_hint=_docs_band_rows_hint(spark, sf_dir),
-        )
-        sh = IncrementalSimHashIndex.over_snapshots(
-            spark, base + "/docs", schema, "doc_id", "text",
-            base + "/sh_state",
-            derive_hint=_docs_simhash_hint(spark, sf_dir),
-        )
-        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
-        lsh.refresh()
-        sh.refresh()
 
         # four micro-batches, residues mod 8 in order 7,3,5,1: each
         # later file interleaves BELOW earlier ids, and the 5/1 files
@@ -3976,42 +3972,23 @@ def e52_compaction_during_ingest(
     import os as _os
     import re as _re
 
-    from pyspark.sql import types as T
-
-    from ..dedup_index import IncrementalLSHIndex, IncrementalSimHashIndex
-    from ..snapshots import TableSnapshots
     from ..sources import load_table
-    from .materialize import fresh_external_dir, materialized_value
+    from .materialize import materialized_value
     from .text import quality_frame
 
     app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
 
     def build() -> tuple[str, bool, bool, bool, bool]:
-        base = fresh_external_dir("/tmp/seamdb_online_compact", tag)
-        schema = T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("text", T.StringType()),
-            ]
+        # evens committed and indexed up front: cloned from the shared
+        # pre-stream base (_stream_gate_base); the compaction below
+        # rewrites only this clone's segments, never the shared layout
+        base, snaps, lsh, sh = _clone_stream_gate_base(
+            spark, sf_dir, "/tmp/seamdb_online_compact", tag
         )
         docs = load_table(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("long"), "text"
         )
-        snaps = TableSnapshots(base + "/docs")
-        lsh = IncrementalLSHIndex.over_snapshots(
-            spark, base + "/docs", schema, "doc_id", "text",
-            base + "/lsh_state",
-            derive_hint=_docs_band_rows_hint(spark, sf_dir),
-        )
-        sh = IncrementalSimHashIndex.over_snapshots(
-            spark, base + "/docs", schema, "doc_id", "text",
-            base + "/sh_state",
-            derive_hint=_docs_simhash_hint(spark, sf_dir),
-        )
-        snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
-        lsh.refresh()
-        sh.refresh()
 
         # three id-ordered micro-batches (terciles), so per-batch
         # decisions are final (e49 semantics; e50/e51 own the
@@ -4087,7 +4064,7 @@ def e52_compaction_during_ingest(
                 # double-commit (engine.compact preserves bucketing the
                 # same way).
                 snaps.commit(
-                    snaps.read(spark, schema).coalesce(1),
+                    snaps.read(spark, docs.schema).coalesce(1),
                     mode="overwrite",
                     extra=snaps.current_extra(),
                 )

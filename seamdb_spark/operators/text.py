@@ -3129,6 +3129,19 @@ def _t41_oracle() -> str:
 
 @register("t41_bpe_compression_eval", oracle=_t41_oracle())
 def t41_bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session-memoized: the rule-replay expression (one replace per
+    # BPE merge — a T40_MERGES-deep codegen chain over every distinct
+    # word) was re-run by every consumer (this query and p08). The
+    # result is one row per source — trivially checkpointable.
+    from .materialize import materialized_df
+
+    return materialized_df(
+        spark, sf_dir, "t41_compression_eval",
+        lambda: _t41_build(spark, sf_dir),
+    )
+
+
+def _t41_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = t40_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
     docs = _docs(spark, sf_dir)
     usage = (

@@ -306,3 +306,41 @@ class TableSnapshots:
 
     def drop(self) -> None:
         shutil.rmtree(self.table_dir, ignore_errors=True)
+
+
+def _rewrite_paths(obj, src: str, dst: str):
+    if isinstance(obj, str):
+        return obj.replace(src, dst) if src in obj else obj
+    if isinstance(obj, list):
+        return [_rewrite_paths(x, src, dst) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _rewrite_paths(v, src, dst) for k, v in obj.items()}
+    return obj
+
+
+def clone_layout(src_root: str, dst_root: str) -> None:
+    """Copy a directory tree of TableSnapshots tables into ``dst_root``
+    and rewrite every absolute path inside the manifests (current +
+    retained history — file lists AND extra blobs such as an index's
+    processed-segment list) from the src prefix to the dst prefix.
+
+    The snapshot-export pattern: segment files are byte-copied, the
+    clone then evolves independently — commits, compaction and GC in
+    the clone can never touch the source layout. Used by the streaming
+    ingest gates to share one pre-stream corpus build (the identical
+    evens-committed-and-indexed prologue) while keeping each gate's
+    mutations isolated. At production scale the same operation is
+    metadata-only (manifest copy referencing shared immutable
+    segments); locally the byte copy of fixture-sized segments is
+    cheaper than re-deriving them."""
+    shutil.copytree(src_root, dst_root)
+    for dirpath, _dirs, files in os.walk(dst_root):
+        for name in files:
+            if name == MANIFEST or (
+                name.startswith("manifest-v") and name.endswith(".json")
+            ):
+                p = os.path.join(dirpath, name)
+                with open(p) as f:
+                    m = json.load(f)
+                with open(p, "w") as f:
+                    json.dump(_rewrite_paths(m, src_root, dst_root), f)

@@ -1001,9 +1001,7 @@ def lsh_candidates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     production the pair stream carries an ingest timestamp and this
     becomes dropDuplicatesWithinWatermark so state ages out.
     """
-    from ..dedup_index import band_rows, band_rows_stateless
-    from ..operators.materialize import materialized_df
-    from ..sources import load_table
+    from ..dedup_index import band_rows_stateless
 
     # Static side: the maintained index's band rows over the FULL
     # corpus (what the IncrementalLSHIndex holds after its refreshes),
@@ -1013,14 +1011,12 @@ def lsh_candidates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stacking a new persist() per call; the memo's documented
     # lifetime (pruned on session change, blocks die with the session)
     # replaces the raw never-unpersisted cache flagged in ADVICE r9.
-    static_bands = materialized_df(
-        spark,
-        sf_dir,
-        "lsh_stream_static_bands",
-        lambda: band_rows(
-            load_table(spark, sf_dir, "documents"), "doc_id", "text"
-        ),
-    )
+    # the session-wide banding memo (operators.dedup) — identical rows
+    # to band_rows over the documents table; the former private
+    # "lsh_stream_static_bands" memo duplicated the same derivation
+    from ..operators.dedup import _docs_band_rows_hint
+
+    static_bands = _docs_band_rows_hint(spark, sf_dir)()
 
     feed = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
     feed_bands = band_rows_stateless(feed, "doc_id", "text").select(
