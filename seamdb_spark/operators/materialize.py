@@ -21,12 +21,21 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
+import threading
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MATERIALIZED: dict[tuple[str, str, str], object] = {}
+# Registry access is locked: the streaming ingest gates run independent
+# refresh chains from a thread pool (guide §2.6), and two first-touch
+# builders materializing DIFFERENT keys concurrently would otherwise
+# race _prune's iteration against the other thread's insert. Builders
+# run OUTSIDE the lock (they submit Spark jobs); per-key duplicate
+# builds cannot happen in practice because concurrent consumers touch
+# distinct keys (band rows vs simhash sigs).
+_MATERIALIZED_LOCK = threading.Lock()
 
 # External-layout counterpart of _prune: j02/j03 write session-
 # namespaced bucketed/partitioned copies under a shared /tmp root
@@ -92,12 +101,14 @@ def materialized_df(
     """Build-once DataFrame, localCheckpointed (blocks live with the session)."""
     app_id = spark.sparkContext.applicationId
     mkey = (app_id, sf_dir, key)
-    df = _MATERIALIZED.get(mkey)
-    if df is None:
+    with _MATERIALIZED_LOCK:
+        df = _MATERIALIZED.get(mkey)
+        if df is not None:
+            return df
         _prune(app_id)
-        df = builder().localCheckpoint()
-        _MATERIALIZED[mkey] = df
-    return df
+    df = builder().localCheckpoint()
+    with _MATERIALIZED_LOCK:
+        return _MATERIALIZED.setdefault(mkey, df)
 
 
 def materialized_value(
@@ -106,9 +117,11 @@ def materialized_value(
     """Build-once driver-side value (e.g. a centroid table — always O(1))."""
     app_id = spark.sparkContext.applicationId
     mkey = (app_id, sf_dir, key)
-    val = _MATERIALIZED.get(mkey)
-    if val is None:
+    with _MATERIALIZED_LOCK:
+        val = _MATERIALIZED.get(mkey)
+        if val is not None:
+            return val
         _prune(app_id)
-        val = builder()
-        _MATERIALIZED[mkey] = val
-    return val
+    val = builder()
+    with _MATERIALIZED_LOCK:
+        return _MATERIALIZED.setdefault(mkey, val)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import run_concurrently
 from .dedup import _cc_clusters, _cc_ctes
 from .registry import register
 from .rounding import dround
@@ -1790,8 +1791,9 @@ def _stream_gate_base(spark: SparkSession, sf_dir: str) -> str:
         )
         snaps, lsh, sh = _stream_gate_layout(spark, sf_dir, base)
         snaps.commit(docs.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
-        lsh.refresh()
-        sh.refresh()
+        # independent index builds (own state dirs; hint memos under
+        # distinct keys) — overlapped per guide §2.6
+        run_concurrently(lsh.refresh, sh.refresh)
         return base
 
     return materialized_value(spark, sf_dir, "stream_gate_base", build)
@@ -2974,8 +2976,10 @@ def e49_streaming_admission_parity(
             # complete an interrupted refresh when it wasn't (mirrors
             # the decisions sink's per-batchId idempotency below).
             snaps.commit_once(batch, bid)
-            lsh.refresh()        # O(new segment) by the manifest diff
-            sh.refresh()
+            # the two index refreshes are independent (own state dirs,
+            # manifest-diff reads only) and each is a small job —
+            # overlap them so the batch's cores stay busy (guide §2.6)
+            run_concurrently(lsh.refresh, sh.refresh)
             batch_b = ids.withColumnRenamed("doc_id", "doc_b")
             lex = (
                 lsh.new_candidate_pairs(ids, bounded=True)
@@ -3402,29 +3406,40 @@ def e50_outoforder_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a micro-batch retry skips the append; the refreshes stay
             # unconditional (manifest-diff no-ops on replay).
             snaps.commit_once(batch, bid)
-            lsh.refresh()
-            sh.refresh()
+
             # Log EVERYTHING involving the batch — including pairs
             # whose larger side arrived in an EARLIER batch (the
             # out-of-order case e49 cannot see) and pairs against the
-            # pre-indexed evens. No decision is taken here.
-            (
-                lsh.new_candidate_pairs(ids, bounded=True)
-                .write.mode("overwrite")
-                .parquet(f"{base}/pairs_lex/bid={bid}")
-            )
-            (
-                sh.new_candidate_pairs(ids, bounded=True)
-                .select("doc_a", "doc_b")
-                .write.mode("overwrite")
-                .parquet(f"{base}/pairs_sh/bid={bid}")
-            )
-            (
-                quality_frame(batch)
-                .select("doc_id", "quality_score")
-                .write.mode("overwrite")
-                .parquet(f"{base}/quality/bid={bid}")
-            )
+            # pre-indexed evens. No decision is taken here. The three
+            # legs (LSH refresh→log, SimHash refresh→log, quality log)
+            # are independent chains of small jobs writing to disjoint
+            # dirs — overlapped per guide §2.6.
+            def _lex_leg() -> None:
+                lsh.refresh()
+                (
+                    lsh.new_candidate_pairs(ids, bounded=True)
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/pairs_lex/bid={bid}")
+                )
+
+            def _sh_leg() -> None:
+                sh.refresh()
+                (
+                    sh.new_candidate_pairs(ids, bounded=True)
+                    .select("doc_a", "doc_b")
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/pairs_sh/bid={bid}")
+                )
+
+            def _quality_leg() -> None:
+                (
+                    quality_frame(batch)
+                    .select("doc_id", "quality_score")
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/quality/bid={bid}")
+                )
+
+            run_concurrently(_lex_leg, _sh_leg, _quality_leg)
             batch.unpersist()
 
         q = (
@@ -3724,71 +3739,95 @@ def e51_periodic_finalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             the logs — a replayed micro-batch re-runs it bit-identically."""
             lo = epoch * E51_SEAL_EVERY
             quality = spark.read.parquet(base + "/quality")
-            seal_docs = quality.filter(
-                (F.col("bid") >= lo) & (F.col("bid") <= upto_bid)
-            )
-            (
-                decisions_for(seal_docs, upto_bid)
-                .write.mode("overwrite")
-                .parquet(f"{base}/sealed/epoch={epoch}")
-            )
+
+            def _seal() -> None:
+                seal_docs = quality.filter(
+                    (F.col("bid") >= lo) & (F.col("bid") <= upto_bid)
+                )
+                (
+                    decisions_for(seal_docs, upto_bid)
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/sealed/epoch={epoch}")
+                )
+
+            def _amend() -> None:
+                # late pairs: LOGGED in this epoch's bid range (each
+                # pair is logged exactly once, at its later endpoint's
+                # bid, so a bid-range filter is exactly "newly logged")
+                # whose doc_b ARRIVED before this epoch — arrival bid
+                # comes from the quality log, never assumed from the id
+                new_lex = (
+                    spark.read.parquet(base + "/pairs_lex")
+                    .filter(
+                        (F.col("bid") >= lo) & (F.col("bid") <= upto_bid)
+                    )
+                    .select("doc_a", "doc_b")
+                )
+                new_sh = (
+                    spark.read.parquet(base + "/pairs_sh")
+                    .filter(
+                        (F.col("bid") >= lo) & (F.col("bid") <= upto_bid)
+                    )
+                    .select("doc_a", "doc_b")
+                )
+                hit_docs = (
+                    new_lex.unionByName(new_sh)
+                    .filter(F.col("doc_b") % 2 == 1)
+                    .select(F.col("doc_b").alias("doc_id"))
+                    .distinct()
+                )
+                earlier_arrivals = quality.filter(F.col("bid") < lo).select(
+                    "doc_id", "quality_score"
+                )
+                late_docs = hit_docs.join(earlier_arrivals, "doc_id")
+                (
+                    decisions_for(late_docs, upto_bid)
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/amendments/epoch={epoch}")
+                )
+
             if epoch == 0:
+                _seal()
                 return
-            # late pairs: LOGGED in this epoch's bid range (each pair
-            # is logged exactly once, at its later endpoint's bid, so
-            # a bid-range filter is exactly "newly logged") whose
-            # doc_b ARRIVED before this epoch — arrival bid comes from
-            # the quality log, never assumed from the id
-            new_lex = (
-                spark.read.parquet(base + "/pairs_lex")
-                .filter((F.col("bid") >= lo) & (F.col("bid") <= upto_bid))
-                .select("doc_a", "doc_b")
-            )
-            new_sh = (
-                spark.read.parquet(base + "/pairs_sh")
-                .filter((F.col("bid") >= lo) & (F.col("bid") <= upto_bid))
-                .select("doc_a", "doc_b")
-            )
-            hit_docs = (
-                new_lex.unionByName(new_sh)
-                .filter(F.col("doc_b") % 2 == 1)
-                .select(F.col("doc_b").alias("doc_id"))
-                .distinct()
-            )
-            earlier_arrivals = quality.filter(F.col("bid") < lo).select(
-                "doc_id", "quality_score"
-            )
-            late_docs = hit_docs.join(earlier_arrivals, "doc_id")
-            (
-                decisions_for(late_docs, upto_bid)
-                .write.mode("overwrite")
-                .parquet(f"{base}/amendments/epoch={epoch}")
-            )
+            # seal and amendment read the SAME already-written logs and
+            # write disjoint epoch dirs — overlap them (guide §2.6)
+            run_concurrently(_seal, _amend)
 
         def consume(bdf: DataFrame, bid: int) -> None:
             batch = bdf.select("doc_id", "text").persist()
             ids = batch.select("doc_id")
             snaps.commit_once(batch, bid)
-            lsh.refresh()
-            sh.refresh()
-            (
-                lsh.new_candidate_pairs(ids, bounded=True)
-                .select("doc_a", "doc_b")
-                .write.mode("overwrite")
-                .parquet(f"{base}/pairs_lex/bid={bid}")
-            )
-            (
-                sh.new_candidate_pairs(ids, bounded=True)
-                .select("doc_a", "doc_b")
-                .write.mode("overwrite")
-                .parquet(f"{base}/pairs_sh/bid={bid}")
-            )
-            (
-                quality_frame(batch)
-                .select("doc_id", "quality_score")
-                .write.mode("overwrite")
-                .parquet(f"{base}/quality/bid={bid}")
-            )
+
+            # independent per-batch legs (disjoint output dirs, small
+            # jobs) overlapped per guide §2.6; the sweep below reads
+            # the logs, so it runs after the legs join
+            def _lex_leg() -> None:
+                lsh.refresh()
+                (
+                    lsh.new_candidate_pairs(ids, bounded=True)
+                    .select("doc_a", "doc_b")
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/pairs_lex/bid={bid}")
+                )
+
+            def _sh_leg() -> None:
+                sh.refresh()
+                (
+                    sh.new_candidate_pairs(ids, bounded=True)
+                    .select("doc_a", "doc_b")
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/pairs_sh/bid={bid}")
+                )
+
+            def _quality_leg() -> None:
+                (
+                    quality_frame(batch)
+                    .select("doc_id", "quality_score")
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/quality/bid={bid}")
+                )
+
+            run_concurrently(_lex_leg, _sh_leg, _quality_leg)
             # the PERIODIC sweep: every E51_SEAL_EVERY batches, inside
             # the stream — not a post-drain pass
             if (bid + 1) % E51_SEAL_EVERY == 0:
@@ -4014,8 +4053,8 @@ def e52_compaction_during_ingest(
             batch = bdf.select("doc_id", "text").persist()
             ids = batch.select("doc_id")
             snaps.commit_once(batch, bid)
-            m_lsh = lsh.refresh()
-            m_sh = sh.refresh()
+            # independent refreshes overlapped (guide §2.6)
+            m_lsh, m_sh = run_concurrently(lsh.refresh, sh.refresh)
             audit["modes"][int(bid)] = (m_lsh["mode"], m_sh["mode"])
             batch_b = ids.withColumnRenamed("doc_id", "doc_b")
             lex = (

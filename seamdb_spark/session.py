@@ -67,3 +67,24 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def run_concurrently(*thunks):
+    """Run independent Spark-action thunks from a thread pool and return
+    their results in order, re-raising the first failure.
+
+    Spark's scheduler runs several jobs at once inside one application;
+    actions are only sequential because driver code calls them
+    sequentially. The streaming ingest gates' per-micro-batch jobs are
+    SMALL (bounded-batch work, a handful of tasks each), so run serially
+    they leave most cores idle — submitting the independent chains
+    (e.g. the LSH and SimHash refresh→lookup→write legs) concurrently
+    lets the FIFO scheduler back-fill the idle capacity. Results are
+    written to disjoint outputs, so overlap cannot change any result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
