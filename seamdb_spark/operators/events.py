@@ -4770,7 +4770,12 @@ def _e44_oracle() -> str:
 
 @register("e44_lsh_stream_batch_parity", oracle=_e44_oracle())
 def e44_lsh_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.events import lsh_candidates_stream, run_stream_to_memory
+    from ..session import run_concurrently
+    from ..streaming.events import (
+        lsh_candidates_stream,
+        run_stream_to_memory,
+        stream_state_partitions,
+    )
     from .dedup import _docs_band_rows_hint
     from .materialize import materialized_value
 
@@ -4795,11 +4800,16 @@ def e44_lsh_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run_and_compare() -> bool:
         got = run_stream_to_memory(
-            lsh_candidates_stream(spark, sf_dir), "e44_lsh_stream", "append"
+            lsh_candidates_stream(spark, sf_dir), "e44_lsh_stream", "append",
+            state_partitions=stream_state_partitions(sf_dir, "documents"),
         ).select("doc_a", "doc_b")
         want = batch_pairs()
-        extra = got.join(want, ["doc_a", "doc_b"], "left_anti").count()
-        missing = want.join(got, ["doc_a", "doc_b"], "left_anti").count()
+        # the two direction checks are independent actions over the
+        # same two (tiny) sides — overlap them (guide §2.6)
+        extra, missing = run_concurrently(
+            lambda: got.join(want, ["doc_a", "doc_b"], "left_anti").count(),
+            lambda: want.join(got, ["doc_a", "doc_b"], "left_anti").count(),
+        )
         return extra == 0 and missing == 0
 
     matches = materialized_value(spark, sf_dir, "e44_stream_parity", run_and_compare)
@@ -4893,12 +4903,22 @@ def e45_stream_stream_join_parity(
         )
 
     def run_and_compare() -> bool:
+        from ..session import run_concurrently
+        from ..streaming.events import stream_state_partitions
+
         got = run_stream_to_memory(
-            click_purchase_join_stream(spark, sf_dir), "e45_ssj", "append"
+            click_purchase_join_stream(spark, sf_dir), "e45_ssj", "append",
+            state_partitions=stream_state_partitions(sf_dir),
         ).select("purchase_id", "click_id")
         want = batch_pairs().select("purchase_id", "click_id")
-        extra = got.join(want, ["purchase_id", "click_id"], "left_anti").count()
-        missing = want.join(got, ["purchase_id", "click_id"], "left_anti").count()
+        extra, missing = run_concurrently(
+            lambda: got.join(
+                want, ["purchase_id", "click_id"], "left_anti"
+            ).count(),
+            lambda: want.join(
+                got, ["purchase_id", "click_id"], "left_anti"
+            ).count(),
+        )
         return extra == 0 and missing == 0
 
     matches = materialized_value(
@@ -4974,12 +4994,18 @@ def e46_stream_sessionization_parity(
         return QUERIES["e41_native_session_window"](spark, sf_dir)
 
     def run_and_compare() -> bool:
+        from ..session import run_concurrently
+        from ..streaming.events import stream_state_partitions
+
         got = run_stream_to_memory(
-            session_window_stream(spark, sf_dir), "e46_sessions", "complete"
+            session_window_stream(spark, sf_dir), "e46_sessions", "complete",
+            state_partitions=stream_state_partitions(sf_dir),
         ).select(*keys)
         want = batch().select(*keys)
-        extra = got.join(want, keys, "left_anti").count()
-        missing = want.join(got, keys, "left_anti").count()
+        extra, missing = run_concurrently(
+            lambda: got.join(want, keys, "left_anti").count(),
+            lambda: want.join(got, keys, "left_anti").count(),
+        )
         return extra == 0 and missing == 0
 
     matches = materialized_value(
@@ -5039,8 +5065,12 @@ def e47_stateful_totals_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def run_and_compare() -> bool:
+        from ..session import run_concurrently
+        from ..streaming.events import stream_state_partitions
+
         out = run_stream_to_memory(
-            user_running_totals_stream(spark, sf_dir), "e47_totals", "update"
+            user_running_totals_stream(spark, sf_dir), "e47_totals", "update",
+            state_partitions=stream_state_partitions(sf_dir),
         )
         w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
         got = (
@@ -5053,8 +5083,10 @@ def e47_stateful_totals_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         want = batch()
         keys = ["user_id", "n_events", "total_value"]
-        extra = got.join(want, keys, "left_anti").count()
-        missing = want.join(got, keys, "left_anti").count()
+        extra, missing = run_concurrently(
+            lambda: got.join(want, keys, "left_anti").count(),
+            lambda: want.join(got, keys, "left_anti").count(),
+        )
         return extra == 0 and missing == 0
 
     matches = materialized_value(
@@ -5130,6 +5162,9 @@ def e48_checkpoint_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + "_" + app
 
     def run_and_compare() -> tuple[bool, bool]:
+        from ..session import run_concurrently
+        from ..streaming.events import stream_state_partitions
+
         base = fresh_external_dir("/tmp/seamdb_ckptrestart", tag)
         src, ckpt, out = base + "/src", base + "/ckpt", base + "/out"
         ev = _events(spark, sf_dir).select(
@@ -5137,10 +5172,18 @@ def e48_checkpoint_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         first = ev.filter(F.col("event_id") % 2 == 0)
         second = ev.filter(F.col("event_id") % 2 == 1)
-        n_second = second.count()
         # 4 files per commit + maxFilesPerTrigger=2 => >=2 micro-batches
-        # per run: state must survive batch boundaries AND the restart
-        first.repartition(4).write.mode("overwrite").parquet(src)
+        # per run: state must survive batch boundaries AND the restart.
+        # The second-half count and the first-half commit are
+        # independent actions — overlap them (guide §2.6).
+        n_second, _ = run_concurrently(
+            second.count,
+            lambda: first.repartition(4).write.mode("overwrite").parquet(src),
+        )
+        # identical value on BOTH runs (deterministic from the source
+        # size): the count is baked into run 1's checkpoint metadata
+        # and must match at restart
+        n_state_parts = stream_state_partitions(sf_dir)
 
         def stream() -> DataFrame:
             return user_running_totals_over(
@@ -5150,11 +5193,15 @@ def e48_checkpoint_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame
                 .load(src)
             )
 
-        run_stream_foreach_batch_parquet(stream(), ckpt, out)
+        run_stream_foreach_batch_parquet(
+            stream(), ckpt, out, state_partitions=n_state_parts
+        )
         # the "kill": run 1's query object is gone; only the durable
         # checkpoint (offset log + state store versions) survives
         second.repartition(4).write.mode("append").parquet(src)
-        n_run2 = run_stream_foreach_batch_parquet(stream(), ckpt, out)
+        n_run2 = run_stream_foreach_batch_parquet(
+            stream(), ckpt, out, state_partitions=n_state_parts
+        )
 
         got_all = spark.read.parquet(out)  # bid=<batchId> partition dirs
         w = W.partitionBy("user_id").orderBy(F.col("bid").desc())
@@ -5168,8 +5215,10 @@ def e48_checkpoint_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         want = batch()
         keys = ["user_id", "n_events", "total_value"]
-        extra = got.join(want, keys, "left_anti").count()
-        missing = want.join(got, keys, "left_anti").count()
+        extra, missing = run_concurrently(
+            lambda: got.join(want, keys, "left_anti").count(),
+            lambda: want.join(got, keys, "left_anti").count(),
+        )
         return (extra == 0 and missing == 0, n_run2 == n_second)
 
     matches, incremental = materialized_value(

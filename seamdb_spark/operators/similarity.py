@@ -3597,11 +3597,29 @@ def _s23_oracle() -> str:
 
 @register("s23_kmeans_stability_audit", oracle=_s23_oracle())
 def s23_kmeans_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import run_concurrently
+    from .materialize import materialized_value
+
     quant = _quant_corpus(spark, sf_dir)
 
-    def assign_with(salt: str, tag: str) -> DataFrame:
-        from .materialize import materialized_value
+    # The two Lloyd trainings differ only in seed salt and are fully
+    # independent driver-action chains over the same memoized corpus —
+    # build both centroid memos concurrently (guide §2.6) so the
+    # second training back-fills the cores the first leaves idle
+    # between its bounded collect steps. Results are unchanged: each
+    # training is deterministic in its salt alone.
+    run_concurrently(
+        lambda: materialized_value(
+            spark, sf_dir, "s23_centroids_a",
+            lambda: _centroid_history(quant, "")[-1],
+        ),
+        lambda: materialized_value(
+            spark, sf_dir, "s23_centroids_b",
+            lambda: _centroid_history(quant, S23_SALT)[-1],
+        ),
+    )
 
+    def assign_with(salt: str, tag: str) -> DataFrame:
         cents = materialized_value(
             spark, sf_dir, f"s23_centroids_{tag}",
             lambda: _centroid_history(quant, salt)[-1],

@@ -25,6 +25,65 @@ from pyspark.sql import types as T
 
 SESSION_GAP = "30 minutes"
 
+
+def stream_state_partitions(sf_dir: str, table: str = "events") -> int:
+    """Shuffle/state-store partition count for the finite-replay parity
+    gates, derived from the streamed input's size instead of the core
+    count. Motivation (measured, round 14): every stateful-operator
+    partition is a set of HDFSBackedStateStore instances (a stream-
+    stream join keeps FOUR per partition) paying a fixed per-micro-batch
+    load + eviction-scan + commit cost that dominates until per-
+    partition state reaches tens of MB — e45's one-batch join spent
+    ~130 summed seconds in store commits for 40k buffered rows across
+    32 partitions, and dropping to 8 partitions halved the warm run
+    (10.0 s -> 4.9 s) with byte-identical output. Sizing partitions
+    from input bytes (~16 MB of streamed input per partition, floored
+    at 8 for parallelism, capped at the session core budget) is the
+    scale-adaptive form: a 100 TB stream saturates the cap and keeps
+    today's behavior, while a MB-scale replay stops paying hundreds of
+    empty store round-trips. Env override SPARK_GRAFT_STREAM_PARTITIONS
+    pins a production value explicitly."""
+    import math
+    import os
+
+    from ..session import default_parallelism
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return int(env)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        size = os.path.getsize(path) if os.path.exists(path) else 0
+    return max(8, min(default_parallelism(), math.ceil(size / (16 << 20))))
+
+
+class _shuffle_partitions_during:
+    """Scoped spark.sql.shuffle.partitions override for one streaming
+    run: the value is captured into the query's checkpoint metadata at
+    start, so it must be live from .start() through awaitTermination();
+    restoring it afterwards keeps the session's batch plans on the
+    engine-wide default. No-op when n is None."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
 def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     """File-stream sources need an explicit schema; fixture generations
     differ (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)), so sniff the parquet
@@ -174,6 +233,7 @@ def user_running_totals_over(ev: DataFrame) -> DataFrame:
 def run_stream_foreach_batch_parquet(
     df: DataFrame, checkpoint_dir: str, out_dir: str,
     output_mode: str = "update",
+    state_partitions: int | None = None,
 ) -> int:
     """Drive a streaming DataFrame to completion (availableNow) through
     foreachBatch, writing each micro-batch to ``out_dir/bid=<batchId>``
@@ -199,14 +259,15 @@ def run_stream_foreach_batch_parquet(
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(f"{out_dir}/bid={batch_id}")
 
-    q = (
-        df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _shuffle_partitions_during(df.sparkSession, state_partitions):
+        q = (
+            df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     progress = q.recentProgress or []
     cap = int(
         df.sparkSession.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
@@ -222,18 +283,23 @@ def run_stream_foreach_batch_parquet(
 
 
 def run_stream_to_memory(
-    df: DataFrame, name: str, output_mode: str = "complete"
+    df: DataFrame, name: str, output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion over the (finite)
-    fixture and return the materialized result as a batch DataFrame."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    fixture and return the materialized result as a batch DataFrame.
+    ``state_partitions`` (see stream_state_partitions) scopes the
+    stateful-shuffle width to the run; partitioning never changes the
+    emitted row set."""
+    with _shuffle_partitions_during(df.sparkSession, state_partitions):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
