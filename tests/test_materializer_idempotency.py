@@ -53,6 +53,7 @@ MATERIALIZER_QUERIES = [
     "e50_outoforder_admission",
     "e51_periodic_finalization",
     "e52_compaction_during_ingest",
+    "g06_label_propagation",
     "j02_bucketed_colocated_join",
     "j03_partition_pruned_join",
     "p08_tokenizer_readiness",
