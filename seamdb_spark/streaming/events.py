@@ -19,6 +19,8 @@ a file-source micro-batch stream.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -26,7 +28,9 @@ from pyspark.sql import types as T
 SESSION_GAP = "30 minutes"
 
 
-def stream_state_partitions(sf_dir: str, table: str = "events") -> int:
+def stream_state_partitions(
+    sf_dir: str, table: str = "events", spark: SparkSession | None = None
+) -> int | None:
     """Shuffle/state-store partition count for the finite-replay parity
     gates, derived from the streamed input's size instead of the core
     count. Motivation (measured, round 14): every stateful-operator
@@ -38,11 +42,22 @@ def stream_state_partitions(sf_dir: str, table: str = "events") -> int:
     32 partitions, and dropping to 8 partitions halved the warm run
     (10.0 s -> 4.9 s) with byte-identical output. Sizing partitions
     from input bytes (~16 MB of streamed input per partition, floored
-    at 8 for parallelism, capped at the session core budget) is the
-    scale-adaptive form: a 100 TB stream saturates the cap and keeps
-    today's behavior, while a MB-scale replay stops paying hundreds of
-    empty store round-trips. Env override SPARK_GRAFT_STREAM_PARTITIONS
-    pins a production value explicitly."""
+    at min(8, core budget) for parallelism, capped at the session core
+    budget — the cap wins when the two conflict) is the scale-adaptive
+    form: a 100 TB stream saturates the cap and keeps today's behavior,
+    while a MB-scale replay stops paying hundreds of empty store
+    round-trips. Env override SPARK_GRAFT_STREAM_PARTITIONS pins a
+    production value explicitly.
+
+    Returns ``None`` — "don't override; keep the session's core-count
+    default" — when the input's size cannot be measured (no session to
+    reach the filesystem with and the path is not driver-local, or the
+    path is missing/empty): the pre-r14 behavior, never a
+    silently-pinned floor (ADVICE r14). With a ``spark`` handle the
+    size comes from the Hadoop FileSystem of the path's own scheme
+    (``getContentSummary`` — recursive, works for s3a/hdfs/local
+    alike); without one, a recursive local walk covers the fixture
+    layouts."""
     import math
     import os
 
@@ -50,17 +65,51 @@ def stream_state_partitions(sf_dir: str, table: str = "events") -> int:
 
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
     if env:
-        return int(env)
+        try:
+            n = int(env)
+        except ValueError:
+            n = 0
+        if n <= 0:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_PARTITIONS must be a positive integer, "
+                f"got {env!r}"
+            )
+        return n
     path = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isdir(path):
-        size = sum(
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    else:
-        size = os.path.getsize(path) if os.path.exists(path) else 0
-    return max(8, min(default_parallelism(), math.ceil(size / (16 << 20))))
+    size = 0
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(hpath):
+                size = int(fs.getContentSummary(hpath).getLength())
+        except Exception:  # noqa: BLE001 — estimation must never kill a gate
+            size = 0
+    if size <= 0 and "://" not in sf_dir:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        elif os.path.exists(path):
+            size = os.path.getsize(path)
+    if size <= 0:
+        return None  # unmeasurable input: keep the session default
+    cap = default_parallelism()
+    return min(cap, max(min(8, cap), math.ceil(size / (16 << 20))))
+
+
+# Guards _shuffle_partitions_during: the override mutates SESSION-GLOBAL
+# conf for the duration of a stream run, which is only sound while no
+# second conf-scoped stream is active — two scopes could interleave
+# set/restore and clobber each other, and an overlapped run would
+# silently plan with the other scope's width (ADVICE r14). The engine
+# never nests stream runs today (run_concurrently overlaps only batch
+# actions); this makes the invariant loud instead of latent.
+_SHUFFLE_SCOPE_LOCK = threading.Lock()
 
 
 class _shuffle_partitions_during:
@@ -68,13 +117,22 @@ class _shuffle_partitions_during:
     run: the value is captured into the query's checkpoint metadata at
     start, so it must be live from .start() through awaitTermination();
     restoring it afterwards keeps the session's batch plans on the
-    engine-wide default. No-op when n is None."""
+    engine-wide default. No-op when n is None. At most one conf-scoped
+    stream may be active per driver (see _SHUFFLE_SCOPE_LOCK); batch
+    actions launched INSIDE the scope (foreachBatch legs) intentionally
+    see the lowered width — results are partitioning-independent."""
 
     def __init__(self, spark: SparkSession, n: int | None):
         self.spark, self.n = spark, n
 
     def __enter__(self):
         if self.n is not None:
+            if not _SHUFFLE_SCOPE_LOCK.acquire(blocking=False):
+                raise RuntimeError(
+                    "another conf-scoped stream run is active: overlapping "
+                    "_shuffle_partitions_during scopes would clobber the "
+                    "session-global spark.sql.shuffle.partitions"
+                )
             self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
             self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
         return self
@@ -82,6 +140,7 @@ class _shuffle_partitions_during:
     def __exit__(self, *exc):
         if self.n is not None:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+            _SHUFFLE_SCOPE_LOCK.release()
         return False
 
 def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:

@@ -30,7 +30,7 @@ from seamdb_spark.operators.registry import QUERIES
 
 from tests.conftest import SF_SMOKE
 
-# The 39 materializer queries as recorded by the last clean bench run
+# The materializer queries as recorded by the last clean bench run
 # (bench_results.json["materializers"]) — every query whose first timed
 # run adds session-memo keys, i.e. every query the bench gate-retime
 # can re-enter. The sweep below re-verifies membership mechanically:
