@@ -292,9 +292,23 @@ class _IncrementalTextIndex:
                 # A micro-batch-sized segment set: its id list is a
                 # fraction of the CONSTANT input-byte bound, so the
                 # broadcast is scale-safe and keeps the hint side
-                # exchange-free.
-                seg_ids = ids
-                return self._derive_hint().join(F.broadcast(seg_ids), "doc_id")
+                # exchange-free. The slice INHERITS the memoized hint's
+                # checkpoint partitioning (the session core budget), so
+                # without re-clustering every micro-batch commit wrote
+                # ~core-count near-empty state files (measured 32 files
+                # / ~5 KB each, 96 files per stream-gate state at
+                # sf0.1) — the round-14 byte-targeted sizing below only
+                # covered the non-hint branch. One cheap exchange of
+                # the (bounded, index-sized) slice buys size-targeted
+                # segment files while the hint probe stays parallel;
+                # same formula as the direct-derivation branch.
+                from .session import default_parallelism
+
+                sliced = self._derive_hint().join(F.broadcast(ids), "doc_id")
+                n_out = max(1, min(
+                    default_parallelism(), in_bytes // SEG_TARGET_BYTES + 1
+                ))
+                return sliced.repartition(int(n_out))
             # Rebuild-sized input (e.g. compaction rewrote the whole
             # table): the id set grows with the corpus — no forced
             # broadcast; the planner/AQE picks the join from actual

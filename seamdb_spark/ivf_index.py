@@ -58,10 +58,13 @@ both retrieval families (LSH: dedup_index.py, IVF: here).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup_index import SEG_TARGET_BYTES
 from .snapshots import TableSnapshots
 
 # Re-center when >50% of indexed vectors would change cells under the
@@ -116,6 +119,30 @@ class IncrementalIVFIndex:
             .repartition(default_parallelism(), "vec_id")
         )
         return _qemb(df)
+
+    def _sized_for_commit(self, assigned: DataFrame, files: list[str]) -> DataFrame:
+        """Cluster a pinned (localCheckpointed) assignment batch into
+        size-targeted segment files before the snapshot commit — the
+        dedup_index._derive_of discipline: the pin inherits _quant_of's
+        core-budget partitioning, so without this every commit wrote
+        ~core-count near-empty files (measured 32 files per segment at
+        sf0.1) and every index() read + drift scan + manifest GC paid
+        per-file open cost times segments. coalesce (not repartition):
+        the input is an already-checkpointed bounded batch, so merging
+        read groups costs no shuffle and no recompute; a 100 TB rebuild
+        still writes ~bytes/64 MB files in parallel."""
+        from .session import default_parallelism
+
+        in_bytes = 0
+        for f in files:
+            try:
+                in_bytes += os.path.getsize(f)
+            except OSError:
+                return assigned  # unmeasurable input: leave the layout alone
+        n_out = max(1, min(
+            default_parallelism(), in_bytes // SEG_TARGET_BYTES + 1
+        ))
+        return assigned.coalesce(int(n_out))
 
     def _cdf(self, centroids: list) -> DataFrame:
         # K×64 int64 driver literal — always broadcast-sized
@@ -243,7 +270,7 @@ class IncrementalIVFIndex:
         )
         n, counts, sums = self._stats_of(assigned)
         self.state.commit(
-            assigned,
+            self._sized_for_commit(assigned, files),
             mode="overwrite",
             extra={
                 "processed": processed,
@@ -301,7 +328,11 @@ class IncrementalIVFIndex:
             "centroids": extra["centroids"],
             **self._merge_stats(extra, counts, sums),
         }
-        self.state.commit(assigned, mode="append", extra=new_extra)
+        self.state.commit(
+            self._sized_for_commit(assigned, new_files),
+            mode="append",
+            extra=new_extra,
+        )
 
         # drift check: exact integer compare, no float thresholds
         n_indexed = sum(int(v) for v in new_extra["cell_counts"].values())
@@ -314,12 +345,13 @@ class IncrementalIVFIndex:
             centroids = sorted(
                 (int(r.cid), [int(x) for x in r.cvec]) for r in cand
             )
+            state_files = self.state.current_files()
             reassigned = assign_cells(
                 self.index().select("vec_id", "q"), self._cdf(centroids)
             ).localCheckpoint(eager=True)
             _, counts, sums = self._stats_of(reassigned)
             self.state.commit(
-                reassigned,
+                self._sized_for_commit(reassigned, state_files),
                 mode="overwrite",
                 extra={
                     "processed": current,
